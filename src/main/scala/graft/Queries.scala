@@ -1,0 +1,479 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{KFunctions, KHash}
+
+/** The operator battery (SURVEY §2), each expressed Spark-first over the
+  * synthetic testdata tables, with a DuckDB-equivalent oracle in
+  * [[Queries.oracles]]. The `events` table plays the Kafka record stream:
+  * topic = event_type, partition p = user_id % 4, offset = event_id,
+  * timestamp = ts (epoch millis as BIGINT `ts_ms` — events.ts is parquet
+  * TIMESTAMP(NANOS), read as Long nanos via nanosAsLong).
+  *
+  * Determinism rules shared with the oracles: every float aggregate goes
+  * through DECIMAL(18,4) (exact, order-independent) and is surfaced as DOUBLE;
+  * every result has a total ORDER BY.
+  */
+object Queries {
+
+  // PITR window used across queries: [2024-01-10, 2024-01-20] UTC, inclusive.
+  val T1 = 1704844800000L
+  val T2 = 1705708800000L
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("p", col("user_id") % 4)
+
+  private def lineitem(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
+  private def supplier(s: SparkSession, dir: String) = s.read.parquet(s"$dir/supplier.parquet")
+  private def nation(s: SparkSession, dir: String) = s.read.parquet(s"$dir/nation.parquet")
+  private def region(s: SparkSession, dir: String) = s.read.parquet(s"$dir/region.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Offset-mapping fixture (J1-J4): every 10th event is a mapping point
+    * (source_offset = event_id, target_offset = event_id + 1000 + p), kept
+    * per stream partition so the as-of join partitions cleanly at scale.
+    */
+  private def mapping(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_id") % 10 === 0)
+      .select(col("p"), col("event_id").as("src"),
+        (col("event_id") + 1000 + col("p")).as("tgt"), col("ts_ms").as("map_ts"))
+
+  private def probes(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_id") % 7 === 0)
+      .select(col("p"), col("event_id").as("probe"))
+
+  /** As-of join core (J1, manifest.rs:624-671): for each probe find the
+    * nearest mapping point with src <= probe within its partition, then
+    * delta-extrapolate. Spark-first shape: union + running `last(ignoreNulls)`
+    * window partitioned by the stream partition — one shuffle, no
+    * driver-side loop, no cross-partition global sort; DuckDB oracle uses its
+    * native ASOF JOIN.
+    */
+  private def asofTargets(s: SparkSession, dir: String): DataFrame = {
+    val m = mapping(s, dir).select(col("p"), col("src").as("k"),
+      col("src"), col("tgt"), lit(1).as("is_m"))
+    val pr = probes(s, dir).select(col("p"), col("probe").as("k"),
+      lit(null).cast("bigint").as("src"), lit(null).cast("bigint").as("tgt"),
+      lit(0).as("is_m"))
+    val w = Window.partitionBy("p").orderBy(col("k"), col("is_m").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    m.unionByName(pr)
+      .withColumn("asof_src", last("src", ignoreNulls = true).over(w))
+      .withColumn("asof_tgt", last("tgt", ignoreNulls = true).over(w))
+      .filter(col("is_m") === 0 && col("asof_src").isNotNull)
+      .select(col("p"), col("k").as("probe"),
+        (col("asof_tgt") + (col("k") - col("asof_src"))).as("target"))
+  }
+
+  // ───────────────────────── kafka-backup operators over `events` ──────────
+
+  val kafka: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F7 record time-window filter — both bounds inclusive, ms precision
+    "q_pitr_window" -> ((s, d) => events(s, d)
+      .filter(col("ts_ms").between(T1, T2))
+      .select("event_id", "ts_ms", "event_type", "user_id")
+      .orderBy("event_id")),
+
+    // F8 offset-range scan bound: start inclusive, end exclusive
+    "q_offset_range" -> ((s, d) => events(s, d)
+      .filter(col("event_id") >= 100 && col("event_id") < 600)
+      .select("event_id", "event_type", "user_id")
+      .orderBy("event_id")),
+
+    // F5 partition filter
+    "q_partition_filter" -> ((s, d) => events(s, d)
+      .filter(col("p").isin(1, 3))
+      .select("event_id", "p")
+      .orderBy("event_id")),
+
+    // F1 topic glob include/exclude (include "p*"/"?lick", exclude none)
+    "q_topic_glob" -> ((s, d) => events(s, d)
+      .filter(col("event_type").rlike(KHash.globToRegex("p*")) ||
+        col("event_type").rlike(KHash.globToRegex("?lick")))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")),
+
+    // F6 segment time-window pruning on a derived min/max manifest
+    "q_segment_prune" -> ((s, d) => events(s, d)
+      .groupBy(expr("event_id div 100").as("seg"))
+      .agg(count(lit(1)).as("record_count"),
+        min("ts_ms").as("start_ts"), max("ts_ms").as("end_ts"))
+      .filter(col("end_ts") >= T1 && col("start_ts") <= T2)
+      .orderBy("seg")),
+
+    // A1/A4 manifest totals + time range over the derived segment catalog
+    "q_manifest_describe" -> ((s, d) => events(s, d)
+      .groupBy(expr("event_id div 100").as("seg"))
+      .agg(count(lit(1)).as("record_count"),
+        min("ts_ms").as("start_ts"), max("ts_ms").as("end_ts"))
+      .agg(count(lit(1)).as("total_segments"),
+        sum("record_count").as("total_records"),
+        min("start_ts").as("min_ts"), max("end_ts").as("max_ts"))),
+
+    // A2/J7 per-partition watermarks
+    "q_partition_watermarks" -> ((s, d) => events(s, d)
+      .groupBy("p")
+      .agg(min("event_id").as("start_offset"), max("event_id").as("end_offset"),
+        count(lit(1)).as("n_records"))
+      .orderBy("p")),
+
+    // A3 dry-run rollup: per (topic, partition) + topic + global subtotals
+    "q_dryrun_rollup" -> ((s, d) => events(s, d)
+      .filter(col("ts_ms").between(T1, T2))
+      .rollup("event_type", "p")
+      .agg(count(lit(1)).as("n_records"),
+        min("event_id").as("min_offset"), max("event_id").as("max_offset"))
+      .orderBy(col("event_type").asc_nulls_first, col("p").asc_nulls_first)),
+
+    // A6 offset-mapping range fold: min/max offset with their timestamps
+    "q_offset_mapping_range" -> ((s, d) => events(s, d)
+      .groupBy("p")
+      .agg(min("event_id").as("src_min"), max("event_id").as("src_max"),
+        min_by(col("ts_ms"), col("event_id")).as("ts_of_min"),
+        max_by(col("ts_ms"), col("event_id")).as("ts_of_max"))
+      .orderBy("p")),
+
+    // J1 as-of offset lookup with delta extrapolation
+    "q_asof_lookup" -> ((s, d) => asofTargets(s, d).orderBy("p", "probe")),
+
+    // J2 first offset with ts >= T per partition (PITR entry point)
+    "q_ts_to_offset" -> ((s, d) => events(s, d)
+      .groupBy("p")
+      .agg(min(when(col("ts_ms") >= T1, col("event_id"))).as("first_offset"))
+      .orderBy("p")),
+
+    // J6 validation: per-partition record count vs offset-span expectation
+    "q_validation_counts" -> ((s, d) => events(s, d)
+      .groupBy("p")
+      .agg(count(lit(1)).as("actual"),
+        (max("event_id") - min("event_id") + 1).as("expected_span"))
+      .withColumn("diff", col("expected_span") - col("actual"))
+      .orderBy("p")),
+
+    // A10 validation summary: outcomes rolled up
+    "q_validation_summary" -> ((s, d) => events(s, d)
+      .groupBy("p")
+      .agg(count(lit(1)).as("actual"),
+        (max("event_id") - min("event_id") + 1).as("expected_span"))
+      .withColumn("outcome",
+        when(col("expected_span") === col("actual"), "pass").otherwise("fail"))
+      .groupBy("outcome").agg(count(lit(1)).as("n"))
+      .orderBy("outcome")),
+
+    // J5 manifest merge: union of overlapping slices, dedup, existing wins
+    "q_merge_dedup" -> ((s, d) => {
+      val a = events(s, d).filter(col("event_id") < 600)
+      val b = events(s, d).filter(col("event_id") >= 400 && col("event_id") < 800)
+      a.unionByName(b).dropDuplicates("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // F9 checkpoint anti-join: skip completed units
+    "q_checkpoint_antijoin" -> ((s, d) => {
+      val done = events(s, d).filter(col("event_id") % 3 === 0).select("event_id")
+      events(s, d).join(done, Seq("event_id"), "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // F13 topic rename via mapping, unmapped pass through
+    "q_topic_rename" -> ((s, d) => {
+      val m = typedLit(Map("click" -> "interaction", "view" -> "impression"))
+      events(s, d)
+        .withColumn("topic", coalesce(element_at(m, col("event_type")), col("event_type")))
+        .groupBy("topic").agg(count(lit(1)).as("n"))
+        .orderBy("topic")
+    }),
+
+    // F11/F12 header enrichment round-trip: LE-encoded offset extracted back
+    "q_header_roundtrip" -> ((s, d) => {
+      val base = events(s, d).select(col("event_id"),
+        col("event_type").as("topic"), col("p").cast("int").as("partition"),
+        col("event_id").as("offset"), col("ts_ms").as("timestamp"),
+        lit(null).cast("binary").as("key"), lit(null).cast("binary").as("value"),
+        array().cast(graft.model.KRecord.schema("headers").dataType).as("headers"))
+      base.withColumn("headers", KFunctions.enriched_headers(col("headers"),
+          col("offset"), col("timestamp"), "cluster-a", col("partition")))
+        .select(col("event_id"),
+          KFunctions.bytes_to_long_le(
+            KFunctions.header_value(col("headers"), "x-original-offset")).as("orig_offset"))
+        .orderBy("event_id")
+    }),
+
+    // J3 consumer-group reset plan: committed offsets → target via as-of
+    "q_group_reset_plan" -> ((s, d) => {
+      val committed = events(s, d).groupBy(col("event_type").as("grp"), col("p"))
+        .agg(max("event_id").as("committed"))
+      val m = mapping(s, d)
+      val w = Window.partitionBy("grp", "p").orderBy(col("k"), col("is_m").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // mapping replicated per group (groups are few; broadcast-sized)
+      val mm = committed.select(col("grp")).distinct()
+        .crossJoin(m)
+        .select(col("grp"), col("p"), col("src").as("k"), col("src"), col("tgt"),
+          lit(1).as("is_m"))
+      val pr = committed.select(col("grp"), col("p"), col("committed").as("k"),
+        lit(null).cast("bigint").as("src"), lit(null).cast("bigint").as("tgt"),
+        lit(0).as("is_m"))
+      mm.unionByName(pr)
+        .withColumn("asof_src", last("src", ignoreNulls = true).over(w))
+        .withColumn("asof_tgt", last("tgt", ignoreNulls = true).over(w))
+        .filter(col("is_m") === 0)
+        .select(col("grp"), col("p"), col("k").as("committed"),
+          (col("asof_tgt") + (col("k") - col("asof_src"))).as("target"))
+        .orderBy("grp", "p")
+    }),
+
+    // J9 rollback verify: expected (all) vs actual (≤ T2) committed offsets
+    "q_rollback_verify" -> ((s, d) => {
+      val expected = events(s, d).groupBy("p").agg(max("event_id").as("expected"))
+      val actual = events(s, d).filter(col("ts_ms") <= T2)
+        .groupBy("p").agg(max("event_id").as("actual"))
+      expected.join(actual, Seq("p"), "full_outer")
+        .filter(not(col("expected") <=> col("actual")))
+        .orderBy("p")
+    }),
+
+    // A9 deterministic digest: sha256 over ordered offset summary
+    "q_digest" -> ((s, d) => events(s, d)
+      .groupBy("p")
+      .agg(sort_array(collect_list(col("event_id"))).as("offs"))
+      .select(col("p"),
+        sha2(concat_ws(",", transform(col("offs"), _.cast("string"))), 256).as("digest"))
+      .orderBy("p")),
+
+    // A7 latency percentiles: exact p50/p99 + avg per event_type
+    "q_percentiles" -> ((s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
+      .orderBy("event_type"))
+  )
+
+  val kafkaOracles: Map[String, String] = Map(
+    "q_pitr_window" ->
+      s"""SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, user_id FROM events
+         |WHERE epoch_ms(ts) BETWEEN $T1 AND $T2 ORDER BY event_id""".stripMargin,
+    "q_offset_range" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_id >= 100 AND event_id < 600 ORDER BY event_id""".stripMargin,
+    "q_partition_filter" ->
+      """SELECT event_id, user_id % 4 AS p FROM events
+        |WHERE user_id % 4 IN (1, 3) ORDER BY event_id""".stripMargin,
+    "q_topic_glob" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE regexp_matches(event_type, '^p.*$') OR regexp_matches(event_type, '^.lick$')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_segment_prune" ->
+      s"""SELECT event_id // 100 AS seg, count(*) AS record_count,
+         |       min(epoch_ms(ts)) AS start_ts, max(epoch_ms(ts)) AS end_ts
+         |FROM events GROUP BY 1
+         |HAVING max(epoch_ms(ts)) >= $T1 AND min(epoch_ms(ts)) <= $T2
+         |ORDER BY seg""".stripMargin,
+    "q_manifest_describe" ->
+      """SELECT count(*) AS total_segments, sum(record_count) AS total_records,
+        |       min(start_ts) AS min_ts, max(end_ts) AS max_ts
+        |FROM (SELECT event_id // 100 AS seg, count(*) AS record_count,
+        |             min(epoch_ms(ts)) AS start_ts, max(epoch_ms(ts)) AS end_ts
+        |      FROM events GROUP BY 1)""".stripMargin,
+    "q_partition_watermarks" ->
+      """SELECT user_id % 4 AS p, min(event_id) AS start_offset,
+        |       max(event_id) AS end_offset, count(*) AS n_records
+        |FROM events GROUP BY 1 ORDER BY p""".stripMargin,
+    "q_dryrun_rollup" ->
+      s"""SELECT event_type, user_id % 4 AS p, count(*) AS n_records,
+         |       min(event_id) AS min_offset, max(event_id) AS max_offset
+         |FROM events WHERE epoch_ms(ts) BETWEEN $T1 AND $T2
+         |GROUP BY ROLLUP (event_type, p)
+         |ORDER BY event_type NULLS FIRST, p NULLS FIRST""".stripMargin,
+    "q_offset_mapping_range" ->
+      """SELECT user_id % 4 AS p, min(event_id) AS src_min, max(event_id) AS src_max,
+        |       arg_min(epoch_ms(ts), event_id) AS ts_of_min,
+        |       arg_max(epoch_ms(ts), event_id) AS ts_of_max
+        |FROM events GROUP BY 1 ORDER BY p""".stripMargin,
+    "q_asof_lookup" ->
+      """WITH m AS (SELECT user_id % 4 AS p, event_id AS src,
+        |                  event_id + 1000 + user_id % 4 AS tgt
+        |           FROM events WHERE event_id % 10 = 0),
+        |     pr AS (SELECT user_id % 4 AS p, event_id AS probe FROM events
+        |            WHERE event_id % 7 = 0)
+        |SELECT pr.p AS p, pr.probe, m.tgt + (pr.probe - m.src) AS target
+        |FROM pr ASOF JOIN m ON pr.p = m.p AND pr.probe >= m.src
+        |ORDER BY pr.p, pr.probe""".stripMargin,
+    "q_ts_to_offset" ->
+      s"""SELECT user_id % 4 AS p,
+         |       min(event_id) FILTER (WHERE epoch_ms(ts) >= $T1) AS first_offset
+         |FROM events GROUP BY 1 ORDER BY p""".stripMargin,
+    "q_validation_counts" ->
+      """SELECT user_id % 4 AS p, count(*) AS actual,
+        |       max(event_id) - min(event_id) + 1 AS expected_span,
+        |       max(event_id) - min(event_id) + 1 - count(*) AS diff
+        |FROM events GROUP BY 1 ORDER BY p""".stripMargin,
+    "q_validation_summary" ->
+      """SELECT CASE WHEN expected_span = actual THEN 'pass' ELSE 'fail' END AS outcome,
+        |       count(*) AS n
+        |FROM (SELECT user_id % 4 AS p, count(*) AS actual,
+        |             max(event_id) - min(event_id) + 1 AS expected_span
+        |      FROM events GROUP BY 1)
+        |GROUP BY 1 ORDER BY outcome""".stripMargin,
+    "q_merge_dedup" ->
+      """SELECT event_type, count(*) AS n FROM (
+        |  SELECT DISTINCT ON (event_id) * FROM (
+        |    SELECT * FROM events WHERE event_id < 600
+        |    UNION ALL
+        |    SELECT * FROM events WHERE event_id >= 400 AND event_id < 800))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_checkpoint_antijoin" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_id % 3 <> 0 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_topic_rename" ->
+      """SELECT CASE event_type WHEN 'click' THEN 'interaction'
+        |            WHEN 'view' THEN 'impression' ELSE event_type END AS topic,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+    "q_header_roundtrip" ->
+      "SELECT event_id, event_id AS orig_offset FROM events ORDER BY event_id",
+    "q_group_reset_plan" ->
+      """WITH committed AS (SELECT event_type AS grp, user_id % 4 AS p,
+        |                          max(event_id) AS committed
+        |                   FROM events GROUP BY 1, 2),
+        |     m AS (SELECT user_id % 4 AS p, event_id AS src,
+        |                  event_id + 1000 + user_id % 4 AS tgt
+        |           FROM events WHERE event_id % 10 = 0)
+        |SELECT c.grp, c.p AS p, c.committed, m.tgt + (c.committed - m.src) AS target
+        |FROM committed c ASOF JOIN m ON c.p = m.p AND c.committed >= m.src
+        |ORDER BY c.grp, c.p""".stripMargin,
+    "q_rollback_verify" ->
+      s"""SELECT e.p, e.expected, a.actual FROM
+         |  (SELECT user_id % 4 AS p, max(event_id) AS expected FROM events GROUP BY 1) e
+         |  FULL OUTER JOIN
+         |  (SELECT user_id % 4 AS p, max(event_id) AS actual FROM events
+         |   WHERE epoch_ms(ts) <= $T2 GROUP BY 1) a
+         |  USING (p)
+         |WHERE e.expected IS DISTINCT FROM a.actual ORDER BY p""".stripMargin,
+    "q_digest" ->
+      """SELECT user_id % 4 AS p,
+        |       sha256(string_agg(event_id::VARCHAR, ',' ORDER BY event_id)) AS digest
+        |FROM events GROUP BY 1 ORDER BY p""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.99), 4) AS p99,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+
+  // ───────────────────────── analytic anchors over the TPC-H-ish tables ────
+
+  val tpch: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> ((s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_shipping" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < lit("2024-06-01").cast("timestamp"))
+      val l = lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val o = orders(s, d)
+      val c = customer(s, d)
+      val n = nation(s, d)
+      val r = region(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    "q_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("o_orderpriority", "rn", "o_orderkey",
+          "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    })
+  )
+
+  val tpchOracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2024-06-01'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin
+  )
+
+  /** Queries with no SQL-expressible oracle (murmur2 is not available in
+    * DuckDB): driver records a rows-only check; bit-exactness is covered by
+    * ScalaTest golden vectors instead.
+    */
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 2.10 murmur2 repartition placement distribution
+    "q_murmur2_partition" -> ((s, d) => events(s, d)
+      .withColumn("key", encode(col("user_id").cast("string"), "UTF-8"))
+      .withColumn("target_partition", KFunctions.kafka_partition(col("key"), 12))
+      .groupBy("target_partition").agg(count(lit(1)).as("n"))
+      .orderBy("target_partition"))
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = kafka ++ tpch ++ rowsOnly
+  val oracles: Map[String, String] = kafkaOracles ++ tpchOracles
+}

@@ -1,0 +1,175 @@
+package graft.codec
+
+import graft.model.{KHeader, KRecord}
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+/** KBAK v1 segment codec — the on-disk interchange contract, bit-layout
+  * compatible with the reference (crates/kafka-backup-core/src/segment/format.rs:1-46):
+  *
+  * {{{
+  * header(32B): "KBAK" | version u8=1 | codec u8 (0=none,1=zstd,2=lz4) | reserved u16
+  *              | record_count u64 LE | start_offset i64 LE | end_offset i64 LE
+  * body:        concat of length-prefixed records, compressed AS A WHOLE with codec
+  *   record:    total_len u32 | timestamp i64 | offset i64
+  *              | key_len i32 (-1=null) | key | value_len i32 (-1=null) | value
+  *              | header_count u16 | (hkey_len u16 | hkey | hval_len i32 (-1=null) | hval)*
+  * footer(8B):  crc32(header + compressed body) u32 LE | "BKAE"
+  * }}}
+  *
+  * All integers little-endian. CRC (format.rs:346-350) covers everything before
+  * the footer. Topic/partition are NOT stored per record — they live in the
+  * storage key path (backup/engine.rs:1156-1162).
+  */
+object SegmentCodec {
+  val Magic: Array[Byte] = "KBAK".getBytes(StandardCharsets.US_ASCII)
+  val MagicEnd: Array[Byte] = "BKAE".getBytes(StandardCharsets.US_ASCII)
+  val Version: Byte = 1
+  val HeaderSize = 32
+  val FooterSize = 8
+
+  final case class SegmentHeader(
+      version: Byte,
+      codec: CompressionCodec,
+      recordCount: Long,
+      startOffset: Long,
+      endOffset: Long)
+
+  /** Serialized size of one record, excluding the u32 length prefix
+    * (format.rs serialized_size).
+    */
+  def recordSize(r: KRecord): Int = {
+    var size = 8 + 8 + 4 + 4 + 2
+    if (r.key != null) size += r.key.length
+    if (r.value != null) size += r.value.length
+    r.headers.foreach { h =>
+      size += 2 + h.key.getBytes(StandardCharsets.UTF_8).length + 4
+      if (h.value != null) size += h.value.length
+    }
+    size
+  }
+
+  /** Append one length-prefixed record to `out`. */
+  def writeRecord(out: ByteArrayOutputStream, r: KRecord): Unit = {
+    val content = recordSize(r)
+    val buf = ByteBuffer.allocate(4 + content).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(content)
+    buf.putLong(r.timestamp)
+    buf.putLong(r.offset)
+    if (r.key != null) { buf.putInt(r.key.length); buf.put(r.key) } else buf.putInt(-1)
+    if (r.value != null) { buf.putInt(r.value.length); buf.put(r.value) } else buf.putInt(-1)
+    buf.putShort(r.headers.size.toShort)
+    r.headers.foreach { h =>
+      val kb = h.key.getBytes(StandardCharsets.UTF_8)
+      buf.putShort(kb.length.toShort)
+      buf.put(kb)
+      if (h.value != null) { buf.putInt(h.value.length); buf.put(h.value) } else buf.putInt(-1)
+    }
+    out.write(buf.array(), 0, buf.position())
+  }
+
+  /** Encode a full segment. Records must already be in offset order; topic and
+    * partition are the caller's concern (they go in the storage key).
+    */
+  def encode(records: Iterable[KRecord], codec: CompressionCodec,
+             zstdLevel: Int = CompressionCodec.DefaultZstdLevel): Array[Byte] = {
+    val body = new ByteArrayOutputStream(64 * 1024)
+    var count = 0L
+    var startOffset = -1L
+    var endOffset = -1L
+    records.foreach { r =>
+      if (count == 0L) startOffset = r.offset
+      endOffset = r.offset
+      writeRecord(body, r)
+      count += 1
+    }
+    val compressed = Compression.compress(body.toByteArray, codec, zstdLevel)
+    assemble(SegmentHeader(Version, codec, count, startOffset, endOffset), compressed)
+  }
+
+  /** Header bytes + compressed body + CRC footer. */
+  def assemble(h: SegmentHeader, compressedBody: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(HeaderSize + compressedBody.length + FooterSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Magic)
+    out.put(h.version)
+    out.put(h.codec.id)
+    out.putShort(0) // reserved
+    out.putLong(h.recordCount)
+    out.putLong(h.startOffset)
+    out.putLong(h.endOffset)
+    out.put(compressedBody)
+    val crc = new CRC32()
+    crc.update(out.array(), 0, HeaderSize + compressedBody.length)
+    out.putInt(crc.getValue.toInt)
+    out.put(MagicEnd)
+    out.array()
+  }
+
+  def parseHeader(data: Array[Byte]): SegmentHeader = {
+    require(data.length >= HeaderSize, "Segment header too short")
+    val buf = ByteBuffer.wrap(data, 0, HeaderSize).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(java.util.Arrays.equals(magic, Magic), "Invalid segment magic bytes")
+    val version = buf.get()
+    require(version == Version, s"Unsupported segment version: $version")
+    val codec = CompressionCodec.fromId(buf.get())
+    buf.getShort() // reserved
+    SegmentHeader(version, codec, buf.getLong(), buf.getLong(), buf.getLong())
+  }
+
+  /** Decode a full segment: verify footer magic + CRC, decompress, iterate
+    * (segment/reader.rs:20-147). `topic`/`partition` are stamped onto the
+    * returned records (they come from the storage key, not the bytes).
+    */
+  def decode(data: Array[Byte], topic: String = null, partition: Int = -1): Iterator[KRecord] = {
+    require(data.length >= HeaderSize + FooterSize, "Segment too short")
+    val header = parseHeader(data)
+    // footer check
+    val fbuf = ByteBuffer.wrap(data, data.length - FooterSize, FooterSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val storedCrc = fbuf.getInt
+    val magicEnd = new Array[Byte](4); fbuf.get(magicEnd)
+    require(java.util.Arrays.equals(magicEnd, MagicEnd), "Invalid segment end magic")
+    val crc = new CRC32()
+    crc.update(data, 0, data.length - FooterSize)
+    require(crc.getValue.toInt == storedCrc, "Segment CRC mismatch")
+    val body = Compression.decompress(
+      java.util.Arrays.copyOfRange(data, HeaderSize, data.length - FooterSize), header.codec)
+    decodeBody(body, topic, partition, header.recordCount)
+  }
+
+  /** Iterate length-prefixed records from a decompressed body. */
+  def decodeBody(body: Array[Byte], segTopic: String, segPartition: Int,
+                 expected: Long): Iterator[KRecord] = new Iterator[KRecord] {
+    private val buf = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    private var produced = 0L
+    override def hasNext: Boolean = produced < expected && buf.remaining() >= 4
+    override def next(): KRecord = {
+      val totalLen = buf.getInt
+      require(buf.remaining() >= totalLen, "Record data truncated")
+      val limit = buf.position() + totalLen
+      val timestamp = buf.getLong
+      val offset = buf.getLong
+      val key = readBytes(buf.getInt)
+      val value = readBytes(buf.getInt)
+      val headerCount = buf.getShort & 0xffff
+      val headers = new scala.collection.mutable.ArrayBuffer[KHeader](headerCount)
+      var i = 0
+      while (i < headerCount) {
+        val klen = buf.getShort & 0xffff
+        val kb = new Array[Byte](klen); buf.get(kb)
+        val hv = readBytes(buf.getInt)
+        headers += KHeader(new String(kb, StandardCharsets.UTF_8), hv)
+        i += 1
+      }
+      buf.position(limit)
+      produced += 1
+      KRecord(segTopic, segPartition, offset, timestamp, key, value, headers.toSeq)
+    }
+    private def readBytes(len: Int): Array[Byte] =
+      if (len < 0) null else { val a = new Array[Byte](len); buf.get(a); a }
+  }
+}

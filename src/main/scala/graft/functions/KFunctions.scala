@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure hash/byte helpers, callable from executors. */
+object KHash {
+
+  /** Murmur2, as used by Kafka's default partitioner (seed 0x9747b28c).
+    * This is the well-known public MurmurHash2 algorithm; Spark's built-in
+    * `hash()` is murmur3 and is NOT compatible
+    * (reference: crates/kafka-backup-core/src/restore/repartition.rs:31,57-68).
+    */
+  def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    val length = data.length
+    var h = seed ^ length
+    val length4 = length / 4
+    var i = 0
+    while (i < length4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) + ((data(i4 + 1) & 0xff) << 8) +
+        ((data(i4 + 2) & 0xff) << 16) + ((data(i4 + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    // handle the last few bytes of the input
+    val tail = length & ~3
+    (length % 4) match {
+      case 3 =>
+        h ^= (data(tail + 2) & 0xff) << 16
+        h ^= (data(tail + 1) & 0xff) << 8
+        h ^= data(tail) & 0xff
+        h *= m
+      case 2 =>
+        h ^= (data(tail + 1) & 0xff) << 8
+        h ^= data(tail) & 0xff
+        h *= m
+      case 1 =>
+        h ^= data(tail) & 0xff
+        h *= m
+      case _ =>
+    }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+
+  /** Kafka's toPositive: mask the sign bit (NOT abs). */
+  def toPositive(x: Int): Int = x & 0x7fffffff
+
+  /** Kafka default-partitioner placement: murmur2(key) masked positive, mod N
+    * (repartition.rs:57-68; byte-compatible per test repartition.rs:461-494).
+    */
+  def kafkaPartition(key: Array[Byte], numPartitions: Int): Int =
+    toPositive(murmur2(key)) % numPartitions
+
+  def longToBytesLE(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  /** Read an LE i64; falls back to parsing a UTF-8 decimal string (the
+    * reference accepts both encodings, restore/engine.rs:1521-1566).
+    */
+  def bytesToLongLE(b: Array[Byte]): java.lang.Long =
+    if (b == null) null
+    else if (b.length == 8) ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
+    else try java.lang.Long.parseLong(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: NumberFormatException => null }
+
+  /** Glob (`*`, `?`) → anchored Java regex (backup/engine.rs:1352-1385). */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+
+  /** Topic selection semantics (backup/engine.rs:626-668): empty include = all;
+    * exclude wins; `~`-prefixed patterns are regexes (restore/engine.rs:1569-1626).
+    */
+  def topicMatches(topic: String, includes: Seq[String], excludes: Seq[String]): Boolean = {
+    def m(p: String): Boolean =
+      if (p.startsWith("~")) topic.matches(p.substring(1)) else topic.matches(globToRegex(p))
+    val included = includes.isEmpty || includes.exists(m)
+    included && !excludes.exists(m)
+  }
+}
+
+/** Column-level wrappers. UDF-based for now (the payloads are tiny byte
+  * arrays; the hot path — SegmentCodec — runs in mapPartitions, not here).
+  */
+object KFunctions {
+  private val murmur2Udf = udf((b: Array[Byte]) => if (b == null) null else Int.box(KHash.murmur2(b)))
+  private val kafkaPartUdf =
+    udf((b: Array[Byte], n: Int) => if (b == null) null else Int.box(KHash.kafkaPartition(b, n)))
+  private val l2bUdf = udf((v: java.lang.Long) => if (v == null) null else KHash.longToBytesLE(v))
+  private val b2lUdf = udf((b: Array[Byte]) => KHash.bytesToLongLE(b))
+
+  /** murmur2 with Kafka's seed over a binary column. */
+  def kafka_murmur2(c: Column): Column = murmur2Udf(c)
+
+  /** Kafka default-partitioner target partition for a key column. */
+  def kafka_partition(key: Column, numPartitions: Int): Column =
+    kafkaPartUdf(key, lit(numPartitions))
+
+  def long_to_bytes_le(c: Column): Column = l2bUdf(c)
+  def bytes_to_long_le(c: Column): Column = b2lUdf(c)
+
+  /** First header value for `key` in a headers array column (first-match
+    * lookup; duplicates allowed). Pure built-ins — stays in codegen.
+    */
+  def header_value(headers: Column, key: String): Column =
+    filter(headers, h => h.getField("key") === lit(key)).getItem(0).getField("value")
+
+  /** Append enrichment headers (F11): x-original-offset (LE i64),
+    * x-original-timestamp (LE i64 millis), x-source-cluster, x-source-partition
+    * (backup/engine.rs:1009-1028, restore/helpers.rs:79-108).
+    */
+  def enriched_headers(headers: Column, offset: Column, tsMillis: Column,
+                       cluster: String, partition: Column): Column =
+    concat(
+      coalesce(headers, array().cast(ArrayType(StructType(Seq(
+        StructField("key", StringType), StructField("value", BinaryType)))))),
+      array(
+        struct(lit("x-original-offset").as("key"), long_to_bytes_le(offset).as("value")),
+        struct(lit("x-original-timestamp").as("key"), long_to_bytes_le(tsMillis).as("value")),
+        struct(lit("x-source-cluster").as("key"), encode(lit(cluster), "UTF-8").as("value")),
+        struct(lit("x-source-partition").as("key"),
+          encode(partition.cast(StringType), "UTF-8").as("value"))))
+}

@@ -1,0 +1,159 @@
+package graft.pipelines
+
+import graft.codec.{CompressionCodec, SegmentCodec}
+import graft.catalog._
+import graft.functions.KFunctions
+import graft.model.KRecord
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import java.io.ByteArrayOutputStream
+
+/** Backup pipeline config (subset of the reference's YAML Config,
+  * crates/kafka-backup-core/src/config.rs:8). Defaults mirror
+  * SegmentWriterConfig::default (segment/writer.rs:28-37).
+  */
+case class BackupConfig(
+    backupId: String,
+    backupRoot: String,
+    compression: CompressionCodec = CompressionCodec.Zstd,
+    zstdLevel: Int = CompressionCodec.DefaultZstdLevel,
+    maxSegmentBytes: Long = 128L * 1024 * 1024,
+    sourceCluster: String = "source-cluster",
+    enrichHeaders: Boolean = true,
+    includeTopics: Seq[String] = Nil,
+    excludeTopics: Seq[String] = Nil)
+
+/** The ingest pipeline (reference query lifecycle §3.1): source records →
+  * header enrichment (F11) → per-(topic,partition) segment roll (K1/St4) →
+  * storage put → manifest assembly (K2).
+  *
+  * Spark shape: a narrow, shuffle-once plan. One hash repartition co-locates
+  * each (topic,partition) on one task; `sortWithinPartitions` restores offset
+  * order (the per-partition order invariant O4 — never a global sort); the
+  * writer runs inside `mapPartitions` and streams records through rolling
+  * segment buffers, so memory is bounded by `maxSegmentBytes` per task
+  * regardless of input size. Segment metadata (one row per ~128 MB) is the
+  * only thing collected to the driver.
+  */
+object Backup {
+
+  /** Run a batch backup of a canonical-record DataFrame. Returns the saved
+    * manifest.
+    */
+  def run(spark: SparkSession, records: DataFrame, config: BackupConfig): BackupManifest = {
+    import spark.implicits._
+
+    val topics = selectedTopics(spark, records, config)
+    val filtered =
+      if (config.includeTopics.isEmpty && config.excludeTopics.isEmpty) records
+      else records.filter(col("topic").isin(topics: _*))
+
+    val enriched =
+      if (config.enrichHeaders)
+        filtered.withColumn("headers",
+          KFunctions.enriched_headers(col("headers"), col("offset"), col("timestamp"),
+            config.sourceCluster, col("partition")))
+      else filtered
+
+    // Record original partition counts before writing (manifest.rs:81-89).
+    val partCounts = filtered.groupBy("topic")
+      .agg(max("partition").as("maxp"))
+      .as[(String, Int)].collect().map { case (t, p) => t -> (p + 1) }.toMap
+
+    val cfg = config // avoid closing over `this`
+    val written: Seq[SegmentRow] = enriched
+      .repartition(col("topic"), col("partition"))
+      .sortWithinPartitions("topic", "partition", "offset")
+      .as[KRecord]
+      .mapPartitions(it => writeTaskPartition(it, cfg))
+      .collect().toSeq
+
+    val manifest = assembleManifest(written, partCounts, config)
+    Manifest.save(config.backupRoot, manifest)
+  }
+
+  /** Topic resolution F1/F2: glob include/exclude against observed topics. */
+  def selectedTopics(spark: SparkSession, records: DataFrame, config: BackupConfig): Seq[String] = {
+    import spark.implicits._
+    val all = records.select("topic").distinct().as[String].collect().toSeq
+    all.filter(t => graft.functions.KHash.topicMatches(t, config.includeTopics,
+      config.excludeTopics)).sorted
+  }
+
+  private[pipelines] case class SegmentRow(
+      topic: String, partition: Int, key: String, start_offset: Long, end_offset: Long,
+      start_timestamp: Long, end_timestamp: Long, record_count: Long,
+      uncompressed_size: Long, compressed_size: Long)
+
+  /** Rolling segment writer for one Spark task. Input is sorted by
+    * (topic, partition, offset); consecutive runs of one (topic, partition)
+    * stream through a bounded buffer that seals at `maxSegmentBytes`
+    * (writer.rs:237-251 — the interval-based roll is a streaming concern,
+    * handled by micro-batch boundaries there).
+    */
+  private def writeTaskPartition(it: Iterator[KRecord], cfg: BackupConfig): Iterator[SegmentRow] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cfg.backupRoot), new org.apache.hadoop.conf.Configuration())
+    val out = scala.collection.mutable.ArrayBuffer.empty[SegmentRow]
+
+    var curTopic: String = null
+    var curPartition: Int = -1
+    var body = new ByteArrayOutputStream(1 << 20)
+    var count = 0L
+    var startOffset = -1L
+    var endOffset = -1L
+    var startTs = Long.MaxValue
+    var endTs = Long.MinValue
+
+    def seal(): Unit = if (count > 0) {
+      val raw = body.toByteArray
+      val compressed = graft.codec.Compression.compress(raw, cfg.compression, cfg.zstdLevel)
+      val bytes = SegmentCodec.assemble(
+        SegmentCodec.SegmentHeader(SegmentCodec.Version, cfg.compression, count, startOffset,
+          endOffset), compressed)
+      val key = Manifest.segmentKey(cfg.backupId, curTopic, curPartition, startOffset,
+        cfg.compression.extension)
+      val path = new org.apache.hadoop.fs.Path(s"${cfg.backupRoot}/$key")
+      val os = fs.create(path, true)
+      try os.write(bytes) finally os.close()
+      out += SegmentRow(curTopic, curPartition, key, startOffset, endOffset, startTs, endTs,
+        count, raw.length.toLong, compressed.length.toLong)
+      body = new ByteArrayOutputStream(1 << 20)
+      count = 0; startOffset = -1; endOffset = -1
+      startTs = Long.MaxValue; endTs = Long.MinValue
+    }
+
+    it.foreach { r =>
+      if (r.topic != curTopic || r.partition != curPartition) {
+        seal(); curTopic = r.topic; curPartition = r.partition
+      }
+      if (count == 0) startOffset = r.offset
+      endOffset = r.offset
+      startTs = math.min(startTs, r.timestamp)
+      endTs = math.max(endTs, r.timestamp)
+      SegmentCodec.writeRecord(body, r)
+      count += 1
+      if (body.size() >= cfg.maxSegmentBytes) seal()
+    }
+    seal()
+    out.iterator
+  }
+
+  private def assembleManifest(rows: Seq[SegmentRow], partCounts: Map[String, Int],
+                               config: BackupConfig): BackupManifest = {
+    val topics = rows.groupBy(_.topic).toList.sortBy(_._1).map { case (topic, trs) =>
+      val parts = trs.groupBy(_.partition).toList.sortBy(_._1).map { case (pid, prs) =>
+        PartitionBackup(pid, prs.sortBy(_.start_offset).map(r =>
+          SegmentMetadata(r.key, r.start_offset, r.end_offset, r.start_timestamp,
+            r.end_timestamp, r.record_count, r.uncompressed_size, r.compressed_size)).toList)
+      }
+      TopicBackup(topic, partCounts.get(topic), parts)
+    }
+    BackupManifest(config.backupId, System.currentTimeMillis(), None, Nil,
+      config.compression match {
+        case CompressionCodec.None => "none"
+        case CompressionCodec.Zstd => "zstd"
+        case CompressionCodec.Lz4 => "lz4"
+      }, topics)
+  }
+}

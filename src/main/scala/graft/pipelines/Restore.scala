@@ -1,0 +1,126 @@
+package graft.pipelines
+
+import graft.catalog.{BackupManifest, Manifest}
+import graft.codec.{CompressionCodec, SegmentCodec}
+import graft.functions.KFunctions
+import graft.model.KRecord
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Restore/PITR options (reference RestoreConfig, restore/engine.rs):
+  * time window bounds are epoch millis, both ends INCLUSIVE
+  * (restore/helpers.rs:55-73).
+  */
+case class RestoreConfig(
+    backupRoot: String,
+    backupId: String,
+    windowStartMs: Option[Long] = None,
+    windowEndMs: Option[Long] = None,
+    includeTopics: Seq[String] = Nil,
+    excludeTopics: Seq[String] = Nil,
+    sourcePartitions: Option[Seq[Int]] = None,
+    topicMapping: Map[String, String] = Map.empty,
+    partitionMapping: Map[Int, Int] = Map.empty,
+    completedSegmentKeys: Set[String] = Set.empty)
+
+/** The restore "query" (reference lifecycle §3.2): manifest catalog → segment
+  * pruning (F6) → checkpoint anti-join (F9) → binary scan + KBAK decode
+  * (S8/S10) → record time filter (F7) → topic/partition remap (F13/F14).
+  *
+  * Scale shape: pruning happens on the CATALOG (one row per segment), so at
+  * 100 TB a narrow PITR window touches only the overlapping ~128 MB objects;
+  * the binaryFile scan parallelizes one file per task; decode is a streaming
+  * flatMap (no per-task materialization); the ts filter is re-applied
+  * per-record because segment stats are ranges, not predicates.
+  */
+object Restore {
+
+  /** The restored record set as a canonical-record Dataset (the produce step
+    * K3 is a separate sink; tests and validation consume this directly).
+    */
+  def records(spark: SparkSession, cfg: RestoreConfig): Dataset[KRecord] = {
+    import spark.implicits._
+    val manifest = Manifest.load(cfg.backupRoot, cfg.backupId)
+    val keys = prunedSegmentKeys(manifest, cfg)
+    val root = cfg.backupRoot
+
+    val decoded: Dataset[KRecord] =
+      if (keys.isEmpty) spark.emptyDataset[KRecord]
+      else spark.read.format("binaryFile")
+        .load(keys.map(k => s"$root/$k"): _*)
+        .select("path", "content")
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val (topic, partition) = parseSegmentPath(path)
+          SegmentCodec.decode(bytes, topic, partition)
+        }
+
+    val timeFiltered = (cfg.windowStartMs, cfg.windowEndMs) match {
+      case (None, None) => decoded
+      case (s, e) =>
+        val lo = s.getOrElse(Long.MinValue)
+        val hi = e.getOrElse(Long.MaxValue)
+        decoded.filter(r => r.timestamp >= lo && r.timestamp <= hi)
+    }
+    timeFiltered
+  }
+
+  /** Restore with topic rename / explicit partition remap applied (F13/F14). */
+  def remapped(spark: SparkSession, cfg: RestoreConfig): DataFrame = {
+    val base = records(spark, cfg).toDF()
+    val t = if (cfg.topicMapping.isEmpty) base
+      else {
+        val m = typedLit(cfg.topicMapping)
+        base.withColumn("topic", coalesce(element_at(m, col("topic")), col("topic")))
+      }
+    if (cfg.partitionMapping.isEmpty) t
+    else {
+      val m = typedLit(cfg.partitionMapping)
+      t.withColumn("partition",
+        coalesce(element_at(m, col("partition")), col("partition")))
+    }
+  }
+
+  /** Catalog-side planning: topic include/exclude (F2) → partition filter (F5)
+    * → time-window segment pruning (F6) → completed-segment anti set (F9).
+    * Driver-side list ops — the manifest is small (1 row per 128 MB object).
+    */
+  def prunedSegmentKeys(manifest: BackupManifest, cfg: RestoreConfig): Seq[String] = {
+    for {
+      t <- manifest.topics
+      if graft.functions.KHash.topicMatches(t.name, cfg.includeTopics, cfg.excludeTopics)
+      p <- t.partitions
+      if cfg.sourcePartitions.forall(_.contains(p.partition_id))
+      s <- p.segments
+      if s.overlapsTimeWindow(cfg.windowStartMs, cfg.windowEndMs)
+      if !cfg.completedSegmentKeys.contains(s.key)
+    } yield s.key
+  }
+
+  /** `.../topics/{topic}/partition={p}/segment-....bin[.ext]` → (topic, p). */
+  def parseSegmentPath(path: String): (String, Int) = {
+    val parts = path.split('/')
+    val pIdx = parts.lastIndexWhere(_.startsWith("partition="))
+    require(pIdx > 0, s"Not a segment path: $path")
+    (parts(pIdx - 1), parts(pIdx).substring("partition=".length).toInt)
+  }
+
+  /** Dry-run rollup (A3, restore/engine.rs:443-518): per (topic, partition)
+    * with topic and global subtotals via `rollup` — counts of segments,
+    * records, bytes, offset and time ranges — computed purely on the catalog.
+    */
+  def dryRun(spark: SparkSession, cfg: RestoreConfig): DataFrame = {
+    val manifest = Manifest.load(cfg.backupRoot, cfg.backupId)
+    val keys = prunedSegmentKeys(manifest, cfg).toSet
+    Manifest.toDF(spark, manifest)
+      .filter(col("segment_key").isInCollection(keys))
+      .rollup("topic", "partition")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("record_count").as("n_records"),
+        sum("uncompressed_size").as("n_bytes"),
+        min("start_offset").as("min_offset"),
+        max("end_offset").as("max_offset"),
+        min("start_timestamp").as("min_ts"),
+        max("end_timestamp").as("max_ts"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import graft.catalog.Manifest
+import graft.codec.CompressionCodec
+import graft.functions.{KFunctions, KHash}
+import graft.model.KRecord
+import graft.pipelines.{Backup, BackupConfig, Restore, RestoreConfig}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end slice (SURVEY §7): events fixture → KBAK segments + manifest on
+  * local FS → restore with PITR window → boundary-inclusive equality.
+  */
+class BackupRestoreSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-backup").toString
+
+  private lazy val manifest = {
+    val records = KRecord.fromEvents(spark, sf0001)
+    Backup.run(spark, records,
+      BackupConfig("b1", tmp, CompressionCodec.Zstd, maxSegmentBytes = 16 * 1024))
+  }
+
+  test("backup writes segments and a loadable manifest") {
+    assert(manifest.totalRecords == 1000)
+    assert(manifest.topics.size == 5) // event types
+    val loaded = Manifest.load(tmp, "b1")
+    assert(loaded.totalRecords == 1000)
+    assert(loaded.totalSegments == manifest.totalSegments && loaded.totalSegments > 0)
+    // segment stats are consistent
+    loaded.topics.flatMap(_.partitions).foreach { p =>
+      val segs = p.segments
+      assert(segs == segs.sortBy(_.start_offset))
+      segs.foreach { s =>
+        assert(s.start_offset <= s.end_offset)
+        assert(s.start_timestamp <= s.end_timestamp)
+        assert(s.record_count > 0)
+      }
+    }
+  }
+
+  test("restore round-trips every record (no window)") {
+    import spark.implicits._
+    manifest // force backup
+    val restored = Restore.records(spark, RestoreConfig(tmp, "b1"))
+    assert(restored.count() == 1000)
+    val restoredIds = restored.map(_.offset).collect().sorted
+    assert(restoredIds.toSeq == (0L until 1000L))
+    // per-partition offset order preserved within each decoded segment scan
+    val byPart = restored.collect().groupBy(r => (r.topic, r.partition))
+    byPart.foreach { case (_, rs) =>
+      val offs = rs.map(_.offset).toSeq
+      assert(offs == offs.sorted, "per-partition offset order")
+    }
+  }
+
+  test("PITR window is boundary-inclusive at ms precision") {
+    import spark.implicits._
+    manifest
+    val all = KRecord.fromEvents(spark, sf0001)
+      .select("offset", "timestamp").as[(Long, Long)].collect().toMap
+    val ts = all.values.toSeq.sorted
+    val (t1, t2) = (ts(200), ts(800))
+    val expected = all.filter { case (_, t) => t >= t1 && t <= t2 }.keySet
+    val restored = Restore.records(spark, RestoreConfig(tmp, "b1", Some(t1), Some(t2)))
+      .map(_.offset).collect().toSet
+    assert(restored == expected)
+    // boundary records themselves are present
+    assert(restored.contains(all.find(_._2 == t1).get._1))
+    assert(restored.contains(all.find(_._2 == t2).get._1))
+    // empty window
+    assert(Restore.records(spark, RestoreConfig(tmp, "b1", Some(t2 + 100000), Some(t2 + 200000)))
+      .count() == 0)
+  }
+
+  test("segment pruning reads only overlapping segments") {
+    manifest
+    val m = Manifest.load(tmp, "b1")
+    val allKeys = Restore.prunedSegmentKeys(m, RestoreConfig(tmp, "b1"))
+    val ts = KRecord.fromEvents(spark, sf0001)
+      .agg(min("timestamp"), max("timestamp")).collect()(0)
+    val narrow = Restore.prunedSegmentKeys(m,
+      RestoreConfig(tmp, "b1", Some(ts.getLong(0)), Some(ts.getLong(0) + 3600 * 1000)))
+    assert(narrow.nonEmpty && narrow.size < allKeys.size, "time pruning must skip segments")
+  }
+
+  test("topic include/exclude and partition filter") {
+    manifest
+    val m = Manifest.load(tmp, "b1")
+    val only = Restore.prunedSegmentKeys(m,
+      RestoreConfig(tmp, "b1", includeTopics = Seq("purch*")))
+    assert(only.nonEmpty && only.forall(_.contains("/topics/purchase/")))
+    val excl = Restore.prunedSegmentKeys(m,
+      RestoreConfig(tmp, "b1", excludeTopics = Seq("~purch.*")))
+    assert(excl.nonEmpty && !excl.exists(_.contains("/topics/purchase/")))
+    val p0 = Restore.prunedSegmentKeys(m,
+      RestoreConfig(tmp, "b1", sourcePartitions = Some(Seq(0))))
+    assert(p0.nonEmpty && p0.forall(_.contains("partition=0/")))
+  }
+
+  test("checkpoint anti-join skips completed segments (F9)") {
+    manifest
+    val m = Manifest.load(tmp, "b1")
+    val all = Restore.prunedSegmentKeys(m, RestoreConfig(tmp, "b1"))
+    val done = all.take(all.size / 2).toSet
+    val remaining = Restore.prunedSegmentKeys(m,
+      RestoreConfig(tmp, "b1", completedSegmentKeys = done))
+    assert(remaining.toSet == all.toSet -- done)
+  }
+
+  test("header enrichment round-trips the original offset (F11/F12)") {
+    manifest
+    val restored = Restore.records(spark, RestoreConfig(tmp, "b1")).toDF()
+    val extracted = restored.select(col("offset"),
+      KFunctions.bytes_to_long_le(
+        KFunctions.header_value(col("headers"), "x-original-offset")).as("header_offset"),
+      KFunctions.bytes_to_long_le(
+        KFunctions.header_value(col("headers"), "x-original-timestamp")).as("header_ts"),
+      col("timestamp"))
+    assert(extracted.filter(col("offset") =!= col("header_offset")).count() == 0)
+    assert(extracted.filter(col("timestamp") =!= col("header_ts")).count() == 0)
+  }
+
+  test("topic rename and partition remap (F13/F14)") {
+    manifest
+    val df = Restore.remapped(spark, RestoreConfig(tmp, "b1",
+      topicMapping = Map("click" -> "click_v2"), partitionMapping = Map(0 -> 7)))
+    assert(df.filter(col("topic") === "click").count() == 0)
+    assert(df.filter(col("topic") === "click_v2").count() > 0)
+    assert(df.filter(col("partition") === 0).count() == 0)
+    assert(df.filter(col("partition") === 7).count() > 0)
+  }
+
+  test("manifest merge dedups by key/start_offset, existing wins (J5)") {
+    val m = Manifest.load(tmp, "b1")
+    val merged = m.merge(m)
+    assert(merged.totalSegments == m.totalSegments)
+    assert(merged.totalRecords == m.totalRecords)
+  }
+
+  test("dry-run rollup totals match the manifest (A3)") {
+    manifest
+    val dr = Restore.dryRun(spark, RestoreConfig(tmp, "b1"))
+    val global = dr.filter(col("topic").isNull && col("partition").isNull).collect()(0)
+    assert(global.getAs[Long]("n_records") == 1000L)
+    val perTopic = dr.filter(col("topic").isNotNull && col("partition").isNull)
+    assert(perTopic.count() == 5)
+  }
+
+  test("kafka repartition column: murmur2 placement + null-key spread (2.10)") {
+    manifest
+    val df = Restore.records(spark, RestoreConfig(tmp, "b1")).toDF()
+      .withColumn("target_partition", KFunctions.kafka_partition(col("key"), 12))
+    val placed = df.select("key", "target_partition").collect()
+    placed.foreach { row =>
+      val expect = KHash.kafkaPartition(row.getAs[Array[Byte]](0), 12)
+      assert(row.getInt(1) == expect)
+    }
+  }
+}
