@@ -474,6 +474,7 @@ object Queries {
       .orderBy("target_partition"))
   )
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = kafka ++ tpch ++ rowsOnly
-  val oracles: Map[String, String] = kafkaOracles ++ tpchOracles
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    kafka ++ tpch ++ rowsOnly ++ QueriesData.all
+  val oracles: Map[String, String] = kafkaOracles ++ tpchOracles ++ QueriesData.oracles
 }

@@ -1,0 +1,174 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+  * ANN search, text analysis, and the multimodal batch plumbing.
+  * SQL-expressible ones carry DuckDB oracles; signature-based ones are
+  * rows-only here and verified by ScalaTest fixtures with known answers.
+  */
+object QueriesData {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val sqlChecked: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // text: token counting (whitespace)
+    "d_token_count" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")),
+
+    // dedup: exact on a normalized 40-char-prefix digest (collisions exist)
+    "d_exact_dedup" -> ((s, d) => docs(s, d)
+      .groupBy(md5(lower(substring(col("text"), 1, 40))).as("dup_key"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+      .select("keep_id", "n_dups")
+      .orderBy("keep_id")),
+
+    // text: quality signals (deterministic ratios)
+    "d_quality" -> ((s, d) => {
+      val sig = TextFunctions.qualitySignals(col("text"))
+      docs(s, d).select(col("doc_id"),
+          sig.getField("n_tokens").as("n_tokens"),
+          sig.getField("n_chars").as("n_chars"),
+          round(sig.getField("stopword_ratio"), 6).as("stopword_ratio"),
+          round(sig.getField("mean_word_len"), 6).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus stats rollup by source (the list/describe analog for documents)
+    "d_source_stats" -> ((s, d) => docs(s, d)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("source", "lang")),
+
+    // ANN: brute-force cosine top-10 for the vec_id=0 query vector
+    "a_ann_topk" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Ann.bruteForceTopK(emb(s, d).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 10)
+    }),
+
+    // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
+    "a_label_centroid_norm" -> ((s, d) => emb(s, d)
+      .select(col("label"),
+        Dedup.cosine(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("self_cos"),
+        sqrt(aggregate(transform(col("embedding").cast("array<double>"), x => x * x),
+          lit(0.0d), (a, v) => a + v)).as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg("norm"), 6).as("avg_norm"),
+        round(min("self_cos"), 6).as("min_self_cos"))
+      .orderBy("label"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
+        |GROUP BY md5(lower(substring(text, 1, 40))) HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "d_quality" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+        |                  regexp_split_to_array(trim(text), '\s+') AS w
+        |           FROM documents)
+        |SELECT doc_id, len(w) AS n_tokens, n_chars,
+        |  round(len(list_filter(w, x -> lower(x) IN
+        |    ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+        |    / greatest(len(w), 1), 6) AS stopword_ratio,
+        |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+        |    / greatest(len(w), 1), 6) AS mean_word_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "d_source_stats" ->
+      """SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "a_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+    "a_label_centroid_norm" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 6) AS avg_norm,
+        |  round(min(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS min_self_cos
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+
+  /** Signature-based operators: deterministic, but no faithful SQL oracle —
+    * rows-only check by the driver; ScalaTest fixtures assert known answers.
+    */
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text", shingleN = 3, k = 64,
+          bands = 16, threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    "d_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 10)
+        .orderBy("id_a", "id_b")),
+
+    // maxDocFreq prunes shingles shared by >50 docs before the self-join —
+    // this corpus has a ~40-word vocabulary, so common trigrams would
+    // otherwise fan out to ~100M candidate pairs at sf0.1
+    "d_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", shingleN = 3,
+          threshold = 0.12, maxDocFreq = 50)
+        .orderBy("id_a", "id_b")),
+
+    // synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.47),
+    // so the "near-dup" threshold is set where candidates exist
+    "d_embedding_dups" -> ((s, d) =>
+      Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding", dim = 64,
+          bits = 4, threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    "d_langid" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+      .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("pred_lang")),
+
+    // per-doc 64-bit fingerprints — downstream exact-dup key (corpus has no
+    // full-text dups, so the doc-level fingerprint table is the deliverable)
+    "d_fingerprint" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")),
+
+    "a_ann_lsh" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Ann.lshTopK(emb(s, d).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        dim = 64, q, k = 10, bits = 8, probeHamming = 3)
+    }),
+
+    "m_media_features" -> ((s, d) => {
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, d)).toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          col("n_frames"), round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("media_id")
+    }),
+
+    "m_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, d), stride = 3,
+          maxFrames = 8)
+        .orderBy("media_id", "frame_idx"))
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = sqlChecked ++ rowsOnly
+}

@@ -1,0 +1,80 @@
+package graft.ann
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Scale design: the baseline is a single narrow scan — score every vector
+  * against the (broadcast) query and keep a running top-k per partition, then
+  * merge k×partitions rows on the driver side of the final sort. The LSH /
+  * IVF-style variant prunes the scan to matching buckets: at 100 TB the
+  * bucket column is a partition/bucketing key, so Catalyst turns the bucket
+  * predicate into partition pruning and only ~1/2^probes of the data is read.
+  */
+object Ann {
+
+  /** Brute-force cosine top-k for one query vector (exact baseline).
+    * One scan + one k-row final sort; ties broken by id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    corpus.select(col(idCol).as("id"),
+        round(Dedup.cosine(col(vecCol).cast("array<double>"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Batch top-k: every query row against every corpus row via a broadcast
+    * nest — exact, for query sets small enough to broadcast. Returns
+    * (query_id, rank, id, cosine).
+    */
+  def bruteForceTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, qIdCol: String, qVecCol: String,
+                          k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(queries.select(col(qIdCol).as("query_id"),
+        col(qVecCol).as("qvec"))))
+      .select(col("query_id"), col("id"),
+        round(Dedup.cosine(col("cvec").cast("array<double>"),
+          col("qvec").cast("array<double>")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cosine")
+  }
+
+  /** Attach an LSH bucket column (random-hyperplane signature). Persist the
+    * corpus partitioned/bucketed by this column and the probe path becomes
+    * partition pruning.
+    */
+  def withBucket(corpus: DataFrame, vecCol: String, dim: Int, bits: Int): DataFrame =
+    corpus.withColumn("bucket",
+      Dedup.hyperplaneSignature(col(vecCol).cast("array<double>"), dim, bits))
+
+  /** LSH-pruned top-k: score only vectors whose bucket is within `probeHamming`
+    * of the query's bucket (multi-probe). Recall rises with probeHamming;
+    * probeHamming = bits degrades to brute force.
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+              query: Seq[Double], k: Int, bits: Int = 8,
+              probeHamming: Int = 2): DataFrame = {
+    val bucketed = withBucket(corpus, vecCol, dim, bits)
+    // query bucket: computed with the same plan-time weights on a 1-row frame
+    val qBucket = bucketed.sparkSession.range(1)
+      .select(Dedup.hyperplaneSignature(
+        array(query.map(lit): _*), dim, bits).as("b"))
+      .head().getLong(0)
+    val q = array(query.map(lit): _*)
+    bucketed
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+      .select(col(idCol).as("id"),
+        round(Dedup.cosine(col(vecCol).cast("array<double>"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+}

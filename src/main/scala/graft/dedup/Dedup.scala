@@ -1,0 +1,234 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for the
+  * 100 TB shape:
+  *
+  *  - exact: one hash-shuffle on a 16-byte digest (not the full text);
+  *  - MinHash+LSH: signatures are fixed-width arrays built map-side; only the
+  *    (band, hash) pairs shuffle, so the join state is O(docs × bands), never
+  *    O(docs²);
+  *  - SimHash: 64-bit signature, candidate pairs via band buckets on 16-bit
+  *    sub-keys (Hamming ≤ 3 ⇒ at least one of 4 bands exact-matches);
+  *  - n-gram Jaccard: inverted-index self-join on shingles with per-shingle
+  *    frequency cap to bound skew (a stopword shingle would otherwise create
+  *    a quadratic bucket);
+  *  - embedding cosine: random-hyperplane LSH buckets, exact cosine verify
+  *    inside buckets only.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized digest of `textCol`. Keeps the smallest
+    * `idCol` per group (deterministic winner). Returns the kept rows.
+    * Shuffles (digest → partition) once; the digest is computed map-side so
+    * the exchange carries 16 bytes + id, not the document body.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("graft_dup_key").orderBy(col(idCol))
+    df.withColumn("graft_dup_key", md5(lower(trim(col(textCol)))))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_dup_key", "graft_rn")
+  }
+
+  /** MinHash signatures for a whole corpus: (id, sig array<long> of length k).
+    *
+    * Shape matters here: the shingle array is exploded once and the k min
+    * slots are computed as k `min` aggregates — Spark's partial (map-side)
+    * aggregation means each shingle is hashed k times exactly once, and the
+    * shuffle carries only k longs per document. The tempting pure-column
+    * alternative (k × array_min(transform(shingles, …)) in one projection)
+    * re-evaluates the shingle expression per slot — interpreted higher-order
+    * functions get no common-subexpression elimination — and is quadratic in
+    * practice.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, k: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode_outer(TextFunctions.shingles(col(textCol), shingleN)).as("shingle"))
+    exploded.groupBy("id")
+      .agg(array((0 until k).map(seed =>
+        coalesce(min(when(col("shingle").isNotNull,
+          xxhash64(col("shingle"), lit(seed)))), lit(Long.MaxValue))): _*)
+        .as("sig"))
+  }
+
+  /** LSH banding: signature of length k split into `bands` bands of k/bands
+    * rows; each band hashed to one bucket key. Docs sharing any band bucket
+    * are candidate pairs.
+    */
+  def lshBands(signature: Column, bands: Int, k: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", transform(slice(signature, b * r + 1, r),
+          x => x.cast("string")))).as("bucket"))): _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with exact Jaccard verify on
+    * the candidates (estimated via signature agreement). Returns
+    * (id_a, id_b, jaccard_est) with id_a < id_b, deduplicated across bands.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, k)
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(lshBands(col("sig"), bands, k)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard_est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 6).as("jaccard_est"))
+  }
+
+  /** 64-bit SimHash over token xxhash64s — weighted bit voting. Single-row
+    * column form, for tests and small frames; corpus-scale callers use
+    * [[simhashSignatures]].
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << i)).otherwise(0L)
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Corpus SimHash via explode + 64 vote-sum aggregates (same rationale as
+    * [[minhashSignatures]]: tokens hashed once, map-side partial aggregation,
+    * shuffle carries 64 ints per doc).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(col("h").isNull, 0)
+        .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$i"))
+    val votes = exploded.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    votes.select(col("id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup candidates: 4 bands of 16 bits; Hamming distance ≤ 3
+    * guarantees an exact match in at least one band (pigeonhole). Exact
+    * Hamming verify inside buckets.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard over an inverted-index self-join. `maxDocFreq`
+    * drops ubiquitous shingles before the join — the skew guard that keeps
+    * the biggest bucket bounded at scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.3,
+                        maxDocFreq: Int = 1000): DataFrame = {
+    // one shuffle builds the inverted index; pairs are expanded INSIDE each
+    // shingle bucket with array expressions, so the shingle column is
+    // evaluated exactly once and no self-join rescans the corpus
+    val inv = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
+        .as("shingle"))
+    val sizes = inv.groupBy("id").agg(count(lit(1)).as("n"))
+    val buckets = inv.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDocFreq)
+    // all (i < j) combinations within a bucket
+    val pairStructs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    val pairs = buckets.select(explode(pairStructs).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Cosine similarity of two float-array columns as a single aggregate
+    * expression (dot / norms), codegen-friendly.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Random-hyperplane LSH signature for cosine similarity: `bits` sign bits
+    * from fixed pseudo-random hyperplanes (deterministic from dimension index
+    * via a hash-based pseudo-random projection).
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
+    val sig = (0 until bits).map { b =>
+      // pseudo-random ±1 projection weights, fixed at plan time from (bit, dim)
+      def weight(i: Int): Double = {
+        val h = (b * 1315423911L + i * 2654435761L) ^ ((b.toLong + i) >> 3)
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+      val dot = aggregate(zip_with(vec,
+        array((0 until dim).map(i => lit(weight(i))): _*),
+        (x, w) => x * w), lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << b)).otherwise(0L)
+    }
+    sig.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Embedding near-duplicate pairs: bucket on the hyperplane signature,
+    * exact cosine verify within buckets. At scale only same-bucket pairs
+    * shuffle; `bits` trades recall for bucket size.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     bits: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneSignature(col(vecCol).cast("array<double>"), dim, bits).as("bucket"))
+    val a = sigs.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sigs.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        cosine(col("vec_a").cast("array<double>"), col("vec_b").cast("array<double>")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

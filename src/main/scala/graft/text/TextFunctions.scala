@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines. All of
+  * them are pure `org.apache.spark.sql.functions` compositions (higher-order
+  * array functions) so they stay inside whole-stage codegen — no Scala UDF in
+  * the hot path. Inputs are a text column; at 100 TB these run as a narrow
+  * map over the parquet scan with zero shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. Empty string → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + punctuation clusters + digit
+    * runs counted separately (a cheap proxy for LLM tokenizer counts: ~1
+    * token per short word, more for long words).
+    */
+  def subwordCountEstimate(text: Column): Column = {
+    val t = tokens(text)
+    // ceil(len/4) per word approximates BPE fragmentation of long words
+    aggregate(t, lit(0L), (acc, w) => acc + ceil(length(w) / 4.0).cast("long"))
+  }
+
+  /** Word-level n-gram shingles: contiguous n-token windows joined by a
+    * single space.
+    *
+    * Built by zipping n shifted slices of the token array and joining the
+    * struct fields — the lambda touches only its own parameter. CRITICAL
+    * perf detail: a lambda that references an OUTER expression (e.g.
+    * `transform(seq, i => element_at(tokens(text), i))`) re-evaluates that
+    * expression per element, turning tokenization into O(tokens²) per
+    * document; the zip form evaluates the token array once per row.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val zipped = arrays_zip((0 until n).map(j =>
+      slice(t, lit(j + 1), greatest(size(t) - n + 1, lit(0))).as(s"t$j")): _*)
+    transform(zipped, s => concat_ws(" ", (0 until n).map(j => s.getField(s"t$j")): _*))
+  }
+
+  /** Character n-grams of the raw string (for language ID / fingerprints).
+    * Same zip construction as [[shingles]] to keep it O(chars) per row.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val chars = split(lower(text), "")
+    val zipped = arrays_zip((0 until n).map(j =>
+      slice(chars, lit(j + 1), greatest(size(chars) - n + 1, lit(0))).as(s"c$j")): _*)
+    transform(zipped, s => concat_ws("", (0 until n).map(j => s.getField(s"c$j")): _*))
+  }
+
+  // Stopword profiles for the n-gram/stopword language-ID heuristic.
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "que", "est"),
+    "es" -> Seq("el", "la", "los", "las", "que", "de", "un", "una", "es", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit", "den"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
+
+  /** Heuristic language ID: score = fraction of tokens hitting each
+    * language's stopword profile, plus a CJK-character test for zh; argmax
+    * wins, 'und' (undetermined) when nothing scores. Deterministic, pure
+    * column expressions.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(lower(text))
+    val n = greatest(size(t), lit(1))
+    def score(lang: String): Column =
+      size(filter(t, w => w.isin(profiles(lang): _*))).cast("double") / n
+    val cjk = size(filter(split(text, ""), c => c.rlike("[\\u4e00-\\u9fff]")))
+      .cast("double") / greatest(length(text), lit(1))
+    val scored = map(
+      lit("en"), score("en"), lit("fr"), score("fr"), lit("es"), score("es"),
+      lit("de"), score("de"), lit("zh"), cjk * 10)
+    // argmax over the small fixed map
+    val entries = map_entries(scored)
+    val best = array_max(transform(entries, e =>
+      struct(e.getField("value").as("v"), e.getField("key").as("k"))))
+    when(best.getField("v") > 0, best.getField("k")).otherwise(lit("und"))
+  }
+
+  /** Quality signals (length, punctuation/digit/stopword ratios, mean word
+    * length) and a composite score in [0,1] — the usual cheap pre-filters for
+    * LLM training corpora.
+    */
+  def qualitySignals(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = greatest(size(t), lit(1))
+    val len = greatest(length(text), lit(1))
+    val punct = size(filter(split(text, ""), c => c.rlike("[\\p{Punct}]"))).cast("double") / len
+    val digits = size(filter(split(text, ""), c => c.rlike("[0-9]"))).cast("double") / len
+    val stop = size(filter(t, w => lower(w).isin(profiles("en"): _*))).cast("double") / nTok
+    val meanWordLen = aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok
+    struct(
+      size(t).as("n_tokens"),
+      length(text).as("n_chars"),
+      punct.as("punct_ratio"),
+      digits.as("digit_ratio"),
+      stop.as("stopword_ratio"),
+      meanWordLen.as("mean_word_len"))
+  }
+
+  /** Composite quality score: penalize too-short docs, punctuation/digit
+    * noise; reward a natural stopword rate. Deterministic arithmetic only.
+    */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text)
+    val lenScore = least(s.getField("n_tokens").cast("double") / 64.0, lit(1.0))
+    val punctScore = greatest(lit(1.0) - s.getField("punct_ratio") * 5, lit(0.0))
+    val digitScore = greatest(lit(1.0) - s.getField("digit_ratio") * 5, lit(0.0))
+    val stopScore = least(s.getField("stopword_ratio") * 4, lit(1.0))
+    round((lenScore * 0.4 + punctScore * 0.2 + digitScore * 0.2 + stopScore * 0.2), 6)
+  }
+
+  /** 64-bit document fingerprint: xxhash64 of the normalized token stream.
+    * Whitespace/case-insensitive exact-dup key (a rolling-hash analog with
+    * Spark's codegen'd xxhash64).
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", transform(tokens(text), w => lower(w))))
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Known-answer fixtures for the training-data operators (dedup, ANN, text,
+  * multimodal) — the correctness layer beneath the driver's rows-only checks.
+  */
+class DataOpsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def docsDF(rows: (Long, String)*) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+  }
+
+  test("tokens / tokenCount / shingles") {
+    val df = docsDF((1L, "a b c d"), (2L, "  x  y  "), (3L, ""), (4L, "one"))
+    val out = df.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.shingles(col("text"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[String](2))).toMap
+    assert(out(1L)._1 == 4 && out(1L)._2 == Seq("a b", "b c", "c d"))
+    assert(out(2L)._1 == 2 && out(2L)._2 == Seq("x y"))
+    assert(out(3L)._1 == 0 && out(3L)._2.isEmpty)
+    assert(out(4L)._1 == 1 && out(4L)._2.isEmpty) // shorter than shingle
+  }
+
+  test("exact dedup keeps smallest id per normalized text") {
+    val df = docsDF((5L, "Hello World"), (2L, "hello   world"), (9L, "unique doc"),
+      (7L, " HELLO WORLD "))
+    // note: exact() normalizes via lower(trim(text)) — internal spaces differ
+    val kept = Dedup.exact(df, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // "Hello World" and " HELLO WORLD " collapse (5 wins over 7); 2 differs (double space)
+    assert(kept == Set(5L, 2L, 9L))
+  }
+
+  test("minhash LSH finds near-identical docs and skips unrelated ones") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = docsDF((1L, base), (2L, nearDup), (3L, other))
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", shingleN = 3, k = 64,
+      bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("simhash: identical texts at hamming 0; near texts close; far texts far") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " extra"
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = docsDF((1L, base), (2L, base), (3L, nearDup), (4L, other))
+    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical text → identical simhash")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)),
+      "near text must be closer than unrelated text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard exact values") {
+    // doc1: shingles {a b c, b c d} ; doc2: {a b c, b c x}; inter=1 union=3 → 1/3
+    val df = docsDF((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t"))
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", shingleN = 3,
+      threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(math.abs(pairs((1L, 2L)) - 1.0 / 3.0) < 1e-6)
+  }
+
+  test("cosine + brute-force ANN top-k ordering") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH ANN achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Ann.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ann.lshTopK(corpus, "vec_id", "embedding", 64, q, 10,
+      bits = 8, probeHamming = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall (exact=$exact approx=$approx)")
+  }
+
+  test("embedding near-dup pairs verify with exact cosine inside buckets") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(0.999f)), // same direction → cosine 1
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", dim = 8,
+      bits = 6, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("langId: stopword-profiled text classified, empty text undetermined") {
+    val df = docsDF(
+      (1L, "the cat sat of the mat and it is that"),
+      (2L, "le chat et la maison des une du que est"),
+      (3L, "der hund und die katze ist ein nicht mit den"),
+      (4L, "xyzzy plugh"))
+    val out = df.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "de" && out(4L) == "und")
+  }
+
+  test("quality signals and fingerprint determinism") {
+    val df = docsDF((1L, "The quick brown fox."), (2L, "the  QUICK   brown fox."))
+    val fp = df.select(TextFunctions.fingerprint(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fp(0) == fp(1), "fingerprint is whitespace/case-insensitive")
+    val sig = df.select(TextFunctions.qualitySignals(col("text")).as("s"))
+      .select("s.n_tokens", "s.punct_ratio").head()
+    assert(sig.getInt(0) == 4)
+    assert(sig.getDouble(1) > 0)
+  }
+
+  test("multimodal: feature extraction batch shape and determinism") {
+    val media = Multimodal.syntheticMedia(spark, sf0001)
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    rows.foreach { f =>
+      assert(f.features.length == 16)
+      assert(f.width >= 64 && f.height >= 64)
+      assert(f.n_frames >= 1)
+    }
+    // determinism: second run identical
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+    // video rows have >1 fake frames when payload big enough
+    val frames = Multimodal.sampleFrames(media, stride = 3, maxFrames = 8)
+    assert(frames.count() > 0)
+    assert(frames.groupBy("media_id").count().agg(max("count")).head().getLong(0) <= 8)
+  }
+}
