@@ -1,0 +1,131 @@
+package graft
+
+import graft.catalog.Manifest
+import graft.codec.CompressionCodec
+import graft.model.KRecord
+import graft.pipelines._
+import graft.validation.Validation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Thin CLI mirroring the reference's command set
+  * (crates/kafka-backup-cli/src/main.rs:30). Broker-backed commands take a
+  * parquet events fixture as the source (the Kafka source drops in by
+  * swapping the reader); storage is any Hadoop-FS URI.
+  *
+  * Usage:
+  *   graft.Cli backup   <eventsDir> <backupRoot> <backupId> [zstd|lz4|none]
+  *   graft.Cli restore  <backupRoot> <backupId> <outDir> [startMs endMs]
+  *   graft.Cli dry-run  <backupRoot> <backupId> [startMs endMs]
+  *   graft.Cli list     <backupRoot>
+  *   graft.Cli describe <backupRoot> <backupId>
+  *   graft.Cli validate <backupRoot> <backupId> [--deep]
+  *   graft.Cli show-offset-mapping <backupRoot> <backupId>
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName(s"graft-${args(0)}")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  private def usage(): Unit = System.err.println(
+    "commands: backup restore dry-run list describe validate show-offset-mapping")
+
+  def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
+    case "backup" =>
+      val Array(_, eventsDir, root, id, rest @ _*) = args: @unchecked
+      val codec = rest.headOption.map(CompressionCodec.fromName)
+        .getOrElse(CompressionCodec.Zstd)
+      val m = Backup.run(spark, KRecord.fromEvents(spark, eventsDir),
+        BackupConfig(id, root, codec))
+      println(s"backup $id: ${m.totalSegments} segments, ${m.totalRecords} records")
+
+    case "restore" =>
+      val Array(_, root, id, outDir, rest @ _*) = args: @unchecked
+      val cfg = RestoreConfig(root, id,
+        windowStartMs = rest.lift(0).map(_.toLong),
+        windowEndMs = rest.lift(1).map(_.toLong))
+      val restored = Restore.records(spark, cfg)
+      restored.write.mode("overwrite").parquet(outDir)
+      println(s"restored ${spark.read.parquet(outDir).count()} records to $outDir")
+
+    case "dry-run" =>
+      val Array(_, root, id, rest @ _*) = args: @unchecked
+      val cfg = RestoreConfig(root, id,
+        windowStartMs = rest.lift(0).map(_.toLong),
+        windowEndMs = rest.lift(1).map(_.toLong))
+      Restore.dryRun(spark, cfg).show(100, truncate = false)
+
+    case "list" =>
+      val root = args(1)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      val statuses = fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/*/manifest.json"))
+      Option(statuses).getOrElse(Array.empty).foreach { st =>
+        val id = st.getPath.getParent.getName
+        val m = Manifest.load(root, id)
+        println(s"$id  topics=${m.topics.size} segments=${m.totalSegments} " +
+          s"records=${m.totalRecords} compression=${m.compression}")
+      }
+
+    case "describe" =>
+      val m = Manifest.load(args(1), args(2))
+      val segs = m.topics.flatMap(_.partitions).flatMap(_.segments)
+      val unc = segs.map(_.uncompressed_size).sum
+      val comp = segs.map(_.compressed_size).sum
+      println(s"backup_id: ${m.backup_id}")
+      println(s"topics: ${m.topics.size}, segments: ${segs.size}, records: ${m.totalRecords}")
+      println(f"bytes: $unc (uncompressed) / $comp (compressed), ratio ${unc.toDouble / math.max(comp, 1)}%.2f")
+      if (segs.nonEmpty)
+        println(s"time range: ${segs.map(_.start_timestamp).min} .. ${segs.map(_.end_timestamp).max}")
+      m.topics.foreach { t =>
+        t.partitions.foreach { p =>
+          val last = p.lastOffset.getOrElse(-1L)
+          println(s"  ${t.name}/partition=${p.partition_id}: segments=${p.segments.size} lastOffset=$last")
+        }
+      }
+
+    case "validate" =>
+      val deep = args.length > 3 && args(3) == "--deep"
+      if (deep) {
+        val res = Validation.deep(spark, args(1), args(2))
+        val failed = res.filter(col("outcome") =!= "Passed")
+        val nf = failed.count()
+        res.groupBy("outcome").count().show()
+        if (nf > 0) { failed.show(50, truncate = false); sys.exit(1) }
+      } else {
+        // shallow: existence + size per segment
+        val m = Manifest.load(args(1), args(2))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(args(1)), spark.sparkContext.hadoopConfiguration)
+        var missing = 0
+        m.topics.flatMap(_.partitions).flatMap(_.segments).foreach { s =>
+          val p = new org.apache.hadoop.fs.Path(s"${args(1)}/${s.key}")
+          if (!fs.exists(p)) { println(s"MISSING ${s.key}"); missing += 1 }
+        }
+        println(if (missing == 0) "validation passed" else s"$missing segments missing")
+        if (missing > 0) sys.exit(1)
+      }
+
+    case "show-offset-mapping" =>
+      val m = Manifest.load(args(1), args(2))
+      println("topic,partition,source_first,source_last,records")
+      m.topics.foreach(t => t.partitions.foreach { p =>
+        if (p.segments.nonEmpty)
+          println(s"${t.name},${p.partition_id},${p.segments.map(_.start_offset).min}," +
+            s"${p.segments.map(_.end_offset).max},${p.segments.map(_.record_count).sum}")
+      })
+
+    case other =>
+      System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+  }
+}
