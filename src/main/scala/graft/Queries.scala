@@ -27,6 +27,13 @@ object Queries {
       .withColumn("ts_ms", expr("ts div 1000000"))
       .withColumn("p", col("user_id") % 4)
 
+  /** ts_ms ∈ [lo, hi] expressed on the raw nanos column so the predicate
+    * reaches the parquet scan (`PushedFilters` + row-group min/max pruning);
+    * a filter on the derived `ts_ms` column would evaluate post-scan.
+    */
+  private def tsMsBetween(lo: Long, hi: Long) =
+    col("ts").between(lo * 1000000L, (hi + 1) * 1000000L - 1)
+
   private def lineitem(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
   private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
   private def customer(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
@@ -77,7 +84,7 @@ object Queries {
   val kafka: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F7 record time-window filter — both bounds inclusive, ms precision
     "q_pitr_window" -> ((s, d) => events(s, d)
-      .filter(col("ts_ms").between(T1, T2))
+      .filter(tsMsBetween(T1, T2))
       .select("event_id", "ts_ms", "event_type", "user_id")
       .orderBy("event_id")),
 
@@ -126,7 +133,7 @@ object Queries {
 
     // A3 dry-run rollup: per (topic, partition) + topic + global subtotals
     "q_dryrun_rollup" -> ((s, d) => events(s, d)
-      .filter(col("ts_ms").between(T1, T2))
+      .filter(tsMsBetween(T1, T2))
       .rollup("event_type", "p")
       .agg(count(lit(1)).as("n_records"),
         min("event_id").as("min_offset"), max("event_id").as("max_offset"))
@@ -235,7 +242,7 @@ object Queries {
     // J9 rollback verify: expected (all) vs actual (≤ T2) committed offsets
     "q_rollback_verify" -> ((s, d) => {
       val expected = events(s, d).groupBy("p").agg(max("event_id").as("expected"))
-      val actual = events(s, d).filter(col("ts_ms") <= T2)
+      val actual = events(s, d).filter(col("ts") < (T2 + 1) * 1000000L)
         .groupBy("p").agg(max("event_id").as("actual"))
       expected.join(actual, Seq("p"), "full_outer")
         .filter(not(col("expected") <=> col("actual")))
@@ -256,7 +263,68 @@ object Queries {
       .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"),
         (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"))
-      .orderBy("event_type"))
+      .orderBy("event_type")),
+
+    // J1 range-only fallback: linear interpolation over (first, last) anchors
+    "q_offset_interpolation" -> ((s, d) => {
+      val ranges = events(s, d).groupBy("p")
+        .agg(min("event_id").as("src_first"), max("event_id").as("src_last"))
+        .withColumn("tgt_first", col("src_first") + 1000)
+        .withColumn("tgt_last", col("src_last") + 5000)
+      val prs = probes(s, d)
+      prs.join(ranges, Seq("p"))
+        .select(col("p"), col("probe"),
+          (col("tgt_first") + floor(
+            (col("probe") - col("src_first")).cast("double") /
+              (col("src_last") - col("src_first")) *
+              (col("tgt_last") - col("tgt_first"))).cast("bigint")).as("target"))
+        .orderBy("p", "probe")
+    }),
+
+    // J10 set difference: configured literal topics minus existing topics
+    "q_missing_topics" -> ((s, d) => {
+      import s.implicits._
+      Seq("click", "purchase", "payments", "audit_log").toDF("topic")
+        .except(events(s, d).select(col("event_type").as("topic")).distinct())
+        .orderBy("topic")
+    }),
+
+    // F10/St3 snapshot clamp: every partition stops at its captured latest
+    "q_snapshot_clamp" -> ((s, d) => {
+      val snapshot = events(s, d).filter(col("ts") < (T2 + 1) * 1000000L)
+        .groupBy("p").agg(max("event_id").as("snap_latest"))
+      events(s, d).join(snapshot, Seq("p"))
+        .filter(col("event_id") <= col("snap_latest"))
+        .groupBy("p").agg(count(lit(1)).as("n"), max("event_id").as("last_offset"))
+        .orderBy("p")
+    }),
+
+    // end-to-end: backup events → KBAK segments → restore → per-topic totals
+    // (the whole codec+catalog+scan pipeline, hash-checked by the oracle)
+    "p_roundtrip_counts" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rt").toString
+      graft.pipelines.Backup.run(s, graft.model.KRecord.fromEvents(s, d),
+        graft.pipelines.BackupConfig("rt", tmp, graft.codec.CompressionCodec.Zstd,
+          enrichHeaders = false))
+      graft.pipelines.Restore.records(s,
+          graft.pipelines.RestoreConfig(tmp, "rt")).toDF()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), min("offset").as("min_offset"),
+          max("offset").as("max_offset"))
+        .orderBy("topic")
+    }),
+
+    // end-to-end PITR: restore only the [T1,T2] window through the segments
+    "p_pitr_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pitr").toString
+      graft.pipelines.Backup.run(s, graft.model.KRecord.fromEvents(s, d),
+        graft.pipelines.BackupConfig("rt", tmp, graft.codec.CompressionCodec.Lz4,
+          enrichHeaders = false, maxSegmentBytes = 256 * 1024))
+      graft.pipelines.Restore.records(s,
+          graft.pipelines.RestoreConfig(tmp, "rt", Some(T1), Some(T2))).toDF()
+        .groupBy("topic").agg(count(lit(1)).as("n"))
+        .orderBy("topic")
+    })
   )
 
   val kafkaOracles: Map[String, String] = Map(
@@ -369,7 +437,36 @@ object Queries {
         |       round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.99), 4) AS p99,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_offset_interpolation" ->
+      """WITH r AS (SELECT user_id % 4 AS p, min(event_id) AS src_first,
+        |                  max(event_id) AS src_last,
+        |                  min(event_id) + 1000 AS tgt_first,
+        |                  max(event_id) + 5000 AS tgt_last
+        |           FROM events GROUP BY 1),
+        |     pr AS (SELECT user_id % 4 AS p, event_id AS probe FROM events
+        |            WHERE event_id % 7 = 0)
+        |SELECT pr.p AS p, pr.probe,
+        |       r.tgt_first + CAST(floor((pr.probe - r.src_first)::DOUBLE
+        |         / (r.src_last - r.src_first) * (r.tgt_last - r.tgt_first)) AS BIGINT) AS target
+        |FROM pr JOIN r ON pr.p = r.p ORDER BY pr.p, pr.probe""".stripMargin,
+    "q_missing_topics" ->
+      """SELECT topic FROM (VALUES ('click'), ('purchase'), ('payments'), ('audit_log')) t(topic)
+        |EXCEPT SELECT DISTINCT event_type FROM events ORDER BY topic""".stripMargin,
+    "q_snapshot_clamp" ->
+      s"""WITH snap AS (SELECT user_id % 4 AS p, max(event_id) AS snap_latest
+         |              FROM events WHERE epoch_ms(ts) <= $T2 GROUP BY 1)
+         |SELECT e.user_id % 4 AS p, count(*) AS n, max(e.event_id) AS last_offset
+         |FROM events e JOIN snap ON e.user_id % 4 = snap.p
+         |WHERE e.event_id <= snap.snap_latest
+         |GROUP BY 1 ORDER BY p""".stripMargin,
+    "p_roundtrip_counts" ->
+      """SELECT event_type AS topic, count(*) AS n, min(event_id) AS min_offset,
+        |       max(event_id) AS max_offset
+        |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+    "p_pitr_roundtrip" ->
+      s"""SELECT event_type AS topic, count(*) AS n FROM events
+         |WHERE epoch_ms(ts) BETWEEN $T1 AND $T2 GROUP BY 1 ORDER BY topic""".stripMargin
   )
 
   // ───────────────────────── analytic anchors over the TPC-H-ish tables ────

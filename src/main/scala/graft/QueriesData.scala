@@ -135,7 +135,7 @@ object QueriesData {
     // so the "near-dup" threshold is set where candidates exist
     "d_embedding_dups" -> ((s, d) =>
       Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding", dim = 64,
-          bits = 4, threshold = 0.3)
+          bits = 5, threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
     "d_langid" -> ((s, d) => docs(s, d)

@@ -220,14 +220,23 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      bits: Int = 12, threshold: Double = 0.95): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol).cast("array<double>"), dim, bits).as("bucket"))
-    val a = sigs.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sigs.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    // pre-normalize ONCE per row: inside the bucket join each candidate pair
+    // then costs a single dot product instead of dot + two norms (the pair
+    // side of this plan is the O(bucket²) part — per-pair work dominates)
+    val vd = col(vecCol).cast("array<double>")
+    val sigs = df.select(col(idCol).as("id"), vd.as("vec"),
+        hyperplaneSignature(vd, dim, bits).as("bucket"))
+      .withColumn("norm", sqrt(aggregate(transform(col("vec"), x => x * x),
+        lit(0.0d), (acc, v) => acc + v)))
+      .withColumn("unit", transform(col("vec"), x => x / col("norm")))
+      .select("id", "bucket", "unit")
+    val a = sigs.select(col("bucket"), col("id").as("id_a"), col("unit").as("unit_a"))
+    val b = sigs.select(col("bucket"), col("id").as("id_b"), col("unit").as("unit_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", round(
-        cosine(col("vec_a").cast("array<double>"), col("vec_b").cast("array<double>")), 6))
+        aggregate(zip_with(col("unit_a"), col("unit_b"), (x, y) => x * y),
+          lit(0.0d), (acc, v) => acc + v), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

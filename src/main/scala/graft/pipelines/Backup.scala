@@ -6,7 +6,6 @@ import graft.functions.KFunctions
 import graft.model.KRecord
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import java.io.ByteArrayOutputStream
 
 /** Backup pipeline config (subset of the reference's YAML Config,
   * crates/kafka-backup-core/src/config.rs:8). Defaults mirror
@@ -98,7 +97,7 @@ object Backup {
 
     var curTopic: String = null
     var curPartition: Int = -1
-    var body = new ByteArrayOutputStream(1 << 20)
+    val body = new SegmentCodec.ByteSink(1 << 20)
     var count = 0L
     var startOffset = -1L
     var endOffset = -1L
@@ -106,7 +105,7 @@ object Backup {
     var endTs = Long.MinValue
 
     def seal(): Unit = if (count > 0) {
-      val raw = body.toByteArray
+      val raw = body.toArray
       val compressed = graft.codec.Compression.compress(raw, cfg.compression, cfg.zstdLevel)
       val bytes = SegmentCodec.assemble(
         SegmentCodec.SegmentHeader(SegmentCodec.Version, cfg.compression, count, startOffset,
@@ -118,7 +117,7 @@ object Backup {
       try os.write(bytes) finally os.close()
       out += SegmentRow(curTopic, curPartition, key, startOffset, endOffset, startTs, endTs,
         count, raw.length.toLong, compressed.length.toLong)
-      body = new ByteArrayOutputStream(1 << 20)
+      body.reset()
       count = 0; startOffset = -1; endOffset = -1
       startTs = Long.MaxValue; endTs = Long.MinValue
     }
@@ -133,7 +132,7 @@ object Backup {
       endTs = math.max(endTs, r.timestamp)
       SegmentCodec.writeRecord(body, r)
       count += 1
-      if (body.size() >= cfg.maxSegmentBytes) seal()
+      if (body.size >= cfg.maxSegmentBytes) seal()
     }
     seal()
     out.iterator

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan assertions — the scale contract. These lock in the plan
+  * shapes that matter at 100 TB: predicates reaching the parquet scan,
+  * column pruning, map-side partial aggregation, and broadcast joins for
+  * dimension tables. A change that silently turns one of these into a full
+  * scan or a shuffle join fails here, not in production.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    Queries.all(q)(spark, sf0001).queryExecution.explainString(FormattedMode)
+
+  test("PITR window filter is pushed to the parquet scan (F7)") {
+    val p = planOf("q_pitr_window")
+    assert(p.contains("GreaterThanOrEqual(ts,"), s"ts lower bound not pushed:\n$p")
+    assert(p.contains("LessThanOrEqual(ts,"), "ts upper bound not pushed")
+  }
+
+  test("offset-range filter is pushed to the parquet scan (F8)") {
+    val p = planOf("q_offset_range")
+    assert(p.contains("GreaterThanOrEqual(event_id,100)"), "offset lower bound not pushed")
+    assert(p.contains("LessThan(event_id,600)"), "offset upper bound not pushed")
+  }
+
+  test("q1 pricing: filter pushed, columns pruned, partial aggregation") {
+    val p = planOf("q1_pricing")
+    assert(p.contains("LessThanOrEqual(l_shipdate,"), "shipdate not pushed")
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+  }
+
+  test("q5 region revenue: all dimension joins broadcast, fact scan pruned") {
+    val p = planOf("q5_region_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    assert(!p.contains("SortMergeJoin"), "dimension joins must not sort-merge")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      "lineitem scan must read exactly 3 columns")
+  }
+
+  test("as-of join partitions by stream partition — no global sort") {
+    val p = planOf("q_asof_lookup")
+    // the window must be hash-partitioned on p, not a single global sort
+    assert(p.contains("Window"), "expected a window operator")
+    assert(p.contains("hashpartitioning(p"), s"window must partition by p:\n${p.take(2000)}")
+  }
+
+  test("aggregations use partial (map-side) combine") {
+    for (q <- Seq("q_partition_watermarks", "q_digest", "q_manifest_describe")) {
+      val p = planOf(q)
+      assert(p.contains("partial_") || p.contains("ObjectHashAggregate") ||
+        p.contains("SortAggregate"), s"$q: no partial aggregation found")
+    }
+  }
+
+  test("dedup signature computation carries only fixed-width data through the shuffle") {
+    val sigs = graft.dedup.Dedup.minhashSignatures(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", 3, 64)
+    val p = sigs.queryExecution.explainString(FormattedMode)
+    assert(p.contains("partial_min") || p.contains("min("),
+      "minhash mins must partial-aggregate map-side")
+    // the Exchange node's Input list must not include the text column —
+    // only the doc id and the 64 partial-min buffers cross the wire
+    val nodeHeader = p.linesIterator.find(_.matches("""\(\d+\) Exchange.*""")).get
+    val nodeId = nodeHeader.takeWhile(_ != ')').drop(1)
+    val detail = p.substring(p.indexOf(s"($nodeId) Exchange"))
+    val inputLine = detail.linesIterator.find(_.startsWith("Input")).getOrElse("")
+    assert(!inputLine.contains("text#"), s"shuffle must not carry document text: $inputLine")
+    assert(inputLine.contains("min#") || inputLine.contains("id#"),
+      s"expected aggregation buffers in exchange input: $inputLine")
+  }
+}
