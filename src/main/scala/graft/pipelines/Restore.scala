@@ -52,7 +52,8 @@ object Restore {
         .as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>
           val (topic, partition) = parseSegmentPath(path)
-          SegmentCodec.decode(bytes, topic, partition)
+          // magic-sniffed: KBAK binary or legacy JSON (S10/S11)
+          graft.codec.LegacySegment.decodeAny(bytes, path, topic, partition)
         }
 
     val timeFiltered = (cfg.windowStartMs, cfg.windowEndMs) match {

@@ -1,0 +1,67 @@
+package graft.remap
+
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Consumer-group offsets snapshot
+  * (backup/engine.rs:730-741 write; restore/engine.rs:124-150 parse):
+  * {{{
+  * { "snapshot_time": 1778044734905,
+  *   "groups": [ { "group_id": "g",
+  *                 "offsets": { "topic": { "0": 10, "1": 10 } } } ] }
+  * }}}
+  * Import rules (tests restore/engine.rs:1727-1804): negative offsets are
+  * skipped, non-numeric partition keys are skipped, and topic/partition
+  * remapping applies during import.
+  */
+case class GroupOffsets(group_id: String, offsets: Map[String, Map[String, Long]])
+case class ConsumerGroupSnapshot(snapshot_time: Long, groups: List[GroupOffsets])
+
+object ConsumerGroupSnapshot {
+  implicit private val formats: Formats = DefaultFormats
+
+  def fromJson(s: String): ConsumerGroupSnapshot =
+    JsonMethods.parse(s).extract[ConsumerGroupSnapshot]
+
+  def toJson(s: ConsumerGroupSnapshot): String = Serialization.writePretty(s)
+
+  /** Flatten to committed-offset tuples, applying import rules and optional
+    * topic/partition remapping (J4 auto-snapshot import join).
+    */
+  def importOffsets(snapshot: ConsumerGroupSnapshot,
+                    topicMapping: Map[String, String] = Map.empty,
+                    partitionMapping: Map[Int, Int] = Map.empty): Seq[(String, String, Int, Long)] =
+    for {
+      g <- snapshot.groups
+      (topic, parts) <- g.offsets.toSeq.sortBy(_._1)
+      (pKey, off) <- parts.toSeq.sortBy(_._1)
+      p <- pKey.toIntOption.toSeq // non-numeric partition keys skipped
+      if off >= 0                 // negative offsets skipped
+    } yield (g.group_id,
+      topicMapping.getOrElse(topic, topic),
+      partitionMapping.getOrElse(p, p),
+      off)
+}
+
+/** St9 write-side rate limiting: a token bucket for `foreachPartition`
+  * producers (the read side uses the source's own `maxOffsetsPerTrigger`).
+  * One instance per task; `acquire` blocks until tokens accrue.
+  */
+final class RateLimiter(permitsPerSec: Double, burst: Double = 0) {
+  private val capacity = math.max(permitsPerSec, burst)
+  private var tokens = capacity
+  private var lastNanos = System.nanoTime()
+
+  def acquire(n: Int = 1): Unit = synchronized {
+    while (tokens < n) {
+      val now = System.nanoTime()
+      tokens = math.min(capacity, tokens + (now - lastNanos) / 1e9 * permitsPerSec)
+      lastNanos = now
+      if (tokens < n) {
+        val waitMs = ((n - tokens) / permitsPerSec * 1000).toLong + 1
+        Thread.sleep(math.min(waitMs, 100))
+      }
+    }
+    tokens -= n
+  }
+}

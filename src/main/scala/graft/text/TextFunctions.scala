@@ -73,7 +73,9 @@ object TextFunctions {
     val n = greatest(size(t), lit(1))
     def score(lang: String): Column =
       size(filter(t, w => w.isin(profiles(lang): _*))).cast("double") / n
-    val cjk = size(filter(split(text, ""), c => c.rlike("[\\u4e00-\\u9fff]")))
+    // one regex pass per document (a per-character rlike inside filter()
+    // costs a regex match per char — ~50× slower on this path)
+    val cjk = (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", "")))
       .cast("double") / greatest(length(text), lit(1))
     val scored = map(
       lit("en"), score("en"), lit("fr"), score("fr"), lit("es"), score("es"),
@@ -93,8 +95,10 @@ object TextFunctions {
     val t = tokens(text)
     val nTok = greatest(size(t), lit(1))
     val len = greatest(length(text), lit(1))
-    val punct = size(filter(split(text, ""), c => c.rlike("[\\p{Punct}]"))).cast("double") / len
-    val digits = size(filter(split(text, ""), c => c.rlike("[0-9]"))).cast("double") / len
+    val punct = (length(text) - length(regexp_replace(text, "\\p{Punct}", "")))
+      .cast("double") / len
+    val digits = (length(text) - length(regexp_replace(text, "[0-9]", "")))
+      .cast("double") / len
     val stop = size(filter(t, w => lower(w).isin(profiles("en"): _*))).cast("double") / nTok
     val meanWordLen = aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok
     struct(
