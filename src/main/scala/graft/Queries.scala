@@ -512,6 +512,27 @@ object Queries {
         .orderBy("r_name")
     }),
 
+    "q6_selective" -> ((s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2024-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2025-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n"))),
+
+    "q18_top_orders" -> ((s, d) => {
+      val l = lineitem(s, d)
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      val o = orders(s, d)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     "q_window_topn" -> ((s, d) => {
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -549,6 +570,19 @@ object Queries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q6_selective" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2024-01-01' AND l_shipdate < TIMESTAMP '2025-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q18_top_orders" ->
+      """SELECT o_orderkey, o_custkey, CAST(sum_qty AS DOUBLE) AS sum_qty FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |         (SELECT sum(CAST(l_quantity AS DECIMAL(18,4))) FROM lineitem
+        |          WHERE l_orderkey = o_orderkey) AS sum_qty
+        |  FROM orders)
+        |WHERE sum_qty > 150 ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin,
     "q_window_topn" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -1,0 +1,67 @@
+package graft.pipelines
+
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Resumable-restore checkpoint (K4, manifest.rs:270-338): completed segment
+  * keys + progress counters + a config hash so a resumed run with different
+  * options starts clean instead of silently mixing semantics.
+  */
+case class RestoreCheckpoint(
+    backup_id: String,
+    config_hash: String,
+    segments_completed: Set[String],
+    records_restored: Long,
+    bytes_restored: Long,
+    updated_at: Long)
+
+object RestoreCheckpoint {
+  implicit private val formats: Formats = DefaultFormats
+
+  def configHash(cfg: RestoreConfig): String = {
+    val canonical = Seq(cfg.backupId, cfg.windowStartMs, cfg.windowEndMs,
+      cfg.includeTopics.sorted, cfg.excludeTopics.sorted,
+      cfg.sourcePartitions.map(_.sorted), cfg.topicMapping.toSeq.sorted,
+      cfg.partitionMapping.toSeq.sorted).mkString("|")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  def empty(cfg: RestoreConfig): RestoreCheckpoint =
+    RestoreCheckpoint(cfg.backupId, configHash(cfg), Set.empty, 0L, 0L, 0L)
+
+  /** Load if present AND config-compatible; otherwise start fresh
+    * (restore/engine.rs checkpoint load: a mismatched config_hash discards
+    * the checkpoint).
+    */
+  def loadOrEmpty(path: String, cfg: RestoreConfig): RestoreCheckpoint = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) empty(cfg)
+    else {
+      val ckpt = JsonMethods.parse(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+        .extract[RestoreCheckpoint]
+      if (ckpt.config_hash == configHash(cfg) && ckpt.backup_id == cfg.backupId) ckpt
+      else empty(cfg)
+    }
+  }
+
+  def save(path: String, ckpt: RestoreCheckpoint): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, Serialization.writePretty(
+      ckpt.copy(updated_at = System.currentTimeMillis())).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Mark segments complete and roll the counters. */
+  def complete(ckpt: RestoreCheckpoint, segmentKeys: Iterable[String],
+               records: Long, bytes: Long): RestoreCheckpoint =
+    ckpt.copy(segments_completed = ckpt.segments_completed ++ segmentKeys,
+      records_restored = ckpt.records_restored + records,
+      bytes_restored = ckpt.bytes_restored + bytes)
+}

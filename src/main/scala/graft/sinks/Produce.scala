@@ -1,0 +1,150 @@
+package graft.sinks
+
+import graft.model.KRecord
+import graft.remap.{OffsetMapping, OffsetPair}
+import org.apache.spark.sql.Dataset
+
+/** Per-sub-batch produce result (kafka/produce.rs ProduceResponse):
+  * (base_offset, record_count) per sub-batch; `baseOffset` is the first
+  * sub-batch's base.
+  */
+case class ProduceResult(
+    topic: String,
+    partition: Int,
+    baseOffset: Long,
+    recordCount: Long,
+    subBatchOffsets: Seq[(Long, Int)])
+
+/** Where produced records land. Spark's Kafka sink discards produce metadata,
+  * so target-offset capture (the reference's phase-2/phase-3 requirement,
+  * restore/engine.rs:1410-1439) needs a producer that reports per-batch base
+  * offsets — in production a raw KafkaProducer with ordered send callbacks
+  * inside `foreachPartition`; in tests [[CollectingSink]].
+  */
+trait RecordSink extends Serializable {
+  /** Send one ordered batch to (topic, partition); return the base offset the
+    * sink assigned to the batch's first record.
+    */
+  def sendBatch(topic: String, partition: Int, records: Seq[KRecord]): Long
+}
+
+/** In-memory sink assigning sequential offsets per (topic, partition) from a
+  * configurable start — mirrors a broker's offset assignment for tests
+  * (the reference's MemoryBackend pattern).
+  */
+final class CollectingSink(startOffsets: Map[(String, Int), Long] = Map.empty)
+    extends RecordSink {
+  private val next = new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Long]()
+  val sent = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[(String, Int, Long, Int)]()) // (topic, p, base, n)
+
+  def sendBatch(topic: String, partition: Int, records: Seq[KRecord]): Long = {
+    val key = (topic, partition)
+    val base = next.compute(key, (k, v) =>
+      if (v == null) startOffsets.getOrElse(k, 0L) + records.size
+      else v + records.size) - records.size
+    sent.add((topic, partition, base, records.size))
+    base
+  }
+}
+
+object Produce {
+
+  /** Record batch v2 stores timestamp deltas as i32 ms (~24.8 days): batches
+    * whose (max-min) timestamp span would overflow are split, preserving
+    * order, tracking the running min/max (kafka/produce.rs:42-71).
+    */
+  val MaxTimestampDeltaMs: Long = Int.MaxValue.toLong
+
+  def splitByTimestamp(records: Seq[KRecord]): Seq[Seq[KRecord]] = {
+    if (records.isEmpty) return Nil
+    val batches = Seq.newBuilder[Seq[KRecord]]
+    var current = Vector.newBuilder[KRecord]
+    var empty = true
+    var tsMin = records.head.timestamp
+    var tsMax = tsMin
+    records.foreach { r =>
+      val newMin = math.min(tsMin, r.timestamp)
+      val newMax = math.max(tsMax, r.timestamp)
+      if (!empty && (newMax - newMin) > MaxTimestampDeltaMs) {
+        batches += current.result()
+        current = Vector.newBuilder[KRecord]
+        empty = true
+        tsMin = r.timestamp
+        tsMax = r.timestamp
+      } else {
+        tsMin = newMin
+        tsMax = newMax
+      }
+      current += r
+      empty = false
+    }
+    batches += current.result()
+    batches.result()
+  }
+
+  /** Produce one partition's ordered records through the sink in
+    * `maxBatchRecords` chunks (each further split on timestamp span) and
+    * return the result plus the per-record source→target pairs the offset
+    * mapping needs. Sub-batch base offsets + in-batch position reconstruct
+    * every target offset, exactly like the reference's callback bookkeeping.
+    */
+  def producePartition(topic: String, partition: Int, records: Iterator[KRecord],
+                       sink: RecordSink, maxBatchRecords: Int = 1000,
+                       pairEvery: Int = 1): (ProduceResult, Vector[OffsetPair]) = {
+    var baseOffset = -1L
+    var total = 0L
+    val subBatches = Vector.newBuilder[(Long, Int)]
+    val pairs = Vector.newBuilder[OffsetPair]
+    records.grouped(maxBatchRecords).foreach { chunk =>
+      splitByTimestamp(chunk.toSeq).foreach { batch =>
+        val base = sink.sendBatch(topic, partition, batch)
+        if (baseOffset < 0) baseOffset = base
+        subBatches += ((base, batch.size))
+        var i = 0
+        batch.foreach { r =>
+          if (i % pairEvery == 0)
+            pairs += OffsetPair(r.offset, base + i, r.timestamp)
+          i += 1
+        }
+        total += batch.size
+      }
+    }
+    (ProduceResult(topic, partition, baseOffset, total, subBatches.result()),
+      pairs.result())
+  }
+
+  /** Distributed produce of a canonical-record Dataset: one task per
+    * (topic, partition) — order within partitions preserved by the upstream
+    * `sortWithinPartitions` — collecting only the (small) offset pairs to the
+    * driver, folded into an [[OffsetMapping]].
+    */
+  def run(records: Dataset[KRecord], sink: RecordSink,
+          maxBatchRecords: Int = 1000, pairEvery: Int = 1): (Seq[ProduceResult], OffsetMapping) = {
+    import records.sparkSession.implicits._
+    val collected = records
+      .repartition(org.apache.spark.sql.functions.col("topic"),
+        org.apache.spark.sql.functions.col("partition"))
+      .sortWithinPartitions("topic", "partition", "offset")
+      .mapPartitions { it =>
+        it.toSeq.groupBy(r => (r.topic, r.partition)).iterator.map {
+          case ((t, p), rs) =>
+            val (res, pairs) = producePartition(t, p, rs.sortBy(_.offset).iterator,
+              sink, maxBatchRecords, pairEvery)
+            (res, pairs)
+        }
+      }
+      .collect()
+
+    val results = collected.map(_._1).toSeq
+    var mapping = OffsetMapping()
+    collected.foreach { case (res, pairs) =>
+      pairs.foreach { pr =>
+        mapping = mapping.addDetailed(res.topic, res.partition, pr)
+        mapping = mapping.updateRange(res.topic, res.partition, pr.source_offset,
+          Some(pr.target_offset), pr.timestamp)
+      }
+    }
+    (results, mapping)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+/** Builders for the Spark Kafka source option maps that carry the reference's
+  * scan semantics (S1/S3/S5, F8/F10):
+  *
+  *  - per-partition offset ranges → `startingOffsets`/`endingOffsets` JSON
+  *    (the fetch-loop bounds of backup/engine.rs:904-947);
+  *  - snapshot mode → `endingOffsets` pinned to captured latest (St3);
+  *  - PITR entry → `startingOffsetsByTimestamp` (offsets-for-times, S5);
+  *  - continuous topic discovery → `subscribePattern` from the glob config
+  *    (F1, re-discovery per cycle St1).
+  *
+  * Pure option construction — testable without a broker; feed the result to
+  * `spark.read/readStream.format("kafka").options(...)`.
+  */
+object KafkaSourceOptions {
+
+  /** `{"topic":{"0":123,...},...}` offsets JSON. Sentinels: -2 earliest, -1
+    * latest (ListOffsets semantics, kafka/fetch.rs:263-331).
+    */
+  def offsetsJson(offsets: Map[(String, Int), Long]): String = {
+    val byTopic = offsets.groupBy(_._1._1)
+    byTopic.toSeq.sortBy(_._1).map { case (topic, parts) =>
+      val ps = parts.toSeq.sortBy(_._1._2)
+        .map { case ((_, p), off) => s""""$p":$off""" }.mkString(",")
+      s""""$topic":{$ps}"""
+    }.mkString("{", ",", "}")
+  }
+
+  /** Batch read bounded by explicit offset ranges (F8). */
+  def boundedRead(bootstrap: String, start: Map[(String, Int), Long],
+                  end: Map[(String, Int), Long]): Map[String, String] = {
+    val topics = (start.keys ++ end.keys).map(_._1).toSeq.distinct.sorted
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "assign" -> topics.map(t =>
+        s""""$t":[${(start.keys ++ end.keys).filter(_._1 == t).map(_._2).toSeq.distinct.sorted.mkString(",")}]""")
+        .mkString("{", ",", "}"),
+      "startingOffsets" -> offsetsJson(start),
+      "endingOffsets" -> offsetsJson(end))
+  }
+
+  /** Snapshot mode (St3/F10): every partition stops exactly at its captured
+    * latest — a consistent cut.
+    */
+  def snapshotRead(bootstrap: String, captured: Map[(String, Int), Long]): Map[String, String] =
+    boundedRead(bootstrap,
+      captured.map { case (k, _) => k -> -2L }, // earliest
+      captured)
+
+  /** PITR entry (S5): start each partition at the first offset with
+    * ts >= windowStart.
+    */
+  def startByTimestamp(bootstrap: String, topics: Seq[String],
+                       windowStartMs: Long): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topics.sorted.mkString(","),
+    "startingOffsetsByTimestampStrategy" -> "error",
+    "startingOffsetsByTimestamp" -> topics.sorted.map(t =>
+      s""""$t":{"-1":$windowStartMs}""").mkString("{", ",", "}"))
+
+  /** Continuous mode with glob topic discovery (St1/F1): globs become one
+    * subscribePattern regex (auto-discovers new topics every cycle natively).
+    */
+  def continuous(bootstrap: String, includeGlobs: Seq[String]): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribePattern" ->
+      (if (includeGlobs.isEmpty) ".*"
+       else includeGlobs.map(g =>
+         if (g.startsWith("~")) g.substring(1)
+         else graft.functions.KHash.globToRegex(g)).mkString("|")),
+    "maxOffsetsPerTrigger" -> "1000000") // St9 read-side rate bound
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.model.KRecord
+import graft.pipelines.{RestoreCheckpoint, RestoreConfig}
+import graft.sinks.{CollectingSink, Produce}
+import graft.sources.KafkaSourceOptions
+import graft.validation.{CircuitBreaker, Evidence, EvidenceReport}
+
+class ProduceEvidenceSpec extends SparkSpec {
+
+  private def rec(offset: Long, ts: Long) =
+    KRecord("t", 0, offset, ts, s"k$offset".getBytes, s"v$offset".getBytes, Nil)
+
+  test("timestamp-delta batch split: i32 ms overflow forces sub-batches (K3)") {
+    val base = 1700000000000L
+    val span = Produce.MaxTimestampDeltaMs
+    // 3 records within delta, then one 25 days later, then one more
+    val records = Seq(rec(0, base), rec(1, base + 1000), rec(2, base + span),
+      rec(3, base + span + 2), rec(4, base + span + 3))
+    val batches = Produce.splitByTimestamp(records)
+    assert(batches.map(_.map(_.offset)) == Seq(Seq(0L, 1L, 2L), Seq(3L, 4L)))
+    // single batch when within bounds; empty input
+    assert(Produce.splitByTimestamp(records.take(3)).size == 1)
+    assert(Produce.splitByTimestamp(Nil).isEmpty)
+  }
+
+  test("producePartition captures per-record target offsets via sub-batch bases") {
+    val sink = new CollectingSink(Map(("t", 0) -> 5000L))
+    val records = (0L until 10L).map(i => rec(i * 3, 1700000000000L + i)) // offset gaps
+    val (res, pairs) = Produce.producePartition("t", 0, records.iterator, sink,
+      maxBatchRecords = 4)
+    assert(res.baseOffset == 5000L && res.recordCount == 10)
+    assert(res.subBatchOffsets == Seq((5000L, 4), (5004L, 4), (5008L, 2)))
+    // every source offset maps to its exact produced offset
+    assert(pairs.map(p => p.source_offset -> p.target_offset) ==
+      (0L until 10L).map(i => (i * 3) -> (5000L + i)))
+  }
+
+  test("distributed produce returns a mapping usable for J1 lookups") {
+    import spark.implicits._
+    val records = KRecord.fromEvents(spark, sf0001).as[KRecord]
+    val (results, mapping) = Produce.run(records, new CollectingSink(), pairEvery = 10)
+    assert(results.map(_.recordCount).sum == 1000)
+    // each (topic, partition) got contiguous target offsets from 0
+    results.foreach { r =>
+      assert(r.subBatchOffsets.head._1 == 0L)
+      assert(r.subBatchOffsets.map(_._2).sum.toLong == r.recordCount)
+    }
+    // as-of lookup resolves for any source offset at or beyond the first pair
+    val sample = results.head
+    val firstPair = mapping.detailed(s"${sample.topic}/${sample.partition}").head
+    val target = mapping.lookupTargetOffset(sample.topic, sample.partition,
+      firstPair.source_offset)
+    assert(target.contains(firstPair.target_offset))
+  }
+
+  test("kafka source option builders emit the reference's scan bounds (S1/S5/F8/F10)") {
+    val start = Map(("orders", 0) -> 100L, ("orders", 1) -> 50L, ("audit", 0) -> -2L)
+    val end = Map(("orders", 0) -> 200L, ("orders", 1) -> 90L, ("audit", 0) -> -1L)
+    val opts = KafkaSourceOptions.boundedRead("k:9092", start, end)
+    assert(opts("startingOffsets") == """{"audit":{"0":-2},"orders":{"0":100,"1":50}}""")
+    assert(opts("endingOffsets") == """{"audit":{"0":-1},"orders":{"0":200,"1":90}}""")
+    val snap = KafkaSourceOptions.snapshotRead("k:9092", Map(("t", 0) -> 777L))
+    assert(snap("startingOffsets") == """{"t":{"0":-2}}""")
+    assert(snap("endingOffsets") == """{"t":{"0":777}}""")
+    val ts = KafkaSourceOptions.startByTimestamp("k:9092", Seq("b", "a"), 1700L)
+    assert(ts("startingOffsetsByTimestamp") == """{"a":{"-1":1700},"b":{"-1":1700}}""")
+    val cont = KafkaSourceOptions.continuous("k:9092", Seq("ord*", "~pay.+"))
+    assert(cont("subscribePattern") == "^ord.*$|pay.+")
+  }
+
+  test("evidence report: canonical json, stable hash, Ed25519 sign/verify (K9)") {
+    val r = EvidenceReport("b1", 1700000000000L, 1000, 20, "ab" * 32,
+      Map("message_count" -> "Passed", "offset_range" -> "Passed"))
+    val json = Evidence.canonicalJson(r)
+    assert(json.startsWith("""{"backup_id":"b1","checks":{"message_count""""))
+    assert(Evidence.contentHash(r) == Evidence.contentHash(r.copy()))
+    assert(Evidence.contentHash(r) != Evidence.contentHash(r.copy(total_records = 999)))
+    val kp = Evidence.generateKeyPair()
+    val sig = Evidence.sign(r, kp)
+    assert(Evidence.verify(r, sig, kp.getPublic))
+    assert(!Evidence.verify(r.copy(total_records = 999), sig, kp.getPublic))
+    assert(!Evidence.verify(r, sig.replace(sig.charAt(3), if (sig.charAt(3) == 'A') 'B' else 'A'),
+      kp.getPublic))
+  }
+
+  test("circuit breaker opens after threshold, half-opens after reset (St12)") {
+    var now = 0L
+    val cb = new CircuitBreaker(3, resetAfterMs = 1000, clock = () => now)
+    def boom(): Unit = intercept[RuntimeException](cb.call(throw new RuntimeException("x")))
+    assert(cb.state == "closed")
+    boom(); boom(); boom()
+    assert(cb.state == "open")
+    intercept[IllegalStateException](cb.call(42))
+    now = 1500
+    assert(cb.state == "half-open")
+    assert(cb.call(42) == 42)
+    assert(cb.state == "closed")
+  }
+
+  test("restore checkpoint: resume honors config hash; counters roll (K4/F9)") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val path = s"$dir/restore.ckpt"
+    val cfg = RestoreConfig("/r", "b1", Some(1L), Some(2L))
+    val c0 = RestoreCheckpoint.loadOrEmpty(path, cfg)
+    assert(c0.segments_completed.isEmpty)
+    val c1 = RestoreCheckpoint.complete(c0, Seq("s1", "s2"), 100, 5000)
+    RestoreCheckpoint.save(path, c1)
+    val loaded = RestoreCheckpoint.loadOrEmpty(path, cfg)
+    assert(loaded.segments_completed == Set("s1", "s2"))
+    assert(loaded.records_restored == 100 && loaded.bytes_restored == 5000)
+    // different window → different config hash → fresh checkpoint
+    val other = RestoreCheckpoint.loadOrEmpty(path, cfg.copy(windowEndMs = Some(3L)))
+    assert(other.segments_completed.isEmpty)
+  }
+}
