@@ -54,11 +54,6 @@ object Backup {
             config.sourceCluster, col("partition")))
       else filtered
 
-    // Record original partition counts before writing (manifest.rs:81-89).
-    val partCounts = filtered.groupBy("topic")
-      .agg(max("partition").as("maxp"))
-      .as[(String, Int)].collect().map { case (t, p) => t -> (p + 1) }.toMap
-
     val cfg = config // avoid closing over `this`
     val written: Seq[SegmentRow] = enriched
       .repartition(col("topic"), col("partition"))
@@ -66,6 +61,12 @@ object Backup {
       .as[KRecord]
       .mapPartitions(it => writeTaskPartition(it, cfg))
       .collect().toSeq
+
+    // original_partition_count (manifest.rs:81-89) from the observed max
+    // partition id in the written segments — no second scan of the input
+    // (an extra groupBy here would double the source read at scale)
+    val partCounts = written.groupBy(_.topic)
+      .map { case (t, rs) => t -> (rs.map(_.partition).max + 1) }
 
     val manifest = assembleManifest(written, partCounts, config)
     Manifest.save(config.backupRoot, manifest)

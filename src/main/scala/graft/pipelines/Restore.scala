@@ -98,6 +98,20 @@ object Restore {
     } yield s.key
   }
 
+  /** A5 restore-report metrics via `Dataset.observe` (restore/engine.rs
+    * 346-357): record/byte counters accumulate during the ACTION that
+    * consumes the returned DataFrame — no extra pass. Read the observation
+    * after the action completes.
+    */
+  def withMetrics(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("restore_metrics")
+    val observed = df.observe(obs,
+      count(lit(1)).as("records_restored"),
+      sum(coalesce(length(col("value")), lit(0)) +
+        coalesce(length(col("key")), lit(0))).as("bytes_restored"))
+    (observed, obs)
+  }
+
   /** `.../topics/{topic}/partition={p}/segment-....bin[.ext]` → (topic, p). */
   def parseSegmentPath(path: String): (String, Int) = {
     val parts = path.split('/')

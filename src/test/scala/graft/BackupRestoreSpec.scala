@@ -157,4 +157,14 @@ class BackupRestoreSpec extends SparkSpec {
       assert(row.getInt(1) == expect)
     }
   }
+
+  test("restore metrics observation counts records and bytes (A5)") {
+    manifest
+    val (df, obs) = Restore.withMetrics(
+      Restore.records(spark, RestoreConfig(tmp, "b1")).toDF())
+    df.write.mode("overwrite").format("noop").save()
+    val row = obs.get
+    assert(row("records_restored") == 1000L)
+    assert(row("bytes_restored").asInstanceOf[Long] > 0L)
+  }
 }
