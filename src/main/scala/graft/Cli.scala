@@ -116,6 +116,22 @@ object Cli {
         if (missing > 0) sys.exit(1)
       }
 
+    case "three-phase-restore" =>
+      // restore → produce (offset capture) → reset plan; the sink/committer
+      // are in-memory stand-ins when no broker is configured (plan + CSV out)
+      val Array(_, root, id, rest @ _*) = args: @unchecked
+      val committer = new graft.pipelines.RecordingCommitter()
+      val report = graft.pipelines.ThreePhaseRestore.run(spark,
+        RestoreConfig(root, id,
+          windowStartMs = rest.lift(0).map(_.toLong),
+          windowEndMs = rest.lift(1).map(_.toLong)),
+        new graft.sinks.CollectingSink(),
+        committed = Nil, committer = Some(committer), dryRun = true, pairEvery = 100)
+      println(s"three-phase ${report.backup_id}: restored=${report.records_restored} " +
+        s"partitions=${report.produce_results.size} success=${report.success}")
+      report.warnings.foreach(w => println(s"  warning: $w"))
+      report.reset_plan.foreach(p => println(p.toCsv))
+
     case "show-offset-mapping" =>
       val m = Manifest.load(args(1), args(2))
       println("topic,partition,source_first,source_last,records")

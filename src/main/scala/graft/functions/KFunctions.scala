@@ -103,18 +103,25 @@ object KHash {
   * arrays; the hot path — SegmentCodec — runs in mapPartitions, not here).
   */
 object KFunctions {
-  private val murmur2Udf = udf((b: Array[Byte]) => if (b == null) null else Int.box(KHash.murmur2(b)))
-  private val kafkaPartUdf =
-    udf((b: Array[Byte], n: Int) => if (b == null) null else Int.box(KHash.kafkaPartition(b, n)))
   private val l2bUdf = udf((v: java.lang.Long) => if (v == null) null else KHash.longToBytesLE(v))
   private val b2lUdf = udf((b: Array[Byte]) => KHash.bytesToLongLE(b))
 
-  /** murmur2 with Kafka's seed over a binary column. */
-  def kafka_murmur2(c: Column): Column = murmur2Udf(c)
+  private def exprCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
 
-  /** Kafka default-partitioner target partition for a key column. */
+  /** murmur2 with Kafka's seed over a binary column — native codegen
+    * expression, not a UDF.
+    */
+  def kafka_murmur2(c: Column): Column = exprCol(KafkaMurmur2(exprOf(c)))
+
+  /** Kafka default-partitioner target partition for a key column:
+    * toPositive(murmur2(key)) % n, composed from the native expression so the
+    * whole placement stays in codegen.
+    */
   def kafka_partition(key: Column, numPartitions: Int): Column =
-    kafkaPartUdf(key, lit(numPartitions))
+    pmod(kafka_murmur2(key).bitwiseAND(lit(0x7fffffff)), lit(numPartitions))
 
   def long_to_bytes_le(c: Column): Column = l2bUdf(c)
   def bytes_to_long_le(c: Column): Column = b2lUdf(c)

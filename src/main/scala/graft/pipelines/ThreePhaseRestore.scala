@@ -1,0 +1,99 @@
+package graft.pipelines
+
+import graft.model.KRecord
+import graft.remap.{ConsumerGroupSnapshot, OffsetMapping, OffsetResetPlan}
+import graft.sinks.{Produce, ProduceResult, RecordSink}
+import org.apache.spark.sql.SparkSession
+
+/** Where phase-3 offset commits land — an AdminClient
+  * `alterConsumerGroupOffsets` in production, a recording stub in tests.
+  */
+trait GroupOffsetCommitter extends Serializable {
+  def commit(group: String, topic: String, partition: Int, offset: Long): Unit
+}
+
+final class RecordingCommitter extends GroupOffsetCommitter {
+  val committed = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Long)]
+  def commit(g: String, t: String, p: Int, o: Long): Unit =
+    synchronized { committed += ((g, t, p, o)) }
+}
+
+case class ThreePhaseReport(
+    backup_id: String,
+    records_restored: Long,
+    produce_results: Seq[ProduceResult],
+    reset_plan: Option[OffsetResetPlan],
+    applied: Boolean,
+    warnings: Seq[String],
+    success: Boolean)
+
+/** The reference's flagship command (restore/three_phase.rs:101-215):
+  *
+  *  - Phase 2: restore the backed-up records (catalog prune → decode →
+  *    time filter → remap) and produce them, collecting per-record
+  *    source→target offset pairs;
+  *  - Phase 3: map each consumer group's committed offsets through the
+  *    mapping (J1/J3) into a reset plan, then apply via the committer or
+  *    stop at dry-run.
+  *
+  * Repartitioned restores cannot produce offset mappings — Phase 3 skips
+  * them with a warning (three_phase.rs:118-131). Consumer groups resolve
+  * from the explicit list or from a snapshot (auto_consumer_groups).
+  */
+object ThreePhaseRestore {
+
+  def run(spark: SparkSession,
+          restoreCfg: RestoreConfig,
+          sink: RecordSink,
+          committed: Seq[(String, String, Int, Long)] = Nil, // (group, topic, p, offset)
+          snapshot: Option[ConsumerGroupSnapshot] = None,
+          committer: Option[GroupOffsetCommitter] = None,
+          dryRun: Boolean = false,
+          repartitionedTopics: Set[String] = Set.empty,
+          pairEvery: Int = 1): ThreePhaseReport = {
+    import spark.implicits._
+    val warnings = Seq.newBuilder[String]
+
+    // Phase 2: restore + produce with offset capture
+    val records = Restore.remapped(spark, restoreCfg).as[KRecord]
+    val (produceResults, mapping0) = Produce.run(records, sink, pairEvery = pairEvery)
+    val restored = produceResults.map(_.recordCount).sum
+
+    // Phase 3 inputs: explicit committed offsets ∪ snapshot import (J4)
+    val fromSnapshot = snapshot.toSeq.flatMap(s =>
+      ConsumerGroupSnapshot.importOffsets(s, restoreCfg.topicMapping,
+        restoreCfg.partitionMapping))
+    val effective = (committed ++ fromSnapshot)
+      .filterNot { case (_, t, _, _) =>
+        val skip = repartitionedTopics.contains(t)
+        skip
+      }
+    if (repartitionedTopics.nonEmpty)
+      warnings += s"Repartitioned topics skipped for offset reset: " +
+        repartitionedTopics.toSeq.sorted.mkString(", ")
+
+    val plan =
+      if (effective.isEmpty) None
+      else Some(OffsetResetPlan.build(effective, mapping0))
+
+    val applied = plan match {
+      case Some(p) if !dryRun && committer.isDefined =>
+        p.entries.foreach { e =>
+          e.target_offset.foreach(t =>
+            committer.get.commit(e.group_id, e.topic, e.partition, t))
+        }
+        true
+      case Some(_) if dryRun =>
+        warnings += "Phase 3 ran in dry-run mode, offsets not actually reset"
+        false
+      case _ => false
+    }
+
+    val incomplete = plan.toSeq.flatMap(_.groups).filterNot(g => plan.get.groupComplete(g))
+    if (incomplete.nonEmpty)
+      warnings += s"Groups with unresolved offsets: ${incomplete.mkString(", ")}"
+
+    ThreePhaseReport(restoreCfg.backupId, restored, produceResults, plan, applied,
+      warnings.result(), success = incomplete.isEmpty)
+  }
+}

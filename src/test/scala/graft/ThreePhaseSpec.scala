@@ -1,0 +1,73 @@
+package graft
+
+import graft.codec.CompressionCodec
+import graft.model.KRecord
+import graft.pipelines._
+import graft.remap.ConsumerGroupSnapshot
+import graft.sinks.CollectingSink
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ThreePhaseSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-3p").toString
+  private lazy val manifest = Backup.run(spark, KRecord.fromEvents(spark, sf0001),
+    BackupConfig("tp", tmp, CompressionCodec.Zstd, enrichHeaders = false))
+
+  test("three-phase restore: produce, map offsets, apply reset plan") {
+    manifest
+    val sink = new CollectingSink()
+    val committer = new RecordingCommitter()
+    // committed group offsets on the SOURCE cluster: one per topic at offset 500
+    val committed = Seq(("g1", "click", 0, 500L), ("g1", "purchase", 1, 500L))
+    val report = ThreePhaseRestore.run(spark, RestoreConfig(tmp, "tp"), sink,
+      committed = committed, committer = Some(committer))
+    assert(report.records_restored == 1000)
+    assert(report.success, report.warnings.mkString("; "))
+    assert(report.applied)
+    val plan = report.reset_plan.get
+    assert(plan.entries.forall(_.target_offset.isDefined))
+    assert(committer.committed.size == 2)
+    // every committed target equals the plan target
+    committer.committed.foreach { case (g, t, p, o) =>
+      assert(plan.entries.exists(e => e.group_id == g && e.topic == t &&
+        e.partition == p && e.target_offset.contains(o)))
+    }
+  }
+
+  test("three-phase dry-run + snapshot groups + repartitioned skip") {
+    manifest
+    val snapshot = ConsumerGroupSnapshot(1700000000000L, List(
+      graft.remap.GroupOffsets("snap-group", Map("view" -> Map("2" -> 300L),
+        "error" -> Map("0" -> -5L))))) // negative skipped
+    val committer = new RecordingCommitter()
+    val report = ThreePhaseRestore.run(spark, RestoreConfig(tmp, "tp"),
+      new CollectingSink(), snapshot = Some(snapshot),
+      committer = Some(committer), dryRun = true,
+      repartitionedTopics = Set("click"))
+    assert(!report.applied)
+    assert(committer.committed.isEmpty)
+    assert(report.warnings.exists(_.contains("dry-run")))
+    assert(report.warnings.exists(_.contains("Repartitioned")))
+    val plan = report.reset_plan.get
+    assert(plan.entries.map(_.topic).distinct == Seq("view")) // error offset skipped
+  }
+
+  test("native murmur2 expression matches driver hash and stays in codegen") {
+    manifest
+    import graft.functions.{KFunctions, KHash}
+    val df = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("key", encode(col("user_id").cast("string"), "UTF-8"))
+      .withColumn("h", KFunctions.kafka_murmur2(col("key")))
+      .withColumn("tp", KFunctions.kafka_partition(col("key"), 12))
+    df.select("key", "h", "tp").collect().foreach { r =>
+      val k = r.getAs[Array[Byte]](0)
+      assert(r.getInt(1) == KHash.murmur2(k))
+      assert(r.getInt(2) == KHash.kafkaPartition(k, 12))
+    }
+    // the expression appears inside a WholeStageCodegen stage (no UDF boundary)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"murmur2 must not be a UDF:\n${plan.take(1500)}")
+  }
+}
