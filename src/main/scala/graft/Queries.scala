@@ -314,6 +314,28 @@ object Queries {
         .orderBy("topic")
     }),
 
+    // headline throughput workload: events replicated ×8 with 1 KB payloads
+    // (~0.8 GB at sf0.1) through the full backup pipeline — BENCH seconds for
+    // this entry divide into MB for the MB/s comparison with BASELINE.md
+    "p_backup_throughput" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tp").toString
+      val pad = lit(("x" * 1000).getBytes) // binary concat: single pass, no charset decode
+      val fat = graft.model.KRecord.fromEvents(s, d)
+        .crossJoin(s.range(8).select(col("id").as("rep")))
+        .withColumn("offset", col("offset") * 8 + col("rep"))
+        .withColumn("value", concat(col("value"), pad))
+        .drop("rep")
+      val m = graft.pipelines.Backup.run(s, fat,
+        graft.pipelines.BackupConfig("tp", tmp, graft.codec.CompressionCodec.Zstd,
+          enrichHeaders = false))
+      // deterministic output: per-topic segment stats (no wall-clock columns)
+      graft.catalog.Manifest.toDF(s, m)
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n_segments"), sum("record_count").as("n_records"),
+          sum("uncompressed_size").as("raw_bytes"))
+        .orderBy("topic")
+    }),
+
     // end-to-end PITR: restore only the [T1,T2] window through the segments
     "p_pitr_roundtrip" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-pitr").toString

@@ -42,10 +42,11 @@ object Backup {
   def run(spark: SparkSession, records: DataFrame, config: BackupConfig): BackupManifest = {
     import spark.implicits._
 
-    val topics = selectedTopics(spark, records, config)
+    // topic resolution needs a distinct scan of the source — only pay for it
+    // when include/exclude filters are actually configured
     val filtered =
       if (config.includeTopics.isEmpty && config.excludeTopics.isEmpty) records
-      else records.filter(col("topic").isin(topics: _*))
+      else records.filter(col("topic").isin(selectedTopics(spark, records, config): _*))
 
     val enriched =
       if (config.enrichHeaders)
