@@ -56,6 +56,38 @@ object Ann {
     corpus.withColumn("bucket",
       Dedup.hyperplaneSignature(col(vecCol).cast("array<double>"), dim, bits))
 
+  /** Persist the corpus partitioned by LSH bucket — the IVF-style layout.
+    * Queries against [[lshTopKBucketed]] then hit Catalyst partition pruning:
+    * only the probed buckets' files are read, so at 100 TB the scan cost is
+    * ~(probed buckets / 2^bits) of the corpus.
+    */
+  def writeBucketed(corpus: DataFrame, path: String, vecCol: String, dim: Int,
+                    bits: Int): Unit =
+    withBucket(corpus, vecCol, dim, bits)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Top-k over a bucket-partitioned corpus: the bucket predicate prunes
+    * partitions before any file read (verify with PushedFilters /
+    * PartitionFilters in the plan).
+    */
+  def lshTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, vecCol: String, dim: Int,
+                      query: Seq[Double], k: Int, bits: Int,
+                      probeHamming: Int): DataFrame = {
+    val qBucket = spark.range(1)
+      .select(Dedup.hyperplaneSignature(array(query.map(lit): _*), dim, bits).as("b"))
+      .head().getLong(0)
+    val buckets = (0L until (1L << bits))
+      .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= probeHamming)
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col(idCol).as("id"),
+        round(Dedup.cosine(col(vecCol).cast("array<double>"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** LSH-pruned top-k: score only vectors whose bucket is within `probeHamming`
     * of the query's bucket (multi-probe). Recall rises with probeHamming;
     * probeHamming = bits degrades to brute force.

@@ -123,6 +123,21 @@ object KFunctions {
   def kafka_partition(key: Column, numPartitions: Int): Column =
     pmod(kafka_murmur2(key).bitwiseAND(lit(0x7fffffff)), lit(numPartitions))
 
+  /** `Automatic` strategy / null-key placement (repartition.rs:57-74): the
+    * reference's single-writer round-robin cycle cannot exist across
+    * distributed tasks, so nulls spread ≈ uniformly via a per-row monotonic
+    * id — only the murmur2 path is a placement contract (documented
+    * relaxation, SURVEY §2.10).
+    */
+  def auto_partition(numPartitions: Int): Column =
+    pmod(monotonically_increasing_id(), lit(numPartitions.toLong)).cast("int")
+
+  /** Keyed placement with null-key fallback — the full default-partitioner
+    * behavior. */
+  def kafka_partition_or_auto(key: Column, numPartitions: Int): Column =
+    when(key.isNotNull, kafka_partition(key, numPartitions))
+      .otherwise(auto_partition(numPartitions))
+
   def long_to_bytes_le(c: Column): Column = l2bUdf(c)
   def bytes_to_long_le(c: Column): Column = b2lUdf(c)
 
