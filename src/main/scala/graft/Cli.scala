@@ -38,7 +38,8 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    "commands: backup restore dry-run list describe validate show-offset-mapping")
+    "commands: backup restore dry-run list describe validate " +
+      "show-offset-mapping three-phase-restore")
 
   def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "backup" =>

@@ -89,4 +89,25 @@ class OffsetMappingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.toShellScript("k:9092").contains("--to-offset 5050"))
     assert(plan.toJson.contains("\"target_offset\":null"))
   }
+
+  test("offset rollback: snapshot, apply, verify mismatches (J9)") {
+    import graft.remap.OffsetRollback
+    val committed = Seq(("g1", "t", 0, 100L), ("g1", "t", 1, 200L), ("g2", "u", 0, 5L))
+    val snap = OffsetRollback.snapshot(committed, "pre-reset", takenAt = 1700L)
+    val dir = java.nio.file.Files.createTempDirectory("rb").toString
+    OffsetRollback.save(s"$dir/snap.json", snap)
+    val loaded = OffsetRollback.load(s"$dir/snap.json")
+    assert(loaded == snap)
+    // apply rollback through a committer
+    val committer = new graft.pipelines.RecordingCommitter()
+    assert(OffsetRollback.apply(loaded, committer) == 3)
+    assert(committer.committed.toSet == committed.toSet)
+    // verify: one drifted, one missing, one extra
+    val actual = Seq(("g1", "t", 0, 100L), ("g1", "t", 1, 999L), ("g3", "v", 0, 7L))
+    val mismatches = OffsetRollback.verify(snap, actual)
+    assert(mismatches.toSet == Set(
+      ("g1", "t", 1, Some(200L), Some(999L)),
+      ("g2", "u", 0, Some(5L), None),
+      ("g3", "v", 0, None, Some(7L))))
+  }
 }
