@@ -3,40 +3,71 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew tooling for hot keys. AQE's skew-join handling covers joins at
-  * runtime; aggregation over a hot key (one topic receiving most of the
-  * traffic, one stopword-heavy shingle) still funnels the key's entire
-  * partition through one reducer. Salting splits each key across
-  * `saltBuckets` reducers with a two-stage aggregation.
+/** Skew tooling for hot keys.
+  *
+  * Scope note: sum/count/min/max do NOT need salting — Spark's map-side
+  * partial HashAggregate already collapses a hot key to one row per map task,
+  * so no reducer sees the raw row volume. Salting earns its keep for
+  * aggregates whose partial state grows with the data — collect_list /
+  * collect_set / exact count-distinct — where a hot key's entire state
+  * otherwise materializes on a single reducer. It is an out-of-memory
+  * avoidance tool, not a latency tool: the extra shuffle costs wall-clock at
+  * small scale and pays off when one key's aggregate state would not fit a
+  * single executor. The decomposable helpers exist for completeness (mixing
+  * them into a salted plan costs only the partial rows) and for testing the
+  * two-stage machinery.
+  *
+  * The salt is a deterministic content hash of the row, NOT `rand()`:
+  * positionally-seeded rand re-assigns salts when a failed map task is
+  * recomputed with a different input order, which double-counts or drops rows
+  * in the two-stage plan (silent corruption under task retry).
   */
 object Skew {
 
-  /** Decomposable-aggregate spec: stage 1 computes `partial` per
-    * (key, salt), stage 2 merges partials per key with `merge`.
+  /** Decomposable-aggregate spec: `partial` per (key, salt) producing a
+    * column aliased `name`; `merge` combines the stage-1 partials per key.
     */
-  case class SaltedAgg(partial: Column, merge: String => Column, name: String)
+  case class SaltedAgg(partial: Column, merge: Column)
 
   def sum2(c: Column, as: String): SaltedAgg =
-    SaltedAgg(sum(c).as(as), col0 => sum(col(col0)).as(as), as)
+    SaltedAgg(sum(c).as(as), sum(col(as)).as(as))
   def count2(as: String): SaltedAgg =
-    SaltedAgg(count(lit(1)).as(as), col0 => sum(col(col0)).as(as), as)
+    SaltedAgg(count(lit(1)).as(as), sum(col(as)).as(as))
   def min2(c: Column, as: String): SaltedAgg =
-    SaltedAgg(min(c).as(as), col0 => min(col(col0)).as(as), as)
+    SaltedAgg(min(c).as(as), min(col(as)).as(as))
   def max2(c: Column, as: String): SaltedAgg =
-    SaltedAgg(max(c).as(as), col0 => max(col(col0)).as(as), as)
+    SaltedAgg(max(c).as(as), max(col(as)).as(as))
 
-  /** Two-stage salted aggregation: stage 1 shuffles on (keys, salt) — the hot
-    * key spreads over `saltBuckets` reducers — stage 2 shuffles only the
-    * (keys × salts) partial rows. Correct for any decomposable aggregate.
+  /** collect_list with salted state: each reducer holds ~1/saltBuckets of a
+    * hot key's elements; merge flattens. Order is unspecified (as with plain
+    * collect_list).
+    */
+  def collectList2(c: Column, as: String): SaltedAgg =
+    SaltedAgg(collect_list(c).as(as), flatten(collect_list(col(as))).as(as))
+
+  /** Exact count-distinct with salted state: per-salt distinct sets, merged
+    * and de-duplicated at stage 2.
+    */
+  def countDistinct2(c: Column, as: String): SaltedAgg =
+    SaltedAgg(collect_set(c).as(as),
+      size(array_distinct(flatten(collect_list(col(as))))).cast("long").as(as))
+
+  /** Two-stage salted aggregation: stage 1 shuffles on (keys, salt) — a hot
+    * key's state spreads over `saltBuckets` reducers — stage 2 merges the
+    * (keys × salts) partial rows. Note: summing decimals twice widens
+    * precision twice vs a plain aggregate (decimal(p+20,s) vs (p+10,s)).
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                       aggs: SaltedAgg*): DataFrame = {
-    require(saltBuckets > 0)
-    val salted = df.withColumn("__salt", (rand(42) * saltBuckets).cast("int"))
-    val stage1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    require(aggs.nonEmpty, "at least one SaltedAgg is required")
+    require(!df.columns.contains("__graft_salt") && !keys.contains("__graft_salt"),
+      "input must not use the reserved __graft_salt column")
+    val salted = df.withColumn("__graft_salt",
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    val stage1 = salted.groupBy((keys :+ "__graft_salt").map(col): _*)
       .agg(aggs.head.partial, aggs.tail.map(_.partial): _*)
-    val merged = stage1.groupBy(keys.map(col): _*)
-      .agg(aggs.head.merge(aggs.head.name), aggs.tail.map(a => a.merge(a.name)): _*)
-    merged
+    stage1.groupBy(keys.map(col): _*)
+      .agg(aggs.head.merge, aggs.tail.map(_.merge): _*)
   }
 }

@@ -7,7 +7,6 @@ import org.apache.spark.sql.execution.FormattedMode
 class SkewSpec extends SparkSpec {
 
   test("salted aggregation equals plain aggregation on skewed data") {
-    import spark.implicits._
     // 90% of rows hit one key — the classic hot-partition shape
     val df = spark.range(100000)
       .withColumn("k", when(col("id") % 10 =!= 0, "hot").otherwise(concat(lit("k"), col("id") % 7)))
@@ -21,13 +20,37 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted collect_list and exact count-distinct (the aggregates that DO skew)") {
+    val df = spark.range(10000)
+      .withColumn("k", when(col("id") % 10 =!= 0, "hot").otherwise(lit("cold")))
+      .withColumn("v", col("id") % 500)
+    val out = Skew.saltedAggregate(df, Seq("k"), 8,
+        Skew.collectList2(col("v"), "vals"), Skew.countDistinct2(col("v"), "nd"))
+      .collect().map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val expectHot = df.filter(col("k") === "hot").select("v").collect().map(_.getLong(0))
+    assert(out("hot")._1.sorted == expectHot.sorted.toSeq, "collect_list content")
+    assert(out("hot")._2 == expectHot.distinct.length)
+    assert(out("cold")._2 == df.filter(col("k") === "cold")
+      .select("v").distinct().count())
+  }
+
+  test("salt is deterministic (content hash, retry-safe) and guarded") {
+    val df = spark.range(1000).withColumn("k", lit("x")).withColumn("v", col("id").cast("double"))
+    val a = Skew.saltedAggregate(df, Seq("k"), 8, Skew.sum2(col("v"), "s")).collect()
+    val b = Skew.saltedAggregate(df, Seq("k"), 8, Skew.sum2(col("v"), "s")).collect()
+    assert(a.toSeq == b.toSeq)
+    intercept[IllegalArgumentException](Skew.saltedAggregate(df, Seq("k"), 0, Skew.sum2(col("v"), "s")))
+    intercept[IllegalArgumentException](Skew.saltedAggregate(df, Seq("k"), 8))
+    intercept[IllegalArgumentException](Skew.saltedAggregate(
+      df.withColumn("__graft_salt", lit(1)), Seq("k"), 8, Skew.sum2(col("v"), "s")))
+  }
+
   test("salted plan has two aggregation exchanges (key+salt, then key)") {
-    import spark.implicits._
     val df = spark.range(100).withColumn("k", lit("x")).withColumn("v", col("id").cast("double"))
     val plan = Skew.saltedAggregate(df, Seq("k"), 8, Skew.sum2(col("v"), "s"))
       .queryExecution.explainString(FormattedMode)
     assert("\\+- Exchange".r.findAllIn(plan).size == 2,
       s"expected exactly two shuffles (key+salt, then key):\n${plan.take(800)}")
-    assert(plan.contains("__salt"), "stage-1 grouping must include the salt")
+    assert(plan.contains("__graft_salt"), "stage-1 grouping must include the salt")
   }
 }
