@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Per-segment statistics — a min/max catalog entry
   * (crates/kafka-backup-core/src/manifest.rs:7-165). Offset and timestamp
@@ -110,22 +109,38 @@ object Manifest {
 
   def path(backupRoot: String, backupId: String): String = s"$backupRoot/$backupId/manifest.json"
 
+  private def fs(backupRoot: String) = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(backupRoot), new org.apache.hadoop.conf.Configuration())
+
+  // serializes read-merge-write within this JVM (the reference's save_lock,
+  // backup/engine.rs:40-47); cross-process writers of the SAME backup_id
+  // still race — coordinate those at the orchestration layer
+  private val saveLock = new Object
+
   /** Atomic read-modify-write save with merge (K2): union with any manifest
-    * already on disk so concurrent/partial runs stay discoverable.
+    * already in storage so concurrent/partial runs stay discoverable. Goes
+    * through Hadoop FS, so remote roots (s3a://, abfss://, gs://) work the
+    * same as local paths.
     */
-  def save(backupRoot: String, m: BackupManifest): BackupManifest = {
-    val p = Paths.get(path(backupRoot, m.backup_id))
-    Files.createDirectories(p.getParent)
-    val merged = if (Files.exists(p)) load(backupRoot, m.backup_id).merge(m) else m
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    Files.write(tmp, toJson(merged).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  def save(backupRoot: String, m: BackupManifest): BackupManifest = saveLock.synchronized {
+    val f = fs(backupRoot)
+    val p = new org.apache.hadoop.fs.Path(path(backupRoot, m.backup_id))
+    val merged = if (f.exists(p)) load(backupRoot, m.backup_id).merge(m) else m
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val os = f.create(tmp, true)
+    try os.write(toJson(merged).getBytes(StandardCharsets.UTF_8)) finally os.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
     merged
   }
 
-  def load(backupRoot: String, backupId: String): BackupManifest =
-    fromJson(new String(Files.readAllBytes(Paths.get(path(backupRoot, backupId))),
-      StandardCharsets.UTF_8))
+  def load(backupRoot: String, backupId: String): BackupManifest = {
+    val f = fs(backupRoot)
+    val in = f.open(new org.apache.hadoop.fs.Path(path(backupRoot, backupId)))
+    try fromJson(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8))
+    finally in.close()
+  }
 
   /** Storage key for a segment
     * (`{backup_id}/topics/{topic}/partition={p}/segment-{start:020}.bin{ext}`,

@@ -79,8 +79,13 @@ object SegmentCodec {
     }
   }
 
-  /** Append one length-prefixed record to `out`. */
+  /** Append one length-prefixed record to `out`. Header counts and header-key
+    * lengths ride u16 fields on the wire — reject overflow loudly instead of
+    * truncating into a silently-undecodable (but CRC-valid) segment.
+    */
   def writeRecord(out: ByteSink, r: KRecord): Unit = {
+    require(r.headers.size <= 0xffff,
+      s"record ${r.offset}: ${r.headers.size} headers exceed the u16 wire limit")
     out.putIntLE(recordSize(r))
     out.putLongLE(r.timestamp)
     out.putLongLE(r.offset)
@@ -91,6 +96,8 @@ object SegmentCodec {
     out.putShortLE(r.headers.size)
     r.headers.foreach { h =>
       val kb = h.key.getBytes(StandardCharsets.UTF_8)
+      require(kb.length <= 0xffff,
+        s"record ${r.offset}: header key of ${kb.length} bytes exceeds the u16 wire limit")
       out.putShortLE(kb.length)
       out.putBytes(kb)
       if (h.value != null) { out.putIntLE(h.value.length); out.putBytes(h.value) }

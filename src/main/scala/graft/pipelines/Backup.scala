@@ -22,6 +22,22 @@ case class BackupConfig(
     includeTopics: Seq[String] = Nil,
     excludeTopics: Seq[String] = Nil)
 
+/** Java-serializable Hadoop Configuration carrier for task closures
+  * (Configuration itself is Writable but not java.io.Serializable).
+  */
+final class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** The ingest pipeline (reference query lifecycle §3.1): source records →
   * header enrichment (F11) → per-(topic,partition) segment roll (K1/St4) →
   * storage put → manifest assembly (K2).
@@ -41,6 +57,10 @@ object Backup {
     */
   def run(spark: SparkSession, records: DataFrame, config: BackupConfig): BackupManifest = {
     import spark.implicits._
+    // the in-memory segment buffer is Int-indexed; a >=2 GB segment would
+    // never hit the roll check and overflow mid-task with a misleading error
+    require(config.maxSegmentBytes > 0 && config.maxSegmentBytes < Int.MaxValue.toLong - (16 << 20),
+      s"maxSegmentBytes must be in (0, ~2GB): ${config.maxSegmentBytes}")
 
     // topic resolution needs a distinct scan of the source — only pay for it
     // when include/exclude filters are actually configured
@@ -56,11 +76,15 @@ object Backup {
       else filtered
 
     val cfg = config // avoid closing over `this`
+    // capture the driver's Hadoop conf (spark.hadoop.* — object-store
+    // credentials, endpoints) for the executors; a bare `new Configuration()`
+    // in the task would silently drop them
+    val hadoopConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val written: Seq[SegmentRow] = enriched
       .repartition(col("topic"), col("partition"))
       .sortWithinPartitions("topic", "partition", "offset")
       .as[KRecord]
-      .mapPartitions(it => writeTaskPartition(it, cfg))
+      .mapPartitions(it => writeTaskPartition(it, cfg, hadoopConf))
       .collect().toSeq
 
     // original_partition_count (manifest.rs:81-89) from the observed max
@@ -92,9 +116,10 @@ object Backup {
     * (writer.rs:237-251 — the interval-based roll is a streaming concern,
     * handled by micro-batch boundaries there).
     */
-  private def writeTaskPartition(it: Iterator[KRecord], cfg: BackupConfig): Iterator[SegmentRow] = {
+  private def writeTaskPartition(it: Iterator[KRecord], cfg: BackupConfig,
+                                 hadoopConf: SerializableHadoopConf): Iterator[SegmentRow] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(cfg.backupRoot), new org.apache.hadoop.conf.Configuration())
+      new java.net.URI(cfg.backupRoot), hadoopConf.value)
     val out = scala.collection.mutable.ArrayBuffer.empty[SegmentRow]
 
     var curTopic: String = null

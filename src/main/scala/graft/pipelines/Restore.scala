@@ -107,8 +107,8 @@ object Restore {
     val obs = org.apache.spark.sql.Observation("restore_metrics")
     val observed = df.observe(obs,
       count(lit(1)).as("records_restored"),
-      sum(coalesce(length(col("value")), lit(0)) +
-        coalesce(length(col("key")), lit(0))).as("bytes_restored"))
+      coalesce(sum(coalesce(length(col("value")), lit(0)) +
+        coalesce(length(col("key")), lit(0))), lit(0L)).as("bytes_restored"))
     (observed, obs)
   }
 

@@ -21,7 +21,7 @@ object RestoreCheckpoint {
   implicit private val formats: Formats = DefaultFormats
 
   def configHash(cfg: RestoreConfig): String = {
-    val canonical = Seq(cfg.backupId, cfg.windowStartMs, cfg.windowEndMs,
+    val canonical = Seq(cfg.backupRoot, cfg.backupId, cfg.windowStartMs, cfg.windowEndMs,
       cfg.includeTopics.sorted, cfg.excludeTopics.sorted,
       cfg.sourcePartitions.map(_.sorted), cfg.topicMapping.toSeq.sorted,
       cfg.partitionMapping.toSeq.sorted).mkString("|")

@@ -59,11 +59,17 @@ object ThreePhaseRestore {
     val (produceResults, mapping0) = Produce.run(records, sink, pairEvery = pairEvery)
     val restored = produceResults.map(_.recordCount).sum
 
-    // Phase 3 inputs: explicit committed offsets ∪ snapshot import (J4)
+    // Phase 3 inputs: explicit committed offsets ∪ snapshot import (J4).
+    // BOTH must pass through topic/partition remapping — the offset mapping
+    // is keyed by the POST-remap names the records were produced under.
+    val remappedCommitted = committed.map { case (g, t, p, o) =>
+      (g, restoreCfg.topicMapping.getOrElse(t, t),
+        restoreCfg.partitionMapping.getOrElse(p, p), o)
+    }
     val fromSnapshot = snapshot.toSeq.flatMap(s =>
       ConsumerGroupSnapshot.importOffsets(s, restoreCfg.topicMapping,
         restoreCfg.partitionMapping))
-    val effective = (committed ++ fromSnapshot)
+    val effective = (remappedCommitted ++ fromSnapshot)
       .filterNot { case (_, t, _, _) =>
         val skip = repartitionedTopics.contains(t)
         skip

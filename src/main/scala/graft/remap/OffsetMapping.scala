@@ -152,17 +152,27 @@ case class OffsetResetPlan(entries: Seq[OffsetResetEntry]) {
     entries.filter(_.group_id == group).forall(_.target_offset.isDefined)
   def groups: Seq[String] = entries.map(_.group_id).distinct.sorted
 
-  /** K8 exports (offset_reset.rs:451-549). */
-  def toCsv: String =
+  /** K8 exports (offset_reset.rs:451-549). Group/topic names are
+    * user-controlled strings — CSV fields are quoted-escaped and shell
+    * arguments single-quote-escaped (an adversarial group id must not become
+    * a command injection in the exported script).
+    */
+  def toCsv: String = {
+    def f(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+        "\"" + s.replace("\"", "\"\"") + "\"" else s
     ("group_id,topic,partition,source_offset,target_offset" +:
-      entries.map(e => s"${e.group_id},${e.topic},${e.partition}," +
+      entries.map(e => s"${f(e.group_id)},${f(e.topic)},${e.partition}," +
         s"${e.source_offset},${e.target_offset.getOrElse("")}")).mkString("\n")
+  }
 
-  def toShellScript(bootstrap: String): String =
+  def toShellScript(bootstrap: String): String = {
+    def sh(s: String): String = "'" + s.replace("'", "'\\''") + "'"
     entries.collect { case OffsetResetEntry(g, t, p, _, Some(tgt)) =>
-      s"kafka-consumer-groups --bootstrap-server $bootstrap --group $g " +
-        s"--topic $t:$p --reset-offsets --to-offset $tgt --execute"
+      s"kafka-consumer-groups --bootstrap-server ${sh(bootstrap)} --group ${sh(g)} " +
+        s"--topic ${sh(s"$t:$p")} --reset-offsets --to-offset $tgt --execute"
     }.mkString("#!/bin/sh\n", "\n", "\n")
+  }
 
   def toJson: String = {
     def row(e: OffsetResetEntry) =

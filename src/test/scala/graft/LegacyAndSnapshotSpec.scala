@@ -2,7 +2,8 @@ package graft
 
 import graft.codec.{CompressionCodec, LegacySegment, SegmentCodec}
 import graft.model.{KHeader, KRecord}
-import graft.remap.{ConsumerGroupSnapshot, RateLimiter}
+import graft.remap.ConsumerGroupSnapshot
+import graft.sinks.RateLimiter
 import org.scalatest.funsuite.AnyFunSuite
 
 class LegacyAndSnapshotSpec extends AnyFunSuite {
