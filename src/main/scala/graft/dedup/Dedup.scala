@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on a normalized digest of `textCol`. Keeps the smallest
-    * `idCol` per group (deterministic winner). Returns the kept rows.
+    * `idCol` per group (deterministic winner); NULL-text rows pass through
+    * untouched (they are absent documents, not duplicates of each other).
     * Shuffles (digest → partition) once; the digest is computed map-side so
     * the exchange carries 16 bytes + id, not the document body.
     */
@@ -31,7 +32,7 @@ object Dedup {
     val w = Window.partitionBy("graft_dup_key").orderBy(col(idCol))
     df.withColumn("graft_dup_key", md5(lower(trim(col(textCol)))))
       .withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1)
+      .filter(col("graft_rn") === 1 || col("graft_dup_key").isNull)
       .drop("graft_dup_key", "graft_rn")
   }
 
@@ -77,7 +78,11 @@ object Dedup {
                    shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, shingleN, k)
-    val banded = sigs.select(col("id"), col("sig"),
+    // docs shorter than the shingle width have no shingle set — they all
+    // share the sentinel signature and would pair quadratically as false
+    // jaccard-1.0 "duplicates"; shingle-based dedup simply doesn't apply
+    val pairable = sigs.filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+    val banded = pairable.select(col("id"), col("sig"),
         explode(lshBands(col("sig"), bands, k)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
@@ -114,18 +119,22 @@ object Dedup {
     * shuffle carries 64 ints per doc).
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // xxhash64(NULL) returns the seed (42), not NULL — hash only real tokens
+    // so empty documents end with a NULL signature instead of all sharing one
     val exploded = df.select(col(idCol).as("id"),
         explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .select(col("id"),
+        when(col("tok").isNotNull, xxhash64(col("tok"))).as("h"))
     val voteCols = (0 until 64).map(i =>
-      sum(when(col("h").isNull, 0)
+      sum(when(col("h").isNull, lit(null))
         .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"v$i"))
     val votes = exploded.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
     val sig = (0 until 64)
       .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
       .reduce((a: Column, b: Column) => a.bitwiseOR(b))
-    votes.select(col("id"), sig.as("sig"))
+    votes.select(col("id"),
+      when(col("v0").isNotNull, sig).as("sig"))
   }
 
   /** SimHash near-dup candidates: 4 bands of 16 bits; Hamming distance ≤ 3
@@ -135,6 +144,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol)
+      .filter(col("sig").isNotNull) // empty docs can't simhash-pair
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -186,13 +196,15 @@ object Dedup {
   }
 
   /** Cosine similarity of two float-array columns as a single aggregate
-    * expression (dot / norms), codegen-friendly.
+    * expression (dot / norms), codegen-friendly. NULL (not a DIVIDE_BY_ZERO
+    * crash under Spark's default ANSI mode) when either vector is all-zero —
+    * padded/failed embedding rows must not abort the job.
     */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    dot / (na * nb)
+    when(na * nb =!= 0.0d, dot / (na * nb))
   }
 
   /** Random-hyperplane LSH signature for cosine similarity: `bits` sign bits
@@ -201,10 +213,14 @@ object Dedup {
     */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
     val sig = (0 until bits).map { b =>
-      // pseudo-random ±1 projection weights, fixed at plan time from (bit, dim)
+      // pseudo-random ±1 projection weights, fixed at plan time from (bit,
+      // dim) through a real mixer — a weak parity-style derivation makes
+      // plane b+8 the exact negation of plane b, collapsing 2^bits buckets
+      // to 2^(bits/…) and skewing Hamming-probe recall
       def weight(i: Int): Double = {
-        val h = (b * 1315423911L + i * 2654435761L) ^ ((b.toLong + i) >> 3)
-        if ((h & 1L) == 0L) 1.0 else -1.0
+        val h = graft.functions.KHash.murmur2(
+          java.nio.ByteBuffer.allocate(8).putInt(b).putInt(i).array())
+        if ((h & 1) == 0) 1.0 else -1.0
       }
       val dot = aggregate(zip_with(vec,
         array((0 until dim).map(i => lit(weight(i))): _*),
@@ -228,6 +244,7 @@ object Dedup {
         hyperplaneSignature(vd, dim, bits).as("bucket"))
       .withColumn("norm", sqrt(aggregate(transform(col("vec"), x => x * x),
         lit(0.0d), (acc, v) => acc + v)))
+      .filter(col("norm") =!= 0.0d) // zero vectors can't cosine-pair (ANSI ÷0)
       .withColumn("unit", transform(col("vec"), x => x / col("norm")))
       .select("id", "bucket", "unit")
     val a = sigs.select(col("bucket"), col("id").as("id_a"), col("unit").as("unit_a"))

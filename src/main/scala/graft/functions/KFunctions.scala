@@ -90,10 +90,16 @@ object KHash {
 
   /** Topic selection semantics (backup/engine.rs:626-668): empty include = all;
     * exclude wins; `~`-prefixed patterns are regexes (restore/engine.rs:1569-1626).
+    * Regex patterns match as SUBSTRING search (the reference's
+    * `Regex::is_match` is unanchored — `~internal` matches
+    * `orders-internal-v2`); invalid regexes match nothing, as there.
     */
   def topicMatches(topic: String, includes: Seq[String], excludes: Seq[String]): Boolean = {
     def m(p: String): Boolean =
-      if (p.startsWith("~")) topic.matches(p.substring(1)) else topic.matches(globToRegex(p))
+      if (p.startsWith("~"))
+        try java.util.regex.Pattern.compile(p.substring(1)).matcher(topic).find()
+        catch { case _: java.util.regex.PatternSyntaxException => false }
+      else topic.matches(globToRegex(p))
     val included = includes.isEmpty || includes.exists(m)
     included && !excludes.exists(m)
   }
@@ -142,10 +148,12 @@ object KFunctions {
   def bytes_to_long_le(c: Column): Column = b2lUdf(c)
 
   /** First header value for `key` in a headers array column (first-match
-    * lookup; duplicates allowed). Pure built-ins — stays in codegen.
+    * lookup; duplicates allowed). NULL when absent — `try_element_at`, not
+    * `[0]`, because ANSI mode turns an out-of-bounds index into a crash.
     */
   def header_value(headers: Column, key: String): Column =
-    filter(headers, h => h.getField("key") === lit(key)).getItem(0).getField("value")
+    try_element_at(filter(headers, h => h.getField("key") === lit(key)), lit(1))
+      .getField("value")
 
   /** Append enrichment headers (F11): x-original-offset (LE i64),
     * x-original-timestamp (LE i64 millis), x-source-cluster, x-source-partition

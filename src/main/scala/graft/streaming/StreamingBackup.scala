@@ -54,7 +54,14 @@ object StreamingBackup {
                       checkpointDir: String): BackupManifest = {
     val q = start(records, config, checkpointDir, Trigger.AvailableNow())
     q.awaitTermination()
-    Manifest.load(config.backupRoot, config.backupId)
+    // an empty first run never writes a manifest — return an empty one
+    // instead of crashing the drain
+    try Manifest.load(config.backupRoot, config.backupId)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        graft.catalog.BackupManifest(config.backupId, System.currentTimeMillis(),
+          None, Nil, "none", Nil)
+    }
   }
 
   /** A parquet-file streaming source over an events directory shaped into the

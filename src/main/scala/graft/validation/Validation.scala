@@ -24,11 +24,14 @@ object Validation {
                    threshold: Long = 0): DataFrame = {
     val backed = segments.groupBy("topic", "partition")
       .agg(sum("record_count").as("backed_up"))
-    backed.join(clusterOffsets, Seq("topic", "partition"))
+    // full outer: a partition present on only one side IS the discrepancy —
+    // an inner join would silently pass wholly-missing partitions
+    backed.join(clusterOffsets, Seq("topic", "partition"), "full_outer")
       .withColumn("cluster_count", col("latest_offset") - col("earliest_offset"))
       .withColumn("diff", col("cluster_count") - col("backed_up"))
       .withColumn("outcome",
-        when(abs(col("diff")) <= threshold, "Passed").otherwise("Failed"))
+        when(col("backed_up").isNull || col("cluster_count").isNull, "Failed")
+          .when(abs(col("diff")) <= threshold, "Passed").otherwise("Failed"))
       .select("topic", "partition", "backed_up", "cluster_count", "diff", "outcome")
   }
 
@@ -39,10 +42,11 @@ object Validation {
   def offsetRange(segments: DataFrame, clusterOffsets: DataFrame): DataFrame = {
     val ranges = segments.groupBy("topic", "partition")
       .agg(min("start_offset").as("backup_start"), max("end_offset").as("backup_end"))
-    ranges.join(clusterOffsets, Seq("topic", "partition"))
+    ranges.join(clusterOffsets, Seq("topic", "partition"), "full_outer")
       .withColumn("outcome",
-        when(col("latest_offset") >= col("backup_end") + 1 &&
-          col("backup_start") >= col("earliest_offset"), "Passed")
+        when(col("backup_start").isNull || col("latest_offset").isNull, "Failed")
+          .when(col("latest_offset") >= col("backup_end") + 1 &&
+            col("backup_start") >= col("earliest_offset"), "Passed")
           .when(col("latest_offset") >= col("backup_end") + 1, "Warning")
           .otherwise("Failed"))
       .select("topic", "partition", "backup_start", "backup_end",
@@ -78,16 +82,15 @@ object Validation {
     * ordered offset summary.
     */
   def evidenceDigest(segments: DataFrame): String = {
-    val canonical = segments
-      .select(col("topic"), col("partition"), col("start_offset"), col("end_offset"),
-        col("record_count"))
-      .orderBy("topic", "partition", "start_offset")
+    // collect_list does NOT preserve upstream sort order across the
+    // aggregation shuffle — sort the collected array itself so the digest is
+    // deterministic however partials arrive
+    segments
       .select(concat_ws("|", col("topic"), col("partition"), col("start_offset"),
         col("end_offset"), col("record_count")).as("line"))
-      .agg(concat_ws("\n", collect_list("line")).as("doc"))
+      .agg(concat_ws("\n", sort_array(collect_list("line"))).as("doc"))
       .select(sha2(col("doc"), 256))
       .head().getString(0)
-    canonical
   }
 
   /** `validate --deep` (cli/commands/validate.rs:48-233): re-read and decode
@@ -99,17 +102,29 @@ object Validation {
     import spark.implicits._
     val manifest = Manifest.load(backupRoot, backupId)
     val expected = Manifest.toDF(spark, manifest)
-    val keys = manifest.topics.flatMap(_.partitions).flatMap(_.segments).map(_.key)
+    val allKeys = manifest.topics.flatMap(_.partitions).flatMap(_.segments).map(_.key)
+    // binaryFile aborts analysis on missing paths — split existence checking
+    // out so a deleted object becomes a Failed row, not a crashed job
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(backupRoot), spark.sparkContext.hadoopConfiguration)
+    val (keys, missing) = allKeys.partition(k =>
+      fsys.exists(new org.apache.hadoop.fs.Path(s"$backupRoot/$k")))
+    val missingDF = missing.map(k => (k, null: java.lang.Long, null: java.lang.Long,
+        null: java.lang.Long, "object missing"))
+      .toDF("segment_key", "actual_count", "actual_start", "actual_end", "decode_error")
+    val backupIdLocal = backupId
     val actual =
       if (keys.isEmpty)
-        Seq.empty[(String, Long, Long, Long, String)]
-          .toDF("segment_key", "actual_count", "actual_start", "actual_end", "decode_error")
+        missingDF
       else spark.read.format("binaryFile")
         .load(keys.map(k => s"$backupRoot/$k"): _*)
         .select("path", "content")
         .as[(String, Array[Byte])]
         .map { case (path, bytes) =>
-          val key = path.substring(path.indexOf(backupId))
+          // rebuild the manifest key from the tail path components
+          // (topics/<topic>/partition=<p>/<file>) — immune to the backupId
+          // string appearing inside backupRoot
+          val key = backupIdLocal + "/" + path.split('/').takeRight(4).mkString("/")
           try {
             var n = 0L
             var lo = Long.MaxValue
@@ -126,6 +141,7 @@ object Validation {
           }
         }
         .toDF("segment_key", "actual_count", "actual_start", "actual_end", "decode_error")
+        .unionByName(missingDF)
     expected.join(actual, Seq("segment_key"), "left")
       .withColumn("outcome",
         when(col("decode_error").isNotNull, "Failed")

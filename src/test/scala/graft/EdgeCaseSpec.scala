@@ -1,0 +1,101 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.{KFunctions, KHash}
+import org.apache.spark.sql.functions._
+
+/** Regressions for the review-found edge cases: ANSI-mode division/index
+  * crashes, degenerate inputs (zero vectors, null/short texts), substring
+  * regex semantics, and validation of missing partitions/objects.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zero embedding vectors don't crash cosine paths (ANSI ÷0)") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0), 3).collect()
+    // zero vector yields NULL cosine; orderBy desc puts it last, job survives
+    assert(top.length == 3)
+    assert(top.head.getLong(0) == 1L)
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", dim = 2,
+      bits = 2, threshold = 0.1).collect()
+    assert(!pairs.exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L),
+      "zero vector must not pair")
+  }
+
+  test("null-text rows pass through exact dedup untouched") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, null), (4L, null))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(df, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), "nulls are not duplicates of each other")
+  }
+
+  test("docs shorter than the shingle width never minhash/simhash-pair") {
+    val df = Seq((1L, "one two"), (2L, "three four"), (3L, "a b"),
+      (4L, ""), (5L, ""))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(df, "doc_id", "text", shingleN = 3, k = 16,
+      bands = 4, threshold = 0.0).count() == 0)
+    // identical empty docs must not simhash-pair either
+    assert(Dedup.simhashPairs(df.filter(col("doc_id") >= 4), "doc_id", "text",
+      maxHamming = 64).count() == 0)
+  }
+
+  test("header_value returns NULL for absent keys instead of ANSI index crash") {
+    val df = KRecordFixtures.withHeaders(spark)
+    val out = df.select(
+      KFunctions.header_value(col("headers"), "present").as("p"),
+      KFunctions.header_value(col("headers"), "absent").as("a")).head()
+    assert(new String(out.getAs[Array[Byte]]("p")) == "v")
+    assert(out.isNullAt(1))
+  }
+
+  test("~regex topic patterns match as substring; invalid regex matches nothing") {
+    assert(KHash.topicMatches("orders-internal-v2", Nil, Seq("~internal")) == false)
+    assert(KHash.topicMatches("orders-public", Nil, Seq("~internal")))
+    assert(!KHash.topicMatches("anything", Seq("~[unclosed"), Nil),
+      "invalid regex must select nothing, not throw")
+  }
+
+  test("validation flags partitions missing from either side (full outer)") {
+    import graft.validation.Validation
+    val segments = Seq(("t", 0, "k0", 0L, 9L, 0L, 0L, 10L, 0L, 0L))
+      .toDF("topic", "partition", "segment_key", "start_offset", "end_offset",
+        "start_timestamp", "end_timestamp", "record_count", "uncompressed_size",
+        "compressed_size")
+    val cluster = Seq(("t", 0, 0L, 10L), ("t", 1, 0L, 5L)) // partition 1 never backed up
+      .toDF("topic", "partition", "earliest_offset", "latest_offset")
+    val res = Validation.messageCount(segments, cluster).collect()
+      .map(r => r.getInt(1) -> r.getString(5)).toMap
+    assert(res(0) == "Passed")
+    assert(res(1) == "Failed", "missing partition must fail, not vanish")
+  }
+
+  test("deep validation reports a deleted segment object as Failed") {
+    import graft.codec.CompressionCodec
+    import graft.pipelines.{Backup, BackupConfig}
+    val tmp = java.nio.file.Files.createTempDirectory("deep-missing").toString
+    val m = Backup.run(spark, graft.model.KRecord.fromEvents(spark, sf0001),
+      BackupConfig("dm", tmp, CompressionCodec.None, enrichHeaders = false))
+    val victim = m.topics.head.partitions.head.segments.head.key
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tmp/$victim"))
+    val res = graft.validation.Validation.deep(spark, tmp, "dm")
+    val failed = res.filter(col("outcome") === "Failed").collect()
+    assert(failed.length == 1)
+    assert(failed(0).getAs[String]("segment_key") == victim)
+    assert(failed(0).getAs[String]("decode_error") == "object missing")
+  }
+}
+
+object KRecordFixtures {
+  def withHeaders(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(
+      array(struct(lit("present").as("key"), encode(lit("v"), "UTF-8").as("value")))
+        .as("headers"))
+  }
+}
