@@ -119,15 +119,24 @@ object Cli {
 
     case "three-phase-restore" =>
       // restore → produce (offset capture) → reset plan; the sink/committer
-      // are in-memory stand-ins when no broker is configured (plan + CSV out)
+      // are in-memory stand-ins when no broker is configured (plan + CSV out).
+      // Usage: three-phase-restore <root> <id> [groupsSnapshot.json] [startMs endMs]
       val Array(_, root, id, rest @ _*) = args: @unchecked
+      val (snapshot, window) = rest.headOption match {
+        case Some(p) if p.endsWith(".json") =>
+          (Some(graft.remap.ConsumerGroupSnapshot.fromJson(
+            new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))),
+            rest.drop(1))
+        case _ => (None, rest)
+      }
       val committer = new graft.pipelines.RecordingCommitter()
       val report = graft.pipelines.ThreePhaseRestore.run(spark,
         RestoreConfig(root, id,
-          windowStartMs = rest.lift(0).map(_.toLong),
-          windowEndMs = rest.lift(1).map(_.toLong)),
+          windowStartMs = window.lift(0).map(_.toLong),
+          windowEndMs = window.lift(1).map(_.toLong)),
         new graft.sinks.CollectingSink(),
-        committed = Nil, committer = Some(committer), dryRun = true, pairEvery = 100)
+        committed = Nil, snapshot = snapshot,
+        committer = Some(committer), dryRun = true, pairEvery = 100)
       println(s"three-phase ${report.backup_id}: restored=${report.records_restored} " +
         s"partitions=${report.produce_results.size} success=${report.success}")
       report.warnings.foreach(w => println(s"  warning: $w"))

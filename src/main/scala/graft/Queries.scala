@@ -233,7 +233,7 @@ object Queries {
       mm.unionByName(pr)
         .withColumn("asof_src", last("src", ignoreNulls = true).over(w))
         .withColumn("asof_tgt", last("tgt", ignoreNulls = true).over(w))
-        .filter(col("is_m") === 0)
+        .filter(col("is_m") === 0 && col("asof_src").isNotNull)
         .select(col("grp"), col("p"), col("k").as("committed"),
           (col("asof_tgt") + (col("k") - col("asof_src"))).as("target"))
         .orderBy("grp", "p")
@@ -506,7 +506,7 @@ object Queries {
 
     "q3_shipping" -> ((s, d) => {
       val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      val o = orders(s, d).filter(col("o_orderdate") < lit("2024-06-01").cast("timestamp"))
+      val o = orders(s, d).filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
       val l = lineitem(s, d)
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
@@ -535,8 +535,8 @@ object Queries {
     }),
 
     "q6_selective" -> ((s, d) => lineitem(s, d)
-      .filter(col("l_shipdate") >= lit("2024-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("2025-01-01").cast("timestamp") &&
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
       .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
         .cast("double").as("revenue"),
@@ -581,7 +581,7 @@ object Queries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2024-06-01'
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
       """SELECT r_name,
@@ -596,7 +596,7 @@ object Queries {
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       count(*) AS n
         |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '2024-01-01' AND l_shipdate < TIMESTAMP '2025-01-01'
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
     "q18_top_orders" ->
       """SELECT o_orderkey, o_custkey, CAST(sum_qty AS DOUBLE) AS sum_qty FROM (

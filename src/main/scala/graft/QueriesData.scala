@@ -76,7 +76,8 @@ object QueriesData {
 
   val oracles: Map[String, String] = Map(
     "d_token_count" ->
-      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      """SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
@@ -84,7 +85,8 @@ object QueriesData {
         |ORDER BY keep_id""".stripMargin,
     "d_quality" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
-        |                  regexp_split_to_array(trim(text), '\s+') AS w
+        |                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |                       ELSE regexp_split_to_array(trim(text), '\s+') END AS w
         |           FROM documents)
         |SELECT doc_id, len(w) AS n_tokens, n_chars,
         |  round(len(list_filter(w, x -> lower(x) IN

@@ -35,6 +35,12 @@ object Multimodal {
     * Real implementation would go through javax.imageio / ffmpeg here.
     */
   object FakeCodec {
+    /** Fake frame sizes — shared by [[FakeCodec.frameCount]] and the Column
+      * form in [[Multimodal.sampleFrames]]; a real decoder replaces both.
+      */
+    val VideoBytesPerFrame = 4096
+    val AudioBytesPerFrame = 1024
+
     def decodeDims(content: Array[Byte]): (Int, Int) = {
       val h = java.util.Arrays.hashCode(content)
       (64 + math.floorMod(h, 512), 64 + math.floorMod(h >> 9, 512))
@@ -55,8 +61,8 @@ object Multimodal {
     }
 
     def frameCount(mediaType: String, content: Array[Byte]): Int = mediaType match {
-      case "video" => 1 + content.length / 4096 // fake: one frame per 4 KB
-      case "audio" => 1 + content.length / 1024
+      case "video" => 1 + content.length / VideoBytesPerFrame
+      case "audio" => 1 + content.length / AudioBytesPerFrame
       case _       => 1
     }
   }
@@ -85,7 +91,7 @@ object Multimodal {
     val mm = media.toDF()
     mm.filter(col("media_type") === "video")
       .withColumn("n_frames",
-        (lit(1) + floor(length(col("content")) / 4096)).cast("int"))
+        (lit(1) + floor(length(col("content")) / FakeCodec.VideoBytesPerFrame)).cast("int"))
       .withColumn("frame_idx",
         explode(slice(sequence(lit(0), col("n_frames") - 1, lit(stride)), 1, maxFrames)))
       .select("media_id", "frame_idx", "n_frames")

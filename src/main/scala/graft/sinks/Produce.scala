@@ -31,6 +31,11 @@ trait RecordSink extends Serializable {
 /** In-memory sink assigning sequential offsets per (topic, partition) from a
   * configurable start — mirrors a broker's offset assignment for tests
   * (the reference's MemoryBackend pattern).
+  *
+  * NOTE: when used through [[Produce.run]], Spark serializes a COPY of this
+  * sink into each task — driver-side `sent`/offset state stays empty. Read
+  * results from Produce.run's return value; per-(topic,partition) offset
+  * continuity holds because the repartition keeps each key in one task.
   */
 final class CollectingSink(startOffsets: Map[(String, Int), Long] = Map.empty)
     extends RecordSink {
@@ -127,11 +132,22 @@ object Produce {
         org.apache.spark.sql.functions.col("partition"))
       .sortWithinPartitions("topic", "partition", "offset")
       .mapPartitions { it =>
-        it.toSeq.groupBy(r => (r.topic, r.partition)).iterator.map {
-          case ((t, p), rs) =>
-            val (res, pairs) = producePartition(t, p, rs.sortBy(_.offset).iterator,
-              sink, maxBatchRecords, pairEvery)
-            (res, pairs)
+        // the iterator is already grouped by (topic, partition) and ordered
+        // by offset — stream consecutive runs through the producer instead of
+        // materializing the whole task partition (payloads can be GBs)
+        new Iterator[(ProduceResult, Vector[graft.remap.OffsetPair])] {
+          private val in = it.buffered
+          override def hasNext: Boolean = in.hasNext
+          override def next(): (ProduceResult, Vector[graft.remap.OffsetPair]) = {
+            val head = in.head
+            val (t, p) = (head.topic, head.partition)
+            val run = new Iterator[KRecord] {
+              override def hasNext: Boolean = in.hasNext &&
+                in.head.topic == t && in.head.partition == p
+              override def next(): KRecord = in.next()
+            }
+            producePartition(t, p, run, sink, maxBatchRecords, pairEvery)
+          }
         }
       }
       .collect()

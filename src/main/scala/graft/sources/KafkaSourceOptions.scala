@@ -27,17 +27,24 @@ object KafkaSourceOptions {
     }.mkString("{", ",", "}")
   }
 
-  /** Batch read bounded by explicit offset ranges (F8). */
+  /** Batch read bounded by explicit offset ranges (F8). Spark requires the
+    * assign/starting/ending partition sets to agree — missing bounds are
+    * filled with the earliest (-2) / latest (-1) sentinels rather than
+    * emitting options the source rejects.
+    */
   def boundedRead(bootstrap: String, start: Map[(String, Int), Long],
                   end: Map[(String, Int), Long]): Map[String, String] = {
-    val topics = (start.keys ++ end.keys).map(_._1).toSeq.distinct.sorted
+    val allParts = (start.keySet ++ end.keySet).toSeq.sorted
+    val filledStart = allParts.map(k => k -> start.getOrElse(k, -2L)).toMap
+    val filledEnd = allParts.map(k => k -> end.getOrElse(k, -1L)).toMap
+    val topics = allParts.map(_._1).distinct.sorted
     Map(
       "kafka.bootstrap.servers" -> bootstrap,
       "assign" -> topics.map(t =>
-        s""""$t":[${(start.keys ++ end.keys).filter(_._1 == t).map(_._2).toSeq.distinct.sorted.mkString(",")}]""")
+        s""""$t":[${allParts.filter(_._1 == t).map(_._2).distinct.sorted.mkString(",")}]""")
         .mkString("{", ",", "}"),
-      "startingOffsets" -> offsetsJson(start),
-      "endingOffsets" -> offsetsJson(end))
+      "startingOffsets" -> offsetsJson(filledStart),
+      "endingOffsets" -> offsetsJson(filledEnd))
   }
 
   /** Snapshot mode (St3/F10): every partition stops exactly at its captured
@@ -48,16 +55,33 @@ object KafkaSourceOptions {
       captured.map { case (k, _) => k -> -2L }, // earliest
       captured)
 
-  /** PITR entry (S5): start each partition at the first offset with
-    * ts >= windowStart.
+  /** PITR entry (S5): start every partition at the first offset with
+    * ts >= windowStart. Uses the global `startingTimestamp` option —
+    * `startingOffsetsByTimestamp` has no all-partitions wildcard (a "-1"
+    * partition key is rejected by the source); use
+    * [[startByTimestampPerPartition]] when partition ids are known.
     */
   def startByTimestamp(bootstrap: String, topics: Seq[String],
                        windowStartMs: Long): Map[String, String] = Map(
     "kafka.bootstrap.servers" -> bootstrap,
     "subscribe" -> topics.sorted.mkString(","),
-    "startingOffsetsByTimestampStrategy" -> "error",
-    "startingOffsetsByTimestamp" -> topics.sorted.map(t =>
-      s""""$t":{"-1":$windowStartMs}""").mkString("{", ",", "}"))
+    "startingTimestamp" -> windowStartMs.toString)
+
+  /** Per-partition offsets-for-times form, for enumerated partitions. */
+  def startByTimestampPerPartition(bootstrap: String,
+                                   partitions: Map[(String, Int), Long]): Map[String, String] = {
+    val byTopic = partitions.groupBy(_._1._1)
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "assign" -> byTopic.toSeq.sortBy(_._1).map { case (t, ps) =>
+        s""""$t":[${ps.keys.map(_._2).toSeq.sorted.mkString(",")}]""" }
+        .mkString("{", ",", "}"),
+      "startingOffsetsByTimestampStrategy" -> "error",
+      "startingOffsetsByTimestamp" -> byTopic.toSeq.sortBy(_._1).map { case (t, ps) =>
+        val inner = ps.toSeq.sortBy(_._1._2)
+          .map { case ((_, p), ts) => s""""$p":$ts""" }.mkString(",")
+        s""""$t":{$inner}""" }.mkString("{", ",", "}"))
+  }
 
   /** Continuous mode with glob topic discovery (St1/F1): globs become one
     * subscribePattern regex (auto-discovers new topics every cycle natively).

@@ -64,7 +64,14 @@ class ProduceEvidenceSpec extends SparkSpec {
     assert(snap("startingOffsets") == """{"t":{"0":-2}}""")
     assert(snap("endingOffsets") == """{"t":{"0":777}}""")
     val ts = KafkaSourceOptions.startByTimestamp("k:9092", Seq("b", "a"), 1700L)
-    assert(ts("startingOffsetsByTimestamp") == """{"a":{"-1":1700},"b":{"-1":1700}}""")
+    assert(ts("startingTimestamp") == "1700") // global option; no "-1" wildcard exists
+    val tsp = KafkaSourceOptions.startByTimestampPerPartition("k:9092",
+      Map(("a", 1) -> 1700L, ("a", 0) -> 1700L, ("b", 0) -> 1800L))
+    assert(tsp("startingOffsetsByTimestamp") == """{"a":{"0":1700,"1":1700},"b":{"0":1800}}""")
+    // keyset mismatch is filled with sentinels, not emitted broken
+    val filled = KafkaSourceOptions.boundedRead("k:9092",
+      Map(("t", 0) -> 100L), Map(("t", 0) -> 200L, ("t", 1) -> 50L))
+    assert(filled("startingOffsets") == """{"t":{"0":100,"1":-2}}""")
     val cont = KafkaSourceOptions.continuous("k:9092", Seq("ord*", "~pay.+"))
     assert(cont("subscribePattern") == "^ord.*$|pay.+")
   }
