@@ -370,7 +370,7 @@ object Queries {
          |HAVING max(epoch_ms(ts)) >= $T1 AND min(epoch_ms(ts)) <= $T2
          |ORDER BY seg""".stripMargin,
     "q_manifest_describe" ->
-      """SELECT count(*) AS total_segments, sum(record_count) AS total_records,
+      """SELECT count(*) AS total_segments, CAST(sum(record_count) AS BIGINT) AS total_records,
         |       min(start_ts) AS min_ts, max(end_ts) AS max_ts
         |FROM (SELECT event_id // 100 AS seg, count(*) AS record_count,
         |             min(epoch_ms(ts)) AS start_ts, max(epoch_ms(ts)) AS end_ts

@@ -92,7 +92,9 @@ case class BackupManifest(
               case _ => PartitionBackup(pid, Nil)
             }
           }
-          TopicBackup(name, a.original_partition_count.orElse(b.original_partition_count),
+          // current session (`other`) wins when present: a partition expansion
+          // must propagate to restore auto-create (engine.rs merge_manifests)
+          TopicBackup(name, b.original_partition_count.orElse(a.original_partition_count),
             mergedParts)
         case _ => TopicBackup(name, None, Nil)
       }
@@ -126,11 +128,10 @@ object Manifest {
     val f = fs(backupRoot)
     val p = new org.apache.hadoop.fs.Path(path(backupRoot, m.backup_id))
     val merged = if (f.exists(p)) load(backupRoot, m.backup_id).merge(m) else m
-    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
-    val os = f.create(tmp, true)
+    // single overwrite-create (the reference does one storage put): no
+    // delete+rename window where a crash leaves the backup manifest-less
+    val os = f.create(p, true)
     try os.write(toJson(merged).getBytes(StandardCharsets.UTF_8)) finally os.close()
-    if (f.exists(p)) f.delete(p, false)
-    f.rename(tmp, p)
     merged
   }
 

@@ -63,8 +63,18 @@ object Skew {
     require(aggs.nonEmpty, "at least one SaltedAgg is required")
     require(!df.columns.contains("__graft_salt") && !keys.contains("__graft_salt"),
       "input must not use the reserved __graft_salt column")
+    // Salt = hash(input partition id, hashable columns). The partition-id mix
+    // spreads FULLY IDENTICAL duplicate rows (replayed messages — a common
+    // hot-key shape) across buckets proportional to their input partitions,
+    // where a pure content hash would collapse them onto one reducer; it is
+    // stable under task retry because a recomputed task re-reads the same
+    // partition. MapType columns are excluded: Catalyst's hash() rejects maps
+    // (undefined element order).
+    val hashable = df.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => col(f.name)
+    }.toSeq
     val salted = df.withColumn("__graft_salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(spark_partition_id() +: hashable: _*), lit(saltBuckets)))
     val stage1 = salted.groupBy((keys :+ "__graft_salt").map(col): _*)
       .agg(aggs.head.partial, aggs.tail.map(_.partial): _*)
     stage1.groupBy(keys.map(col): _*)

@@ -175,8 +175,23 @@ case class OffsetResetPlan(entries: Seq[OffsetResetEntry]) {
   }
 
   def toJson: String = {
+    // the same adversarial names the CSV/shell exports escape must not
+    // produce malformed JSON here
+    def js(s: String): String = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append('"').toString
+    }
     def row(e: OffsetResetEntry) =
-      s"""{"group_id":"${e.group_id}","topic":"${e.topic}","partition":${e.partition},""" +
+      s"""{"group_id":${js(e.group_id)},"topic":${js(e.topic)},"partition":${e.partition},""" +
         s""""source_offset":${e.source_offset},"target_offset":${e.target_offset.map(_.toString).getOrElse("null")}}"""
     entries.map(row).mkString("[", ",", "]")
   }

@@ -138,6 +138,20 @@ class BackupRestoreSpec extends SparkSpec {
     assert(merged.totalRecords == m.totalRecords)
   }
 
+  test("manifest merge: current session's partition count wins (J5 expansion)") {
+    import graft.catalog.{PartitionBackup, SegmentMetadata, TopicBackup}
+    def tb(n: Option[Int]) = graft.catalog.BackupManifest("b", 0L, None, Nil, "zstd",
+      List(TopicBackup("t", n, List(PartitionBackup(0,
+        List(SegmentMetadata("k0", 0, 9, 0, 9, 10, 100, 50)))))))
+    // topic expanded 4 → 8 partitions between sessions: the CURRENT (merged-in)
+    // count must propagate so restore auto-create provisions 8
+    assert(tb(Some(4)).merge(tb(Some(8))).topics.head.original_partition_count
+      .contains(8))
+    // a current session without the count must not erase the recorded one
+    assert(tb(Some(4)).merge(tb(None)).topics.head.original_partition_count
+      .contains(4))
+  }
+
   test("dry-run rollup totals match the manifest (A3)") {
     manifest
     val dr = Restore.dryRun(spark, RestoreConfig(tmp, "b1"))

@@ -90,6 +90,18 @@ class OffsetMappingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.toJson.contains("\"target_offset\":null"))
   }
 
+  test("reset plan JSON escapes adversarial group/topic names (K8)") {
+    val plan = OffsetResetPlan(Seq(OffsetResetEntry(
+      "g\"quote\\back\nline\tctrl", "t\"opic", 0, 1L, Some(2L))))
+    val json = plan.toJson
+    // must parse as valid JSON and round-trip the adversarial name
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    val g = (parsed \\ "group_id").values.toString
+    assert(g == "g\"quote\\back\nline\tctrl")
+    val t = (parsed \\ "topic").values.toString
+    assert(t == "t\"opic")
+  }
+
   test("offset rollback: snapshot, apply, verify mismatches (J9)") {
     import graft.remap.OffsetRollback
     val committed = Seq(("g1", "t", 0, 100L), ("g1", "t", 1, 200L), ("g2", "u", 0, 5L))

@@ -45,6 +45,26 @@ class SkewSpec extends SparkSpec {
       df.withColumn("__graft_salt", lit(1)), Seq("k"), 8, Skew.sum2(col("v"), "s")))
   }
 
+  test("identical duplicate rows spread across salt buckets; MapType guarded") {
+    // replayed/duplicated messages: every row byte-identical — a pure content
+    // hash would land all of them in ONE salt bucket (degenerate single reducer)
+    val dups = spark.range(8000).select(lit("hot").as("k"), lit(42L).as("v"))
+      .repartition(16)
+    val nBuckets = dups.withColumn("__s",
+        pmod(hash(spark_partition_id(), col("k"), col("v")), lit(8)))
+      .select("__s").distinct().count()
+    assert(nBuckets > 2, s"identical rows must spread over salt buckets, got $nBuckets")
+    // and the salted aggregate still matches the plain one
+    val out = Skew.saltedAggregate(dups, Seq("k"), 8,
+      Skew.sum2(col("v"), "s"), Skew.count2("n")).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 42L * 8000 && out(0).getLong(2) == 8000L)
+    // MapType columns must be excluded from the salt hash, not crash hash()
+    val withMap = spark.range(100).select(lit("k").as("k"), col("id").cast("double").as("v"),
+      map(lit("a"), col("id")).as("m"))
+    val r = Skew.saltedAggregate(withMap, Seq("k"), 4, Skew.sum2(col("v"), "s")).collect()
+    assert(r.length == 1 && r(0).getDouble(1) == (0 until 100).map(_.toDouble).sum)
+  }
+
   test("salted plan has two aggregation exchanges (key+salt, then key)") {
     val df = spark.range(100).withColumn("k", lit("x")).withColumn("v", col("id").cast("double"))
     val plan = Skew.saltedAggregate(df, Seq("k"), 8, Skew.sum2(col("v"), "s"))
