@@ -20,6 +20,44 @@ object QueriesData {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Build-or-reuse the bucket-partitioned ANN corpus for `dir`'s embeddings.
+    *
+    * The cache key is a digest of the INPUT CONTENT (every file's path,
+    * length, mtime under embeddings.parquet), so regenerating the dataset at
+    * the same path gets a fresh build instead of stale buckets, and distinct
+    * sf dirs can never collide. The build lands in a process-unique temp dir
+    * and is published with an atomic directory rename — concurrent runs race
+    * benignly (first rename wins, losers delete their copy and read the
+    * winner's). Call from a warmup phase to keep the one-time build cost out
+    * of timed regions.
+    */
+  def ensureBucketedAnn(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def feed(f: java.io.File): Unit = {
+      md.update(s"${f.getAbsolutePath}|${f.length}|${f.lastModified}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(feed)
+    }
+    feed(src)
+    val key = md.digest().take(8).map(b => f"$b%02x").mkString
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ann_bucketed_$key")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val build = new java.io.File(
+        path.getParent, s"${path.getName}.build.${java.util.UUID.randomUUID().toString.take(8)}")
+      Ann.writeBucketed(emb(s, dir).filter(col("vec_id") =!= 0),
+        build.getAbsolutePath, "embedding", dim = 64, bits = 6)
+      if (!build.renameTo(path)) {
+        // another writer published the same content key first — use theirs
+        org.apache.commons.io.FileUtils.deleteDirectory(build)
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          throw new IllegalStateException(s"bucketed ANN cache publish failed: $path")
+      }
+    }
+    path.getAbsolutePath
+  }
+
   val sqlChecked: Map[String, (SparkSession, String) => DataFrame] = Map(
     // text: token counting (whitespace)
     "d_token_count" -> ((s, d) => docs(s, d)
@@ -161,15 +199,12 @@ object QueriesData {
 
     // The scale-path ANN layout: corpus persisted partitionBy(bucket), probe
     // becomes Catalyst partition pruning (only probed buckets' files read).
-    // The bucketed copy is built once per sf dir and reused, so the benched
-    // cost is the pruned probe — the plan a 100 TB deployment runs.
+    // The bucketed copy is built once per INPUT CONTENT (ensureBucketedAnn
+    // keys on the file listing + sizes + mtimes, not the dir path) and reused,
+    // so the benched cost is the pruned probe — the plan a 100 TB deployment
+    // runs. Bench pre-builds it in warmup, outside the timed region.
     "a_ann_lsh_bucketed" -> ((s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_bucketed_" +
-        java.lang.Integer.toHexString(d.hashCode)
-      val done = new java.io.File(path, "_SUCCESS")
-      if (!done.exists())
-        Ann.writeBucketed(emb(s, d).filter(col("vec_id") =!= 0), path,
-          "embedding", dim = 64, bits = 6)
+      val path = ensureBucketedAnn(s, d)
       val q = emb(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)

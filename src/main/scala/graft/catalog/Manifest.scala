@@ -128,10 +128,23 @@ object Manifest {
     val f = fs(backupRoot)
     val p = new org.apache.hadoop.fs.Path(path(backupRoot, m.backup_id))
     val merged = if (f.exists(p)) load(backupRoot, m.backup_id).merge(m) else m
-    // single overwrite-create (the reference does one storage put): no
-    // delete+rename window where a crash leaves the backup manifest-less
-    val os = f.create(p, true)
+    // write-tmp-then-rename: FileContext.rename(OVERWRITE) is atomic on
+    // HDFS/local (no window where a crash truncates the previously valid
+    // manifest) and degrades to the reference's single storage put on object
+    // stores, where rename is a server-side copy of the just-written object
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".manifest.json.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val os = f.create(tmp, true)
     try os.write(toJson(merged).getBytes(StandardCharsets.UTF_8)) finally os.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, f.getConf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case e: Throwable =>
+      // leave no orphaned tmp behind on failure, then surface the error
+      try f.delete(tmp, false) catch { case _: Throwable => () }
+      throw e
+    }
     merged
   }
 

@@ -68,10 +68,18 @@ object Skew {
     // hot-key shape) across buckets proportional to their input partitions,
     // where a pure content hash would collapse them onto one reducer; it is
     // stable under task retry because a recomputed task re-reads the same
-    // partition. MapType columns are excluded: Catalyst's hash() rejects maps
-    // (undefined element order).
+    // partition. Columns containing MapType ANYWHERE in their type tree are
+    // excluded: Catalyst's hash() rejects maps recursively (undefined element
+    // order), so a struct-of-map or array-of-map would fail analysis too.
+    import org.apache.spark.sql.types._
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case StructType(fields) => fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
     val hashable = df.schema.fields.collect {
-      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => col(f.name)
+      case f if !containsMap(f.dataType) => col(f.name)
     }.toSeq
     val salted = df.withColumn("__graft_salt",
       pmod(hash(spark_partition_id() +: hashable: _*), lit(saltBuckets)))
