@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import graft.model.KRecord
-import graft.remap.{ConsumerGroupSnapshot, OffsetMapping, OffsetResetPlan}
+import graft.remap.{ConsumerGroupSnapshot, OffsetMappingDF, OffsetResetEntry, OffsetResetPlan}
 import graft.sinks.{Produce, ProduceResult, RecordSink}
 import org.apache.spark.sql.SparkSession
 
@@ -50,13 +50,16 @@ object ThreePhaseRestore {
           committer: Option[GroupOffsetCommitter] = None,
           dryRun: Boolean = false,
           repartitionedTopics: Set[String] = Set.empty,
-          pairEvery: Int = 1): ThreePhaseReport = {
+          pairEvery: Int = Produce.DefaultPairEvery): ThreePhaseReport = {
     import spark.implicits._
     val warnings = Seq.newBuilder[String]
 
-    // Phase 2: restore + produce with offset capture
+    // Phase 2: restore + produce with offset capture. The sampled pairs stay
+    // a DataFrame — only O(partitions) summaries reach the driver, so the
+    // phase survives a 100 TB restore.
     val records = Restore.remapped(spark, restoreCfg).as[KRecord]
-    val (produceResults, mapping0) = Produce.run(records, sink, pairEvery = pairEvery)
+    val (produceResults, pairsDF, unpersistPairs) =
+      Produce.runDistributed(records, sink, pairEvery = pairEvery)
     val restored = produceResults.map(_.recordCount).sum
 
     // Phase 3 inputs: explicit committed offsets ∪ snapshot import (J4).
@@ -78,9 +81,24 @@ object ThreePhaseRestore {
       warnings += s"Repartitioned topics skipped for offset reset: " +
         repartitionedTopics.toSeq.sorted.mkString(", ")
 
+    // Phase-3 resolution is the distributed as-of join (J1's detailed path):
+    // committed offsets probe the pairs DataFrame, nearest-≤ anchor + delta.
+    // Anchors exist at every sub-batch base, so contiguous runs resolve
+    // exactly; only the resolved plan rows (O(groups × partitions)) are
+    // collected.
     val plan =
-      if (effective.isEmpty) None
-      else Some(OffsetResetPlan.build(effective, mapping0))
+      if (effective.isEmpty) { unpersistPairs(); None }
+      else {
+        val probes = effective.map { case (_, t, p, o) => (t, p, o) }.distinct
+          .toDF("topic", "partition", "source_offset")
+        val resolved = OffsetMappingDF.lookupTargets(pairsDF, probes).collect()
+          .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+        unpersistPairs()
+        Some(OffsetResetPlan(effective.map { case (g, t, p, o) =>
+          OffsetResetEntry(g, t, p, o, resolved.getOrElse((t, p, o), None))
+        }))
+      }
 
     val applied = plan match {
       case Some(p) if !dryRun && committer.isDefined =>

@@ -96,7 +96,7 @@ object Produce {
     */
   def producePartition(topic: String, partition: Int, records: Iterator[KRecord],
                        sink: RecordSink, maxBatchRecords: Int = 1000,
-                       pairEvery: Int = 1): (ProduceResult, Vector[OffsetPair]) = {
+                       pairEvery: Int = DefaultPairEvery): (ProduceResult, Vector[OffsetPair]) = {
     var baseOffset = -1L
     var total = 0L
     val subBatches = Vector.newBuilder[(Long, Int)]
@@ -119,15 +119,102 @@ object Produce {
       pairs.result())
   }
 
+  /** One sampled source→target observation, as a row for the distributed
+    * pairs DataFrame ([[OffsetMappingDF.lookupTargets]] consumes this shape).
+    */
+  case class ProducedPair(topic: String, partition: Int, source_offset: Long,
+                          target_offset: Long, timestamp: Long)
+
+  // union row for the single-pass produce job (public: Spark's generated
+  // deserializer code needs member access): summaries carry the ProduceResult
+  // fields, pair rows carry one sampled observation
+  case class ProduceEvent(
+      is_summary: Boolean, topic: String, partition: Int,
+      source_offset: Long, target_offset: Long, timestamp: Long,
+      base_offset: Long, record_count: Long,
+      sub_bases: Array[Long], sub_counts: Array[Int])
+
+  /** Default pair-sampling interval: one anchor per `pairEvery` records, plus
+    * one at every sub-batch base (producePartition always emits position 0 of
+    * a sub-batch). With contiguous source offsets inside a sub-batch the
+    * nearest-≤ + delta lookup (J1) reconstructs every target EXACTLY from
+    * these anchors — the reference keeps only sub-batch bases for the same
+    * reason (restore/engine.rs:1410-1439). Per-record capture (`pairEvery=1`)
+    * is an opt-in debugging mode, not the default: at 100 TB it is O(records)
+    * driver state.
+    */
+  val DefaultPairEvery: Int = 1000
+
   /** Distributed produce of a canonical-record Dataset: one task per
     * (topic, partition) — order within partitions preserved by the upstream
-    * `sortWithinPartitions` — collecting only the (small) offset pairs to the
-    * driver, folded into an [[OffsetMapping]].
+    * `sortWithinPartitions` — collecting only the SAMPLED offset pairs to the
+    * driver, folded into an [[OffsetMapping]]. Driver state is
+    * O(partitions + records/pairEvery); for estates where even that is large,
+    * use [[runDistributed]] and keep the pairs in a DataFrame.
     */
   def run(records: Dataset[KRecord], sink: RecordSink,
-          maxBatchRecords: Int = 1000, pairEvery: Int = 1): (Seq[ProduceResult], OffsetMapping) = {
+          maxBatchRecords: Int = 1000,
+          pairEvery: Int = DefaultPairEvery): (Seq[ProduceResult], OffsetMapping) = {
     import records.sparkSession.implicits._
-    val collected = records
+    val collected = producedRuns(records, sink, maxBatchRecords, pairEvery).collect()
+
+    val results = collected.map(_._1).toSeq
+    var mapping = OffsetMapping()
+    collected.foreach { case (res, pairs) =>
+      pairs.foreach { pr =>
+        mapping = mapping.addDetailed(res.topic, res.partition, pr)
+        mapping = mapping.updateRange(res.topic, res.partition, pr.source_offset,
+          Some(pr.target_offset), pr.timestamp)
+      }
+    }
+    (results, mapping)
+  }
+
+  /** The scale path: same single produce pass, but the sampled pairs NEVER
+    * reach the driver — they stay a DataFrame (topic, partition,
+    * source_offset, target_offset, timestamp) for
+    * [[graft.remap.OffsetMappingDF.lookupTargets]]; only the per-(topic,
+    * partition) summaries are collected (O(partitions) driver state).
+    *
+    * The produce job runs once: events persist at MEMORY_AND_DISK before
+    * either action, so the summary collect and the pairs consumer share one
+    * side-effecting pass. Call `unpersistPairs` (the returned thunk) when the
+    * pairs have been consumed.
+    */
+  def runDistributed(records: Dataset[KRecord], sink: RecordSink,
+                     maxBatchRecords: Int = 1000, pairEvery: Int = DefaultPairEvery)
+      : (Seq[ProduceResult], org.apache.spark.sql.DataFrame, () => Unit) = {
+    import records.sparkSession.implicits._
+    val events = producedRuns(records, sink, maxBatchRecords, pairEvery)
+      .flatMap { case (res, pairs) =>
+        pairs.iterator.map(pr => ProduceEvent(is_summary = false, res.topic,
+          res.partition, pr.source_offset, pr.target_offset, pr.timestamp,
+          0L, 0L, Array.empty, Array.empty)) ++
+          Iterator.single(ProduceEvent(is_summary = true, res.topic,
+            res.partition, 0L, 0L, 0L, res.baseOffset, res.recordCount,
+            res.subBatchOffsets.map(_._1).toArray,
+            res.subBatchOffsets.map(_._2).toArray))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val results = events.filter(_.is_summary).collect().toSeq
+      .map(e => ProduceResult(e.topic, e.partition, e.base_offset,
+        e.record_count, e.sub_bases.zip(e.sub_counts).toSeq))
+      .sortBy(r => (r.topic, r.partition))
+    val pairs = events.filter(!_.is_summary)
+      .map(e => ProducedPair(e.topic, e.partition, e.source_offset,
+        e.target_offset, e.timestamp))
+      .toDF()
+    (results, pairs, () => { events.unpersist(); () })
+  }
+
+  /** The shared produce pass: one (ProduceResult, sampled pairs) element per
+    * consecutive (topic, partition) run.
+    */
+  private def producedRuns(records: Dataset[KRecord], sink: RecordSink,
+                           maxBatchRecords: Int, pairEvery: Int)
+      : Dataset[(ProduceResult, Vector[OffsetPair])] = {
+    import records.sparkSession.implicits._
+    records
       .repartition(org.apache.spark.sql.functions.col("topic"),
         org.apache.spark.sql.functions.col("partition"))
       .sortWithinPartitions("topic", "partition", "offset")
@@ -150,17 +237,5 @@ object Produce {
           }
         }
       }
-      .collect()
-
-    val results = collected.map(_._1).toSeq
-    var mapping = OffsetMapping()
-    collected.foreach { case (res, pairs) =>
-      pairs.foreach { pr =>
-        mapping = mapping.addDetailed(res.topic, res.partition, pr)
-        mapping = mapping.updateRange(res.topic, res.partition, pr.source_offset,
-          Some(pr.target_offset), pr.timestamp)
-      }
-    }
-    (results, mapping)
   }
 }

@@ -83,6 +83,13 @@ object KafkaSourceOptions {
         s""""$t":{$inner}""" }.mkString("{", ",", "}"))
   }
 
+  /** Merge the SASL/SCRAM/TLS surface into any of the option maps above
+    * (reference security_args.rs: one shared security block for every
+    * Kafka-touching command).
+    */
+  def withSecurity(opts: Map[String, String], cfg: KafkaSecurityConfig): Map[String, String] =
+    opts ++ KafkaSecurity.options(cfg)
+
   /** Continuous mode with glob topic discovery (St1/F1): globs become one
     * subscribePattern regex (auto-discovers new topics every cycle natively).
     */

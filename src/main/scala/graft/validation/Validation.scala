@@ -104,11 +104,24 @@ object Validation {
     val expected = Manifest.toDF(spark, manifest)
     val allKeys = manifest.topics.flatMap(_.partitions).flatMap(_.segments).map(_.key)
     // binaryFile aborts analysis on missing paths — split existence checking
-    // out so a deleted object becomes a Failed row, not a crashed job
-    val fsys = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(backupRoot), spark.sparkContext.hadoopConfiguration)
-    val (keys, missing) = allKeys.partition(k =>
-      fsys.exists(new org.apache.hadoop.fs.Path(s"$backupRoot/$k")))
+    // out so a deleted object becomes a Failed row, not a crashed job.
+    // One listStatus per partition DIRECTORY, distributed across tasks: at
+    // 800k segments a per-key fs.exists loop is hours of sequential driver
+    // RPCs before the scan starts; this is O(topic×partition) listings.
+    val dirs = allKeys.map(k => k.substring(0, k.lastIndexOf('/'))).distinct
+    val conf = new graft.pipelines.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val rootLocal = backupRoot
+    val existing: Set[String] = spark.sparkContext
+      .parallelize(dirs, math.max(1, math.min(dirs.size, 64)))
+      .flatMap { d =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(rootLocal), conf.value)
+        try fs.listStatus(new org.apache.hadoop.fs.Path(s"$rootLocal/$d"))
+          .map(st => s"$d/${st.getPath.getName}")
+        catch { case _: java.io.FileNotFoundException => Array.empty[String] }
+      }.collect().toSet
+    val (keys, missing) = allKeys.partition(existing.contains)
     val missingDF = missing.map(k => (k, null: java.lang.Long, null: java.lang.Long,
         null: java.lang.Long, "object missing"))
       .toDF("segment_key", "actual_count", "actual_start", "actual_end", "decode_error")

@@ -1,0 +1,79 @@
+package graft
+
+import graft.sources.{KafkaSecurity, KafkaSecurityConfig, KafkaSourceOptions}
+import org.scalatest.funsuite.AnyFunSuite
+
+class KafkaSecuritySpec extends AnyFunSuite {
+
+  test("SCRAM over SASL_SSL emits the exact kafka.-prefixed keys Spark's source needs") {
+    val cfg = KafkaSecurityConfig("SASL_SSL", Some("SCRAM-SHA512"),
+      Some("svc-backup"), Some("p4ss"), sslCaCertPath = Some("/etc/ca.pem"))
+    val opts = KafkaSecurity.options(cfg)
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    assert(opts("kafka.sasl.mechanism") == "SCRAM-SHA-512") // reference spelling normalized
+    assert(opts("kafka.sasl.jaas.config") ==
+      "org.apache.kafka.common.security.scram.ScramLoginModule required " +
+        "username=\"svc-backup\" password=\"p4ss\";")
+    assert(opts("kafka.ssl.truststore.type") == "PEM")
+    assert(opts("kafka.ssl.truststore.location") == "/etc/ca.pem")
+    assert(!opts.contains("kafka.ssl.keystore.type")) // no mTLS requested
+    // merges onto a source option map without clobbering scan bounds
+    val merged = KafkaSourceOptions.withSecurity(
+      KafkaSourceOptions.continuous("k:9092", Seq("ord*")), cfg)
+    assert(merged.contains("subscribePattern") && merged.contains("kafka.sasl.mechanism"))
+  }
+
+  test("PLAIN jaas escapes adversarial credentials; PLAINTEXT emits nothing") {
+    val opts = KafkaSecurity.clientOptions(KafkaSecurityConfig("SASL_PLAINTEXT",
+      Some("PLAIN"), Some("""u"ser"""), Some("""p\as"s""")))
+    assert(opts("sasl.jaas.config") ==
+      "org.apache.kafka.common.security.plain.PlainLoginModule required " +
+        "username=\"u\\\"ser\" password=\"p\\\\as\\\"s\";")
+    assert(KafkaSecurity.clientOptions(KafkaSecurityConfig()) == Map.empty)
+  }
+
+  test("GSSAPI: keytab jaas vs ticket-cache default; service name defaults to kafka") {
+    val keytab = KafkaSecurity.clientOptions(KafkaSecurityConfig("SASL_SSL",
+      Some("GSSAPI"), kerberosKeytabPath = Some("/etc/svc.keytab"),
+      kerberosPrincipal = Some("svc@REALM")))
+    assert(keytab("sasl.kerberos.service.name") == "kafka")
+    assert(keytab("sasl.jaas.config").contains("useKeyTab=true"))
+    assert(keytab("sasl.jaas.config").contains("keyTab=\"/etc/svc.keytab\""))
+    val cache = KafkaSecurity.clientOptions(
+      KafkaSecurityConfig("SASL_PLAINTEXT", Some("GSSAPI"),
+        kerberosServiceName = Some("broker")))
+    assert(cache("sasl.kerberos.service.name") == "broker")
+    assert(cache("sasl.jaas.config").contains("useTicketCache=true"))
+  }
+
+  test("mTLS needs both halves; invalid combinations are rejected, not downgraded") {
+    val mtls = KafkaSecurity.clientOptions(KafkaSecurityConfig("SSL",
+      sslCaCertPath = Some("/ca.pem"), sslClientCertPath = Some("/c.pem"),
+      sslClientKeyPath = Some("/k.pem")))
+    assert(mtls("ssl.keystore.type") == "PEM" && mtls("ssl.keystore.key") == "/k.pem")
+    intercept[IllegalArgumentException](KafkaSecurity.clientOptions(
+      KafkaSecurityConfig("SSL", sslClientCertPath = Some("/c.pem"))))
+    intercept[IllegalArgumentException](KafkaSecurity.clientOptions(
+      KafkaSecurityConfig("SASL_SSL"))) // SASL_* without mechanism
+    intercept[IllegalArgumentException](KafkaSecurity.clientOptions(
+      KafkaSecurityConfig("PLAINTEXT", Some("PLAIN")))) // mechanism w/o SASL proto
+    intercept[IllegalArgumentException](KafkaSecurity.clientOptions(
+      KafkaSecurityConfig("PLAINTEXT", sslCaCertPath = Some("/ca.pem"))))
+    intercept[IllegalArgumentException](KafkaSecurity.clientOptions(
+      KafkaSecurityConfig("TLSV9"))) // unknown protocol must not silently downgrade
+  }
+
+  test("fromEnv mirrors the reference CLI's env resolution") {
+    val env = Map(
+      "KAFKA_USERNAME" -> "u", "KAFKA_PASSWORD" -> "p",
+      "KAFKA_SSL_CA_CERT" -> "/env-ca.pem", "KAFKA_SASL_MECHANISM" -> "SCRAM-SHA256")
+    val cfg = KafkaSecurity.fromEnv("SASL_SSL", env = env.get)
+    assert(cfg.saslMechanism.contains("SCRAM-SHA256"))
+    assert(cfg.saslUsername.contains("u") && cfg.saslPassword.contains("p"))
+    assert(cfg.sslCaCertPath.contains("/env-ca.pem"))
+    // plaintext: credentials and CA are NOT picked up (reference gates on protocol)
+    val plain = KafkaSecurity.fromEnv("PLAINTEXT", env = env.get)
+    assert(plain.saslUsername.isEmpty && plain.sslCaCertPath.isEmpty &&
+      plain.saslMechanism.isEmpty)
+  }
+}

@@ -28,7 +28,7 @@ class ProduceEvidenceSpec extends SparkSpec {
     val sink = new CollectingSink(Map(("t", 0) -> 5000L))
     val records = (0L until 10L).map(i => rec(i * 3, 1700000000000L + i)) // offset gaps
     val (res, pairs) = Produce.producePartition("t", 0, records.iterator, sink,
-      maxBatchRecords = 4)
+      maxBatchRecords = 4, pairEvery = 1) // per-record capture is opt-in now
     assert(res.baseOffset == 5000L && res.recordCount == 10)
     assert(res.subBatchOffsets == Seq((5000L, 4), (5004L, 4), (5008L, 2)))
     // every source offset maps to its exact produced offset
@@ -52,6 +52,41 @@ class ProduceEvidenceSpec extends SparkSpec {
     val target = mapping.lookupTargetOffset(sample.topic, sample.partition,
       firstPair.source_offset)
     assert(target.contains(firstPair.target_offset))
+  }
+
+  test("default produce keeps driver pairs O(partitions), not O(records)") {
+    import spark.implicits._
+    val records = KRecord.fromEvents(spark, sf0001).as[KRecord] // 1000 records
+    val (results, mapping) = Produce.run(records, new CollectingSink())
+    assert(results.map(_.recordCount).sum == 1000)
+    // sampled default: anchors only at sub-batch bases + every DefaultPairEvery
+    val heldPairs = mapping.detailed.values.map(_.size).sum
+    val subBatches = results.map(_.subBatchOffsets.size).sum
+    assert(heldPairs <= subBatches + 1000 / Produce.DefaultPairEvery + results.size,
+      s"driver held $heldPairs pairs for 1000 records — not sampled")
+    // J1 delta rule over the sampled anchors: nearest-≤ anchor target + delta
+    val r = results.head
+    val anchor = mapping.detailed(s"${r.topic}/${r.partition}").head
+    assert(mapping.lookupTargetOffset(r.topic, r.partition, anchor.source_offset + 7)
+      .contains(anchor.target_offset + 7))
+  }
+
+  test("runDistributed: summaries O(partitions) on the driver, pairs stay a DataFrame") {
+    import spark.implicits._
+    val records = KRecord.fromEvents(spark, sf0001).as[KRecord]
+    val (results, pairsDF, unpersist) =
+      Produce.runDistributed(records, new CollectingSink(), pairEvery = 100)
+    assert(results.map(_.recordCount).sum == 1000)
+    // the distributed pairs feed the bulk as-of join: probe 3 past an anchor,
+    // expect the J1 delta answer (anchor target + 3)
+    val r = results.head
+    val anchor = pairsDF.filter(s"topic = '${r.topic}' AND partition = ${r.partition}")
+      .orderBy("source_offset").head()
+    val probes = Seq((r.topic, r.partition, anchor.getLong(2) + 3L))
+      .toDF("topic", "partition", "source_offset")
+    val resolved = graft.remap.OffsetMappingDF.lookupTargets(pairsDF, probes).collect()
+    assert(resolved.length == 1 && resolved.head.getLong(3) == anchor.getLong(3) + 3L)
+    unpersist()
   }
 
   test("kafka source option builders emit the reference's scan bounds (S1/S5/F8/F10)") {
