@@ -38,8 +38,9 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    "commands: backup restore dry-run list describe validate " +
-      "show-offset-mapping three-phase-restore")
+    "commands: backup backup-incremental restore dry-run list describe validate " +
+      "validate-restore status show-offset-mapping three-phase-restore " +
+      "offset-reset-bulk")
 
   def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "backup" =>
@@ -141,6 +142,83 @@ object Cli {
         s"partitions=${report.produce_results.size} success=${report.success}")
       report.warnings.foreach(w => println(s"  warning: $w"))
       report.reset_plan.foreach(p => println(p.toCsv))
+
+    case "backup-incremental" =>
+      // S12 batch leg: resume from the offset state table's high-water marks
+      val Array(_, eventsDir, root, id, rest @ _*) = args: @unchecked
+      val codec = rest.headOption.map(CompressionCodec.fromName)
+        .getOrElse(CompressionCodec.Zstd)
+      val m = Backup.runIncremental(spark, KRecord.fromEvents(spark, eventsDir),
+        BackupConfig(id, root, codec))
+      println(s"backup $id: ${m.totalSegments} segments, ${m.totalRecords} records (incremental)")
+
+    case "status" =>
+      // static inspection (cli/commands/status.rs run_static): manifest info
+      // + offset-store state; without a backup id, one line per backup
+      val root = args(1)
+      args.lift(2) match {
+        case None => run(spark, Array("list", root))
+        case Some(id) =>
+          println(s"=== Backup Status: $id ===")
+          try {
+            val m = Manifest.load(root, id)
+            println(s"created_at: ${m.created_at}")
+            println(s"compression: ${m.compression}")
+            println(s"topics: ${m.topics.size}, segments: ${m.totalSegments}, " +
+              s"records: ${m.totalRecords}")
+            m.topics.foreach(t => t.partitions.foreach(p =>
+              println(s"  ${t.name}/partition=${p.partition_id}: " +
+                s"segments=${p.segments.size} lastOffset=${p.lastOffset.getOrElse(-1L)}")))
+          } catch { case e: Exception => println(s"manifest: unreadable (${e.getMessage})") }
+          val state = graft.catalog.OffsetStateTable.lastOffsets(spark, root, id)
+          if (state.isEmpty) println("offset state: none")
+          else state.toSeq.sorted.foreach { case ((t, p), off) =>
+            println(s"offset state: $t/$p last_offset=$off")
+          }
+      }
+
+    case "validate-restore" =>
+      // forced dry-run validation (validate_restore.rs): catalog-only, no
+      // data read; exits 1 when the restore would not succeed
+      val Array(_, root, id, rest @ _*) = args: @unchecked
+      val json = rest.contains("--json")
+      val window = rest.filterNot(_.startsWith("--"))
+      val report = Restore.validateRestore(spark, RestoreConfig(root, id,
+        windowStartMs = window.lift(0).map(_.toLong),
+        windowEndMs = window.lift(1).map(_.toLong)))
+      if (json) println(report.toJson)
+      else {
+        println(s"=== Restore Validation: ${report.backup_id} ===")
+        println(if (report.valid) "status: VALID" else "status: INVALID")
+        report.errors.foreach(e => println(s"  error: $e"))
+        report.warnings.foreach(w => println(s"  warning: $w"))
+        println(s"segments: ${report.segments_to_process}, records: " +
+          s"${report.records_to_restore}, bytes: ${report.bytes_to_restore}")
+        report.time_range.foreach(r => println(s"time range: ${r._1} .. ${r._2}"))
+        report.topics.foreach { case (s, t, ns, nr) =>
+          println(s"  $s -> $t: segments=$ns records=$nr")
+        }
+      }
+      if (!report.valid) sys.exit(1)
+
+    case "offset-reset-bulk" =>
+      // bulk phase-3 executor (restore/offset_automation.rs): reads a reset
+      // plan CSV (three-phase-restore output), commits per group with
+      // bounded concurrency + retry/backoff, prints the p50/p99 report.
+      // The committer is the in-memory recorder unless a broker leg is wired.
+      val Array(_, planCsv, rest @ _*) = args: @unchecked
+      val concurrency = rest.lift(0).map(_.toInt).getOrElse(50)
+      val lines = scala.io.Source.fromFile(planCsv)
+      val plan = try {
+        graft.remap.OffsetResetPlanCsv.parse(lines.mkString)
+      } finally lines.close()
+      val committer = new graft.pipelines.RecordingCommitter()
+      val report = graft.remap.BulkOffsetReset.execute(
+        graft.remap.BulkOffsetReset.adapt(committer),
+        graft.remap.BulkOffsetReset.batches(plan),
+        graft.remap.BulkOffsetReset.Config(maxConcurrent = concurrency))
+      println(report.toJson)
+      if (report.failed_groups > 0) sys.exit(1)
 
     case "show-offset-mapping" =>
       val m = Manifest.load(args(1), args(2))

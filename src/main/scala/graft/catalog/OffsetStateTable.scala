@@ -1,0 +1,87 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S12's batch leg (reference offset_store/sqlite.rs:126-154): a small
+  * parquet state table of `(backup_id, topic, partition, last_offset,
+  * checkpoint_ts)` consulted by incremental batch backups to resume from
+  * `last_offset + 1` without a streaming checkpoint.
+  *
+  * The table is O(backups × topics × partitions) rows — metadata-sized at any
+  * data scale — but it lives in the storage root next to the backups, so all
+  * IO goes through Hadoop FS (s3a/abfss/gs work unchanged). Updates are
+  * read-merge-write with an atomic directory rename, same recipe as
+  * [[Manifest.save]].
+  */
+object OffsetStateTable {
+
+  val schema: StructType = StructType(Seq(
+    StructField("backup_id", StringType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("last_offset", LongType, nullable = false),
+    StructField("checkpoint_ts", LongType, nullable = false)))
+
+  def path(stateRoot: String): String = s"$stateRoot/_graft_offset_state"
+
+  /** Current state as a DataFrame; empty (with schema) when absent. */
+  def load(spark: SparkSession, stateRoot: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path(stateRoot))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path(stateRoot))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** get_all_offsets for one backup id (sqlite.rs:172-192) as a driver map —
+    * bounded by partition count.
+    */
+  def lastOffsets(spark: SparkSession, stateRoot: String,
+                  backupId: String): Map[(String, Int), Long] =
+    load(spark, stateRoot).filter(col("backup_id") === backupId)
+      .collect()
+      .map(r => (r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+
+  /** Merge the manifest's per-partition high-water marks into the state
+    * table: `last_offset` only ever advances (a re-run over old data must not
+    * move the resume point backwards). Serialized per JVM like Manifest.save;
+    * cross-process writers coordinate at the orchestration layer.
+    */
+  def update(spark: SparkSession, stateRoot: String, m: BackupManifest,
+             nowMs: Long = System.currentTimeMillis()): Unit = synchronized {
+    import spark.implicits._
+    val fresh = for {
+      t <- m.topics
+      p <- t.partitions
+      last <- p.lastOffset
+    } yield (m.backup_id, t.name, p.partition_id, last, nowMs)
+    if (fresh.isEmpty) return
+    val freshDF = fresh.toDF("backup_id", "topic", "partition", "last_offset",
+      "checkpoint_ts")
+    val merged = load(spark, stateRoot).unionByName(freshDF)
+      .groupBy("backup_id", "topic", "partition")
+      .agg(max("last_offset").as("last_offset"),
+        max_by(col("checkpoint_ts"), col("last_offset")).as("checkpoint_ts"))
+
+    // write-tmp-then-rename: readers never see a half-written state dir
+    val target = new org.apache.hadoop.fs.Path(path(stateRoot))
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${path(stateRoot)}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    // the merge reads the CURRENT table — materialize before replacing it
+    val rows = merged.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      merged.schema).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      if (fs.exists(target)) fs.delete(target, true)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case e: Throwable =>
+      try fs.delete(tmp, true) catch { case _: Throwable => () }
+      throw e
+    }
+  }
+}

@@ -97,6 +97,30 @@ object Backup {
     Manifest.save(config.backupRoot, manifest)
   }
 
+  /** Incremental batch backup (S12 batch leg, offset_store/sqlite.rs:126-154):
+    * consult the offset state table, back up only records PAST each
+    * partition's recorded high-water mark, then advance the marks. Two
+    * consecutive runs over the same source write the new offsets exactly once
+    * (manifest merge dedups re-sealed segments as a second line of defense).
+    *
+    * The state is broadcast-joined against the source — a handful of rows per
+    * partition, never a shuffle of the data side.
+    */
+  def runIncremental(spark: SparkSession, records: DataFrame, config: BackupConfig,
+                     stateRoot: Option[String] = None): BackupManifest = {
+    val root = stateRoot.getOrElse(config.backupRoot)
+    val state = graft.catalog.OffsetStateTable.load(spark, root)
+      .filter(col("backup_id") === config.backupId)
+      .select(col("topic"), col("partition"), col("last_offset"))
+    val novel = records
+      .join(broadcast(state), Seq("topic", "partition"), "left")
+      .filter(col("last_offset").isNull || col("offset") > col("last_offset"))
+      .drop("last_offset")
+    val manifest = run(spark, novel, config)
+    graft.catalog.OffsetStateTable.update(spark, root, manifest)
+    manifest
+  }
+
   /** Topic resolution F1/F2: glob include/exclude against observed topics. */
   def selectedTopics(spark: SparkSession, records: DataFrame, config: BackupConfig): Seq[String] = {
     import spark.implicits._

@@ -120,6 +120,94 @@ object Restore {
     (parts(pIdx - 1), parts(pIdx).substring("partition=".length).toInt)
   }
 
+  /** validate-restore's report shape (reference manifest.rs:827-856
+    * DryRunReport): would the restore succeed, and what would it touch.
+    */
+  case class DryRunValidation(
+      backup_id: String, valid: Boolean, errors: Seq[String], warnings: Seq[String],
+      segments_to_process: Long, records_to_restore: Long, bytes_to_restore: Long,
+      time_range: Option[(Long, Long)],
+      topics: Seq[(String, String, Long, Long)]) { // (source, target, segments, records)
+    def toJson: String = {
+      def js(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+      val ts = topics.map { case (s, t, ns, nr) =>
+        s"""{"source_topic":${js(s)},"target_topic":${js(t)},"segments":$ns,"records":$nr}"""
+      }.mkString("[", ",", "]")
+      s"""{"backup_id":${js(backup_id)},"valid":$valid,""" +
+        s""""errors":${errors.map(js).mkString("[", ",", "]")},""" +
+        s""""warnings":${warnings.map(js).mkString("[", ",", "]")},""" +
+        s""""segments_to_process":$segments_to_process,""" +
+        s""""records_to_restore":$records_to_restore,""" +
+        s""""bytes_to_restore":$bytes_to_restore,""" +
+        s""""time_range":${time_range.map(r => s"[${r._1},${r._2}]").getOrElse("null")},""" +
+        s""""topics":$ts}"""
+    }
+  }
+
+  /** `validate-restore` (cli/commands/validate_restore.rs:1-46 +
+    * engine dry_run): a forced dry-run over the catalog — no data read, no
+    * produce — reporting whether the configured restore would succeed and
+    * exactly what it would touch. Errors: missing/corrupt manifest, inverted
+    * time window, filters matching nothing. Warnings: empty partitions,
+    * remaps to already-existing source topic names.
+    */
+  def validateRestore(spark: SparkSession, cfg: RestoreConfig): DryRunValidation = {
+    val errors = Seq.newBuilder[String]
+    val warnings = Seq.newBuilder[String]
+    val manifestOpt =
+      try Some(Manifest.load(cfg.backupRoot, cfg.backupId))
+      catch { case e: Exception =>
+        errors += s"manifest unreadable at ${Manifest.path(cfg.backupRoot, cfg.backupId)}: ${e.getMessage}"
+        None
+      }
+    for (s <- cfg.windowStartMs; e <- cfg.windowEndMs; if s > e)
+      errors += s"time window inverted: start $s > end $e"
+    manifestOpt match {
+      case None =>
+        DryRunValidation(cfg.backupId, valid = false, errors.result(),
+          warnings.result(), 0, 0, 0, None, Nil)
+      case Some(m) =>
+        val keys = prunedSegmentKeys(m, cfg).toSet
+        val selected = for {
+          t <- m.topics
+          p <- t.partitions
+          s <- p.segments if keys.contains(s.key)
+        } yield (t.name, p.partition_id, s)
+        if (m.totalSegments == 0) warnings += "backup contains no segments"
+        else if (selected.isEmpty)
+          errors += "no segments match the configured filters/window"
+        val targets = m.topics.map(t =>
+          t.name -> cfg.topicMapping.getOrElse(t.name, t.name)).toMap
+        val collisions = targets.filter { case (s, t) =>
+          t != s && m.topics.exists(_.name == t)
+        }
+        collisions.foreach { case (s, t) =>
+          warnings += s"topic remap $s -> $t collides with a backed-up topic name"
+        }
+        for {
+          t <- m.topics
+          p <- t.partitions if p.segments.isEmpty
+        } warnings += s"${t.name}/partition=${p.partition_id} has no segments"
+        val segs = selected.map(_._3)
+        DryRunValidation(
+          cfg.backupId,
+          valid = errors.result().isEmpty,
+          errors.result(), warnings.result(),
+          segments_to_process = segs.size.toLong,
+          records_to_restore = segs.map(_.record_count).sum,
+          bytes_to_restore = segs.map(_.uncompressed_size).sum,
+          time_range =
+            if (segs.isEmpty) None
+            else Some((segs.map(_.start_timestamp).min, segs.map(_.end_timestamp).max)),
+          topics = selected.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+            (t, targets(t), rows.size.toLong, rows.map(_._3.record_count).sum)
+          })
+    }
+  }
+
   /** Dry-run rollup (A3, restore/engine.rs:443-518): per (topic, partition)
     * with topic and global subtotals via `rollup` — counts of segments,
     * records, bytes, offset and time ranges — computed purely on the catalog.

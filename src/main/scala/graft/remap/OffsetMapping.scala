@@ -206,6 +206,49 @@ object OffsetResetPlan {
     })
 }
 
+/** Round-trip parser for [[OffsetResetPlan.toCsv]] output — the bulk-reset
+  * CLI consumes the plan file three-phase-restore emits. Quote-aware: the
+  * same adversarial group/topic names the export escapes must parse back
+  * verbatim.
+  */
+object OffsetResetPlanCsv {
+
+  def parse(csv: String): OffsetResetPlan = {
+    val lines = csv.split("\r?\n").iterator.filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty && lines.head.startsWith("group_id,"),
+      "not a reset-plan CSV (missing group_id header)")
+    OffsetResetPlan(lines.tail.map { line =>
+      val f = splitCsvLine(line)
+      require(f.length == 5, s"bad reset-plan row: $line")
+      OffsetResetEntry(f(0), f(1), f(2).toInt, f(3).toLong,
+        if (f(4).isEmpty) None else Some(f(4).toLong))
+    })
+  }
+
+  private def splitCsvLine(line: String): Vector[String] = {
+    val fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQuotes = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQuotes = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => fields += cur.result(); cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    fields += cur.result()
+    fields.result()
+  }
+}
+
 /** Bulk DataFrame forms of the same joins, for when the mapping itself is
   * large (restore of a million-partition estate): as-of join via union +
   * running last() window, partitioned by (topic, partition) — scales out,
