@@ -40,7 +40,7 @@ object Cli {
   private def usage(): Unit = System.err.println(
     "commands: backup backup-incremental restore dry-run list describe validate " +
       "validate-restore status show-offset-mapping three-phase-restore " +
-      "offset-reset-bulk")
+      "offset-reset-bulk evidence-create evidence-list evidence-get evidence-verify")
 
   def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "backup" =>
@@ -219,6 +219,34 @@ object Cli {
         graft.remap.BulkOffsetReset.Config(maxConcurrent = concurrency))
       println(report.toJson)
       if (report.failed_groups > 0) sys.exit(1)
+
+    case "evidence-create" =>
+      // sign-and-store: manifest totals + offset digest + check outcomes →
+      // canonical JSON + detached Ed25519 sig + public key (main.rs evidence
+      // subcommands; key pair is ephemeral without a configured signer)
+      val Array(_, root, id, evRoot, rest @ _*) = args: @unchecked
+      val prefix = rest.headOption.getOrElse("evidence")
+      val m = Manifest.load(root, id)
+      val digest = Validation.evidenceDigest(Manifest.toDF(spark, m))
+      val report = graft.validation.EvidenceReport(id, System.currentTimeMillis(),
+        m.totalRecords, m.totalSegments.toLong, digest,
+        Map("manifest_readable" -> "Passed"))
+      val key = graft.validation.EvidenceStore.save(evRoot, prefix, report,
+        graft.validation.Evidence.generateKeyPair())
+      println(s"evidence saved: $key")
+
+    case "evidence-list" =>
+      val prefix = args.lift(2).getOrElse("evidence")
+      graft.validation.EvidenceStore.list(args(1), prefix).foreach(println)
+
+    case "evidence-get" =>
+      println(graft.validation.Evidence.canonicalJson(
+        graft.validation.EvidenceStore.load(args(1), args(2))))
+
+    case "evidence-verify" =>
+      val ok = graft.validation.EvidenceStore.verify(args(1), args(2))
+      println(if (ok) "signature valid" else "signature INVALID")
+      if (!ok) sys.exit(1)
 
     case "show-offset-mapping" =>
       val m = Manifest.load(args(1), args(2))

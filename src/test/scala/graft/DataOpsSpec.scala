@@ -158,4 +158,35 @@ class DataOpsSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.groupBy("media_id").count().agg(max("count")).head().getLong(0) <= 8)
   }
+
+  test("multimodal: real javax.imageio decode for image rows, fake for the rest") {
+    import spark.implicits._
+    import graft.multimodal.{MediaRecord, Multimodal}
+    // golden 5x3 PNG: left 7 pixels black, right 8 white
+    val img = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5)
+      img.setRGB(x, y, if (y * 5 + x < 7) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(Multimodal.ImageCodec.looksLikeImage(png))
+    val media = Seq(
+      MediaRecord(1L, "image", png, Map.empty),
+      MediaRecord(2L, "image", "not an image".getBytes, Map.empty), // undecodable → fake
+      MediaRecord(3L, "audio", png, Map.empty)) // typed audio → fake even if PNG bytes
+      .toDS()
+    val rows = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val real = rows(0)
+    assert(real.width == 5 && real.height == 3 && real.n_frames == 1)
+    // luminance histogram: 7/15 black in bin 0, 8/15 white in bin 15
+    assert(math.abs(real.features(0) - 7f / 15f) < 1e-6)
+    assert(math.abs(real.features(15) - 8f / 15f) < 1e-6)
+    assert(real.features.slice(1, 15).forall(_ == 0f))
+    // fallback rows keep the deterministic fake dims (hash-derived)
+    val fake = rows(1)
+    assert((fake.width, fake.height) ==
+      Multimodal.FakeCodec.decodeDims("not an image".getBytes))
+    assert(rows(2).n_frames == 1 + png.length / Multimodal.FakeCodec.AudioBytesPerFrame)
+  }
 }

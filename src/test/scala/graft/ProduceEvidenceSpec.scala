@@ -126,6 +126,26 @@ class ProduceEvidenceSpec extends SparkSpec {
       kp.getPublic))
   }
 
+  test("evidence store: save/list/load/verify round-trip; tamper detected") {
+    import graft.validation.{Evidence, EvidenceReport, EvidenceStore}
+    val root = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    val r = EvidenceReport("b9", 1700000000123L, 500, 4, "cd" * 32,
+      Map("message_count" -> "Passed"))
+    val kp = Evidence.generateKeyPair()
+    val key = EvidenceStore.save(root, "evidence", r, kp, nowMs = 1726000000000L)
+    assert(key == "evidence/b9-1700000000123/2024/09/b9-1700000000123.json")
+    assert(EvidenceStore.list(root, "evidence") == Seq(key))
+    assert(EvidenceStore.load(root, key) == r)
+    assert(EvidenceStore.verify(root, key))
+    // tamper with the stored report → verification fails, no throw
+    val f = new java.io.File(s"$root/$key")
+    val tampered = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      .replace("\"total_records\":500", "\"total_records\":999")
+    java.nio.file.Files.write(f.toPath, tampered.getBytes)
+    assert(!EvidenceStore.verify(root, key))
+    assert(!EvidenceStore.verify(root, "evidence/nope/2024/09/nope.json"))
+  }
+
   test("circuit breaker opens after threshold, half-opens after reset (St12)") {
     var now = 0L
     val cb = new CircuitBreaker(3, resetAfterMs = 1000, clock = () => now)
