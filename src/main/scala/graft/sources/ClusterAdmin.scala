@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.remap.{ConsumerGroupSnapshot, GroupOffsets}
+
+/** AdminClient-shaped facade for the broker metadata legs (S2-S7):
+  * topic/metadata scan, batched ListOffsets with earliest/latest sentinels,
+  * offsets-for-times, consumer-group list/describe, committed-offset fetch,
+  * and group-offset alteration (reference kafka/admin.rs,
+  * kafka/consumer_groups.rs:107-244,347-465, kafka/partition_router.rs:715-792).
+  *
+  * In production this binds to `org.apache.kafka.clients.admin.AdminClient`
+  * (listTopics/listOffsets/listConsumerGroupOffsets/
+  * alterConsumerGroupOffsets map 1:1 — the jar is not in this sandbox);
+  * [[InMemoryClusterAdmin]] is the broker-free implementation the pipelines
+  * and tests drive. Everything downstream (snapshot capture, Spark source
+  * option maps, phase-3 committers) depends only on this trait.
+  */
+trait ClusterAdmin {
+
+  /** S2: topic names and partition counts (metadata scan). */
+  def listTopics(): Map[String, Int]
+
+  /** S3/S4: one BATCHED lookup for many (topic, partition) specs — the
+    * reference batches ListOffsets requests per node; AdminClient.listOffsets
+    * does natively. Spec per partition: Earliest / Latest / ForTimestamp.
+    */
+  def listOffsets(specs: Map[(String, Int), OffsetSpec]): Map[(String, Int), Long]
+
+  /** S6: group ids. */
+  def listConsumerGroups(): Seq[String]
+
+  /** S7: committed offsets for one group. */
+  def committedOffsets(group: String): Map[(String, Int), Long]
+
+  /** Phase-3 leg: alterConsumerGroupOffsets. */
+  def alterConsumerGroupOffsets(group: String, offsets: Map[(String, Int), Long]): Unit
+}
+
+sealed trait OffsetSpec
+object OffsetSpec {
+  case object Earliest extends OffsetSpec
+  case object Latest extends OffsetSpec
+  /** S5 offsets-for-times: first offset with timestamp >= ts. */
+  case class ForTimestamp(ts: Long) extends OffsetSpec
+}
+
+/** Broker-free ClusterAdmin over fixture data: per-partition offset bounds,
+  * an optional (offset, timestamp) index for offsets-for-times, and mutable
+  * committed group offsets. Mirrors a broker's answers exactly enough for
+  * every downstream consumer (the reference's MemoryBackend pattern).
+  */
+final class InMemoryClusterAdmin(
+    bounds: Map[(String, Int), (Long, Long)], // earliest, latest (exclusive HWM)
+    timeIndex: Map[(String, Int), Seq[(Long, Long)]] = Map.empty, // (offset, ts) ascending
+    initialCommitted: Map[String, Map[(String, Int), Long]] = Map.empty)
+    extends ClusterAdmin {
+
+  private val committed =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[(String, Int), Long]]()
+  initialCommitted.foreach { case (g, o) => committed.put(g, o) }
+
+  override def listTopics(): Map[String, Int] =
+    bounds.keys.groupBy(_._1).map { case (t, ks) => t -> (ks.map(_._2).max + 1) }
+
+  override def listOffsets(specs: Map[(String, Int), OffsetSpec]): Map[(String, Int), Long] =
+    specs.flatMap { case (tp, spec) =>
+      bounds.get(tp).flatMap { case (earliest, latest) =>
+        spec match {
+          case OffsetSpec.Earliest => Some(tp -> earliest)
+          case OffsetSpec.Latest => Some(tp -> latest)
+          case OffsetSpec.ForTimestamp(ts) =>
+            // first offset with timestamp >= ts; none → no entry (broker
+            // returns -1/null for out-of-range timestamps)
+            timeIndex.getOrElse(tp, Nil).find(_._2 >= ts).map(tp -> _._1)
+        }
+      }
+    }
+
+  override def listConsumerGroups(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    committed.keySet().asScala.toSeq.sorted
+  }
+
+  override def committedOffsets(group: String): Map[(String, Int), Long] =
+    Option(committed.get(group)).getOrElse(Map.empty)
+
+  override def alterConsumerGroupOffsets(group: String,
+                                         offsets: Map[(String, Int), Long]): Unit =
+    committed.compute(group, (_, prev) =>
+      Option(prev).getOrElse(Map.empty) ++ offsets)
+}
+
+object ClusterAdmin {
+
+  /** Capture a consumer-group snapshot from the live cluster (S6+S7 →
+    * backup/engine.rs:730-741's snapshot artifact).
+    */
+  def captureSnapshot(admin: ClusterAdmin, nowMs: Long): ConsumerGroupSnapshot =
+    ConsumerGroupSnapshot(nowMs, admin.listConsumerGroups().map { g =>
+      val byTopic = admin.committedOffsets(g).groupBy(_._1._1)
+      GroupOffsets(g, byTopic.map { case (t, ps) =>
+        t -> ps.map { case ((_, p), off) => p.toString -> off }
+      })
+    }.toList)
+
+  /** Snapshot-mode Spark source options from live latest offsets (St3/F10):
+    * capture a consistent cut via one batched ListOffsets, pin endingOffsets.
+    */
+  def snapshotReadOptions(admin: ClusterAdmin, bootstrap: String,
+                          topics: Seq[String]): Map[String, String] = {
+    val parts = for {
+      (t, n) <- admin.listTopics().toSeq if topics.isEmpty || topics.contains(t)
+      p <- 0 until n
+    } yield (t, p)
+    val latest = admin.listOffsets(parts.map(_ -> (OffsetSpec.Latest: OffsetSpec)).toMap)
+    KafkaSourceOptions.snapshotRead(bootstrap, latest)
+  }
+
+  /** PITR entry options from offsets-for-times (S5 + F7): each partition
+    * starts at the first offset at/after the window start.
+    */
+  def pitrReadOptions(admin: ClusterAdmin, bootstrap: String,
+                      windowStartMs: Long): Map[String, String] = {
+    val parts = for {
+      (t, n) <- admin.listTopics().toSeq
+      p <- 0 until n
+    } yield (t, p)
+    KafkaSourceOptions.startByTimestampPerPartition(bootstrap,
+      parts.map(_ -> windowStartMs).toMap)
+  }
+
+  /** Phase-3 committer backed by the admin facade — plugs into
+    * ThreePhaseRestore and BulkOffsetReset unchanged.
+    */
+  def committer(admin: ClusterAdmin): graft.pipelines.GroupOffsetCommitter =
+    new graft.pipelines.GroupOffsetCommitter {
+      def commit(g: String, t: String, p: Int, o: Long): Unit =
+        admin.alterConsumerGroupOffsets(g, Map((t, p) -> o))
+    }
+}
