@@ -336,6 +336,26 @@ object Queries {
         .orderBy("topic")
     }),
 
+    // end-to-end incremental resume (S12 batch leg): half backup → state
+    // table marks → full-source second run writes ONLY new offsets → restore
+    // must equal the full corpus exactly (hash-checked by the oracle). A
+    // duplicated or dropped record flips the counts.
+    "p_incremental_resume" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+      val all = graft.model.KRecord.fromEvents(s, d)
+      val cut = all.agg(max("offset")).head().getLong(0) / 2
+      val cfg = graft.pipelines.BackupConfig("inc", tmp,
+        graft.codec.CompressionCodec.Zstd, enrichHeaders = false)
+      graft.pipelines.Backup.runIncremental(s, all.filter(col("offset") <= cut), cfg)
+      graft.pipelines.Backup.runIncremental(s, all, cfg)
+      graft.pipelines.Restore.records(s,
+          graft.pipelines.RestoreConfig(tmp, "inc")).toDF()
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n"), min("offset").as("min_offset"),
+          max("offset").as("max_offset"))
+        .orderBy("topic")
+    }),
+
     // end-to-end PITR: restore only the [T1,T2] window through the segments
     "p_pitr_roundtrip" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-pitr").toString
@@ -483,6 +503,12 @@ object Queries {
          |WHERE e.event_id <= snap.snap_latest
          |GROUP BY 1 ORDER BY p""".stripMargin,
     "p_roundtrip_counts" ->
+      """SELECT event_type AS topic, count(*) AS n, min(event_id) AS min_offset,
+        |       max(event_id) AS max_offset
+        |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+    // same totals as a single-shot backup: the two-run incremental path must
+    // be lossless and duplicate-free to hash-match
+    "p_incremental_resume" ->
       """SELECT event_type AS topic, count(*) AS n, min(event_id) AS min_offset,
         |       max(event_id) AS max_offset
         |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,

@@ -112,14 +112,20 @@ object Backup {
     val state = graft.catalog.OffsetStateTable.load(spark, root)
       .filter(col("backup_id") === config.backupId)
       .select(col("topic"), col("partition"), col("last_offset"))
-    val novel = records
-      .join(broadcast(state), Seq("topic", "partition"), "left")
-      .filter(col("last_offset").isNull || col("offset") > col("last_offset"))
-      .drop("last_offset")
-    val manifest = run(spark, novel, config)
+    val manifest = run(spark, incrementalFilter(records, state), config)
     graft.catalog.OffsetStateTable.update(spark, root, manifest)
     manifest
   }
+
+  /** The resume predicate: keep records past each partition's mark. The
+    * state side is metadata-sized, so it is always BROADCAST — the data side
+    * must not shuffle for this join (asserted in PlanSpec).
+    */
+  def incrementalFilter(records: DataFrame, state: DataFrame): DataFrame =
+    records
+      .join(broadcast(state), Seq("topic", "partition"), "left")
+      .filter(col("last_offset").isNull || col("offset") > col("last_offset"))
+      .drop("last_offset")
 
   /** Topic resolution F1/F2: glob include/exclude against observed topics. */
   def selectedTopics(spark: SparkSession, records: DataFrame, config: BackupConfig): Seq[String] = {

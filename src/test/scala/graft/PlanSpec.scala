@@ -56,6 +56,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental-backup state join broadcasts; the data side never shuffles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val records = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type").as("topic"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        col("event_id").as("offset"))
+    val state = Seq(("click", 0, 100L)).toDF("topic", "partition", "last_offset")
+    val p = graft.pipelines.Backup.incrementalFilter(records, state)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"state join must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the 100 TB data side must not shuffle for a metadata-sized state table")
+  }
+
   test("dedup signature computation carries only fixed-width data through the shuffle") {
     val sigs = graft.dedup.Dedup.minhashSignatures(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", 3, 64)
