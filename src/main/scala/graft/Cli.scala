@@ -39,7 +39,7 @@ object Cli {
 
   private def usage(): Unit = System.err.println(
     "commands: backup backup-incremental restore dry-run list describe validate " +
-      "validate-restore status show-offset-mapping three-phase-restore " +
+      "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset-bulk evidence-create evidence-list evidence-get evidence-verify")
 
   def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
@@ -175,6 +175,37 @@ object Cli {
           else state.toSeq.sorted.foreach { case ((t, p), off) =>
             println(s"offset state: $t/$p last_offset=$off")
           }
+      }
+
+    case "status-watch" =>
+      // live monitoring against a metrics endpoint (status_watch.rs): poll
+      // /metrics, print counter deltas per interval. Args: <baseUrl>
+      // [iterations] [intervalMs]
+      val base = args(1).stripSuffix("/")
+      val iterations = args.lift(2).map(_.toInt).getOrElse(5)
+      val intervalMs = args.lift(3).map(_.toLong).getOrElse(2000L)
+      def scrape(): Map[String, Long] = {
+        val conn = new java.net.URI(s"$base/metrics").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(5000); conn.setReadTimeout(5000)
+        val body = new String(conn.getInputStream.readAllBytes, "UTF-8")
+        body.linesIterator.flatMap { l =>
+          l.split(' ') match {
+            case Array(k, v) if k.startsWith("graft_") => Some(k -> v.toLong)
+            case _ => None
+          }
+        }.toMap
+      }
+      var prev = scrape()
+      println(prev.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      for (_ <- 1 until iterations) {
+        Thread.sleep(intervalMs)
+        val cur = scrape()
+        val deltas = cur.toSeq.sorted.map { case (k, v) =>
+          s"$k=$v(+${v - prev.getOrElse(k, 0L)})"
+        }
+        println(deltas.mkString(" "))
+        prev = cur
       }
 
     case "validate-restore" =>

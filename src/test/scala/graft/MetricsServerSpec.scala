@@ -71,6 +71,15 @@ class MetricsServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("cli status-watch polls the endpoint and prints counter deltas") {
+    val metrics = GraftMetrics.install(spark)
+    val server = MetricsServer.start(metrics, port = 0)
+    try {
+      Cli.run(spark, Array("status-watch",
+        s"http://127.0.0.1:${server.port}", "2", "50"))
+    } finally server.stop()
+  }
+
   test("index links endpoints; unknown paths 404") {
     val server = MetricsServer.start(new GraftMetrics, port = 0)
     try {
