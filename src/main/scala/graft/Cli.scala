@@ -40,7 +40,9 @@ object Cli {
   private def usage(): Unit = System.err.println(
     "commands: backup backup-incremental restore dry-run list describe validate " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
-      "offset-reset-bulk evidence-create evidence-list evidence-get evidence-verify")
+      "offset-reset-bulk snapshot-create snapshot-list snapshot-show " +
+      "snapshot-verify snapshot-delete offset-rollback " +
+      "evidence-create evidence-list evidence-get evidence-verify")
 
   def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "backup" =>
@@ -250,6 +252,58 @@ object Cli {
         graft.remap.BulkOffsetReset.Config(maxConcurrent = concurrency))
       println(report.toJson)
       if (report.failed_groups > 0) sys.exit(1)
+
+    case "snapshot-create" =>
+      // pre-reset safety snapshot from a consumer-groups JSON (broker-free
+      // stand-in for a live S6/S7 capture; main.rs snapshot create)
+      val Array(_, dir, groupsJson, rest @ _*) = args: @unchecked
+      val committed = graft.remap.ConsumerGroupSnapshot.importOffsets(
+        graft.remap.ConsumerGroupSnapshot.fromJson(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(groupsJson)))))
+      val snap = graft.remap.OffsetRollback.snapshot(committed,
+        rest.headOption.getOrElse("pre-reset"))
+      println(s"snapshot saved: ${graft.remap.OffsetRollback.Store.saveTo(dir, snap)}")
+
+    case "snapshot-list" =>
+      graft.remap.OffsetRollback.Store.list(args(1)).foreach { sid =>
+        val s = graft.remap.OffsetRollback.Store.show(args(1), sid)
+        println(s"$sid  taken_at=${s.taken_at} entries=${s.entries.size} reason=${s.reason}")
+      }
+
+    case "snapshot-show" =>
+      val s = graft.remap.OffsetRollback.Store.show(args(1), args(2))
+      println(s"taken_at: ${s.taken_at}\nreason: ${s.reason}")
+      s.entries.foreach(e =>
+        println(s"  ${e.group_id} ${e.topic}/${e.partition} -> ${e.offset}"))
+
+    case "snapshot-verify" =>
+      // current offsets from a consumer-groups JSON; mismatches → exit 1
+      val Array(_, dir, sid, groupsJson) = args: @unchecked
+      val actual = graft.remap.ConsumerGroupSnapshot.importOffsets(
+        graft.remap.ConsumerGroupSnapshot.fromJson(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(groupsJson)))))
+      val mismatches = graft.remap.OffsetRollback.verify(
+        graft.remap.OffsetRollback.Store.show(dir, sid), actual)
+      if (mismatches.isEmpty) println("offsets match snapshot")
+      else {
+        mismatches.foreach { case (g, t, p, exp, act) =>
+          println(s"MISMATCH $g $t/$p expected=${exp.getOrElse("-")} actual=${act.getOrElse("-")}")
+        }
+        sys.exit(1)
+      }
+
+    case "snapshot-delete" =>
+      val ok = graft.remap.OffsetRollback.Store.delete(args(1), args(2))
+      println(if (ok) s"deleted ${args(2)}" else s"not found: ${args(2)}")
+      if (!ok) sys.exit(1)
+
+    case "offset-rollback" =>
+      // re-commit every snapshotted offset (rollback apply; recording
+      // committer stands in for the broker leg)
+      val s = graft.remap.OffsetRollback.Store.show(args(1), args(2))
+      val committer = new graft.pipelines.RecordingCommitter()
+      val n = graft.remap.OffsetRollback.apply(s, committer)
+      println(s"rolled back $n offsets from ${args(2)}")
 
     case "evidence-create" =>
       // sign-and-store: manifest totals + offset digest + check outcomes →

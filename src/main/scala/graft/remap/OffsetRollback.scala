@@ -56,4 +56,42 @@ object OffsetRollback {
       }
     }
   }
+
+  /** Id-addressed snapshot directory (the reference CLI's snapshot
+    * list/show/verify/delete surface, main.rs:263-345): snapshots live as
+    * `{dir}/snapshot-{taken_at}.json`, newest-first listing.
+    */
+  object Store {
+    def id(s: OffsetSnapshot): String = s"snapshot-${s.taken_at}"
+    private def path(dir: String, id: String) = Paths.get(dir, s"$id.json")
+
+    def saveTo(dir: String, s: OffsetSnapshot): String = {
+      val sid = id(s)
+      save(path(dir, sid).toString, s)
+      sid
+    }
+
+    def list(dir: String): Seq[String] = {
+      val d = Paths.get(dir)
+      if (!Files.isDirectory(d)) return Nil
+      val out = Seq.newBuilder[String]
+      val st = Files.list(d)
+      try {
+        st.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("snapshot-") && n.endsWith(".json"))
+            out += n.stripSuffix(".json")
+        }
+      } finally st.close()
+      // newest first, NUMERIC on taken_at — lexicographic id order would
+      // misorder timestamps of different digit widths
+      out.result().sortBy(id =>
+        -id.stripPrefix("snapshot-").toLongOption.getOrElse(Long.MinValue))
+    }
+
+    def show(dir: String, sid: String): OffsetSnapshot = load(path(dir, sid).toString)
+
+    def delete(dir: String, sid: String): Boolean =
+      Files.deleteIfExists(path(dir, sid))
+  }
 }

@@ -37,13 +37,16 @@ object EvidenceStore {
     f"$prefix/$reportId/${d.getYear}%04d/${d.getMonthValue}%02d/$reportId.json"
   }
 
-  /** Save report + detached signature + public key; returns the JSON key. */
+  /** Save report + rendered PDF + detached signature + public key
+    * (storage.rs upload_evidence_json/pdf/signature); returns the JSON key.
+    */
   def save(root: String, prefix: String, report: EvidenceReport, keyPair: KeyPair,
            nowMs: Long = System.currentTimeMillis()): String = {
     val reportId = s"${report.backup_id}-${report.created_at}"
     val jk = jsonKey(prefix, reportId, nowMs)
     val base = jk.stripSuffix(".json")
     put(root, jk, Evidence.canonicalJson(report).getBytes(StandardCharsets.UTF_8))
+    put(root, s"$base.pdf", EvidencePdf.render(report))
     put(root, s"$base.sig",
       Evidence.sign(report, keyPair).getBytes(StandardCharsets.UTF_8))
     put(root, s"$base.pub", java.util.Base64.getEncoder

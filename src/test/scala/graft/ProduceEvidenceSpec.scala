@@ -146,6 +146,56 @@ class ProduceEvidenceSpec extends SparkSpec {
     assert(!EvidenceStore.verify(root, "evidence/nope/2024/09/nope.json"))
   }
 
+  test("evidence PDF: valid single-page document carrying the report content") {
+    import graft.validation.{EvidencePdf, EvidenceReport}
+    val r = EvidenceReport("b9", 1700000000123L, 500, 4, "cd" * 32,
+      Map("message_count" -> "Passed", "offset_range" -> "Failed"))
+    val pdf = new String(EvidencePdf.render(r), "ISO-8859-1")
+    assert(pdf.startsWith("%PDF-1.4"))
+    assert(pdf.endsWith("%%EOF\n"))
+    assert(pdf.contains("(Kafka Backup Validation) Tj"))
+    assert(pdf.contains("Overall Result: FAILED \\(1/2 checks\\)"))
+    assert(pdf.contains("Backup ID: b9"))
+    assert(pdf.contains("/BaseFont /Helvetica"))
+    // xref offset points at the xref table
+    val startxref = pdf.substring(pdf.indexOf("startxref")).split("\n")(1).trim.toInt
+    assert(pdf.substring(startxref).startsWith("xref"))
+    // every xref entry points at the object it declares
+    val entries = pdf.substring(startxref).split("\n").drop(3).take(6)
+    entries.zipWithIndex.foreach { case (e, i) =>
+      val off = e.split(" ")(0).toInt
+      assert(pdf.substring(off).startsWith(s"${i + 1} 0 obj"), s"xref ${i + 1} off")
+    }
+    // all-passed reports render PASSED
+    val ok = new String(EvidencePdf.render(r.copy(checks = Map("c" -> "Passed"))), "ISO-8859-1")
+    assert(ok.contains("Overall Result: PASSED \\(1/1 checks\\)"))
+  }
+
+  test("snapshot store: create/list/show/verify/delete + cli drive") {
+    import graft.remap.{ConsumerGroupSnapshot, GroupOffsets, OffsetRollback}
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val s1 = OffsetRollback.snapshot(Seq(("g1", "t", 0, 100L)), "first", takenAt = 1000L)
+    val s2 = OffsetRollback.snapshot(Seq(("g1", "t", 0, 200L)), "second", takenAt = 2000L)
+    OffsetRollback.Store.saveTo(dir, s1)
+    OffsetRollback.Store.saveTo(dir, s2)
+    assert(OffsetRollback.Store.list(dir) == Seq("snapshot-2000", "snapshot-1000"))
+    assert(OffsetRollback.Store.show(dir, "snapshot-1000").entries.head.offset == 100L)
+    assert(OffsetRollback.Store.delete(dir, "snapshot-1000"))
+    assert(!OffsetRollback.Store.delete(dir, "snapshot-1000"))
+    assert(OffsetRollback.Store.list(dir) == Seq("snapshot-2000"))
+    // CLI drive: create from a consumer-groups JSON, list, show, verify ok
+    val groupsJson = java.nio.file.Files.createTempFile("groups", ".json")
+    java.nio.file.Files.write(groupsJson, ConsumerGroupSnapshot.toJson(
+      ConsumerGroupSnapshot(3000L, List(GroupOffsets("g2",
+        Map("t" -> Map("0" -> 55L)))))).getBytes)
+    Cli.run(spark, Array("snapshot-create", dir, groupsJson.toString, "cli-test"))
+    val sid = OffsetRollback.Store.list(dir).head
+    Cli.run(spark, Array("snapshot-list", dir))
+    Cli.run(spark, Array("snapshot-show", dir, sid))
+    Cli.run(spark, Array("snapshot-verify", dir, sid, groupsJson.toString))
+    Cli.run(spark, Array("offset-rollback", dir, sid))
+  }
+
   test("circuit breaker opens after threshold, half-opens after reset (St12)") {
     var now = 0L
     val cb = new CircuitBreaker(3, resetAfterMs = 1000, clock = () => now)
