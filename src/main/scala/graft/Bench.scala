@@ -20,9 +20,10 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
       spark.read.parquet(s"$sfDir/events.parquet").count()
-      // one-time bucketed-ANN corpus build belongs to warmup, not the timed
-      // a_ann_lsh_bucketed entry (which benches only the pruned probe)
+      // one-time ANN index builds belong to warmup, not the timed
+      // a_ann_lsh_bucketed / a_ann_ivf entries (which bench the pruned probe)
       QueriesData.ensureBucketedAnn(spark, sfDir)
+      QueriesData.ensureIvf(spark, sfDir)
     } catch { case _: Throwable => }
 
     // deterministic order, heavyweight pipeline workloads (p_*) last so their

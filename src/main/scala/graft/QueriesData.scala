@@ -31,16 +31,22 @@ object QueriesData {
     * winner's). Call from a warmup phase to keep the one-time build cost out
     * of timed regions.
     */
-  def ensureBucketedAnn(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
+  /** Digest of a file tree's (path, length, mtime) — the cache key that
+    * invalidates on any input regeneration.
+    */
+  private def contentKey(root: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def feed(f: java.io.File): Unit = {
       md.update(s"${f.getAbsolutePath}|${f.length}|${f.lastModified}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(feed)
     }
-    feed(src)
-    val key = md.digest().take(8).map(b => f"$b%02x").mkString
+    feed(new java.io.File(root))
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  def ensureBucketedAnn(s: SparkSession, dir: String): String = {
+    val key = contentKey(s"$dir/embeddings.parquet")
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_ann_bucketed_$key")
     if (!new java.io.File(path, "_SUCCESS").exists()) {
@@ -150,10 +156,42 @@ object QueriesData {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
   )
 
+  /** Build-or-reuse the IVF layout (k-means lists, partitioned parquet +
+    * centroid sidecar) — same content-keyed atomic-publish recipe as
+    * [[ensureBucketedAnn]]; Bench pre-builds in warmup.
+    */
+  def ensureIvf(s: SparkSession, dir: String): String = {
+    val key = contentKey(s"$dir/embeddings.parquet")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ann_ivf_$key")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val build = new java.io.File(
+        path.getParent, s"${path.getName}.build.${java.util.UUID.randomUUID().toString.take(8)}")
+      val (assigned, model) = Ann.ivfAssign(
+        emb(s, dir).filter(col("vec_id") =!= 0), "embedding", nLists = 16)
+      Ann.writeIvf(assigned, model, build.getAbsolutePath)
+      if (!build.renameTo(path)) {
+        org.apache.commons.io.FileUtils.deleteDirectory(build)
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          throw new IllegalStateException(s"IVF cache publish failed: $path")
+      }
+    }
+    path.getAbsolutePath
+  }
+
   /** Signature-based operators: deterministic, but no faithful SQL oracle —
     * rows-only check by the driver; ScalaTest fixtures assert known answers.
     */
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF ANN probe over the persisted k-means layout: the `list` predicate
+    // is a partition filter, so only nProbe/16 of the corpus files are read
+    "a_ann_ivf" -> ((s, d) => {
+      val path = ensureIvf(s, d)
+      val q = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Ann.ivfTopKBucketed(s, path, "vec_id", "embedding", q, k = 10, nProbe = 6)
+    }),
     "d_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(docs(s, d), "doc_id", "text", shingleN = 3, k = 64,
           bands = 16, threshold = 0.2)

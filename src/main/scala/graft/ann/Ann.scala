@@ -88,6 +88,98 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF coarse quantizer: k-means centroids (fixed seed — the index must be
+    * rebuildable bit-identically) learned once, then every vector assigned to
+    * its nearest centroid's inverted list. The centroid table is tiny and
+    * driver-resident; the assignment is one narrow ML transform.
+    */
+  case class IvfModel(centroids: Array[Array[Double]]) {
+    def nLists: Int = centroids.length
+
+    /** nProbe nearest lists to the query (euclidean, standard IVF) — pure
+      * driver-side math over nLists centroids.
+      */
+    def probeLists(query: Seq[Double], nProbe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = c(j) - query(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+
+    def toJson: String = centroids.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+  }
+
+  object IvfModel {
+    def fromJson(s: String): IvfModel = {
+      import org.json4s._
+      implicit val formats: Formats = DefaultFormats
+      IvfModel(org.json4s.jackson.JsonMethods.parse(s)
+        .extract[List[List[Double]]].map(_.toArray).toArray)
+    }
+  }
+
+  /** Train the coarse quantizer and assign every corpus row to a `list`
+    * column. Returns (corpus + list, model). At 100 TB: train on a sample,
+    * assign in one pass, persist with `partitionBy("list")` via
+    * [[writeIvf]] so probes become partition pruning.
+    */
+  def ivfAssign(corpus: DataFrame, vecCol: String, nLists: Int,
+                seed: Long = 42L): (DataFrame, IvfModel) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.withColumn("__ivf_vec",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed).setFeaturesCol("__ivf_vec")
+      .setPredictionCol("list").fit(feats)
+    val assigned = model.transform(feats).drop("__ivf_vec")
+    (assigned, IvfModel(model.clusterCenters.map(_.toArray)))
+  }
+
+  /** IVF probe: scan only the nProbe nearest inverted lists, exact cosine
+    * within. nProbe = nLists degrades to brute force (exact).
+    */
+  def ivfTopK(assigned: DataFrame, model: IvfModel, idCol: String,
+              vecCol: String, query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val lists = model.probeLists(query, nProbe)
+    val q = array(query.map(lit): _*)
+    assigned.filter(col("list").isin(lists: _*))
+      .select(col(idCol).as("id"),
+        round(Dedup.cosine(col(vecCol).cast("array<double>"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Persist an IVF-assigned corpus partitioned by list, with the centroid
+    * model beside it — the same pruned-scan layout as [[writeBucketed]], but
+    * with data-adaptive buckets (k-means lists track the embedding
+    * distribution where random hyperplanes can't).
+    */
+  def writeIvf(assigned: DataFrame, model: IvfModel, path: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("list").parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), assigned.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$path/_ivf_centroids.json"), true)
+    try os.write(model.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  /** Probe a persisted IVF layout: the `list` predicate is a partition filter
+    * — only the probed lists' files are read.
+    */
+  def ivfTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, vecCol: String, query: Seq[Double], k: Int,
+                      nProbe: Int): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_ivf_centroids.json"))
+    val model = IvfModel.fromJson(new String(
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    ivfTopK(spark.read.parquet(path), model, idCol, vecCol, query, k, nProbe)
+  }
+
   /** LSH-pruned top-k: score only vectors whose bucket is within `probeHamming`
     * of the query's bucket (multi-probe). Recall rises with probeHamming;
     * probeHamming = bits degrades to brute force.

@@ -25,6 +25,40 @@ class AnnMetricsSpec extends SparkSpec {
     assert(rows.map(_.getDouble(1)).toSeq == rows.map(_.getDouble(1)).sorted.reverse.toSeq)
   }
 
+  test("IVF ANN: full probe exact, partial probe prunes, persisted layout partition-prunes") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val (assigned, model) = Ann.ivfAssign(corpus, "embedding", nLists = 8)
+    assert(model.nLists == 8 && model.centroids.head.length == 64)
+    // every row landed in exactly one known list
+    assert(assigned.filter(col("list") < 0 || col("list") >= 8).count() == 0)
+    // nProbe = nLists scans everything → identical to brute force
+    val brute = Ann.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Ann.ivfTopK(assigned, model, "vec_id", "embedding", q, 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute)
+    // model JSON round-trips with probe order intact
+    val rt = Ann.IvfModel.fromJson(model.toJson)
+    assert(rt.probeLists(q, 3) == model.probeLists(q, 3))
+    // partial probe: recall@10 against brute force stays useful even on this
+    // near-orthogonal synthetic corpus
+    val half = Ann.ivfTopK(assigned, model, "vec_id", "embedding", q, 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.map(_._1).count(half.contains) / 10.0
+    assert(recall >= 0.3, s"recall@10 too low: $recall")
+    // persisted layout: list predicate must reach PartitionFilters
+    val path = java.nio.file.Files.createTempDirectory("ann-ivf").toString + "/corpus"
+    Ann.writeIvf(assigned, model, path)
+    val probed = Ann.ivfTopKBucketed(spark, path, "vec_id", "embedding", q, 10, nProbe = 4)
+    val plan = probed.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PartitionFilters: [list"),
+      s"list predicate must prune partitions:\n${plan.take(1500)}")
+    assert(probed.collect().map(_.getLong(0)).toSet == half)
+  }
+
   test("metrics listener counts records/bytes/tasks across an action (A8/K10)") {
     val metrics = GraftMetrics.install(spark)
     spark.read.parquet(s"$sf0001/lineitem.parquet")
