@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming legs of the training-data operators (St7/St8 applied to the
+  * data-pipeline side — the backup reference needs no watermarks, but a
+  * continuously-ingesting corpus does):
+  *
+  *  - exact dedup with BOUNDED state: fingerprint + event-time watermark via
+  *    `dropDuplicatesWithinWatermark` — a fingerprint's state is dropped once
+  *    the watermark passes it, so state size tracks the window, not the
+  *    corpus (at 100 TB/day unbounded dedup state would OOM any cluster);
+  *  - per-source running corpus stats as explicit keyed state
+  *    (`mapGroupsWithState` with processing-time timeout) — the St8 custom
+  *    state shape: docs/tokens/dups counted across micro-batches.
+  */
+object StreamingText {
+
+  /** Watermarked streaming exact dedup on the normalized text fingerprint.
+    * `tsCol` must be a TimestampType event-time column; duplicates arriving
+    * within `delay` of each other collapse to the first-seen row.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  delay: String): DataFrame =
+    docs.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
+  case class SourceStats(source: String, docs: Long, tokens: Long, approx_dups: Long)
+
+  // public: Spark's generated state encoder needs member access
+  case class StatsState(docs: Long, tokens: Long, dups: Long,
+                        recentFps: Set[Long])
+
+  /** Running per-source stats with explicit keyed state: document and token
+    * totals plus an approximate duplicate count (fingerprints seen within the
+    * state's bounded recent-set).
+    *
+    * `idleTimeout` (e.g. Some("1 hour")) expires a source's state after
+    * inactivity — no unbounded key growth. It is OPT-IN because
+    * processing-time timers make Spark schedule no-data micro-batches every
+    * trigger to evaluate them; with the default as-fast-as-possible trigger
+    * that is a busy loop (pair a timeout with a real ProcessingTime trigger
+    * interval in production).
+    */
+  def sourceStats(docs: DataFrame, sourceCol: String, textCol: String,
+                  idleTimeout: Option[String] = None,
+                  maxRecentFps: Int = 100000): Dataset[SourceStats] = {
+    import docs.sparkSession.implicits._
+    val prepared = docs.select(col(sourceCol).as("source"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .as[(String, Long, Long)]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    prepared.groupByKey(_._1)
+      .mapGroupsWithState[StatsState, SourceStats](timeoutConf) {
+        case (source, rows, state: GroupState[StatsState]) =>
+          if (idleTimeout.isDefined && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SourceStats(source, s.docs, s.tokens, s.dups)
+          } else {
+            var s = state.getOption.getOrElse(StatsState(0, 0, 0, Set.empty))
+            rows.foreach { case (_, nTok, fp) =>
+              val dup = s.recentFps.contains(fp)
+              s = StatsState(s.docs + 1, s.tokens + nTok,
+                s.dups + (if (dup) 1 else 0),
+                // bounded recent-set: stop growing past the cap (approximate
+                // by design — the exact path is dedupStream's watermark state)
+                if (dup || s.recentFps.size >= maxRecentFps) s.recentFps
+                else s.recentFps + fp)
+            }
+            state.update(s)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            SourceStats(source, s.docs, s.tokens, s.dups)
+          }
+      }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.StreamingText
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingTextSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  test("streaming exact dedup: watermark-bounded state collapses duplicates (St7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val deduped = StreamingText.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two distinct docs + one duplicate text
+      input.addData((1L, "alpha beta", ts(0)), (2L, "alpha beta", ts(1)),
+        (3L, "gamma", ts(2)))
+      q.processAllAvailable()
+      // batch 2: same text again inside the watermark window → still a dup
+      input.addData((4L, "ALPHA   beta", ts(5))) // fingerprint normalizes ws/case
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L))
+      assert((ids & Set(1L, 2L)).size == 1, s"one of the dup pair survives: $ids")
+      assert(!ids.contains(4L), "normalized duplicate must be dropped")
+      // the plan carries streaming dedup state, not an unbounded aggregation
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.exists(_.operatorName.toLowerCase.contains("dedup")))
+    } finally q.stop()
+  }
+
+  test("per-source running stats via explicit keyed state (St8)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val stats = StreamingText.sourceStats(
+      input.toDF().toDF("source", "text"), "source", "text")
+    val q = stats.writeStream.format("memory").queryName("stats_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("web", "one two three"), ("web", "four five"), ("books", "six"))
+      q.processAllAvailable()
+      input.addData(("web", "one two three")) // exact dup of an earlier doc
+      q.processAllAvailable()
+      val rows = spark.table("stats_out").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      // latest update per source wins
+      val last = rows.groupBy(_._1).map { case (s, rs) => s -> rs.last._2 }
+      assert(last("web") == ((3L, 8L, 1L)), s"web stats: ${last("web")}")
+      assert(last("books") == ((1L, 1L, 0L)))
+    } finally q.stop()
+  }
+}
