@@ -65,7 +65,9 @@ object OffsetStateTable {
       .agg(max("last_offset").as("last_offset"),
         max_by(col("checkpoint_ts"), col("last_offset")).as("checkpoint_ts"))
 
-    // write-tmp-then-rename: readers never see a half-written state dir
+    // write-tmp-then-swap: readers never see a HALF-WRITTEN dir; there is a
+    // brief missing-dir window during the delete+rename (benign — load()
+    // treats absent as empty, and the marks are rebuildable from manifests)
     val target = new org.apache.hadoop.fs.Path(path(stateRoot))
     val tmp = new org.apache.hadoop.fs.Path(
       s"${path(stateRoot)}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")

@@ -28,7 +28,10 @@ object MetricsServer {
             port: Int = 9090,
             metricsPath: String = "/metrics"): MetricsServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    // daemon threads: a metrics endpoint must never keep the driver JVM
+    // alive after the app's main exits without calling stop()
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => { val t = new Thread(r, "graft-metrics-http"); t.setDaemon(true); t }))
 
     def respond(x: HttpExchange, code: Int, contentType: String, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
