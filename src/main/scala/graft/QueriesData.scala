@@ -45,24 +45,36 @@ object QueriesData {
     md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
-  def ensureBucketedAnn(s: SparkSession, dir: String): String = {
-    val key = contentKey(s"$dir/embeddings.parquet")
+  /** Shared build-once-publish-atomically recipe for derived-layout caches:
+    * build into a process-unique dir, rename into the content-keyed slot
+    * (losers of a publish race adopt the winner's copy), and NEVER leak a
+    * half-built dir — the build dir is deleted on any failure path.
+    */
+  private def ensureCached(name: String, key: String)(build: java.io.File => Unit): String = {
     val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_ann_bucketed_$key")
+      System.getProperty("java.io.tmpdir"), s"graft_${name}_$key")
     if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val build = new java.io.File(
+      val buildDir = new java.io.File(
         path.getParent, s"${path.getName}.build.${java.util.UUID.randomUUID().toString.take(8)}")
-      Ann.writeBucketed(emb(s, dir).filter(col("vec_id") =!= 0),
-        build.getAbsolutePath, "embedding", dim = 64, bits = 6)
-      if (!build.renameTo(path)) {
-        // another writer published the same content key first — use theirs
-        org.apache.commons.io.FileUtils.deleteDirectory(build)
-        if (!new java.io.File(path, "_SUCCESS").exists())
-          throw new IllegalStateException(s"bucketed ANN cache publish failed: $path")
+      var published = false
+      try {
+        build(buildDir)
+        published = buildDir.renameTo(path)
+        if (!published && !new java.io.File(path, "_SUCCESS").exists())
+          throw new IllegalStateException(s"$name cache publish failed: $path")
+      } finally {
+        if (!published && buildDir.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(buildDir)
       }
     }
     path.getAbsolutePath
   }
+
+  def ensureBucketedAnn(s: SparkSession, dir: String): String =
+    ensureCached("ann_bucketed", contentKey(s"$dir/embeddings.parquet")) { build =>
+      Ann.writeBucketed(emb(s, dir).filter(col("vec_id") =!= 0),
+        build.getAbsolutePath, "embedding", dim = 64, bits = 6)
+    }
 
   val sqlChecked: Map[String, (SparkSession, String) => DataFrame] = Map(
     // text: token counting (whitespace)
@@ -160,24 +172,12 @@ object QueriesData {
     * centroid sidecar) — same content-keyed atomic-publish recipe as
     * [[ensureBucketedAnn]]; Bench pre-builds in warmup.
     */
-  def ensureIvf(s: SparkSession, dir: String): String = {
-    val key = contentKey(s"$dir/embeddings.parquet")
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_ann_ivf_$key")
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val build = new java.io.File(
-        path.getParent, s"${path.getName}.build.${java.util.UUID.randomUUID().toString.take(8)}")
+  def ensureIvf(s: SparkSession, dir: String): String =
+    ensureCached("ann_ivf", contentKey(s"$dir/embeddings.parquet")) { build =>
       val (assigned, model) = Ann.ivfAssign(
         emb(s, dir).filter(col("vec_id") =!= 0), "embedding", nLists = 16)
       Ann.writeIvf(assigned, model, build.getAbsolutePath)
-      if (!build.renameTo(path)) {
-        org.apache.commons.io.FileUtils.deleteDirectory(build)
-        if (!new java.io.File(path, "_SUCCESS").exists())
-          throw new IllegalStateException(s"IVF cache publish failed: $path")
-      }
     }
-    path.getAbsolutePath
-  }
 
   /** Signature-based operators: deterministic, but no faithful SQL oracle —
     * rows-only check by the driver; ScalaTest fixtures assert known answers.

@@ -128,22 +128,33 @@ object Manifest {
     val f = fs(backupRoot)
     val p = new org.apache.hadoop.fs.Path(path(backupRoot, m.backup_id))
     val merged = if (f.exists(p)) load(backupRoot, m.backup_id).merge(m) else m
-    // write-tmp-then-rename: FileContext.rename(OVERWRITE) is atomic on
-    // HDFS/local (no window where a crash truncates the previously valid
-    // manifest) and degrades to the reference's single storage put on object
-    // stores, where rename is a server-side copy of the just-written object
-    val tmp = new org.apache.hadoop.fs.Path(
-      p.getParent, s".manifest.json.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    val os = f.create(tmp, true)
-    try os.write(toJson(merged).getBytes(StandardCharsets.UTF_8)) finally os.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, f.getConf)
-      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch { case e: Throwable =>
-      // leave no orphaned tmp behind on failure, then surface the error
-      try f.delete(tmp, false) catch { case _: Throwable => () }
-      throw e
+    // Two save strategies, chosen by filesystem semantics:
+    //  - file/hdfs/viewfs: write-tmp-then-rename — FileContext.rename(
+    //    OVERWRITE) is atomic there, so a crash mid-write can never truncate
+    //    the previously valid manifest;
+    //  - object stores (s3a/gs/abfss...): ONE overwrite-create PUT, which the
+    //    store applies atomically. A rename there is delete+server-side-copy:
+    //    a crash between the two leaves the backup with NO manifest — worse
+    //    than the torn-write risk the rename exists to prevent (and some
+    //    schemes have no FileContext binding at all).
+    val atomicRename = Set("file", "hdfs", "viewfs")
+      .contains(Option(f.getUri.getScheme).getOrElse("file"))
+    if (atomicRename) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, s".manifest.json.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      val os = f.create(tmp, true)
+      try os.write(toJson(merged).getBytes(StandardCharsets.UTF_8)) finally os.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch { case e: Throwable =>
+        // leave no orphaned tmp behind on failure, then surface the error
+        try f.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+      }
+    } else {
+      val os = f.create(p, true)
+      try os.write(toJson(merged).getBytes(StandardCharsets.UTF_8)) finally os.close()
     }
     merged
   }

@@ -111,16 +111,13 @@ case class HealthReport(status: String, uptimeSecs: Double,
 
   /** The /health JSON body (metrics/server.rs handle_health_request shape). */
   def toJson: String = {
-    def js(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    import graft.util.Json.{escape => js, num}
     val comps = components.map { c =>
       s"${js(c.name)}:{" +
         s""""status":${js(c.status)},"message":${c.message.map(js).getOrElse("null")}}"""
     }.mkString(",")
     s"""{"status":${js(status)},"uptime_secs":${uptimeSecs.round},""" +
       s""""active_jobs":$activeJobs,"records_processed":$recordsProcessed,""" +
-      f""""current_throughput":$currentThroughput%.1f,"components":{$comps}}"""
+      s""""current_throughput":${num(currentThroughput, 1)},"components":{$comps}}"""
   }
 }

@@ -37,11 +37,7 @@ private[notification] object Http {
         s"webhook returned ${resp.statusCode()}: ${resp.body().take(500)}")
   }
 
-  def js(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-    case '\r' => "\\r"; case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-  } + "\""
+  def js(s: String): String = graft.util.Json.escape(s)
 }
 
 /** Slack incoming-webhook sender using Block Kit (slack.rs:46-76): a header

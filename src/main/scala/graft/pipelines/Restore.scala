@@ -129,10 +129,7 @@ object Restore {
       time_range: Option[(Long, Long)],
       topics: Seq[(String, String, Long, Long)]) { // (source, target, segments, records)
     def toJson: String = {
-      def js(s: String) = "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+      import graft.util.Json.{escape => js}
       val ts = topics.map { case (s, t, ns, nr) =>
         s"""{"source_topic":${js(s)},"target_topic":${js(t)},"segments":$ns,"records":$nr}"""
       }.mkString("[", ",", "]")

@@ -43,20 +43,17 @@ object BulkOffsetReset {
                     elapsed_ms: Long, offsets_per_second: Double,
                     outcomes: Seq[GroupOutcome]) {
     def toJson: String = {
-      def js(s: String) = "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+      import graft.util.Json.{escape => js, num}
       val os = outcomes.map(o =>
         s"""{"group_id":${js(o.group_id)},"partitions_reset":${o.partitions_reset},""" +
           s""""partitions_failed":${o.partitions_failed},"duration_ms":${o.duration_ms},""" +
           s""""retry_attempts":${o.retry_attempts}}""").mkString("[", ",", "]")
-      f"""{"status":${js(status)},"total_groups":$total_groups,""" +
-        f""""successful_groups":$successful_groups,"failed_groups":$failed_groups,""" +
-        f""""total_offsets_reset":$total_offsets_reset,"total_retries":$total_retries,""" +
-        f""""p50_latency_ms":$p50_latency_ms%.2f,"p99_latency_ms":$p99_latency_ms%.2f,""" +
-        f""""avg_latency_ms":$avg_latency_ms%.2f,"elapsed_ms":$elapsed_ms,""" +
-        f""""offsets_per_second":$offsets_per_second%.1f,"outcomes":$os}"""
+      s"""{"status":${js(status)},"total_groups":$total_groups,""" +
+        s""""successful_groups":$successful_groups,"failed_groups":$failed_groups,""" +
+        s""""total_offsets_reset":$total_offsets_reset,"total_retries":$total_retries,""" +
+        s""""p50_latency_ms":${num(p50_latency_ms, 2)},"p99_latency_ms":${num(p99_latency_ms, 2)},""" +
+        s""""avg_latency_ms":${num(avg_latency_ms, 2)},"elapsed_ms":$elapsed_ms,""" +
+        s""""offsets_per_second":${num(offsets_per_second, 1)},"outcomes":$os}"""
     }
   }
 
@@ -96,12 +93,26 @@ object BulkOffsetReset {
     val offsetsReset = new AtomicLong
     val retries = new AtomicLong
     val pool = Executors.newFixedThreadPool(math.max(1, config.maxConcurrent))
+    // fail-fast flag for continueOnError=false: groups not yet started when a
+    // group exhausts its retries are SKIPPED (reported failed with a skip
+    // marker), matching the reference's abort-on-error mode
+    val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
     val outcomes =
       try {
         val futures = work.map { batch =>
           pool.submit(new java.util.concurrent.Callable[GroupOutcome] {
             override def call(): GroupOutcome =
-              resetGroupWithRetry(committer, batch, config, latencies, offsetsReset, retries)
+              if (!config.continueOnError && aborted.get())
+                GroupOutcome(batch.groupId, 0, batch.offsets.size,
+                  batch.offsets.map { case (t, p, _) =>
+                    PartitionError(t, p, "skipped: fail-fast after earlier group failure")
+                  }, 0, 0)
+              else {
+                val o = resetGroupWithRetry(committer, batch, config, latencies,
+                  offsetsReset, retries)
+                if (o.partitions_failed > 0) aborted.set(true)
+                o
+              }
           })
         }
         futures.map(_.get())

@@ -177,19 +177,7 @@ case class OffsetResetPlan(entries: Seq[OffsetResetEntry]) {
   def toJson: String = {
     // the same adversarial names the CSV/shell exports escape must not
     // produce malformed JSON here
-    def js(s: String): String = {
-      val b = new StringBuilder("\"")
-      s.foreach {
-        case '"' => b.append("\\\"")
-        case '\\' => b.append("\\\\")
-        case '\n' => b.append("\\n")
-        case '\r' => b.append("\\r")
-        case '\t' => b.append("\\t")
-        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
-        case c => b.append(c)
-      }
-      b.append('"').toString
-    }
+    def js(s: String): String = graft.util.Json.escape(s)
     def row(e: OffsetResetEntry) =
       s"""{"group_id":${js(e.group_id)},"topic":${js(e.topic)},"partition":${e.partition},""" +
         s""""source_offset":${e.source_offset},"target_offset":${e.target_offset.map(_.toString).getOrElse("null")}}"""
@@ -214,38 +202,50 @@ object OffsetResetPlan {
 object OffsetResetPlanCsv {
 
   def parse(csv: String): OffsetResetPlan = {
-    val lines = csv.split("\r?\n").iterator.filter(_.nonEmpty).toSeq
-    require(lines.nonEmpty && lines.head.startsWith("group_id,"),
+    val records = splitCsvRecords(csv).filter(_ != Vector(""))
+    require(records.nonEmpty && records.head.headOption.contains("group_id"),
       "not a reset-plan CSV (missing group_id header)")
-    OffsetResetPlan(lines.tail.map { line =>
-      val f = splitCsvLine(line)
-      require(f.length == 5, s"bad reset-plan row: $line")
+    OffsetResetPlan(records.tail.map { f =>
+      require(f.length == 5, s"bad reset-plan row: ${f.mkString(",")}")
       OffsetResetEntry(f(0), f(1), f(2).toInt, f(3).toLong,
         if (f(4).isEmpty) None else Some(f(4).toLong))
     })
   }
 
-  private def splitCsvLine(line: String): Vector[String] = {
-    val fields = Vector.newBuilder[String]
+  /** Full quote-aware tokenizer: record separators are newlines OUTSIDE
+    * quotes, so a quoted group/topic containing an embedded newline — which
+    * toCsv deliberately preserves — round-trips instead of shearing into two
+    * unparseable fragments.
+    */
+  private def splitCsvRecords(csv: String): Vector[Vector[String]] = {
+    val records = Vector.newBuilder[Vector[String]]
+    var fields = Vector.newBuilder[String]
+    var nFields = 0
     val cur = new StringBuilder
     var i = 0
     var inQuotes = false
-    while (i < line.length) {
-      val c = line.charAt(i)
+    def endField(): Unit = { fields += cur.result(); nFields += 1; cur.clear() }
+    def endRecord(): Unit = {
+      endField(); records += fields.result(); fields = Vector.newBuilder; nFields = 0
+    }
+    while (i < csv.length) {
+      val c = csv.charAt(i)
       if (inQuotes) {
         if (c == '"') {
-          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          if (i + 1 < csv.length && csv.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
           else inQuotes = false
         } else cur.append(c)
       } else c match {
         case '"' => inQuotes = true
-        case ',' => fields += cur.result(); cur.clear()
+        case ',' => endField()
+        case '\n' => endRecord()
+        case '\r' => () // swallowed; \r\n ends the record at the \n
         case _ => cur.append(c)
       }
       i += 1
     }
-    fields += cur.result()
-    fields.result()
+    if (cur.nonEmpty || nFields > 0) endRecord()
+    records.result()
   }
 }
 

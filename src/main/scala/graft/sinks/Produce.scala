@@ -107,9 +107,16 @@ object Produce {
         if (baseOffset < 0) baseOffset = base
         subBatches += ((base, batch.size))
         var i = 0
+        var prevSource = Long.MinValue
         batch.foreach { r =>
-          if (i % pairEvery == 0)
+          // contiguity guard: nearest-≤-anchor + delta is only exact while
+          // source offsets are contiguous, so every GAP (compacted topics,
+          // transactional markers) gets its own anchor — sampling stays
+          // O(records/pairEvery + gaps) and the reconstruction stays EXACT;
+          // without this a sampled default silently mis-maps phase-3 resets
+          if (i % pairEvery == 0 || (i > 0 && r.offset != prevSource + 1))
             pairs += OffsetPair(r.offset, base + i, r.timestamp)
+          prevSource = r.offset
           i += 1
         }
         total += batch.size
@@ -134,14 +141,14 @@ object Produce {
       base_offset: Long, record_count: Long,
       sub_bases: Array[Long], sub_counts: Array[Int])
 
-  /** Default pair-sampling interval: one anchor per `pairEvery` records, plus
-    * one at every sub-batch base (producePartition always emits position 0 of
-    * a sub-batch). With contiguous source offsets inside a sub-batch the
-    * nearest-≤ + delta lookup (J1) reconstructs every target EXACTLY from
-    * these anchors — the reference keeps only sub-batch bases for the same
-    * reason (restore/engine.rs:1410-1439). Per-record capture (`pairEvery=1`)
-    * is an opt-in debugging mode, not the default: at 100 TB it is O(records)
-    * driver state.
+  /** Default pair-sampling interval: one anchor per `pairEvery` records, one
+    * at every sub-batch base, and one at every source-offset GAP (the
+    * contiguity guard in producePartition). The nearest-≤ + delta lookup (J1)
+    * therefore reconstructs every target EXACTLY — including compacted
+    * topics — from O(records/pairEvery + gaps) anchors; the reference keeps
+    * sub-batch bases the same way (restore/engine.rs:1410-1439) but without
+    * the gap guard. Per-record capture (`pairEvery=1`) remains an opt-in
+    * debugging mode: at 100 TB it is O(records) driver state.
     */
   val DefaultPairEvery: Int = 1000
 
@@ -176,10 +183,12 @@ object Produce {
     * [[graft.remap.OffsetMappingDF.lookupTargets]]; only the per-(topic,
     * partition) summaries are collected (O(partitions) driver state).
     *
-    * The produce job runs once: events persist at MEMORY_AND_DISK before
-    * either action, so the summary collect and the pairs consumer share one
-    * side-effecting pass. Call `unpersistPairs` (the returned thunk) when the
-    * pairs have been consumed.
+    * The produce job runs ONCE, eagerly, via `localCheckpoint`: lineage is
+    * truncated after the pass, so a lost cached partition can never silently
+    * re-run the side-effecting producer — the job FAILS instead (re-producing
+    * from lineage would duplicate records on the real sink, which is strictly
+    * worse than a loud retryable failure). Call `unpersistPairs` (the
+    * returned thunk) when the pairs have been consumed.
     */
   def runDistributed(records: Dataset[KRecord], sink: RecordSink,
                      maxBatchRecords: Int = 1000, pairEvery: Int = DefaultPairEvery)
@@ -195,7 +204,7 @@ object Produce {
             res.subBatchOffsets.map(_._1).toArray,
             res.subBatchOffsets.map(_._2).toArray))
       }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // eager: produce runs HERE, exactly once
     val results = events.filter(_.is_summary).collect().toSeq
       .map(e => ProduceResult(e.topic, e.partition, e.base_offset,
         e.record_count, e.sub_bases.zip(e.sub_counts).toSeq))

@@ -149,6 +149,8 @@ object KafkaSecurity {
       saslPassword = if (needsCreds) env("KAFKA_PASSWORD") else None,
       sslCaCertPath = if (proto == "SSL" || proto == "SASL_SSL") env("KAFKA_SSL_CA_CERT") else None,
       kerberosServiceName = env("KAFKA_SASL_KERBEROS_SERVICE_NAME"),
-      kerberosKeytabPath = env("KAFKA_SASL_KEYTAB"))
+      kerberosKeytabPath = env("KAFKA_SASL_KEYTAB"),
+      // keytab auth is unusable without the principal — must be env-reachable
+      kerberosPrincipal = env("KAFKA_SASL_PRINCIPAL"))
   }
 }

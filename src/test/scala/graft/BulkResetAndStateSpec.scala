@@ -99,10 +99,48 @@ class BulkResetAndStateSpec extends SparkSpec {
     val plan = OffsetResetPlan(Seq(
       OffsetResetEntry("plain", "t", 0, 5, Some(105)),
       OffsetResetEntry("""evil,"grp""", "to,pic", 1, 6, Some(106)),
+      OffsetResetEntry("new\nline grp", "t", 3, 8, Some(108)), // quoted \n spans lines
       OffsetResetEntry("unresolved", "t", 2, 7, None)))
     val parsed = OffsetResetPlanCsv.parse(plan.toCsv)
     assert(parsed.entries == plan.entries)
     intercept[IllegalArgumentException](OffsetResetPlanCsv.parse("nope\n1,2"))
+  }
+
+  test("bulk reset fail-fast: continueOnError=false skips groups after a failure") {
+    val committer = new BulkOffsetReset.BatchCommitter {
+      def commitBatch(g: String, offsets: Seq[(String, Int, Long)]) =
+        if (g == "g0") offsets.map { case (t, p, _) =>
+          BulkOffsetReset.PartitionError(t, p, "down") }
+        else Nil
+    }
+    // serial pool (maxConcurrent=1) makes the skip deterministic: g0 fails
+    // first, later groups must be skipped, not committed
+    val work = (0 until 5).map(i =>
+      BulkOffsetReset.Batch(s"g$i", Seq(("t", i, 100L))))
+    val report = BulkOffsetReset.execute(committer, work,
+      BulkOffsetReset.Config(maxConcurrent = 1, maxRetryAttempts = 0,
+        continueOnError = false, sleeper = _ => ()))
+    assert(report.failed_groups == 5 && report.status == "failed")
+    assert(report.outcomes.count(_.errors.exists(_.message.startsWith("skipped"))) == 4)
+    // same shape with continueOnError=true commits the healthy groups
+    val tolerant = BulkOffsetReset.execute(committer, work,
+      BulkOffsetReset.Config(maxConcurrent = 1, maxRetryAttempts = 0, sleeper = _ => ()))
+    assert(tolerant.successful_groups == 4 && tolerant.status == "partial")
+  }
+
+  test("report and health JSON are locale-independent (de_DE decimal comma)") {
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try {
+      val report = BulkOffsetReset.execute(
+        BulkOffsetReset.adapt(new RecordingCommitter()),
+        Seq(BulkOffsetReset.Batch("g", Seq(("t", 0, 1L)))))
+      assert(!report.toJson.matches(""".*\d,\d.*"""),
+        s"decimal comma leaked into JSON: ${report.toJson}")
+      val h = new graft.metrics.HealthRegistry()
+      h.recordRecords(5)
+      assert(!h.report().toJson.matches(""".*"current_throughput":\d+,\d.*"""))
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("validate-restore: valid catalog, inverted window, missing manifest") {

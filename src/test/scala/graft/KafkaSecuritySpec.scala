@@ -67,6 +67,10 @@ class KafkaSecuritySpec extends AnyFunSuite {
     val env = Map(
       "KAFKA_USERNAME" -> "u", "KAFKA_PASSWORD" -> "p",
       "KAFKA_SSL_CA_CERT" -> "/env-ca.pem", "KAFKA_SASL_MECHANISM" -> "SCRAM-SHA256")
+    // env-driven GSSAPI keytab auth must be able to supply the principal
+    val krb = KafkaSecurity.fromEnv("SASL_SSL", Some("GSSAPI"), env = Map(
+      "KAFKA_SASL_KEYTAB" -> "/svc.keytab", "KAFKA_SASL_PRINCIPAL" -> "svc@R").get)
+    assert(KafkaSecurity.clientOptions(krb)("sasl.jaas.config").contains("principal=\"svc@R\""))
     val cfg = KafkaSecurity.fromEnv("SASL_SSL", env = env.get)
     assert(cfg.saslMechanism.contains("SCRAM-SHA256"))
     assert(cfg.saslUsername.contains("u") && cfg.saslPassword.contains("p"))

@@ -54,9 +54,12 @@ class ProduceEvidenceSpec extends SparkSpec {
     assert(target.contains(firstPair.target_offset))
   }
 
-  test("default produce keeps driver pairs O(partitions), not O(records)") {
+  test("default produce keeps driver pairs O(partitions) for contiguous sources") {
     import spark.implicits._
-    val records = KRecord.fromEvents(spark, sf0001).as[KRecord] // 1000 records
+    // contiguous per-partition offsets — the normal topic shape the sampled
+    // default is designed for
+    val records = (0 until 4).flatMap(p => (0L until 250L).map(o =>
+      KRecord("t", p, o, 1700000000000L + o, null, s"v$o".getBytes, Nil))).toDS()
     val (results, mapping) = Produce.run(records, new CollectingSink())
     assert(results.map(_.recordCount).sum == 1000)
     // sampled default: anchors only at sub-batch bases + every DefaultPairEvery
@@ -71,9 +74,26 @@ class ProduceEvidenceSpec extends SparkSpec {
       .contains(anchor.target_offset + 7))
   }
 
+  test("sampled default stays EXACT across source-offset gaps (contiguity guard)") {
+    // compacted-topic shape: offsets 0,3,6,... — targets are contiguous, so
+    // plain anchor+delta would mis-map everything past the first gap
+    val sink = new CollectingSink(Map(("t", 0) -> 5000L))
+    val records = (0L until 10L).map(i => rec(i * 3, 1700000000000L + i))
+    val (res, pairs) = Produce.producePartition("t", 0, records.iterator, sink)
+    assert(res.recordCount == 10)
+    var mapping = graft.remap.OffsetMapping()
+    pairs.foreach(p => mapping = mapping.addDetailed("t", 0, p))
+    // every EXISTING source offset resolves to its true produced offset
+    (0L until 10L).foreach { i =>
+      assert(mapping.lookupTargetOffset("t", 0, i * 3).contains(5000L + i),
+        s"source ${i * 3} mis-mapped")
+    }
+  }
+
   test("runDistributed: summaries O(partitions) on the driver, pairs stay a DataFrame") {
     import spark.implicits._
-    val records = KRecord.fromEvents(spark, sf0001).as[KRecord]
+    val records = (0 until 4).flatMap(p => (0L until 250L).map(o =>
+      KRecord("t", p, o, 1700000000000L + o, null, s"v$o".getBytes, Nil))).toDS()
     val (results, pairsDF, unpersist) =
       Produce.runDistributed(records, new CollectingSink(), pairEvery = 100)
     assert(results.map(_.recordCount).sum == 1000)
