@@ -117,6 +117,14 @@ object QueriesData {
         "vec_id", "embedding", q, 10)
     }),
 
+    // multimodal frame sampling: the fake-decoder frame count is pure byte
+    // arithmetic, so the whole batch contract is SQL-expressible and
+    // hash-checked (stride/cap semantics included)
+    "m_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, d), stride = 3,
+          maxFrames = 8)
+        .orderBy("media_id", "frame_idx")),
+
     // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
     "a_label_centroid_norm" -> ((s, d) => emb(s, d)
       .select(col("label"),
@@ -155,6 +163,13 @@ object QueriesData {
       """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "m_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+        |                  CAST(1 + octet_length(encode(text)) // 4096 AS INT) AS n_frames
+        |           FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, CAST(u AS INT) AS frame_idx, n_frames
+        |FROM v, unnest(list_slice(range(0, n_frames, 3), 1, 8)) AS t(u)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "a_ann_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,
@@ -257,10 +272,6 @@ object QueriesData {
         .orderBy("media_id")
     }),
 
-    "m_frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, d), stride = 3,
-          maxFrames = 8)
-        .orderBy("media_id", "frame_idx"))
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = sqlChecked ++ rowsOnly
