@@ -117,6 +117,13 @@ object QueriesData {
         "vec_id", "embedding", q, 10)
     }),
 
+    // language ID rollup: the stopword-profile + CJK heuristic is pure
+    // integer-count arithmetic, so DuckDB reproduces the argmax bit-exactly
+    "d_langid" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+      .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("pred_lang")),
+
     // multimodal frame sampling: the fake-decoder frame count is pure byte
     // arithmetic, so the whole batch contract is SQL-expressible and
     // hash-checked (stride/cap semantics included)
@@ -163,6 +170,28 @@ object QueriesData {
       """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "d_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w,
+        |    greatest(length(text), 1) AS nchars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / greatest(len(w),1) AS s_en,
+        |    len(list_filter(w, x -> x IN ('le','la','et','les','des','un','une','du','que','est')))::DOUBLE / greatest(len(w),1) AS s_fr,
+        |    len(list_filter(w, x -> x IN ('el','la','los','las','que','de','un','una','es','en')))::DOUBLE / greatest(len(w),1) AS s_es,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ein','eine','ist','nicht','mit','den')))::DOUBLE / greatest(len(w),1) AS s_de,
+        |    (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')))::DOUBLE / nchars * 10 AS s_zh
+        |  FROM t),
+        |best AS (
+        |  SELECT doc_id,
+        |    list_max([{'v': s_en, 'k': 'en'}, {'v': s_fr, 'k': 'fr'}, {'v': s_es, 'k': 'es'},
+        |              {'v': s_de, 'k': 'de'}, {'v': s_zh, 'k': 'zh'}]) AS b
+        |  FROM s)
+        |SELECT CASE WHEN b.v > 0 THEN b.k ELSE 'und' END AS pred_lang, count(*) AS n
+        |FROM best GROUP BY 1 ORDER BY pred_lang""".stripMargin,
     "m_frame_sample" ->
       """WITH v AS (SELECT doc_id AS media_id,
         |                  CAST(1 + octet_length(encode(text)) // 4096 AS INT) AS n_frames
@@ -230,11 +259,6 @@ object QueriesData {
       Dedup.embeddingPairs(emb(s, d), "vec_id", "embedding", dim = 64,
           bits = 5, threshold = 0.3)
         .orderBy("id_a", "id_b")),
-
-    "d_langid" -> ((s, d) => docs(s, d)
-      .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
-      .groupBy("pred_lang").agg(count(lit(1)).as("n"))
-      .orderBy("pred_lang")),
 
     // per-doc 64-bit fingerprints — downstream exact-dup key (corpus has no
     // full-text dups, so the doc-level fingerprint table is the deliverable)
