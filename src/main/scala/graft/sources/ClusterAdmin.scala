@@ -34,6 +34,18 @@ trait ClusterAdmin {
 
   /** Phase-3 leg: alterConsumerGroupOffsets. */
   def alterConsumerGroupOffsets(group: String, offsets: Map[(String, Int), Long]): Unit
+
+  /** Restore auto-create leg (admin.rs:158-240 create_topics): create each
+    * topic with its partition count; ALREADY-EXISTS is success (error_code 36
+    * is tolerated there — restores re-run). Returns per-topic outcome:
+    * "created" | "exists".
+    */
+  def createTopics(topics: Map[String, Int]): Map[String, String]
+
+  /** Truncation leg (admin.rs:382-446 delete_records): delete records below
+    * the given offset per partition; returns the new low-water marks.
+    */
+  def deleteRecords(beforeOffsets: Map[(String, Int), Long]): Map[(String, Int), Long]
 }
 
 sealed trait OffsetSpec
@@ -50,7 +62,7 @@ object OffsetSpec {
   * every downstream consumer (the reference's MemoryBackend pattern).
   */
 final class InMemoryClusterAdmin(
-    bounds: Map[(String, Int), (Long, Long)], // earliest, latest (exclusive HWM)
+    initialBounds: Map[(String, Int), (Long, Long)], // earliest, latest (exclusive HWM)
     timeIndex: Map[(String, Int), Seq[(Long, Long)]] = Map.empty, // (offset, ts) ascending
     initialCommitted: Map[String, Map[(String, Int), Long]] = Map.empty)
     extends ClusterAdmin {
@@ -58,13 +70,21 @@ final class InMemoryClusterAdmin(
   private val committed =
     new java.util.concurrent.ConcurrentHashMap[String, Map[(String, Int), Long]]()
   initialCommitted.foreach { case (g, o) => committed.put(g, o) }
+  private val bounds =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, Long)]()
+  initialBounds.foreach { case (tp, b) => bounds.put(tp, b) }
+
+  private def boundsMap: Map[(String, Int), (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    bounds.asScala.toMap
+  }
 
   override def listTopics(): Map[String, Int] =
-    bounds.keys.groupBy(_._1).map { case (t, ks) => t -> (ks.map(_._2).max + 1) }
+    boundsMap.keys.groupBy(_._1).map { case (t, ks) => t -> (ks.map(_._2).max + 1) }
 
   override def listOffsets(specs: Map[(String, Int), OffsetSpec]): Map[(String, Int), Long] =
     specs.flatMap { case (tp, spec) =>
-      bounds.get(tp).flatMap { case (earliest, latest) =>
+      Option(bounds.get(tp)).flatMap { case (earliest, latest) =>
         spec match {
           case OffsetSpec.Earliest => Some(tp -> earliest)
           case OffsetSpec.Latest => Some(tp -> latest)
@@ -88,6 +108,27 @@ final class InMemoryClusterAdmin(
                                          offsets: Map[(String, Int), Long]): Unit =
     committed.compute(group, (_, prev) =>
       Option(prev).getOrElse(Map.empty) ++ offsets)
+
+  override def createTopics(topics: Map[String, Int]): Map[String, String] = {
+    val existing = listTopics().keySet
+    topics.map { case (t, n) =>
+      if (existing.contains(t)) t -> "exists" // error_code 36 path: tolerated
+      else {
+        (0 until n).foreach(p => bounds.put((t, p), (0L, 0L)))
+        t -> "created"
+      }
+    }
+  }
+
+  override def deleteRecords(beforeOffsets: Map[(String, Int), Long])
+      : Map[(String, Int), Long] =
+    beforeOffsets.flatMap { case (tp, off) =>
+      Option(bounds.get(tp)).map { case (earliest, latest) =>
+        val lwm = math.min(math.max(earliest, off), latest)
+        bounds.put(tp, (lwm, latest))
+        tp -> lwm
+      }
+    }
 }
 
 object ClusterAdmin {
@@ -128,6 +169,17 @@ object ClusterAdmin {
     KafkaSourceOptions.startByTimestampPerPartition(bootstrap,
       parts.map(_ -> windowStartMs).toMap)
   }
+
+  /** Restore topic auto-create (restore path of admin.rs create_topics):
+    * every backed-up topic, under its POST-remap name, created with its
+    * recorded partition count (manifest.rs:81-89 effectivePartitionCount);
+    * already-existing topics are fine — restores re-run.
+    */
+  def autoCreateForRestore(admin: ClusterAdmin,
+                           manifest: graft.catalog.BackupManifest,
+                           topicMapping: Map[String, String] = Map.empty): Map[String, String] =
+    admin.createTopics(manifest.topics.map(t =>
+      topicMapping.getOrElse(t.name, t.name) -> t.effectivePartitionCount).toMap)
 
   /** Phase-3 committer backed by the admin facade — plugs into
     * ThreePhaseRestore and BulkOffsetReset unchanged.

@@ -65,6 +65,28 @@ class AdminNotificationSpec extends AnyFunSuite {
     assert(admin.committedOffsets("g1")(("orders", 1)) == 299L)
   }
 
+  test("admin facade: topic auto-create and delete-records legs") {
+    val admin = new InMemoryClusterAdmin(bounds)
+    // create: new topic materializes with its partitions; existing tolerated
+    val r = admin.createTopics(Map("orders" -> 2, "fresh" -> 3))
+    assert(r == Map("orders" -> "exists", "fresh" -> "created"))
+    assert(admin.listTopics()("fresh") == 3)
+    assert(admin.listOffsets(Map(("fresh", 2) -> OffsetSpec.Latest))(("fresh", 2)) == 0L)
+    // manifest-driven auto-create under a topic remap
+    val m = graft.catalog.BackupManifest("b", 0L, None, Nil, "zstd", List(
+      graft.catalog.TopicBackup("orders", Some(4), Nil),
+      graft.catalog.TopicBackup("click", None, List(
+        graft.catalog.PartitionBackup(5, Nil)))))
+    val created = ClusterAdmin.autoCreateForRestore(admin, m,
+      Map("click" -> "click_replay"))
+    assert(created("click_replay") == "created")
+    assert(admin.listTopics()("click_replay") == 6) // max id 5 + 1 fallback
+    // delete-records: low-water mark advances, clamped to the HWM
+    val lwm = admin.deleteRecords(Map(("orders", 0) -> 100L, ("orders", 1) -> 9999L))
+    assert(lwm == Map(("orders", 0) -> 100L, ("orders", 1) -> 300L))
+    assert(admin.listOffsets(Map(("orders", 0) -> OffsetSpec.Earliest))(("orders", 0)) == 100L)
+  }
+
   // --- notifications (K11) ---
 
   private val report = EvidenceReport("b7", 1700000000000L, 1000, 5, "ab" * 32,
