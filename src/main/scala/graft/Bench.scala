@@ -42,10 +42,7 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    def jstr(s: String) = graft.util.Json.escape(s)
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     // a failed query must be loud, not a flattering ~0 s entry

@@ -147,8 +147,11 @@ object QueriesData {
 
   val oracles: Map[String, String] = Map(
     "d_token_count" ->
-      """SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      // list_filter drops the '' fragments regexp_split produces around
+      // leading/trailing non-space whitespace — Spark's tokens() filters
+      // empties, and the denominators must agree exactly
+      """SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                               x -> x <> '')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
@@ -156,8 +159,8 @@ object QueriesData {
         |ORDER BY keep_id""".stripMargin,
     "d_quality" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
-        |                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |                       ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                              x -> x <> '') AS w
         |           FROM documents)
         |SELECT doc_id, len(w) AS n_tokens, n_chars,
         |  round(len(list_filter(w, x -> lower(x) IN
@@ -173,8 +176,8 @@ object QueriesData {
     "d_langid" ->
       """WITH t AS (
         |  SELECT doc_id, text,
-        |    CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS w,
         |    greatest(length(text), 1) AS nchars
         |  FROM documents),
         |s AS (

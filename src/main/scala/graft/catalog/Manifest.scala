@@ -132,12 +132,13 @@ object Manifest {
     //  - file/hdfs/viewfs: write-tmp-then-rename — FileContext.rename(
     //    OVERWRITE) is atomic there, so a crash mid-write can never truncate
     //    the previously valid manifest;
-    //  - object stores (s3a/gs/abfss...): ONE overwrite-create PUT, which the
-    //    store applies atomically. A rename there is delete+server-side-copy:
-    //    a crash between the two leaves the backup with NO manifest — worse
-    //    than the torn-write risk the rename exists to prevent (and some
-    //    schemes have no FileContext binding at all).
-    val atomicRename = Set("file", "hdfs", "viewfs")
+    //  - ADLS (abfs/wasb) renames are atomic metadata ops — rename path too;
+    //  - s3/gs object stores: ONE overwrite-create PUT, committed atomically
+    //    at close. A rename there is delete+server-side-copy: a crash between
+    //    the two leaves the backup with NO manifest — worse than the
+    //    torn-write risk the rename exists to prevent (and some schemes have
+    //    no FileContext binding at all).
+    val atomicRename = Set("file", "hdfs", "viewfs", "abfs", "abfss", "wasb", "wasbs")
       .contains(Option(f.getUri.getScheme).getOrElse("file"))
     if (atomicRename) {
       val tmp = new org.apache.hadoop.fs.Path(

@@ -159,7 +159,7 @@ case class OffsetResetPlan(entries: Seq[OffsetResetEntry]) {
     */
   def toCsv: String = {
     def f(s: String): String =
-      if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + s.replace("\"", "\"\"") + "\"" else s
     ("group_id,topic,partition,source_offset,target_offset" +:
       entries.map(e => s"${f(e.group_id)},${f(e.topic)},${e.partition}," +
@@ -239,7 +239,9 @@ object OffsetResetPlanCsv {
         case '"' => inQuotes = true
         case ',' => endField()
         case '\n' => endRecord()
-        case '\r' => () // swallowed; \r\n ends the record at the \n
+        // \r\n ends the record at the \n; a LONE \r is field content (toCsv
+        // quotes names containing it, but be lossless for foreign CSVs too)
+        case '\r' if i + 1 < csv.length && csv.charAt(i + 1) == '\n' => ()
         case _ => cur.append(c)
       }
       i += 1

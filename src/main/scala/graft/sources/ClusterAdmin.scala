@@ -109,25 +109,33 @@ final class InMemoryClusterAdmin(
     committed.compute(group, (_, prev) =>
       Option(prev).getOrElse(Map.empty) ++ offsets)
 
-  override def createTopics(topics: Map[String, Int]): Map[String, String] = {
-    val existing = listTopics().keySet
-    topics.map { case (t, n) =>
-      if (existing.contains(t)) t -> "exists" // error_code 36 path: tolerated
-      else {
-        (0 until n).foreach(p => bounds.put((t, p), (0L, 0L)))
-        t -> "created"
+  // serializes topic creation's check-then-act (a broker's controller does
+  // the same); per-partition updates below use compute for atomicity
+  private val createLock = new Object
+
+  override def createTopics(topics: Map[String, Int]): Map[String, String] =
+    createLock.synchronized {
+      val existing = listTopics().keySet
+      topics.map { case (t, n) =>
+        if (existing.contains(t)) t -> "exists" // error_code 36 path: tolerated
+        else {
+          (0 until n).foreach(p => bounds.put((t, p), (0L, 0L)))
+          t -> "created"
+        }
       }
     }
-  }
 
   override def deleteRecords(beforeOffsets: Map[(String, Int), Long])
       : Map[(String, Int), Long] =
     beforeOffsets.flatMap { case (tp, off) =>
-      Option(bounds.get(tp)).map { case (earliest, latest) =>
-        val lwm = math.min(math.max(earliest, off), latest)
-        bounds.put(tp, (lwm, latest))
-        tp -> lwm
-      }
+      // atomic + monotonic: concurrent truncations can never REGRESS the
+      // low-water mark (Kafka's log start offset only advances)
+      Option(bounds.compute(tp, (_, prev) =>
+        if (prev == null) null
+        else {
+          val (earliest, latest) = prev
+          (math.max(earliest, math.min(off, latest)), latest)
+        })).map { case (lwm, _) => tp -> lwm }
     }
 }
 
@@ -178,8 +186,11 @@ object ClusterAdmin {
   def autoCreateForRestore(admin: ClusterAdmin,
                            manifest: graft.catalog.BackupManifest,
                            topicMapping: Map[String, String] = Map.empty): Map[String, String] =
-    admin.createTopics(manifest.topics.map(t =>
-      topicMapping.getOrElse(t.name, t.name) -> t.effectivePartitionCount).toMap)
+    admin.createTopics(manifest.topics
+      .map(t => topicMapping.getOrElse(t.name, t.name) -> t.effectivePartitionCount)
+      // two source topics may legally remap onto one target (topic merge):
+      // size the target for the LARGEST source so every partition fits
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max })
 
   /** Phase-3 committer backed by the admin facade — plugs into
     * ThreePhaseRestore and BulkOffsetReset unchanged.

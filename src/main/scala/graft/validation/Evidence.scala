@@ -23,12 +23,10 @@ object Evidence {
     * (evidence/report.rs:134-156).
     */
   def canonicalJson(r: EvidenceReport): String = {
-    def js(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // shared escaper: canonicalization needs DETERMINISM, not a specific
+    // escape spelling — \n as "\\n" vs "\\u000a" both parse to the same
+    // string; what matters is every writer/verifier using the same one
+    def js(s: String) = graft.util.Json.escape(s)
     val checkFields = r.checks.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     // top-level keys in sorted order
