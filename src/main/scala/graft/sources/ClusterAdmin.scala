@@ -46,6 +46,18 @@ trait ClusterAdmin {
     * the given offset per partition; returns the new low-water marks.
     */
   def deleteRecords(beforeOffsets: Map[(String, Int), Long]): Map[(String, Int), Long]
+
+  /** Config read leg (admin.rs:448-511 describe_configs): per-topic config
+    * entries — retention.ms, cleanup.policy and friends drive restore-side
+    * topic sizing decisions.
+    */
+  def describeConfigs(topics: Seq[String]): Map[String, Map[String, String]]
+
+  /** Config write leg (admin.rs:513-570 incremental_alter_configs): SET the
+    * given keys per topic, leaving others untouched (the incremental
+    * semantics, not a whole-config replace).
+    */
+  def alterConfigs(updates: Map[String, Map[String, String]]): Unit
 }
 
 sealed trait OffsetSpec
@@ -136,6 +148,18 @@ final class InMemoryClusterAdmin(
           val (earliest, latest) = prev
           (math.max(earliest, math.min(off, latest)), latest)
         })).map { case (lwm, _) => tp -> lwm }
+    }
+
+  private val configs =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  override def describeConfigs(topics: Seq[String]): Map[String, Map[String, String]] =
+    topics.filter(t => listTopics().contains(t))
+      .map(t => t -> Option(configs.get(t)).getOrElse(Map.empty)).toMap
+
+  override def alterConfigs(updates: Map[String, Map[String, String]]): Unit =
+    updates.foreach { case (t, kv) =>
+      configs.compute(t, (_, prev) => Option(prev).getOrElse(Map.empty) ++ kv)
     }
 }
 

@@ -85,6 +85,13 @@ class AdminNotificationSpec extends AnyFunSuite {
     val lwm = admin.deleteRecords(Map(("orders", 0) -> 100L, ("orders", 1) -> 9999L))
     assert(lwm == Map(("orders", 0) -> 100L, ("orders", 1) -> 300L))
     assert(admin.listOffsets(Map(("orders", 0) -> OffsetSpec.Earliest))(("orders", 0)) == 100L)
+    // ...and never regresses (monotonic log start offset)
+    assert(admin.deleteRecords(Map(("orders", 0) -> 50L)) == Map(("orders", 0) -> 100L))
+    // configs: incremental alter merges keys; describe skips unknown topics
+    admin.alterConfigs(Map("orders" -> Map("retention.ms" -> "604800000")))
+    admin.alterConfigs(Map("orders" -> Map("cleanup.policy" -> "compact")))
+    assert(admin.describeConfigs(Seq("orders", "ghost")) ==
+      Map("orders" -> Map("retention.ms" -> "604800000", "cleanup.policy" -> "compact")))
   }
 
   // --- notifications (K11) ---
