@@ -344,8 +344,10 @@ object Queries {
       val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
       val all = graft.model.KRecord.fromEvents(s, d)
       val cut = all.agg(max("offset")).head().getLong(0) / 2
+      // lz4: the entry proves resume CORRECTNESS; zstd's extra encode cost
+      // belongs to p_backup_throughput, not here
       val cfg = graft.pipelines.BackupConfig("inc", tmp,
-        graft.codec.CompressionCodec.Zstd, enrichHeaders = false)
+        graft.codec.CompressionCodec.Lz4, enrichHeaders = false)
       graft.pipelines.Backup.runIncremental(s, all.filter(col("offset") <= cut), cfg)
       graft.pipelines.Backup.runIncremental(s, all, cfg)
       graft.pipelines.Restore.records(s,
