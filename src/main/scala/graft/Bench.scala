@@ -20,6 +20,10 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
       spark.read.parquet(s"$sfDir/events.parquet").count()
+      // touch the data-ops inputs too: d_*/a_* entries should measure their
+      // operators, not whichever of them pays the first page-cache miss
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count()
       // one-time ANN index builds belong to warmup, not the timed
       // a_ann_lsh_bucketed / a_ann_ivf entries (which bench the pruned probe)
       QueriesData.ensureBucketedAnn(spark, sfDir)

@@ -82,6 +82,13 @@ object QueriesData {
       .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")),
 
+    // text: BPE-ish subword estimate (ceil(len/4) per word approximates LLM
+    // tokenizer fragmentation) — integer arithmetic, exactly reproducible
+    "d_subword_count" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"),
+        TextFunctions.subwordCountEstimate(col("text")).as("n_subwords"))
+      .orderBy("doc_id")),
+
     // dedup: exact on a normalized 40-char-prefix digest (collisions exist)
     "d_exact_dedup" -> ((s, d) => docs(s, d)
       .groupBy(md5(lower(substring(col("text"), 1, 40))).as("dup_key"))
@@ -152,6 +159,12 @@ object QueriesData {
       // empties, and the denominators must agree exactly
       """SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |                               x -> x <> '')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
+        |    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
