@@ -144,8 +144,9 @@ object QueriesData {
       .select(col("label"),
         Dedup.cosine(col("embedding").cast("array<double>"),
           col("embedding").cast("array<double>")).as("self_cos"),
-        sqrt(aggregate(transform(col("embedding").cast("array<double>"), x => x * x),
-          lit(0.0d), (a, v) => a + v)).as("norm"))
+        sqrt(graft.functions.KFunctions.array_dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("norm"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg("norm"), 6).as("avg_norm"),
         round(min("self_cos"), 6).as("min_self_cos"))

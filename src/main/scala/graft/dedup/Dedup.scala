@@ -201,9 +201,10 @@ object Dedup {
     * padded/failed embedding rows must not abort the job.
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    import graft.functions.KFunctions.array_dot
+    val dot = array_dot(a, b)
+    val na = sqrt(array_dot(a, a))
+    val nb = sqrt(array_dot(b, b))
     when(na * nb =!= 0.0d, dot / (na * nb))
   }
 
@@ -222,9 +223,8 @@ object Dedup {
           java.nio.ByteBuffer.allocate(8).putInt(b).putInt(i).array())
         if ((h & 1) == 0) 1.0 else -1.0
       }
-      val dot = aggregate(zip_with(vec,
-        array((0 until dim).map(i => lit(weight(i))): _*),
-        (x, w) => x * w), lit(0.0d), (acc, v) => acc + v)
+      val dot = graft.functions.KFunctions.array_dot(vec,
+        array((0 until dim).map(i => lit(weight(i))): _*))
       when(dot >= 0, lit(1L << b)).otherwise(0L)
     }
     sig.reduce((a: Column, b: Column) => a.bitwiseOR(b))
@@ -242,8 +242,8 @@ object Dedup {
     val vd = col(vecCol).cast("array<double>")
     val sigs = df.select(col(idCol).as("id"), vd.as("vec"),
         hyperplaneSignature(vd, dim, bits).as("bucket"))
-      .withColumn("norm", sqrt(aggregate(transform(col("vec"), x => x * x),
-        lit(0.0d), (acc, v) => acc + v)))
+      .withColumn("norm",
+        sqrt(graft.functions.KFunctions.array_dot(col("vec"), col("vec"))))
       .filter(col("norm") =!= 0.0d) // zero vectors can't cosine-pair (ANSI ÷0)
       .withColumn("unit", transform(col("vec"), x => x / col("norm")))
       .select("id", "bucket", "unit")
@@ -252,8 +252,7 @@ object Dedup {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", round(
-        aggregate(zip_with(col("unit_a"), col("unit_b"), (x, y) => x * y),
-          lit(0.0d), (acc, v) => acc + v), 6))
+        graft.functions.KFunctions.array_dot(col("unit_a"), col("unit_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

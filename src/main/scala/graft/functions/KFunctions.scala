@@ -122,6 +122,13 @@ object KFunctions {
     */
   def kafka_murmur2(c: Column): Column = exprCol(KafkaMurmur2(exprOf(c)))
 
+  /** Dot product of two array<double> columns — native codegen expression
+    * (see [[DoubleArrayDot]]); bit-identical to the interpreted
+    * aggregate(zip_with(...)) form it replaces on the ANN/dedup hot paths.
+    */
+  def array_dot(a: Column, b: Column): Column =
+    exprCol(DoubleArrayDot(exprOf(a), exprOf(b)))
+
   /** Kafka default-partitioner target partition for a key column:
     * toPositive(murmur2(key)) % n, composed from the native expression so the
     * whole placement stays in codegen.
