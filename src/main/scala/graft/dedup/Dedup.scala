@@ -38,25 +38,20 @@ object Dedup {
 
   /** MinHash signatures for a whole corpus: (id, sig array<long> of length k).
     *
-    * Shape matters here: the shingle array is exploded once and the k min
-    * slots are computed as k `min` aggregates — Spark's partial (map-side)
-    * aggregation means each shingle is hashed k times exactly once, and the
-    * shuffle carries only k longs per document. The tempting pure-column
-    * alternative (k × array_min(transform(shingles, …)) in one projection)
-    * re-evaluates the shingle expression per slot — interpreted higher-order
-    * functions get no common-subexpression elimination — and is quadratic in
-    * practice.
+    * One narrow map: the native [[graft.functions.MinHashSig]] kernel
+    * computes all k running minima in a single pass over the shingle array —
+    * NO explode, NO shuffle, no aggregation state. (The previous shape —
+    * explode + k map-side min-aggregates — was already shuffle-light, but it
+    * still paid a groupBy exchange; hash-compatible by construction, so
+    * signatures are bit-identical. The tempting pure-HOF alternative,
+    * k × array_min(transform(...)), re-evaluates the shingle expression per
+    * slot and is quadratic in practice.)
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, k: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode_outer(TextFunctions.shingles(col(textCol), shingleN)).as("shingle"))
-    exploded.groupBy("id")
-      .agg(array((0 until k).map(seed =>
-        coalesce(min(when(col("shingle").isNotNull,
-          xxhash64(col("shingle"), lit(seed)))), lit(Long.MaxValue))): _*)
-        .as("sig"))
-  }
+                        shingleN: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.KFunctions.minhash_sig(
+        TextFunctions.shingles(col(textCol), shingleN), k).as("sig"))
 
   /** LSH banding: signature of length k split into `bands` bands of k/bands
     * rows; each band hashed to one bucket key. Docs sharing any band bucket
@@ -93,9 +88,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("jaccard_est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k)
+        graft.functions.KFunctions.array_eq_count(col("sig_a"), col("sig_b"))
+          .cast("double") / k)
       .filter(col("jaccard_est") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 6).as("jaccard_est"))
   }

@@ -129,6 +129,19 @@ object KFunctions {
   def array_dot(a: Column, b: Column): Column =
     exprCol(DoubleArrayDot(exprOf(a), exprOf(b)))
 
+  /** k-slot MinHash signature of an array<string> column in one map pass —
+    * native codegen expression, hash-compatible with
+    * min(xxhash64(shingle, lit(seed))) per slot (see [[MinHashSig]]).
+    */
+  def minhash_sig(shingles: Column, k: Int): Column =
+    exprCol(MinHashSig(exprOf(shingles), k))
+
+  /** Count of equal positions in two array<long> columns — the MinHash
+    * agreement estimator as a native codegen loop (see [[LongArrayEqCount]]).
+    */
+  def array_eq_count(a: Column, b: Column): Column =
+    exprCol(LongArrayEqCount(exprOf(a), exprOf(b)))
+
   /** Kafka default-partitioner target partition for a key column:
     * toPositive(murmur2(key)) % n, composed from the native expression so the
     * whole placement stays in codegen.

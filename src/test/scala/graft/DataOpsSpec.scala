@@ -53,6 +53,25 @@ class DataOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
   }
 
+  test("native minhash kernel is hash-compatible with the aggregate formulation") {
+    import graft.text.TextFunctions
+    val df = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val native = Dedup.minhashSignatures(df, "doc_id", "text", 3, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the formulation the kernel replaces: explode + min(xxhash64(shingle, seed))
+    val exploded = df.select(col("doc_id").as("id"),
+      explode_outer(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+    val legacy = exploded.groupBy("id")
+      .agg(array((0 until 64).map(seed =>
+        coalesce(min(when(col("shingle").isNotNull,
+          xxhash64(col("shingle"), lit(seed)))), lit(Long.MaxValue))): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == legacy.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig == legacy(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("simhash: identical texts at hamming 0; near texts close; far texts far") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base + " extra"

@@ -71,20 +71,14 @@ class PlanSpec extends SparkSpec {
       "the 100 TB data side must not shuffle for a metadata-sized state table")
   }
 
-  test("dedup signature computation carries only fixed-width data through the shuffle") {
+  test("dedup signature computation is a pure map — zero shuffles") {
     val sigs = graft.dedup.Dedup.minhashSignatures(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", 3, 64)
     val p = sigs.queryExecution.explainString(FormattedMode)
-    assert(p.contains("partial_min") || p.contains("min("),
-      "minhash mins must partial-aggregate map-side")
-    // the Exchange node's Input list must not include the text column —
-    // only the doc id and the 64 partial-min buffers cross the wire
-    val nodeHeader = p.linesIterator.find(_.matches("""\(\d+\) Exchange.*""")).get
-    val nodeId = nodeHeader.takeWhile(_ != ')').drop(1)
-    val detail = p.substring(p.indexOf(s"($nodeId) Exchange"))
-    val inputLine = detail.linesIterator.find(_.startsWith("Input")).getOrElse("")
-    assert(!inputLine.contains("text#"), s"shuffle must not carry document text: $inputLine")
-    assert(inputLine.contains("min#") || inputLine.contains("id#"),
-      s"expected aggregation buffers in exchange input: $inputLine")
+    // the native MinHashSig kernel removed the explode + groupBy entirely:
+    // signatures must now be scan → project, with no exchange at any point
+    assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Generate"), "no explode expected in the signature stage")
+    assert(p.contains("minhash_sig"), "native kernel missing from the plan")
   }
 }
