@@ -94,42 +94,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 6).as("jaccard_est"))
   }
 
-  /** 64-bit SimHash over token xxhash64s — weighted bit voting. Single-row
-    * column form, for tests and small frames; corpus-scale callers use
-    * [[simhashSignatures]].
+  /** 64-bit SimHash of a text column — same native kernel as
+    * [[simhashSignatures]] (NULL for empty documents).
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << i)).otherwise(0L)
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.KFunctions.simhash_sig(TextFunctions.tokens(text))
 
-  /** Corpus SimHash via explode + 64 vote-sum aggregates (same rationale as
-    * [[minhashSignatures]]: tokens hashed once, map-side partial aggregation,
-    * shuffle carries 64 ints per doc).
+  /** Corpus SimHash as ONE narrow map via the native
+    * [[graft.functions.SimHashSig]] kernel — no explode, no shuffle, no
+    * 64-column vote aggregation. Empty documents get a NULL signature (they
+    * must not all collide on one value); hash-compatible with the per-token
+    * xxhash64 bit-vote formulation it replaces.
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // xxhash64(NULL) returns the seed (42), not NULL — hash only real tokens
-    // so empty documents end with a NULL signature instead of all sharing one
-    val exploded = df.select(col(idCol).as("id"),
-        explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("id"),
-        when(col("tok").isNotNull, xxhash64(col("tok"))).as("h"))
-    val voteCols = (0 until 64).map(i =>
-      sum(when(col("h").isNull, lit(null))
-        .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$i"))
-    val votes = exploded.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-    val sig = (0 until 64)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
-    votes.select(col("id"),
-      when(col("v0").isNotNull, sig).as("sig"))
-  }
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.KFunctions.simhash_sig(
+        TextFunctions.tokens(col(textCol))).as("sig"))
 
   /** SimHash near-dup candidates: 4 bands of 16 bits; Hamming distance ≤ 3
     * guarantees an exact match in at least one band (pigeonhole). Exact

@@ -142,6 +142,11 @@ object KFunctions {
   def array_eq_count(a: Column, b: Column): Column =
     exprCol(LongArrayEqCount(exprOf(a), exprOf(b)))
 
+  /** 64-bit SimHash of an array<string> token column in one map pass —
+    * native codegen expression (see [[SimHashSig]]); NULL for empty docs.
+    */
+  def simhash_sig(tokens: Column): Column = exprCol(SimHashSig(exprOf(tokens)))
+
   /** Kafka default-partitioner target partition for a key column:
     * toPositive(murmur2(key)) % n, composed from the native expression so the
     * whole placement stays in codegen.
