@@ -84,13 +84,16 @@ object Dedup {
       col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
       col("sig").as("sig_b"))
+    // score FIRST (native, cheap), dedup LAST: the dropDuplicates shuffle
+    // then carries only the pairs that pass the threshold — at a 0.2+
+    // threshold that is orders of magnitude fewer rows than all candidates
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("jaccard_est",
         graft.functions.KFunctions.array_eq_count(col("sig_a"), col("sig_b"))
           .cast("double") / k)
       .filter(col("jaccard_est") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 6).as("jaccard_est"))
   }
 
@@ -127,11 +130,13 @@ object Dedup {
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+    // filter on Hamming BEFORE the dedup shuffle (same result, far fewer
+    // rows cross the wire)
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 
