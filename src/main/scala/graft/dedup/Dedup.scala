@@ -181,9 +181,14 @@ object Dedup {
     */
   def cosine(a: Column, b: Column): Column = {
     import graft.functions.KFunctions.array_dot
-    val dot = array_dot(a, b)
-    val na = sqrt(array_dot(a, a))
-    val nb = sqrt(array_dot(b, b))
+    // defensive cast: the native dot kernel is array<double>-only; callers
+    // passing the raw float embedding column keep working (no-op when the
+    // input is already double)
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = array_dot(ad, bd)
+    val na = sqrt(array_dot(ad, ad))
+    val nb = sqrt(array_dot(bd, bd))
     when(na * nb =!= 0.0d, dot / (na * nb))
   }
 

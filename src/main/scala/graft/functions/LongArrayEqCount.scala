@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   *
   * Replaces `aggregate(zip_with(a, b, (x,y) => if(x===y) 1 else 0), 0, _+_)`
   * which runs interpreted per CANDIDATE PAIR in the LSH join (the hot spot of
-  * minhashPairs). NULL when either side is null or lengths differ, matching
-  * the HOF form's zip_with padding semantics; null ELEMENTS count as
-  * non-matches (the signatures here are containsNull=false anyway).
+  * minhashPairs). Semantics match that HOF form exactly: NULL only when
+  * either ARRAY is null; mismatched lengths count agreements over the
+  * overlap (zip_with pads the shorter side with nulls, and null === x
+  * resolves to a 0 contribution); null elements count as non-matches (the
+  * signatures here are containsNull=false anyway).
   */
 case class LongArrayEqCount(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -36,8 +38,7 @@ case class LongArrayEqCount(left: Expression, right: Expression) extends BinaryE
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    if (n != b.numElements()) return null
+    val n = math.min(a.numElements(), b.numElements())
     var c = 0
     var i = 0
     while (i < n) {
@@ -53,16 +54,12 @@ case class LongArrayEqCount(left: Expression, right: Expression) extends BinaryE
       val i = ctx.freshName("i")
       val c = ctx.freshName("c")
       s"""
-         |final int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  int $c = 0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if (!$a.isNullAt($i) && !$b.isNullAt($i) && $a.getLong($i) == $b.getLong($i)) $c++;
-         |  }
-         |  ${ev.value} = $c;
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && $a.getLong($i) == $b.getLong($i)) $c++;
          |}
+         |${ev.value} = $c;
        """.stripMargin
     })
 

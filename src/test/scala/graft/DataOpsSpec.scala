@@ -55,7 +55,10 @@ class DataOpsSpec extends SparkSpec {
 
   test("native minhash kernel is hash-compatible with the aggregate formulation") {
     import graft.text.TextFunctions
-    val df = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    // orderBy before limit: an unordered limit may pick different rows for
+    // the two independent jobs below
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+      .orderBy("doc_id").limit(50)
     val native = Dedup.minhashSignatures(df, "doc_id", "text", 3, 64)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     // the formulation the kernel replaces: explode + min(xxhash64(shingle, seed))
@@ -70,6 +73,47 @@ class DataOpsSpec extends SparkSpec {
     native.foreach { case (id, sig) =>
       assert(sig == legacy(id), s"signature mismatch for doc $id")
     }
+  }
+
+  test("native simhash/dot/eq-count kernels are bit-compatible with the HOF forms") {
+    import graft.functions.KFunctions.{array_dot, array_eq_count, simhash_sig}
+    import graft.text.TextFunctions
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+      .orderBy("doc_id").limit(50)
+    // simhash vs the explode-free legacy column formulation
+    val both = df.select(col("doc_id"),
+        simhash_sig(TextFunctions.tokens(col("text"))).as("native"),
+        (0 until 64).map { i =>
+          val votes = aggregate(transform(TextFunctions.tokens(col("text")),
+              t => xxhash64(t)), lit(0),
+            (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+          when(votes > 0, lit(1L << i)).otherwise(0L)
+        }.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          a.bitwiseOR(b)).as("legacy"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"simhash mismatch for doc ${r.getLong(0)}"))
+    // dot product vs aggregate(zip_with) on the embeddings, bit-identical
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .orderBy("vec_id").limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    emb.select(col("vec_id"), array_dot(col("v"), col("v")).as("native"),
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0d),
+          (acc, x) => acc + x).as("legacy"))
+      .collect().foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+    // eq-count vs zip_with form, including the length-mismatch overlap rule
+    import spark.implicits._
+    val pairs = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)), // 2 agreements
+      (Seq(1L, 2L), Seq(1L)), // overlap only: 1 agreement, NOT null
+      (Seq.empty[Long], Seq(1L))) // 0
+      .toDF("a", "b")
+    val cmp = pairs.select(array_eq_count(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+        (acc, v) => acc + v).as("legacy")).collect()
+    cmp.foreach(r => assert(!r.isNullAt(0) && r.getInt(0) == r.getInt(1),
+      s"eq-count mismatch: ${r.toString}"))
   }
 
   test("simhash: identical texts at hamming 0; near texts close; far texts far") {
