@@ -147,6 +147,12 @@ object KFunctions {
     */
   def simhash_sig(tokens: Column): Column = exprCol(SimHashSig(exprOf(tokens)))
 
+  /** Word n-gram shingles of an array<string> token column — native codegen
+    * expression (see [[WordShingles]]).
+    */
+  def word_shingles(tokens: Column, n: Int): Column =
+    exprCol(WordShingles(exprOf(tokens), n))
+
   /** Kafka default-partitioner target partition for a key column:
     * toPositive(murmur2(key)) % n, composed from the native expression so the
     * whole placement stays in codegen.

@@ -29,21 +29,17 @@ object TextFunctions {
   }
 
   /** Word-level n-gram shingles: contiguous n-token windows joined by a
-    * single space.
+    * single space — the native [[graft.functions.WordShingles]] kernel (one
+    * pass, no interpreted HOFs; both dedup families pay this per document).
     *
-    * Built by zipping n shifted slices of the token array and joining the
-    * struct fields — the lambda touches only its own parameter. CRITICAL
-    * perf detail: a lambda that references an OUTER expression (e.g.
-    * `transform(seq, i => element_at(tokens(text), i))`) re-evaluates that
-    * expression per element, turning tokenization into O(tokens²) per
-    * document; the zip form evaluates the token array once per row.
+    * Historical perf note kept because the trap generalizes: a composable
+    * HOF formulation must zip SHIFTED SLICES, never
+    * `transform(seq, i => element_at(tokens(text), i))` — a lambda that
+    * references an outer expression re-evaluates it per element, turning
+    * tokenization into O(tokens²) per document.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    val zipped = arrays_zip((0 until n).map(j =>
-      slice(t, lit(j + 1), greatest(size(t) - n + 1, lit(0))).as(s"t$j")): _*)
-    transform(zipped, s => concat_ws(" ", (0 until n).map(j => s.getField(s"t$j")): _*))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.KFunctions.word_shingles(tokens(text), n)
 
   /** Character n-grams of the raw string (for language ID / fingerprints).
     * Same zip construction as [[shingles]] to keep it O(chars) per row.

@@ -101,6 +101,18 @@ class DataOpsSpec extends SparkSpec {
         aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0d),
           (acc, x) => acc + x).as("legacy"))
       .collect().foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
+    // shingles vs the zip-of-shifted-slices formulation, element-exact
+    val sh = df.select(col("doc_id"),
+        TextFunctions.shingles(col("text"), 3).as("native"), {
+          val t = TextFunctions.tokens(col("text"))
+          val zipped = arrays_zip((0 until 3).map(j =>
+            slice(t, lit(j + 1), greatest(size(t) - 3 + 1, lit(0))).as(s"t$j")): _*)
+          transform(zipped, s =>
+            concat_ws(" ", (0 until 3).map(j => s.getField(s"t$j")): _*)).as("legacy")
+        })
+      .collect()
+    sh.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+      s"shingle mismatch for doc ${r.getLong(0)}"))
     // eq-count vs zip_with form, including the length-mismatch overlap rule
     import spark.implicits._
     val pairs = Seq(
