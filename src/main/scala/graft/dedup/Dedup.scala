@@ -153,7 +153,10 @@ object Dedup {
     val inv = df.select(col(idCol).as("id"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN)))
         .as("shingle"))
-    val sizes = inv.groupBy("id").agg(count(lit(1)).as("n"))
+    // |shingle set| per doc straight off the array — a narrow map, where
+    // groupBy-counting the exploded index would pay a whole extra shuffle
+    val sizes = df.select(col(idCol).as("id"),
+      size(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("n"))
     val buckets = inv.groupBy("shingle")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDocFreq)
