@@ -160,11 +160,10 @@ object Dedup {
     val buckets = inv.groupBy("shingle")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDocFreq)
-    // all (i < j) combinations within a bucket
-    val pairStructs = flatten(transform(col("ids"), (a, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        b => struct(a.as("id_a"), b.as("id_b")))))
-    val pairs = buckets.select(explode(pairStructs).as("p"))
+    // all (i < j) combinations within a bucket — native kernel; the nested
+    // transform-of-slices form evaluated an interpreted lambda per PAIR
+    val pairs = buckets
+      .select(explode(graft.functions.KFunctions.sorted_id_pairs(col("ids"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs

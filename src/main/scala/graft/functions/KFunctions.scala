@@ -153,6 +153,11 @@ object KFunctions {
   def word_shingles(tokens: Column, n: Int): Column =
     exprCol(WordShingles(exprOf(tokens), n))
 
+  /** All (i < j) pairs of an array<long> column as array<struct<id_a,id_b>>
+    * — native codegen expression (see [[SortedIdPairs]]).
+    */
+  def sorted_id_pairs(ids: Column): Column = exprCol(SortedIdPairs(exprOf(ids)))
+
   /** Kafka default-partitioner target partition for a key column:
     * toPositive(murmur2(key)) % n, composed from the native expression so the
     * whole placement stays in codegen.
