@@ -153,6 +153,10 @@ object KFunctions {
   def word_shingles(tokens: Column, n: Int): Column =
     exprCol(WordShingles(exprOf(tokens), n))
 
+  /** Character n-grams: the same windowing kernel with an empty separator. */
+  def char_ngrams(chars: Column, n: Int): Column =
+    exprCol(WordShingles(exprOf(chars), n, sep = ""))
+
   /** All (i < j) pairs of an array<long> column as array<struct<id_a,id_b>>
     * — native codegen expression (see [[SortedIdPairs]]).
     */

@@ -21,10 +21,20 @@ object IdPairs {
   def pairs(arr: ArrayData): ArrayData = {
     if (arr == null) return null
     val n = arr.numElements()
-    val out = new Array[AnyRef](n * (n - 1) / 2)
+    // Long math: n(n-1)/2 overflows Int past ~46k ids, which would wrap to a
+    // negative (or worse, small positive) array size. A bucket that large
+    // means the caller's skew cap is off — fail with the real story.
+    val count = n.toLong * (n - 1) / 2
+    require(count <= Int.MaxValue - 8,
+      s"id-pair expansion of a $n-element bucket would produce $count pairs; " +
+        "cap bucket sizes (maxDocFreq) before expanding")
+    val out = new Array[AnyRef](count.toInt)
     var k = 0
     var i = 0
     while (i < n) {
+      // null ids cannot form real pairs; getLong would silently read 0 and
+      // fabricate (0, x) candidates — loud beats corrupt
+      require(!arr.isNullAt(i), s"sorted_id_pairs: null id at position $i")
       val a = arr.getLong(i)
       var j = i + 1
       while (j < n) {

@@ -41,15 +41,11 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     graft.functions.KFunctions.word_shingles(tokens(text), n)
 
-  /** Character n-grams of the raw string (for language ID / fingerprints).
-    * Same zip construction as [[shingles]] to keep it O(chars) per row.
+  /** Character n-grams of the raw string (for language ID / fingerprints) —
+    * the same native windowing kernel as [[shingles]], empty separator.
     */
-  def charNgrams(text: Column, n: Int): Column = {
-    val chars = split(lower(text), "")
-    val zipped = arrays_zip((0 until n).map(j =>
-      slice(chars, lit(j + 1), greatest(size(chars) - n + 1, lit(0))).as(s"c$j")): _*)
-    transform(zipped, s => concat_ws("", (0 until n).map(j => s.getField(s"c$j")): _*))
-  }
+  def charNgrams(text: Column, n: Int): Column =
+    graft.functions.KFunctions.char_ngrams(split(lower(text), ""), n)
 
   // Stopword profiles for the n-gram/stopword language-ID heuristic.
   private val profiles: Map[String, Seq[String]] = Map(

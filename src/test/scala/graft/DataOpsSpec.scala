@@ -80,8 +80,12 @@ class DataOpsSpec extends SparkSpec {
     import graft.text.TextFunctions
     val df = spark.read.parquet(s"$sf0001/documents.parquet")
       .orderBy("doc_id").limit(50)
-    // simhash vs the explode-free legacy column formulation
-    val both = df.select(col("doc_id"),
+    // simhash vs the explode-free legacy column formulation — restricted to
+    // docs WITH tokens: the kernel's empty-doc semantics are deliberately
+    // NULL where the legacy vote chain collapsed to 0L
+    val nonEmpty = df.filter(size(TextFunctions.tokens(col("text"))) > 0)
+    assert(nonEmpty.count() > 0)
+    val both = nonEmpty.select(col("doc_id"),
         simhash_sig(TextFunctions.tokens(col("text"))).as("native"),
         (0 until 64).map { i =>
           val votes = aggregate(transform(TextFunctions.tokens(col("text")),
@@ -93,6 +97,9 @@ class DataOpsSpec extends SparkSpec {
       .collect()
     both.foreach(r => assert(r.getLong(1) == r.getLong(2),
       s"simhash mismatch for doc ${r.getLong(0)}"))
+    // the empty-doc divergence is intentional: kernel yields NULL, never 0
+    val empty = docsDF((9L, "   ")).select(Dedup.simhash(col("text"))).head()
+    assert(empty.isNullAt(0), "empty doc must simhash to NULL")
     // dot product vs aggregate(zip_with) on the embeddings, bit-identical
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .orderBy("vec_id").limit(50)
