@@ -120,6 +120,10 @@ class DataOpsSpec extends SparkSpec {
       .collect()
     sh.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
       s"shingle mismatch for doc ${r.getLong(0)}"))
+    // char n-grams share the windowing kernel with an empty separator
+    val cn = docsDF((1L, "AbC d")).select(
+      TextFunctions.charNgrams(col("text"), 3).as("g")).head().getSeq[String](0)
+    assert(cn == Seq("abc", "bc ", "c d"), s"char ngrams wrong: $cn")
     // eq-count vs zip_with form, including the length-mismatch overlap rule
     import spark.implicits._
     val pairs = Seq(
