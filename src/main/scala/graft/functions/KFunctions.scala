@@ -157,6 +157,15 @@ object KFunctions {
   def char_ngrams(chars: Column, n: Int): Column =
     exprCol(WordShingles(exprOf(chars), n, sep = ""))
 
+  /** Count of array<string> elements in a fixed word set — native (see
+    * [[StringInSetCount]]).
+    */
+  def string_in_set_count(arr: Column, words: Seq[String]): Column =
+    exprCol(StringInSetCount(exprOf(arr), words))
+
+  /** Count of CJK (U+4E00..U+9FFF) characters — native (see [[CjkCount]]). */
+  def cjk_count(text: Column): Column = exprCol(CjkCount(exprOf(text)))
+
   /** All (i < j) pairs of an array<long> column as array<struct<id_a,id_b>>
     * — native codegen expression (see [[SortedIdPairs]]).
     */

@@ -63,12 +63,14 @@ object TextFunctions {
   def langId(text: Column): Column = {
     val t = tokens(lower(text))
     val n = greatest(size(t), lit(1))
+    // native set-membership counter: the filter+isin HOF evaluated an
+    // interpreted lambda per token PER PROFILE (4 profiles × every doc)
     def score(lang: String): Column =
-      size(filter(t, w => w.isin(profiles(lang): _*))).cast("double") / n
-    // CJK fraction without regex: UTF-8 binary order equals code-point order,
-    // so a plain string-range comparison per char beats both per-char rlike
-    // and a whole-document regexp_replace
-    val cjk = size(filter(split(text, ""), c => c >= "一" && c <= "鿿"))
+      graft.functions.KFunctions.string_in_set_count(t, profiles(lang))
+        .cast("double") / n
+    // native CJK char counter (one walk of the UTF-8 bytes; counts identical
+    // to the per-char string-range comparison it replaces)
+    val cjk = graft.functions.KFunctions.cjk_count(text)
       .cast("double") / greatest(length(text), lit(1))
     val scored = map(
       lit("en"), score("en"), lit("fr"), score("fr"), lit("es"), score("es"),
@@ -92,7 +94,8 @@ object TextFunctions {
       .cast("double") / len
     val digits = (length(text) - length(regexp_replace(text, "[0-9]", "")))
       .cast("double") / len
-    val stop = size(filter(t, w => lower(w).isin(profiles("en"): _*))).cast("double") / nTok
+    val stop = graft.functions.KFunctions.string_in_set_count(
+      transform(t, w => lower(w)), profiles("en")).cast("double") / nTok
     val meanWordLen = aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok
     struct(
       size(t).as("n_tokens"),
