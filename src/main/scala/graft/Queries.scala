@@ -215,27 +215,21 @@ object Queries {
         .orderBy("event_id")
     }),
 
-    // J3 consumer-group reset plan: committed offsets → target via as-of
+    // J3 consumer-group reset plan: committed offsets → target via as-of.
+    // Routed through OffsetMappingDF.resetPlan: mapping pruned to committed
+    // partitions + one as-of lookup per distinct probe — never the G×M
+    // crossJoin replication (the plan shape is locked in PlanSpec).
     "q_group_reset_plan" -> ((s, d) => {
-      val committed = events(s, d).groupBy(col("event_type").as("grp"), col("p"))
-        .agg(max("event_id").as("committed"))
-      val m = mapping(s, d)
-      val w = Window.partitionBy("grp", "p").orderBy(col("k"), col("is_m").desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      // mapping replicated per group (groups are few; broadcast-sized)
-      val mm = committed.select(col("grp")).distinct()
-        .crossJoin(m)
-        .select(col("grp"), col("p"), col("src").as("k"), col("src"), col("tgt"),
-          lit(1).as("is_m"))
-      val pr = committed.select(col("grp"), col("p"), col("committed").as("k"),
-        lit(null).cast("bigint").as("src"), lit(null).cast("bigint").as("tgt"),
-        lit(0).as("is_m"))
-      mm.unionByName(pr)
-        .withColumn("asof_src", last("src", ignoreNulls = true).over(w))
-        .withColumn("asof_tgt", last("tgt", ignoreNulls = true).over(w))
-        .filter(col("is_m") === 0 && col("asof_src").isNotNull)
-        .select(col("grp"), col("p"), col("k").as("committed"),
-          (col("asof_tgt") + (col("k") - col("asof_src"))).as("target"))
+      val committed = events(s, d)
+        .groupBy(col("event_type").as("group_id"), col("p").as("partition"))
+        .agg(max("event_id").as("committed_offset"))
+        .withColumn("topic", lit("events"))
+      val m = mapping(s, d).select(lit("events").as("topic"),
+        col("p").as("partition"), col("src").as("source_offset"),
+        col("tgt").as("target_offset"))
+      graft.remap.OffsetMappingDF.resetPlan(committed, m)
+        .select(col("group_id").as("grp"), col("partition").as("p"),
+          col("committed_offset").as("committed"), col("target_offset").as("target"))
         .orderBy("grp", "p")
     }),
 

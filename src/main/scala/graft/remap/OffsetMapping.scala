@@ -280,6 +280,34 @@ object OffsetMappingDF {
         (col("asof_tgt") + (col("k") - col("asof_src"))).as("target_offset"))
   }
 
+  /** J3 distributed consumer-group reset plan (restore/offset_reset.rs:251-335):
+    * committed `(group_id, topic, partition, committed_offset)` × mapping
+    * `(topic, partition, source_offset, target_offset)` → one plan row per
+    * committed entry with a `target_offset`, WITHOUT replicating the mapping
+    * per group.
+    *
+    * Scale shape (the crossJoin this replaces shipped G×M rows into the
+    * window shuffle): (1) the mapping is pruned with a broadcast semi-join to
+    * the (topic, partition) set the groups actually commit to — groups commit
+    * to few partitions of a large estate; (2) the as-of window runs once per
+    * DISTINCT (topic, partition, committed_offset) probe, so thousands of
+    * groups sharing a committed offset share one lookup; (3) groups rejoin on
+    * the probe key. The mapping is never replicated per group — locked by a
+    * PlanSpec assertion (no cartesian/nested-loop join, mapping side pruned).
+    * Unmappable entries (no mapping point ≤ committed) are dropped, matching
+    * the reference's skip-with-warning behavior.
+    */
+  def resetPlan(committed: DataFrame, mapping: DataFrame): DataFrame = {
+    val parts = committed.select("topic", "partition").distinct()
+    val pruned = mapping.join(broadcast(parts), Seq("topic", "partition"), "left_semi")
+    val probes = committed.select(col("topic"), col("partition"),
+      col("committed_offset").as("source_offset")).distinct()
+    val targets = lookupTargets(pruned, probes)
+      .filter(col("target_offset").isNotNull)
+      .withColumnRenamed("source_offset", "committed_offset")
+    committed.join(targets, Seq("topic", "partition", "committed_offset"))
+  }
+
   /** A6 range aggregation of a detailed mapping DF. */
   def rangeEntries(mapping: DataFrame): DataFrame =
     mapping.groupBy("topic", "partition")

@@ -71,6 +71,14 @@ class PlanSpec extends SparkSpec {
       "the 100 TB data side must not shuffle for a metadata-sized state table")
   }
 
+  test("reset plan never replicates the mapping per group (J3)") {
+    val p = planOf("q_group_reset_plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"mapping must not be cross-join-replicated per group:\n${p.take(2000)}")
+    assert(p.contains("LeftSemi"),
+      "mapping side must be semi-join-pruned to the committed partition set")
+  }
+
   test("dedup signature computation is a pure map — zero shuffles") {
     val sigs = graft.dedup.Dedup.minhashSignatures(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", 3, 64)
