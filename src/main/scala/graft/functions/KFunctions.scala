@@ -166,6 +166,12 @@ object KFunctions {
   /** Count of CJK (U+4E00..U+9FFF) characters — native (see [[CjkCount]]). */
   def cjk_count(text: Column): Column = exprCol(CjkCount(exprOf(text)))
 
+  /** `[sum(length(w)), sum(ceil(length(w)/4))]` over an array<string> in one
+    * pass — native (see [[TokenLenStats]]).
+    */
+  def token_len_stats(tokens: Column): Column =
+    exprCol(TokenLenStats(exprOf(tokens)))
+
   /** All (i < j) pairs of an array<long> column as array<struct<id_a,id_b>>
     * — native codegen expression (see [[SortedIdPairs]]).
     */

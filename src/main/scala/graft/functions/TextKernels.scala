@@ -101,3 +101,59 @@ object CjkCount {
     c
   }
 }
+
+/** One-pass token length statistics of an array<string>:
+  * `[sum(length(w)), sum(ceil(length(w)/4))]` — the mean-word-length
+  * numerator and the BPE-ish subword-count estimate, native. The composable
+  * forms were Catalyst `aggregate(...)` folds, which have no doGenCode and
+  * run interpreted with a boxed accumulator per element (the last two such
+  * HOFs on the quality path).
+  *
+  * Bit-compatible by construction: Spark `length` on strings is
+  * `UTF8String.numChars`; `ceil(len/4.0).cast(long)` equals `(len+3)/4` in
+  * exact integer arithmetic for any machine-int length; and a NULL element
+  * nulls the whole result, exactly like `acc + NULL` poisoning the fold.
+  */
+case class TokenLenStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"token_len_stats expects array<string>, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_len_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenLenStats.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TokenLenStats.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): TokenLenStats =
+    copy(child = newChild)
+}
+
+object TokenLenStats {
+  /** Called from generated code; null on a null element (HOF-fold parity). */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var sumLen = 0L
+    var sumCeil4 = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val len = arr.getUTF8String(i).numChars().toLong
+      sumLen += len
+      sumCeil4 += (len + 3) / 4
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(sumLen, sumCeil4))
+  }
+}

@@ -22,11 +22,11 @@ object TextFunctions {
     * runs counted separately (a cheap proxy for LLM tokenizer counts: ~1
     * token per short word, more for long words).
     */
-  def subwordCountEstimate(text: Column): Column = {
-    val t = tokens(text)
-    // ceil(len/4) per word approximates BPE fragmentation of long words
-    aggregate(t, lit(0L), (acc, w) => acc + ceil(length(w) / 4.0).cast("long"))
-  }
+  def subwordCountEstimate(text: Column): Column =
+    // ceil(len/4) per word approximates BPE fragmentation of long words;
+    // one native pass (see TokenLenStats), bit-compatible with the
+    // aggregate() fold it replaces
+    element_at(graft.functions.KFunctions.token_len_stats(tokens(text)), 2)
 
   /** Word-level n-gram shingles: contiguous n-token windows joined by a
     * single space — the native [[graft.functions.WordShingles]] kernel (one
@@ -96,7 +96,8 @@ object TextFunctions {
       .cast("double") / len
     val stop = graft.functions.KFunctions.string_in_set_count(
       transform(t, w => lower(w)), profiles("en")).cast("double") / nTok
-    val meanWordLen = aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / nTok
+    val meanWordLen = element_at(graft.functions.KFunctions.token_len_stats(t), 1)
+      .cast("double") / nTok
     struct(
       size(t).as("n_tokens"),
       length(text).as("n_chars"),

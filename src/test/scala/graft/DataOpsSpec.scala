@@ -139,6 +139,33 @@ class DataOpsSpec extends SparkSpec {
       s"eq-count mismatch: ${r.toString}"))
   }
 
+  test("token-len-stats kernel is bit-compatible with the aggregate() folds") {
+    // real corpus + edge shapes: empty, single long word, unicode, whitespace
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .orderBy("doc_id").limit(100).select(col("text"))
+      .unionByName(docsDF((1L, ""), (2L, "supercalifragilistic"),
+        (3L, "naïve café 中文 ok"), (4L, "   ")).select(col("text")))
+    val t = TextFunctions.tokens(col("text"))
+    val cmp = docs.select(
+      element_at(graft.functions.KFunctions.token_len_stats(t), 1).as("n_sum"),
+      element_at(graft.functions.KFunctions.token_len_stats(t), 2).as("n_ceil"),
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("l_sum"),
+      aggregate(t, lit(0L),
+        (acc, w) => acc + ceil(length(w) / 4.0).cast("long")).as("l_ceil"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2), s"sum-len mismatch: $r")
+      assert(r.getLong(1) == r.getLong(3), s"ceil-sum mismatch: $r")
+    }
+    // null-element poisoning matches acc + NULL
+    import spark.implicits._
+    val withNull = Seq(Seq[String]("a", null, "b")).toDF("t")
+      .select(graft.functions.KFunctions.token_len_stats(col("t")).as("s"),
+        aggregate(col("t"), lit(0L), (acc, w) => acc + length(w)).as("l"))
+      .head()
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+  }
+
   test("simhash: identical texts at hamming 0; near texts close; far texts far") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = base + " extra"
