@@ -17,6 +17,11 @@ case class BackupConfig(
     compression: CompressionCodec = CompressionCodec.Zstd,
     zstdLevel: Int = CompressionCodec.DefaultZstdLevel,
     maxSegmentBytes: Long = 128L * 1024 * 1024,
+    // event-time analog of the reference's 60 s wall-clock roll
+    // (segment/writer.rs:28-37): a batch job replays history, so the
+    // wall-clock elapsed check becomes a bound on the event-time span a
+    // segment may cover. None = size-only roll (the pre-round-4 behavior).
+    maxSegmentIntervalMs: Option[Long] = None,
     sourceCluster: String = "source-cluster",
     enrichHeaders: Boolean = true,
     includeTopics: Seq[String] = Nil,
@@ -142,9 +147,12 @@ object Backup {
 
   /** Rolling segment writer for one Spark task. Input is sorted by
     * (topic, partition, offset); consecutive runs of one (topic, partition)
-    * stream through a bounded buffer that seals at `maxSegmentBytes`
-    * (writer.rs:237-251 — the interval-based roll is a streaming concern,
-    * handled by micro-batch boundaries there).
+    * stream through a bounded buffer that seals at `maxSegmentBytes` OR when
+    * the segment's event-time span reaches `maxSegmentIntervalMs`
+    * (writer.rs:237-251 — `should_rotate` checks size then elapsed time
+    * after each append; here elapsed wall-clock maps to event-time span,
+    * since a batch job replays history at arbitrary speed. On the streaming
+    * path micro-batch boundaries additionally bound wall-clock staleness.)
     */
   private def writeTaskPartition(it: Iterator[KRecord], cfg: BackupConfig,
                                  hadoopConf: SerializableHadoopConf): Iterator[SegmentRow] = {
@@ -189,7 +197,8 @@ object Backup {
       endTs = math.max(endTs, r.timestamp)
       SegmentCodec.writeRecord(body, r)
       count += 1
-      if (body.size >= cfg.maxSegmentBytes) seal()
+      if (body.size >= cfg.maxSegmentBytes ||
+        cfg.maxSegmentIntervalMs.exists(iv => endTs - startTs >= iv)) seal()
     }
     seal()
     out.iterator

@@ -172,6 +172,35 @@ class BackupRestoreSpec extends SparkSpec {
     }
   }
 
+  test("interval roll: a slow trickle splits segments by event-time span (St4)") {
+    import spark.implicits._
+    // 20 tiny records spaced 30 s apart: with a 60 s interval cap every
+    // segment may span at most one minute of event time — size alone would
+    // have packed them all into one segment
+    val t0 = 1700000000000L
+    val recs = (0 until 20).map(i => KRecord("trickle", 0, i.toLong,
+      t0 + i * 30000L, null, Array.fill(8)(i.toByte), Seq.empty)).toDS().toDF()
+    val root = Files.createTempDirectory("graft-interval").toString
+    val m = Backup.run(spark, recs,
+      BackupConfig("iv1", root, CompressionCodec.None,
+        maxSegmentIntervalMs = Some(60000L), enrichHeaders = false))
+    val segs = m.topics.flatMap(_.partitions).flatMap(_.segments)
+    assert(segs.size > 1, "interval roll must split the trickle")
+    segs.foreach(s => assert(s.end_timestamp - s.start_timestamp <= 60000L,
+      s"segment spans ${s.end_timestamp - s.start_timestamp} ms > interval"))
+    // manifest stats stay exact: contiguous offsets, all records accounted for
+    assert(m.totalRecords == 20)
+    val sorted = segs.sortBy(_.start_offset)
+    assert(sorted.head.start_offset == 0 && sorted.last.end_offset == 19)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(b.start_offset == a.end_offset + 1)
+      case _ =>
+    }
+    // and the data round-trips
+    val restored = Restore.records(spark, RestoreConfig(root, "iv1"))
+    assert(restored.count() == 20)
+  }
+
   test("restore metrics observation counts records and bytes (A5)") {
     manifest
     val (df, obs) = Restore.withMetrics(
