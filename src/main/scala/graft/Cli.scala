@@ -38,7 +38,7 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    "commands: backup backup-incremental restore dry-run list describe validate " +
+    "commands: run-config backup backup-incremental restore dry-run list describe validate " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset-bulk snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -144,6 +144,37 @@ object Cli {
         s"partitions=${report.produce_results.size} success=${report.success}")
       report.warnings.foreach(w => println(s"  warning: $w"))
       report.reset_plan.foreach(p => println(p.toCsv))
+
+    case "run-config" =>
+      // the reference's primary UX: one YAML file drives the whole job
+      // (kafka-backup --config file.yaml; mode lives inside the config).
+      // <dataDir> stands in for the broker leg: backup reads the events
+      // fixture from it, restore writes restored records to it.
+      val Array(_, configPath, dataDir) = args: @unchecked
+      val job = graft.config.YamlConfig.load(configPath)
+      // security options are built eagerly so a malformed security section
+      // fails the job before any data moves (same order as the reference)
+      val kafkaOpts = job.security.map(graft.sources.KafkaSecurity.options).getOrElse(Map.empty)
+      if (kafkaOpts.nonEmpty)
+        println(s"kafka options: ${kafkaOpts.keys.toSeq.sorted.mkString(", ")}")
+      job.mode match {
+        case "backup" =>
+          val cfg = job.backup.get
+          val records = KRecord.fromEvents(spark, dataDir)
+          val m = if (job.incremental) Backup.runIncremental(spark, records, cfg)
+            else Backup.run(spark, records, cfg)
+          println(s"backup ${job.backupId}: ${m.totalSegments} segments, " +
+            s"${m.totalRecords} records" + (if (job.incremental) " (incremental)" else ""))
+        case "restore" =>
+          val cfg = job.restore.get
+          if (job.dryRun) Restore.dryRun(spark, cfg).show(100, truncate = false)
+          else {
+            // rate_limit_* applies to the produce sink (sinks/RateLimiter),
+            // not this parquet stand-in
+            Restore.records(spark, cfg).toDF().write.mode("overwrite").parquet(dataDir)
+            println(s"restored ${spark.read.parquet(dataDir).count()} records to $dataDir")
+          }
+      }
 
     case "backup-incremental" =>
       // S12 batch leg: resume from the offset state table's high-water marks
