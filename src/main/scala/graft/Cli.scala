@@ -157,6 +157,12 @@ object Cli {
       val kafkaOpts = job.security.map(graft.sources.KafkaSecurity.options).getOrElse(Map.empty)
       if (kafkaOpts.nonEmpty)
         println(s"kafka options: ${kafkaOpts.keys.toSeq.sorted.mkString(", ")}")
+      if (job.continuous)
+        println("note: continuous=true is ignored by run-config (one-shot batch); " +
+          "use StreamingBackup for a continuous job")
+      if (job.metricsEnabled)
+        println("note: metrics.enabled is ignored by run-config; " +
+          "start graft.metrics.MetricsServer to serve /metrics")
       job.mode match {
         case "backup" =>
           val cfg = job.backup.get

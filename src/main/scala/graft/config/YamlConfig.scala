@@ -42,6 +42,11 @@ object YamlConfig {
 
   /** `${VAR}` → value of VAR; unset → empty string + stderr warning
     * (config.rs expand_env_vars semantics, including no escape syntax).
+    *
+    * Deliberate divergence: an unterminated `${` (no closing `}`) is kept as
+    * literal text here, whereas config.rs consumes the rest of the input as a
+    * variable name and expands it (usually to empty). Keeping the text is the
+    * safer behavior for a truncated/typo'd config; pinned by YamlConfigSpec.
     */
   def expandEnvVars(input: String,
                     env: String => Option[String] = k => sys.env.get(k)): String = {
@@ -112,7 +117,17 @@ object YamlConfig {
           .getOrElse(CompressionCodec.DefaultZstdLevel),
         maxSegmentBytes = b.flatMap(lng(_, "segment_max_bytes"))
           .getOrElse(128L * 1024 * 1024),
-        maxSegmentIntervalMs = b.flatMap(lng(_, "segment_max_interval_ms")),
+        // Divergence from writer.rs SegmentWriterConfig::default (60_000 ms):
+        // an absent key means size-only rolling here. The engine reinterprets
+        // the interval as EVENT-time span (batch replays history at arbitrary
+        // speed), so a silent 60 s default would shred replayed segments.
+        maxSegmentIntervalMs = {
+          val iv = b.flatMap(lng(_, "segment_max_interval_ms"))
+          if (iv.isEmpty && mode == "backup")
+            System.err.println("note: segment_max_interval_ms not set; segments roll on " +
+              "size only (the reference defaults to 60000 ms of wall-clock time)")
+          iv
+        },
         enrichHeaders = b.flatMap(bool(_, "include_offset_headers")).getOrElse(true),
         includeTopics = include,
         excludeTopics = exclude))

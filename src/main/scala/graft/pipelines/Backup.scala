@@ -153,6 +153,9 @@ object Backup {
     * after each append; here elapsed wall-clock maps to event-time span,
     * since a batch job replays history at arbitrary speed. On the streaming
     * path micro-batch boundaries additionally bound wall-clock staleness.)
+    * Unlike the reference's post-append check, a record that would stretch
+    * the span past the cap seals the current segment first, so the span
+    * bound holds strictly for every segment.
     */
   private def writeTaskPartition(it: Iterator[KRecord], cfg: BackupConfig,
                                  hadoopConf: SerializableHadoopConf): Iterator[SegmentRow] = {
@@ -191,6 +194,11 @@ object Backup {
       if (r.topic != curTopic || r.partition != curPartition) {
         seal(); curTopic = r.topic; curPartition = r.partition
       }
+      // Seal BEFORE appending a record that would stretch the event-time span
+      // past the cap, so every sealed segment spans <= maxSegmentIntervalMs
+      // regardless of record spacing (not just when spacing divides the cap).
+      if (count > 0 && cfg.maxSegmentIntervalMs.exists(iv =>
+          math.max(endTs, r.timestamp) - math.min(startTs, r.timestamp) > iv)) seal()
       if (count == 0) startOffset = r.offset
       endOffset = r.offset
       startTs = math.min(startTs, r.timestamp)

@@ -201,6 +201,31 @@ class BackupRestoreSpec extends SparkSpec {
     assert(restored.count() == 20)
   }
 
+  test("interval roll bounds the span even when spacing does not divide the cap (St4)") {
+    import spark.implicits._
+    // 45 s spacing with a 60 s cap: a seal-after-append writer would emit
+    // 90 s segments; sealing before the span-stretching record keeps every
+    // segment's event-time span strictly within the cap
+    val t0 = 1700000000000L
+    val recs = (0 until 12).map(i => KRecord("trickle45", 0, i.toLong,
+      t0 + i * 45000L, null, Array.fill(8)(i.toByte), Seq.empty)).toDS().toDF()
+    val root = Files.createTempDirectory("graft-interval45").toString
+    val m = Backup.run(spark, recs,
+      BackupConfig("iv2", root, CompressionCodec.None,
+        maxSegmentIntervalMs = Some(60000L), enrichHeaders = false))
+    val segs = m.topics.flatMap(_.partitions).flatMap(_.segments)
+    assert(segs.size > 1)
+    segs.foreach(s => assert(s.end_timestamp - s.start_timestamp <= 60000L,
+      s"segment spans ${s.end_timestamp - s.start_timestamp} ms > interval"))
+    assert(m.totalRecords == 12)
+    val sorted = segs.sortBy(_.start_offset)
+    assert(sorted.head.start_offset == 0 && sorted.last.end_offset == 11)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(b.start_offset == a.end_offset + 1)
+      case _ =>
+    }
+  }
+
   test("restore metrics observation counts records and bytes (A5)") {
     manifest
     val (df, obs) = Restore.withMetrics(
