@@ -98,39 +98,47 @@ object Validation {
     * count + offset range equality against the manifest entry. Runs as the
     * same distributed binary scan as restore, minus the produce.
     */
+  /** The only per-backup state `deep` materializes on the driver: one scan
+    * root per (topic, partition) directory — never per segment. Exposed for
+    * the spec that pins the no-driver-materialization property.
+    */
+  private[graft] def deepScanRoots(manifest: BackupManifest): Seq[String] =
+    (for {
+      t <- manifest.topics
+      p <- t.partitions
+      s <- p.segments.headOption
+    } yield s.key.substring(0, s.key.lastIndexOf('/'))).distinct
+
   def deep(spark: SparkSession, backupRoot: String, backupId: String): DataFrame = {
     import spark.implicits._
     val manifest = Manifest.load(backupRoot, backupId)
     val expected = Manifest.toDF(spark, manifest)
-    val allKeys = manifest.topics.flatMap(_.partitions).flatMap(_.segments).map(_.key)
-    // binaryFile aborts analysis on missing paths — split existence checking
-    // out so a deleted object becomes a Failed row, not a crashed job.
-    // One listStatus per partition DIRECTORY, distributed across tasks: at
-    // 800k segments a per-key fs.exists loop is hours of sequential driver
-    // RPCs before the scan starts; this is O(topic×partition) listings.
-    val dirs = allKeys.map(k => k.substring(0, k.lastIndexOf('/'))).distinct
+    // The driver never holds per-SEGMENT state: it enumerates only the
+    // partition DIRECTORIES (O(topic×partition), thousands at 100 TB — vs
+    // 800k segment keys ≈ 100 MB of driver strings and a giant load varargs).
+    // binaryFile then scans whole directories; a deleted object simply never
+    // appears on the actual side and the left join turns it into a Failed row.
+    val dirs = deepScanRoots(manifest)
     val conf = new graft.pipelines.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     val rootLocal = backupRoot
-    val existing: Set[String] = spark.sparkContext
+    // Dirs can vanish wholesale (a whole partition deleted): probe existence
+    // distributed, keep only listable dirs as scan roots. O(dirs) driver-side.
+    val scanDirs = spark.sparkContext
       .parallelize(dirs, math.max(1, math.min(dirs.size, 64)))
-      .flatMap { d =>
+      .filter { d =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(rootLocal), conf.value)
-        try fs.listStatus(new org.apache.hadoop.fs.Path(s"$rootLocal/$d"))
-          .map(st => s"$d/${st.getPath.getName}")
-        catch { case _: java.io.FileNotFoundException => Array.empty[String] }
-      }.collect().toSet
-    val (keys, missing) = allKeys.partition(existing.contains)
-    val missingDF = missing.map(k => (k, null: java.lang.Long, null: java.lang.Long,
-        null: java.lang.Long, "object missing"))
-      .toDF("segment_key", "actual_count", "actual_start", "actual_end", "decode_error")
+        try fs.listStatus(new org.apache.hadoop.fs.Path(s"$rootLocal/$d")).nonEmpty
+        catch { case _: java.io.FileNotFoundException => false }
+      }.collect()
     val backupIdLocal = backupId
     val actual =
-      if (keys.isEmpty)
-        missingDF
+      if (scanDirs.isEmpty)
+        Seq.empty[(String, Long, Long, Long, String)]
+          .toDF("segment_key", "actual_count", "actual_start", "actual_end", "decode_error")
       else spark.read.format("binaryFile")
-        .load(keys.map(k => s"$backupRoot/$k"): _*)
+        .load(scanDirs.map(d => s"$backupRoot/$d"): _*)
         .select("path", "content")
         .as[(String, Array[Byte])]
         .map { case (path, bytes) =>
@@ -154,11 +162,15 @@ object Validation {
           }
         }
         .toDF("segment_key", "actual_count", "actual_start", "actual_end", "decode_error")
-        .unionByName(missingDF)
+    // left join: manifest keys with no object on storage surface as
+    // "object missing"; foreign files in the scanned dirs (not in the
+    // manifest) drop out of the join, matching the old keyed-load behavior
     expected.join(actual, Seq("segment_key"), "left")
+      .withColumn("decode_error",
+        when(col("actual_count").isNull, lit("object missing"))
+          .otherwise(col("decode_error")))
       .withColumn("outcome",
         when(col("decode_error").isNotNull, "Failed")
-          .when(col("actual_count").isNull, "Failed") // object missing
           .when(col("actual_count") === col("record_count") &&
             col("actual_start") === col("start_offset") &&
             col("actual_end") === col("end_offset"), "Passed")

@@ -87,6 +87,25 @@ class ValidationStreamingSpec extends SparkSpec {
     assert(res.filter(col("outcome") =!= "Passed").count() == 0)
   }
 
+  test("validate --deep materializes only partition dirs on the driver, not segments") {
+    // the driver-side footprint is one scan root per (topic, partition) —
+    // at 800k segments this stays in the thousands; per-segment keys never
+    // land on the driver (the left join finds missing objects instead)
+    val root = Files.createTempDirectory("graft-deep-roots").toString
+    val m = Backup.run(spark, KRecord.fromEvents(spark, sf0001),
+      BackupConfig("dr1", root, CompressionCodec.None, maxSegmentBytes = 2048))
+    val roots = Validation.deepScanRoots(m)
+    val partitionCount = m.topics.map(_.partitions.size).sum
+    assert(roots.size == partitionCount)
+    assert(m.totalSegments > partitionCount,
+      "fixture must have multiple segments per partition for this pin to mean anything")
+    assert(roots.forall(d => d.startsWith("dr1/topics/") && d.contains("partition=")))
+    // and the scan over those roots still validates every segment
+    val res = Validation.deep(spark, root, "dr1")
+    assert(res.count() == m.totalSegments)
+    assert(res.filter(col("outcome") =!= "Passed").count() == 0)
+  }
+
   test("validate --deep flags a corrupted segment") {
     manifest
     // corrupt one byte of one segment body — rewrite through the Hadoop FS
