@@ -1,0 +1,104 @@
+package graft
+
+import graft.catalog._
+import graft.codec.CompressionCodec
+import graft.model.KRecord
+import graft.pipelines.{Backup, BackupConfig, Restore, RestoreConfig}
+import graft.validation.Validation
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Chaos-lite failure injection (the reference's chaos_suite/ +
+  * scripts/stress-test intent): kill a task mid-backup and assert the retried
+  * job converges to an exact manifest; race concurrent manifest merges; break
+  * a segment footer and assert deep validation isolates it.
+  */
+class ChaosSpec extends SparkSpec {
+
+  private def sourceCount: Long = KRecord.fromEvents(spark, sf0001).count()
+
+  test("task death mid-backup: Spark retry converges to an exact, duplicate-free backup") {
+    val local = Files.createTempDirectory("graft-chaos").toString
+    val root = s"chaos:$local"
+    // fail the 3rd segment create on whichever task reaches it first; by then
+    // other segments are already on disk, so the retry must overwrite its own
+    // partial output idempotently (deterministic keys + overwrite-create)
+    ChaosFileSystem.armSegmentCreateFailure(3)
+    val m =
+      try Backup.run(spark, KRecord.fromEvents(spark, sf0001),
+        BackupConfig("ch1", root, CompressionCodec.None, maxSegmentBytes = 4096,
+          enrichHeaders = false))
+      finally ChaosFileSystem.disarm()
+    assert(ChaosFileSystem.failureFired, "the injected create failure must actually fire")
+    assert(m.totalRecords == sourceCount)
+
+    // every file on storage is a manifest entry and vice versa — a retried
+    // task must not leave orphan or duplicate segments behind
+    val onDisk = Files.walk(Paths.get(local)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith("segment-"))
+      .map(p => Paths.get(local).relativize(p).toString)
+      .toSet
+    val inManifest = m.topics.flatMap(_.partitions).flatMap(_.segments).map(_.key).toSet
+    assert(onDisk == inManifest,
+      s"disk/manifest divergence: extra=${onDisk -- inManifest} missing=${inManifest -- onDisk}")
+
+    // and the backup is readable end-to-end through the same chaos scheme
+    val restored = Restore.records(spark, RestoreConfig(root, "ch1"))
+    assert(restored.count() == sourceCount)
+  }
+
+  test("concurrent manifest saves merge every writer's segments without torn state") {
+    val root = Files.createTempDirectory("graft-chaos-manifest").toString
+    def seg(i: Int) = SegmentMetadata(
+      Manifest.segmentKey("cm1", "t", 0, i * 100L, ""), i * 100L, i * 100L + 99,
+      1000L * i, 1000L * i + 999, 100, 1000, 500)
+    def manifestFor(i: Int) = BackupManifest("cm1", 1700000000000L + i, None, Nil, "none",
+      List(TopicBackup("t", Some(1), List(PartitionBackup(0, List(seg(i)))))))
+
+    val threads = (0 until 8).map { i =>
+      new Thread(() => { Manifest.save(root, manifestFor(i)); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+
+    val merged = Manifest.load(root, "cm1")
+    val keys = merged.topics.flatMap(_.partitions).flatMap(_.segments).map(_.key)
+    assert(keys.toSet == (0 until 8).map(i => seg(i).key).toSet,
+      s"merge lost writers: ${keys.sorted}")
+    assert(keys.size == 8, "merge must dedup, not duplicate")
+    // segments arrive sorted by start_offset and no tmp litter survives
+    val starts = merged.topics.head.partitions.head.segments.map(_.start_offset)
+    assert(starts == starts.sorted)
+    val litter = Files.list(Paths.get(root, "cm1")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains(".tmp")).toList
+    assert(litter.isEmpty, s"orphaned tmp files: $litter")
+  }
+
+  test("corrupted segment footer: deep validation isolates exactly that segment") {
+    val root = Files.createTempDirectory("graft-chaos-footer").toString
+    val m = Backup.run(spark, KRecord.fromEvents(spark, sf0001),
+      BackupConfig("cf1", root, CompressionCodec.None, enrichHeaders = false))
+    val victim = m.topics.last.partitions.last.segments.head.key
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val hp = new org.apache.hadoop.fs.Path(s"$root/$victim")
+    val bytes = {
+      val in = fs.open(hp)
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close()
+    }
+    // flip one bit inside the 8-byte footer (CRC region) — rewrite through the
+    // Hadoop FS so its .crc sidecar follows (gotcha: out-of-band edits trip
+    // Hadoop's checksum, not our KBAK CRC)
+    bytes(bytes.length - 6) = (bytes(bytes.length - 6) ^ 0x01).toByte
+    val os = fs.create(hp, true)
+    try os.write(bytes) finally os.close()
+
+    val res = Validation.deep(spark, root, "cf1")
+    val failed = res.filter(col("outcome") === "Failed").collect()
+    assert(failed.length == 1, s"exactly the broken segment must fail, got ${failed.length}")
+    assert(failed(0).getAs[String]("segment_key") == victim)
+    assert(failed(0).getAs[String]("decode_error").contains("CRC"))
+    assert(res.count() == m.totalSegments)
+  }
+}

@@ -13,7 +13,9 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: allow ONE task retry so the chaos suite
+      // can kill a task mid-backup and observe Spark's recovery (ChaosSpec)
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
