@@ -38,7 +38,7 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    "commands: run-config backup backup-incremental restore dry-run list describe validate " +
+    "commands: run-config backup backup-incremental import-offsets-db restore dry-run list describe validate " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset-bulk snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -181,6 +181,13 @@ object Cli {
             println(s"restored ${spark.read.parquet(dataDir).count()} records to $dataDir")
           }
       }
+
+    case "import-offsets-db" =>
+      // migrate a reference offsets.db (SQLite, offset_store/sqlite.rs) into
+      // the parquet state table; advance-only, so re-runs are harmless
+      val Array(_, dbPath, stateRoot) = args: @unchecked
+      val n = graft.catalog.OffsetStateTable.importSqlite(spark, dbPath, stateRoot)
+      println(s"imported $n offset marks from $dbPath into ${stateRoot}/_graft_offset_state")
 
     case "backup-incremental" =>
       // S12 batch leg: resume from the offset state table's high-water marks

@@ -50,7 +50,7 @@ object OffsetStateTable {
     * cross-process writers coordinate at the orchestration layer.
     */
   def update(spark: SparkSession, stateRoot: String, m: BackupManifest,
-             nowMs: Long = System.currentTimeMillis()): Unit = synchronized {
+             nowMs: Long = System.currentTimeMillis()): Unit = {
     import spark.implicits._
     val fresh = for {
       t <- m.topics
@@ -58,8 +58,42 @@ object OffsetStateTable {
       last <- p.lastOffset
     } yield (m.backup_id, t.name, p.partition_id, last, nowMs)
     if (fresh.isEmpty) return
-    val freshDF = fresh.toDF("backup_id", "topic", "partition", "last_offset",
-      "checkpoint_ts")
+    mergeAndSwap(spark, stateRoot, fresh.toDF("backup_id", "topic", "partition",
+      "last_offset", "checkpoint_ts"))
+  }
+
+  /** The reference's offsets.db as this state table's schema (S12 interop,
+    * offset_store/sqlite.rs:72-79 — identical columns by construction). Reads
+    * the SQLite file directly via [[graft.sources.SqliteFile]]; driver-side
+    * materialization is fine, the table is O(backups × partitions).
+    */
+  def fromSqlite(spark: SparkSession, dbPath: String): DataFrame = {
+    val db = graft.sources.SqliteFile.open(dbPath, spark.sparkContext.hadoopConfiguration)
+    val rows = db.table("offsets").map { r =>
+      org.apache.spark.sql.Row(
+        r.values(0).asInstanceOf[String],
+        r.values(1).asInstanceOf[String],
+        r.values(2).asInstanceOf[java.lang.Long].intValue(),
+        r.values(3).asInstanceOf[java.lang.Long].longValue(),
+        r.values(4).asInstanceOf[java.lang.Long].longValue())
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Migrate a reference offsets.db into the parquet state table. Existing
+    * marks win when higher — the advance-only rule of [[update]] — so the
+    * import is idempotent and can never move a resume point backwards.
+    * Returns the number of marks read from the db.
+    */
+  def importSqlite(spark: SparkSession, dbPath: String, stateRoot: String): Long = {
+    val fresh = fromSqlite(spark, dbPath)
+    val n = fresh.count()
+    if (n > 0) mergeAndSwap(spark, stateRoot, fresh)
+    n
+  }
+
+  private def mergeAndSwap(spark: SparkSession, stateRoot: String,
+                           freshDF: DataFrame): Unit = synchronized {
     val merged = load(spark, stateRoot).unionByName(freshDF)
       .groupBy("backup_id", "topic", "partition")
       .agg(max("last_offset").as("last_offset"),

@@ -1,0 +1,126 @@
+package graft
+
+import graft.catalog.OffsetStateTable
+import graft.codec.CompressionCodec
+import graft.model.KRecord
+import graft.pipelines.{Backup, BackupConfig}
+import graft.sources.SqliteFile
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import java.nio.file.Files
+
+/** offsets.db interop (offset_store/sqlite.rs): the golden fixture is a real
+  * SQLite file written by the SQLite library itself (page_size=512 so the
+  * offsets table spans interior b-tree nodes, one 1.8 kB topic name so a
+  * payload overflows the page), with the expected rows stored alongside it as
+  * JSON. The parser must reproduce the library's own content bit-exactly.
+  */
+class SqliteOffsetsSpec extends SparkSpec {
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private lazy val expected: Map[String, List[List[Any]]] = {
+    implicit val formats: Formats = DefaultFormats
+    JsonMethods.parse(new String(resource("offsets-ref-expected.json"), "UTF-8"))
+      .extract[Map[String, List[List[Any]]]]
+  }
+
+  private lazy val db = SqliteFile.open(resource("offsets-ref.db"))
+
+  private def asLong(x: Any): Long = x match {
+    case i: BigInt => i.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"$other")
+  }
+
+  test("sqlite_master enumerates both reference tables") {
+    assert(db.tables.keySet == Set("offsets", "backup_jobs"))
+  }
+
+  test("offsets table decodes bit-exactly, across interior pages and overflow") {
+    val got = db.table("offsets").map(r => (
+      r.values(0).asInstanceOf[String], r.values(1).asInstanceOf[String],
+      asLong(r.values(2)), asLong(r.values(3)), asLong(r.values(4)))).toSet
+    val want = expected("offsets").map(l => (
+      l(0).asInstanceOf[String], l(1).asInstanceOf[String],
+      asLong(l(2)), asLong(l(3)), asLong(l(4)))).toSet
+    assert(got.size == want.size)
+    assert(got == want)
+    // the overflow row survived reassembly
+    assert(got.exists(_._2.length > 1800))
+    // every integer serial-type width appears (1..8-byte, incl. the 9e17 mark)
+    assert(got.exists(_._4 > 100000000000000000L))
+  }
+
+  test("backup_jobs decodes including NULL columns") {
+    val got = db.table("backup_jobs").map(r => (
+      r.values(0).asInstanceOf[String], Option(r.values(1)).map(_.asInstanceOf[String]),
+      r.values(2).asInstanceOf[String], Option(r.values(5)).map(asLong))).toSet
+    assert(got == Set(
+      ("backup-2025-00", Some("cluster-a"), "completed", Some(1754000050000L)),
+      ("backup-2025-01", None, "running", None),
+      ("backup-2025-02", Some("cluster-b"), "failed", Some(1754000450000L))))
+  }
+
+  test("fromSqlite lands the reference marks in the state-table schema") {
+    val dbPath = {
+      val p = Files.createTempFile("offsets-ref", ".db")
+      Files.write(p, resource("offsets-ref.db")); p.toString
+    }
+    val df = OffsetStateTable.fromSqlite(spark, dbPath)
+    assert(df.schema == OffsetStateTable.schema)
+    assert(df.count() == expected("offsets").size)
+  }
+
+  test("importSqlite is advance-only and idempotent; incremental backup resumes from it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dbPath = {
+      val p = Files.createTempFile("offsets-ref", ".db")
+      Files.write(p, resource("offsets-ref.db")); p.toString
+    }
+    val root = Files.createTempDirectory("graft-sqlite-import").toString
+    val n = OffsetStateTable.importSqlite(spark, dbPath, root)
+    assert(n == expected("offsets").size)
+    val marks = OffsetStateTable.lastOffsets(spark, root, "backup-2025-00")
+    assert(marks(("orders", 0)) == 0L && marks(("orders", 1)) == 2L)
+    // idempotent: a second import changes nothing
+    OffsetStateTable.importSqlite(spark, dbPath, root)
+    assert(OffsetStateTable.load(spark, root).count() == n)
+    // advance-only: a higher existing mark survives a re-import
+    OffsetStateTable.update(spark, root, graft.catalog.BackupManifest(
+      "backup-2025-00", 1L, None, Nil, "none", List(graft.catalog.TopicBackup(
+        "orders", Some(12), List(graft.catalog.PartitionBackup(0, List(
+          graft.catalog.SegmentMetadata("k", 0, 500, 0, 0, 501, 1, 1))))))))
+    OffsetStateTable.importSqlite(spark, dbPath, root)
+    assert(OffsetStateTable.lastOffsets(spark, root, "backup-2025-00")(("orders", 0)) == 500L)
+
+    // the migration story end-to-end: a backup against freshly imported marks
+    // picks up only records past each partition's sqlite resume point
+    val resumeRoot = Files.createTempDirectory("graft-sqlite-resume-state").toString
+    OffsetStateTable.importSqlite(spark, dbPath, resumeRoot)
+    val recs = (0 until 2).flatMap(p => (0L until 10L).map(o =>
+      KRecord("orders", p, o, 1754000000000L + o, null, Array[Byte](1), Seq.empty)))
+      .toDS().toDF()
+    val backupRoot = Files.createTempDirectory("graft-sqlite-resume").toString
+    val m = Backup.runIncremental(spark, recs,
+      BackupConfig("backup-2025-00", backupRoot, CompressionCodec.None,
+        enrichHeaders = false),
+      stateRoot = Some(resumeRoot))
+    // marks: partition 0 → 0 (keeps offsets 1..9), partition 1 → 2 (keeps 3..9)
+    assert(m.totalRecords == 9 + 7, s"resumed backup took ${m.totalRecords} records")
+    val p0 = m.topics.head.partitions.find(_.partition_id == 0).get
+    assert(p0.segments.map(_.start_offset).min == 1)
+    val p1 = m.topics.head.partitions.find(_.partition_id == 1).get
+    assert(p1.segments.map(_.start_offset).min == 3)
+  }
+
+  test("malformed input fails loudly, not garbage") {
+    intercept[IllegalArgumentException](SqliteFile.open("not a database".getBytes))
+    intercept[IllegalArgumentException](db.table("nonexistent"))
+  }
+}
