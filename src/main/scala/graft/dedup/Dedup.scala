@@ -116,28 +116,53 @@ object Dedup {
 
   /** SimHash near-dup candidates: 4 bands of 16 bits; Hamming distance ≤ 3
     * guarantees an exact match in at least one band (pigeonhole). Exact
-    * Hamming verify inside buckets.
+    * Hamming verify inside buckets. The band join sees one row per DISTINCT
+    * signature — duplicate groups expand only on the output side.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol)
       .filter(col("sig").isNotNull) // empty docs can't simhash-pair
-    val banded = sigs.select(col("id"), col("sig"),
+    // Collapse to DISTINCT signatures before banding. Duplicate-heavy corpora
+    // (boilerplate, mirrored pages — the normal shape at scale) otherwise turn
+    // each 16-bit band bucket into a quadratic self-join over repeated rows:
+    // the sf0.1→sf1 scaling run measured 67× on 10× data for the naive form.
+    // After the collapse the band join runs over unique signatures only, and
+    // group membership re-enters on the OUTPUT side, where pair count is the
+    // answer's own size.
+    val groups = sigs.groupBy("sig")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+
+    // hamming-0 cliques straight off the identical-sig groups (native kernel)
+    val samePairs = groups
+      .filter(size(col("ids")) > 1)
+      .select(explode(graft.functions.KFunctions.sorted_id_pairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        lit(0).as("hamming"))
+
+    val banded = groups.select(col("sig"), col("ids"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * 16).bitwiseAND(0xffffL).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-    // filter on Hamming BEFORE the dedup shuffle (same result, far fewer
-    // rows cross the wire)
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hamming)
+      .select(col("sig"), col("ids"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("sig").as("sig_a"),
+      col("ids").as("ids_a"))
+    val b = banded.select(col("band"), col("bucket"), col("sig").as("sig_b"),
+      col("ids").as("ids_b"))
+    // filter on Hamming BEFORE the dedup shuffle; dedup by SIG pair (an id
+    // pair maps to exactly one sig pair, so no per-id dedup is needed)
+    val sigPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("sig_a") < col("sig_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
-      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("sig_a", "sig_b")
+    val crossPairs = sigPairs
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+
+    samePairs.unionByName(crossPairs)
   }
 
   /** Exact n-gram Jaccard over an inverted-index self-join. `maxDocFreq`

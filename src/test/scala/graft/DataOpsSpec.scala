@@ -182,6 +182,30 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashPairs equals brute-force all-pairs on a duplicate-heavy corpus") {
+    // the distinct-signature band join (the 10×-data scaling fix) must
+    // reproduce the naive all-pairs answer exactly: identical-sig cliques,
+    // cross-group near-dup pairs, and nothing else (pigeonhole: hamming ≤ 3
+    // over 4×16-bit bands always shares at least one exact band)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs =
+      (1L to 4L).map(id => (id, base)) ++          // identical clique of 4
+      (11L to 13L).map(id => (id, base + " extra")) ++ // near-dup clique of 3
+      Seq((21L, (100 to 140).map(i => s"z$i").mkString(" ")), (22L, "solo doc"))
+    val df = docsDF(docs: _*)
+    val got = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(got == want, s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    assert(want.keySet.intersect(Set((1L, 2L), (1L, 3L), (3L, 4L), (11L, 12L))).size == 4,
+      "fixture must actually contain identical-sig cliques")
+  }
+
   test("ngram jaccard exact values") {
     // doc1: shingles {a b c, b c d} ; doc2: {a b c, b c x}; inter=1 union=3 → 1/3
     val df = docsDF((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t"))
