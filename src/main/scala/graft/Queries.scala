@@ -545,14 +545,21 @@ object Queries {
       val c = customer(s, d)
       val n = nation(s, d)
       val r = region(s, d)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      // aggregate lineitem per order BEFORE the join: map-side combine
+      // collapses ~4 items/order ahead of the shuffle, and the join then
+      // moves one narrow row per order instead of every item (same
+      // agg-then-join shape as q18; revenue is additive per order, so the
+      // regional rollup of per-order sums is exact)
+      val perOrder = l.groupBy("l_orderkey")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("rev"), count(lit(1)).as("cnt"))
+      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name")
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          sum(col("cnt")).as("n_items"))
         .orderBy("r_name")
     }),
 
