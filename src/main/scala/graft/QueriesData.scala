@@ -139,6 +139,18 @@ object QueriesData {
           maxFrames = 8)
         .orderBy("media_id", "frame_idx")),
 
+    // n-gram Jaccard IS SQL-expressible (unlike the hash-signature families):
+    // the oracle rebuilds the inverted index with the same [2, maxDocFreq]
+    // bucket bound, counts intersections over kept shingles only, but sizes
+    // the union over the FULL shingle sets — exactly ngramJaccardPairs's
+    // approximation contract. maxDocFreq=50 prunes shingles shared by >50
+    // docs before the self-join (this corpus has a ~40-word vocabulary, so
+    // common trigrams would otherwise fan out to ~100M candidate pairs)
+    "d_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", shingleN = 3,
+          threshold = 0.12, maxDocFreq = 50)
+        .orderBy("id_a", "id_b")),
+
     // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
     "a_label_centroid_norm" -> ((s, d) => emb(s, d)
       .select(col("label"),
@@ -209,6 +221,31 @@ object QueriesData {
         |  FROM s)
         |SELECT CASE WHEN b.v > 0 THEN b.k ELSE 'und' END AS pred_lang, count(*) AS n
         |FROM best GROUP BY 1 ORDER BY pred_lang""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |freq AS (SELECT shingle, count(*) AS c FROM inv GROUP BY 1),
+        |kept AS (SELECT i.doc_id, i.shingle FROM inv i JOIN freq f USING (shingle)
+        |         WHERE f.c BETWEEN 2 AND 50),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
+        |             JOIN sizes sb ON sb.doc_id = pairs.id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.12
+        |ORDER BY id_a, id_b""".stripMargin,
     "m_frame_sample" ->
       """WITH v AS (SELECT doc_id AS media_id,
         |                  CAST(1 + octet_length(encode(text)) // 4096 AS INT) AS n_frames
@@ -260,14 +297,6 @@ object QueriesData {
 
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 10)
-        .orderBy("id_a", "id_b")),
-
-    // maxDocFreq prunes shingles shared by >50 docs before the self-join —
-    // this corpus has a ~40-word vocabulary, so common trigrams would
-    // otherwise fan out to ~100M candidate pairs at sf0.1
-    "d_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", shingleN = 3,
-          threshold = 0.12, maxDocFreq = 50)
         .orderBy("id_a", "id_b")),
 
     // synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.47),
