@@ -166,6 +166,17 @@ object Cli {
       job.mode match {
         case "backup" =>
           val cfg = job.backup.get
+          // offset_storage.db_path names an existing reference SQLite store:
+          // seed the parquet state table from it before resuming, mirroring
+          // the reference's try_load_from_storage (sqlite.rs:102-124) — a
+          // migrated config must not silently re-back-up from offset 0
+          job.offsetDbPath.foreach { db =>
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(db))) {
+              val n = graft.catalog.OffsetStateTable.importSqlite(spark, db, cfg.backupRoot)
+              println(s"seeded $n resume marks from offset_storage.db_path=$db")
+            } else println(s"note: offset_storage.db_path=$db does not exist; " +
+              "resuming from the parquet state table only")
+          }
           val records = KRecord.fromEvents(spark, dataDir)
           val m = if (job.incremental) Backup.runIncremental(spark, records, cfg)
             else Backup.run(spark, records, cfg)
@@ -187,7 +198,8 @@ object Cli {
       // the parquet state table; advance-only, so re-runs are harmless
       val Array(_, dbPath, stateRoot) = args: @unchecked
       val n = graft.catalog.OffsetStateTable.importSqlite(spark, dbPath, stateRoot)
-      println(s"imported $n offset marks from $dbPath into ${stateRoot}/_graft_offset_state")
+      println(s"imported $n offset marks from $dbPath into " +
+        graft.catalog.OffsetStateTable.path(stateRoot))
 
     case "backup-incremental" =>
       // S12 batch leg: resume from the offset state table's high-water marks

@@ -69,13 +69,22 @@ object OffsetStateTable {
     */
   def fromSqlite(spark: SparkSession, dbPath: String): DataFrame = {
     val db = graft.sources.SqliteFile.open(dbPath, spark.sparkContext.hadoopConfiguration)
+    // SQLite columns are dynamically typed: a NULL or TEXT-affinity value in a
+    // hand-edited or drifted db must fail with the row/column named, not a
+    // bare cast exception mid-import
+    def s(r: graft.sources.SqliteFile.Row, i: Int, name: String): String = r.values(i) match {
+      case v: String => v
+      case other => throw new IllegalArgumentException(
+        s"offsets rowid=${r.rowid}: column '$name' is not TEXT (got $other)")
+    }
+    def l(r: graft.sources.SqliteFile.Row, i: Int, name: String): Long = r.values(i) match {
+      case v: java.lang.Long => v.longValue()
+      case other => throw new IllegalArgumentException(
+        s"offsets rowid=${r.rowid}: column '$name' is not INTEGER (got $other)")
+    }
     val rows = db.table("offsets").map { r =>
-      org.apache.spark.sql.Row(
-        r.values(0).asInstanceOf[String],
-        r.values(1).asInstanceOf[String],
-        r.values(2).asInstanceOf[java.lang.Long].intValue(),
-        r.values(3).asInstanceOf[java.lang.Long].longValue(),
-        r.values(4).asInstanceOf[java.lang.Long].longValue())
+      org.apache.spark.sql.Row(s(r, 0, "backup_id"), s(r, 1, "topic"),
+        l(r, 2, "partition").toInt, l(r, 3, "last_offset"), l(r, 4, "checkpoint_ts"))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }

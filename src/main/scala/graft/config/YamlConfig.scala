@@ -33,6 +33,7 @@ object YamlConfig {
       backup: Option[BackupConfig],
       continuous: Boolean,
       incremental: Boolean, // offset_storage section present
+      offsetDbPath: Option[String], // offset_storage.db_path (a SQLite file)
       restore: Option[RestoreConfig],
       dryRun: Boolean,
       rateLimitRecordsPerSec: Option[Long],
@@ -123,7 +124,7 @@ object YamlConfig {
         // speed), so a silent 60 s default would shred replayed segments.
         maxSegmentIntervalMs = {
           val iv = b.flatMap(lng(_, "segment_max_interval_ms"))
-          if (iv.isEmpty && mode == "backup")
+          if (iv.isEmpty)
             System.err.println("note: segment_max_interval_ms not set; segments roll on " +
               "size only (the reference defaults to 60000 ms of wall-clock time)")
           iv
@@ -160,6 +161,7 @@ object YamlConfig {
       backup = backupCfg,
       continuous = b.flatMap(bool(_, "continuous")).getOrElse(false),
       incremental = m.contains("offset_storage"),
+      offsetDbPath = sub(m, "offset_storage").flatMap(str(_, "db_path")),
       restore = restoreCfg,
       dryRun = r.flatMap(bool(_, "dry_run")).getOrElse(false),
       rateLimitRecordsPerSec = r.flatMap(lng(_, "rate_limit_records_per_sec")),

@@ -131,24 +131,28 @@ object Dedup {
     // group membership re-enters on the OUTPUT side, where pair count is the
     // answer's own size.
     val groups = sigs.groupBy("sig")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(collect_list(col("id")).as("ids"))
 
-    // hamming-0 cliques straight off the identical-sig groups (native kernel)
+    // hamming-0 cliques off the identical-sig groups via CHAINED explodes —
+    // generators stream, so a clique of n duplicates costs n² output rows but
+    // never builds an n² in-memory pair array (a 65k-duplicate group is 2.1e9
+    // pairs; any array form would overflow or OOM a single task)
     val samePairs = groups
       .filter(size(col("ids")) > 1)
-      .select(explode(graft.functions.KFunctions.sorted_id_pairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        lit(0).as("hamming"))
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(0).as("hamming"))
 
-    val banded = groups.select(col("sig"), col("ids"),
+    // the band join moves BARE signatures (8-byte rows, no id payload — the
+    // ids arrays rejoin only after the sig-pair dedup, once per side)
+    val banded = groups.select(col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * 16).bitwiseAND(0xffffL).as("bucket"))): _*)).as("bb"))
-      .select(col("sig"), col("ids"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("sig").as("sig_a"),
-      col("ids").as("ids_a"))
-    val b = banded.select(col("band"), col("bucket"), col("sig").as("sig_b"),
-      col("ids").as("ids_b"))
+      .select(col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("sig").as("sig_b"))
     // filter on Hamming BEFORE the dedup shuffle; dedup by SIG pair (an id
     // pair maps to exactly one sig pair, so no per-id dedup is needed)
     val sigPairs = a.join(b, Seq("band", "bucket"))
@@ -157,6 +161,8 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("sig_a", "sig_b")
     val crossPairs = sigPairs
+      .join(groups.select(col("sig").as("sig_a"), col("ids").as("ids_a")), Seq("sig_a"))
+      .join(groups.select(col("sig").as("sig_b"), col("ids").as("ids_b")), Seq("sig_b"))
       .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
       .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
       .select(least(col("ia"), col("ib")).as("id_a"),

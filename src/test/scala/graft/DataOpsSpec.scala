@@ -206,6 +206,17 @@ class DataOpsSpec extends SparkSpec {
       "fixture must actually contain identical-sig cliques")
   }
 
+  test("simhashPairs streams a large identical-sig clique without materializing n² pairs") {
+    // 300 identical docs → C(300,2) = 44850 hamming-0 pairs; the chained
+    // explode must stream these (the old kernel built one n²-element array
+    // per group, which hard-fails past ~46k duplicates)
+    val base = (1 to 30).map(i => s"c$i").mkString(" ")
+    val df = docsDF((1L to 300L).map(id => (id, base)): _*)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+    assert(pairs.count() == 300L * 299 / 2)
+    assert(pairs.filter(col("hamming") =!= 0).count() == 0)
+  }
+
   test("ngram jaccard exact values") {
     // doc1: shingles {a b c, b c d} ; doc2: {a b c, b c x}; inter=1 union=3 → 1/3
     val df = docsDF((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t"))

@@ -54,6 +54,7 @@ class YamlConfigSpec extends SparkSpec {
     assert(job.bootstrapServers == Seq("broker-1:9092", "broker-2:9092"))
     assert(job.storageRoot == "/var/backups/cluster-prod")
     assert(job.continuous && job.incremental && job.metricsEnabled && job.metricsPort == 9404)
+    assert(job.offsetDbPath.contains("/data/offsets.db"))
     val sec = job.security.get
     assert(sec.securityProtocol == "SASL_SSL")
     assert(sec.saslMechanism.contains("SCRAM-SHA-512"))
@@ -155,5 +156,35 @@ class YamlConfigSpec extends SparkSpec {
          |""".stripMargin)
     Cli.run(spark, Array("run-config", restoreYaml, outDir))
     assert(spark.read.parquet(outDir).count() == m.totalRecords)
+  }
+
+  test("run-config seeds resume marks from offset_storage.db_path (migration path)") {
+    // the golden reference offsets.db claims marks for backup-2025-00 on
+    // topics that don't exist in the events fixture — so the seeded state
+    // must not drop any records, but MUST land in the state table
+    val dbBytes = {
+      val in = getClass.getResourceAsStream("/fixtures/offsets-ref.db")
+      try in.readAllBytes() finally in.close()
+    }
+    val db = java.nio.file.Files.createTempFile("offsets-mig", ".db")
+    java.nio.file.Files.write(db, dbBytes)
+    val root = java.nio.file.Files.createTempDirectory("graft-yaml-mig").toString
+    val yaml = write(
+      s"""mode: backup
+         |backup_id: backup-2025-00
+         |source:
+         |  bootstrap_servers: [localhost:9092]
+         |storage:
+         |  path: "$root"
+         |backup:
+         |  compression: none
+         |offset_storage:
+         |  db_path: "$db"
+         |""".stripMargin)
+    Cli.run(spark, Array("run-config", yaml, sf0001))
+    val marks = graft.catalog.OffsetStateTable.lastOffsets(spark, root, "backup-2025-00")
+    assert(marks(("orders", 0)) == 0L, "sqlite marks must be seeded before the backup")
+    assert(marks.exists(_._1._1 == "click"), "the backup's own marks must land too")
+    assert(graft.catalog.Manifest.load(root, "backup-2025-00").totalRecords > 0)
   }
 }
