@@ -17,6 +17,13 @@ import java.nio.charset.StandardCharsets
   * `PRAGMA wal_checkpoint(TRUNCATE)` before every upload, so the main file is
   * complete (sqlite.rs:244-249). INTEGER-PRIMARY-KEY alias columns come back
   * as the row's rowid.
+  *
+  * Affinity caveat: SQLite stores integral-valued REALs with INTEGER serial
+  * types (fileformat2 §2.1 "Record Format"); mapping them back to Double
+  * requires parsing the table's DDL for column affinity, which this reader
+  * deliberately does not do — such values surface as java.lang.Long and
+  * callers that care coerce. The reference's offsets.db schema has no REAL
+  * columns, so the migration path never hits this.
   */
 object SqliteFile {
 

@@ -37,8 +37,29 @@ class SqliteOffsetsSpec extends SparkSpec {
     case other => throw new IllegalArgumentException(s"$other")
   }
 
-  test("sqlite_master enumerates both reference tables") {
-    assert(db.tables.keySet == Set("offsets", "backup_jobs"))
+  test("sqlite_master enumerates the reference tables") {
+    assert(db.tables.keySet == Set("offsets", "backup_jobs", "throughput_stats"))
+  }
+
+  test("REAL columns decode (serial type 7), NULLs intact, integral-REAL caveat pinned") {
+    // SQLite stores integral-valued REALs (0.0, -1.0) with INTEGER serial
+    // types — without DDL affinity parsing they surface as Long (documented
+    // SqliteFile caveat); fractional values arrive as true serial-7 doubles
+    def num(x: Any): Option[Double] = Option(x).map {
+      case d: java.lang.Double => d.doubleValue()
+      case l: java.lang.Long => l.doubleValue()
+      case other => fail(s"unexpected $other")
+    }
+    val got = db.table("throughput_stats").map(r => (
+      r.values(0).asInstanceOf[String], num(r.values(1)), num(r.values(2)),
+      Option(r.values(3)).map(_.asInstanceOf[String]))).toSet
+    assert(got == Set(
+      ("backup-2025-00", Some(212.5), Some(4.6875), Some("zstd")),
+      ("backup-2025-01", Some(-1.0), Some(0.0), None),
+      ("backup-2025-02", Some(1032.25), None, Some("lz4"))))
+    // fractional REALs really exercised the float path
+    assert(db.table("throughput_stats").exists(r =>
+      r.values(1).isInstanceOf[java.lang.Double]))
   }
 
   test("offsets table decodes bit-exactly, across interior pages and overflow") {
