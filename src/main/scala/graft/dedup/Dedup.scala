@@ -251,14 +251,29 @@ object Dedup {
     * exact cosine verify within buckets. At scale only same-bucket pairs
     * shuffle; `bits` trades recall for bucket size.
     */
+  /** Occupancy-aware signature width: a FIXED 2^bits bucket count cannot
+    * survive corpus growth — the bucket self-join is O(n²/2^bits), and the
+    * sf1→sf10 scaling run measured 31× cost on 10× data at bits=5. Widen
+    * until expected occupancy stays near `targetBucketSize`; true duplicates
+    * (identical/near-identical vectors) still collide at any width, while
+    * borderline-similarity recall narrows — the standard LSH precision knob.
+    */
+  private[graft] def effectiveBits(n: Long, bits: Int, targetBucketSize: Int): Int = {
+    val needed = math.ceil(
+      math.log((n.toDouble / targetBucketSize).max(1.0)) / math.log(2)).toInt
+    math.min(math.max(bits, needed), 30)
+  }
+
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                     bits: Int = 12, threshold: Double = 0.95): DataFrame = {
+                     bits: Int = 12, threshold: Double = 0.95,
+                     targetBucketSize: Int = 1024): DataFrame = {
+    val effBits = effectiveBits(df.count(), bits, targetBucketSize)
     // pre-normalize ONCE per row: inside the bucket join each candidate pair
     // then costs a single dot product instead of dot + two norms (the pair
     // side of this plan is the O(bucket²) part — per-pair work dominates)
     val vd = col(vecCol).cast("array<double>")
     val sigs = df.select(col(idCol).as("id"), vd.as("vec"),
-        hyperplaneSignature(vd, dim, bits).as("bucket"))
+        hyperplaneSignature(vd, dim, effBits).as("bucket"))
       .withColumn("norm",
         sqrt(graft.functions.KFunctions.array_dot(col("vec"), col("vec"))))
       .filter(col("norm") =!= 0.0d) // zero vectors can't cosine-pair (ANSI ÷0)

@@ -217,6 +217,27 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs.filter(col("hamming") =!= 0).count() == 0)
   }
 
+  test("embedding LSH widens with corpus size; exact duplicates survive any width") {
+    import spark.implicits._
+    // occupancy math: width only ever grows, capped, and never narrows below
+    // the caller's bits
+    assert(Dedup.effectiveBits(2000, 5, 1024) == 5)
+    assert(Dedup.effectiveBits(200000, 5, 1024) == 8)
+    assert(Dedup.effectiveBits(2000000, 5, 1024) == 11)
+    assert(Dedup.effectiveBits(Long.MaxValue, 5, 1024) == 30)
+    assert(Dedup.effectiveBits(10, 12, 1024) == 12)
+    // identical vectors share every hyperplane sign, so a widened signature
+    // still pairs them: 600 rows with target 16 forces ~6 extra bits
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val rows = (1L to 598L).map(id => (id, Array.tabulate(8)(j =>
+      math.sin(id * 7.0 + j).toFloat))) ++ Seq((600L, v), (601L, v))
+    val pairs = Dedup.embeddingPairs(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 8, bits = 2, threshold = 0.99,
+      targetBucketSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((600L, 601L)), "exact duplicates must survive widening")
+  }
+
   test("ngram jaccard exact values") {
     // doc1: shingles {a b c, b c d} ; doc2: {a b c, b c x}; inter=1 union=3 → 1/3
     val df = docsDF((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t"))

@@ -89,4 +89,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), "no explode expected in the signature stage")
     assert(p.contains("minhash_sig"), "native kernel missing from the plan")
   }
+
+  test("simhash band join exchanges carry bare signatures, never id arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // AQE hides exchanges behind query stages until execution, and the tiny
+    // sf0.001 band side would broadcast — force the shuffle plan a large
+    // corpus would get, since the shuffle payload is what's under test
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val exchanges =
+      try graft.dedup.Dedup.simhashPairs(
+          spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text")
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    assert(exchanges.nonEmpty)
+    // the (band, bucket) candidate shuffle must move 8-byte sig rows only —
+    // carrying each duplicate group's ids array ×4 bands was the scale leak
+    val bandExchanges = exchanges.filter(_.output.exists(_.name == "bucket"))
+    assert(bandExchanges.nonEmpty, "band-bucket shuffle not found in the plan")
+    bandExchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"band shuffle must not carry arrays: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+    }
+  }
 }
