@@ -26,24 +26,35 @@ class ChaosFileSystem extends RawLocalFileSystem {
 
 object ChaosFileSystem {
   private val segmentCreates = new AtomicInteger(0)
-  private val fired = new AtomicBoolean(false)
+  private val remainingFailures = new AtomicInteger(0)
+  private val firedCount = new AtomicInteger(0)
   @volatile private var failAtSegmentCreate: Int = -1
 
-  /** Fail the N-th segment-file create with an IOException — exactly once. */
-  def armSegmentCreateFailure(n: Int): Unit = {
+  /** Fail segment-file creates with IOExceptions, starting at the N-th
+    * create, `times` times total. `times = 1` kills one task attempt (the
+    * retry succeeds); `times >= spark's maxFailures` kills the whole job —
+    * the restart-recovery scenario.
+    */
+  def armSegmentCreateFailure(n: Int, times: Int = 1): Unit = {
     segmentCreates.set(0)
-    fired.set(false)
+    firedCount.set(0)
+    remainingFailures.set(times)
     failAtSegmentCreate = n
   }
 
   def disarm(): Unit = failAtSegmentCreate = -1
 
   /** True iff the armed failure actually fired (spec sanity check). */
-  def failureFired: Boolean = fired.get()
+  def failureFired: Boolean = firedCount.get() > 0
+
+  /** How many injected failures actually threw. */
+  def failuresFired: Int = firedCount.get()
 
   private def maybeFail(f: Path): Unit =
     if (failAtSegmentCreate >= 0 && f.getName.startsWith("segment-") &&
-        segmentCreates.incrementAndGet() == failAtSegmentCreate &&
-        fired.compareAndSet(false, true))
+        segmentCreates.incrementAndGet() >= failAtSegmentCreate &&
+        remainingFailures.getAndDecrement() > 0) {
+      firedCount.incrementAndGet()
       throw new IOException(s"chaos: injected create failure for $f")
+    }
 }

@@ -75,6 +75,42 @@ class ChaosSpec extends SparkSpec {
     assert(litter.isEmpty, s"orphaned tmp files: $litter")
   }
 
+  test("streaming backup killed mid-batch recovers exactly from its checkpoint (St5)") {
+    import graft.streaming.StreamingBackup
+    val local = Files.createTempDirectory("graft-chaos-stream").toString
+    val root = s"chaos:$local"
+    val ckpt = Files.createTempDirectory("graft-chaos-ckpt").toString
+    val cfg = BackupConfig("chs1", root, CompressionCodec.None,
+      maxSegmentBytes = 4096, enrichHeaders = false)
+    // file streaming sources take a directory; stage the events table alone
+    val srcDir = Files.createTempDirectory("graft-chaos-events").toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"), Paths.get(s"$srcDir/events.parquet"))
+    val src = StreamingBackup.eventsFileSource(spark, srcDir)
+    // fail both task attempts (local[4,2] allows one retry) → the micro-batch
+    // and the query die; the restart must replay the batch idempotently
+    ChaosFileSystem.armSegmentCreateFailure(3, times = 2)
+    val failed =
+      try { StreamingBackup.runAvailableNow(spark, src, cfg, ckpt); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+      finally ChaosFileSystem.disarm()
+    assert(failed, "the injected double-failure must kill the streaming query")
+    assert(ChaosFileSystem.failuresFired >= 2)
+
+    val m = StreamingBackup.runAvailableNow(spark, src, cfg, ckpt)
+    assert(m.totalRecords == sourceCount,
+      "restart must replay the failed batch exactly — no loss")
+    // idempotence across the crash: storage holds exactly the manifest's keys
+    val onDisk = Files.walk(Paths.get(local)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith("segment-"))
+      .map(p => Paths.get(local).relativize(p).toString)
+      .toSet
+    val inManifest = m.topics.flatMap(_.partitions).flatMap(_.segments).map(_.key).toSet
+    assert(onDisk == inManifest,
+      s"crash+restart left divergence: extra=${onDisk -- inManifest} missing=${inManifest -- onDisk}")
+    val restored = Restore.records(spark, RestoreConfig(root, "chs1"))
+    assert(restored.count() == sourceCount)
+  }
+
   test("corrupted segment footer: deep validation isolates exactly that segment") {
     val root = Files.createTempDirectory("graft-chaos-footer").toString
     val m = Backup.run(spark, KRecord.fromEvents(spark, sf0001),
