@@ -266,7 +266,8 @@ object Dedup {
 
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      bits: Int = 12, threshold: Double = 0.95,
-                     targetBucketSize: Int = 1024): DataFrame = {
+                     targetBucketSize: Int = 1024,
+                     multiProbe: Boolean = false): DataFrame = {
     val effBits = effectiveBits(df.count(), bits, targetBucketSize)
     // pre-normalize ONCE per row: inside the bucket join each candidate pair
     // then costs a single dot product instead of dot + two norms (the pair
@@ -279,7 +280,20 @@ object Dedup {
       .filter(col("norm") =!= 0.0d) // zero vectors can't cosine-pair (ANSI ÷0)
       .withColumn("unit", transform(col("vec"), x => x / col("norm")))
       .select("id", "bucket", "unit")
-    val a = sigs.select(col("bucket"), col("id").as("id_a"), col("unit").as("unit_a"))
+    // Multi-probe recovers the recall the occupancy widening narrows: the
+    // probe side also visits every 1-bit-flipped bucket, so pairs whose
+    // signatures differ in exactly one hyperplane sign become candidates
+    // again. (effBits+1)× candidate volume — still linear in corpus size;
+    // a pair differing in bit j is found from BOTH orientations (x's flip
+    // hits y's bucket and vice versa), so the id_a < id_b filter still
+    // yields each pair exactly once and no dedup shuffle is needed.
+    val a =
+      if (!multiProbe)
+        sigs.select(col("bucket"), col("id").as("id_a"), col("unit").as("unit_a"))
+      else sigs.select(
+        explode(array(col("bucket") +: (0 until effBits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"),
+        col("id").as("id_a"), col("unit").as("unit_a"))
     val b = sigs.select(col("bucket"), col("id").as("id_b"), col("unit").as("unit_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -238,6 +238,37 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs.contains((600L, 601L)), "exact duplicates must survive widening")
   }
 
+  test("multi-probe embedding LSH finds strictly more true pairs, never false ones") {
+    import spark.implicits._
+    // 40 clusters of 5 perturbed copies: perturbation is big enough that some
+    // within-cluster pairs land one hyperplane sign apart (single-probe
+    // misses them) but small enough that their exact cosine stays above the
+    // threshold — all deterministic, so the recall gap is stable
+    val rows = for {
+      c <- 0 until 40
+      m <- 0 until 5
+    } yield {
+      val base = Array.tabulate(16)(j => math.sin(c * 13.7 + j * 1.3))
+      val vec = base.zipWithIndex.map { case (x, j) =>
+        (x + 0.12 * math.sin(c * 31.1 + m * 7.9 + j * 2.3)).toFloat }
+      (c * 100L + m, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def pairsOf(probe: Boolean) = Dedup.embeddingPairs(df, "vec_id", "embedding",
+        dim = 16, bits = 6, threshold = 0.9, multiProbe = probe)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val single = pairsOf(false)
+    val multi = pairsOf(true)
+    assert(single.keySet.subsetOf(multi.keySet),
+      "multi-probe must be a strict superset of single-probe")
+    assert(multi.size > single.size,
+      s"multi-probe must recover 1-bit-apart pairs (single=${single.size}, multi=${multi.size})")
+    // exact verify means no false positives at any probe width
+    multi.values.foreach(cos => assert(cos >= 0.9))
+    // agreement on shared pairs
+    single.foreach { case (k, v) => assert(multi(k) == v) }
+  }
+
   test("ngram jaccard exact values") {
     // doc1: shingles {a b c, b c d} ; doc2: {a b c, b c x}; inter=1 union=3 → 1/3
     val df = docsDF((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t"))
