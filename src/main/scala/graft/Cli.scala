@@ -171,7 +171,16 @@ object Cli {
           // the reference's try_load_from_storage (sqlite.rs:102-124) — a
           // migrated config must not silently re-back-up from offset 0
           job.offsetDbPath.foreach { db =>
-            if (java.nio.file.Files.exists(java.nio.file.Paths.get(db))) {
+            // existence is probed through Hadoop FS — the SAME resolution
+            // SqliteFile.open uses — so a remote db_path (s3a://, gs://) is
+            // seen; a local-only Files.exists probe would mis-detect it as
+            // absent and silently restart the backup from the parquet table.
+            // An unreachable filesystem (bad credentials, bad scheme) throws
+            // and fails the job rather than downgrading to a note.
+            val p = new org.apache.hadoop.fs.Path(db)
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              p.toUri, spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) {
               val n = graft.catalog.OffsetStateTable.importSqlite(spark, db, cfg.backupRoot)
               println(s"seeded $n resume marks from offset_storage.db_path=$db")
             } else println(s"note: offset_storage.db_path=$db does not exist; " +

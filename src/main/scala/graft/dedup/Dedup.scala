@@ -264,11 +264,23 @@ object Dedup {
     math.min(math.max(bits, needed), 30)
   }
 
+  /** @param multiProbe force 1-bit multi-probe on; it also turns on
+    *   automatically whenever occupancy widening raises the signature width
+    *   past `bits`, so default-recall behavior survives corpus growth (pairs
+    *   differing in one widened bit stay candidates; ≥2-bit differences are
+    *   the accepted LSH miss at any width)
+    * @param knownCount corpus row count if the caller already has it; when
+    *   absent the width heuristic runs an eager `df.count()`, which executes
+    *   the full upstream pipeline once before the real job — pass it for
+    *   expensive inputs
+    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      bits: Int = 12, threshold: Double = 0.95,
                      targetBucketSize: Int = 1024,
-                     multiProbe: Boolean = false): DataFrame = {
-    val effBits = effectiveBits(df.count(), bits, targetBucketSize)
+                     multiProbe: Boolean = false,
+                     knownCount: Option[Long] = None): DataFrame = {
+    val effBits = effectiveBits(knownCount.getOrElse(df.count()), bits, targetBucketSize)
+    val probe = multiProbe || effBits > bits
     // pre-normalize ONCE per row: inside the bucket join each candidate pair
     // then costs a single dot product instead of dot + two norms (the pair
     // side of this plan is the O(bucket²) part — per-pair work dominates)
@@ -288,7 +300,7 @@ object Dedup {
     // hits y's bucket and vice versa), so the id_a < id_b filter still
     // yields each pair exactly once and no dedup shuffle is needed.
     val a =
-      if (!multiProbe)
+      if (!probe)
         sigs.select(col("bucket"), col("id").as("id_a"), col("unit").as("unit_a"))
       else sigs.select(
         explode(array(col("bucket") +: (0 until effBits).map(j =>

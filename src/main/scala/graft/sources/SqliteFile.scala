@@ -16,7 +16,10 @@ import java.nio.charset.StandardCharsets
   * scans only), WAL side files are not consulted — the reference runs
   * `PRAGMA wal_checkpoint(TRUNCATE)` before every upload, so the main file is
   * complete (sqlite.rs:244-249). INTEGER-PRIMARY-KEY alias columns come back
-  * as the row's rowid.
+  * as the row's rowid when they are the table's FIRST column (the common
+  * declaration, and the only position distinguishable from a genuine NULL
+  * without parsing DDL); an alias declared at a later position surfaces as
+  * null.
   *
   * Affinity caveat: SQLite stores integral-valued REALs with INTEGER serial
   * types (fileformat2 §2.1 "Record Format"); mapping them back to Double
@@ -127,15 +130,19 @@ object SqliteFile {
       val (headerLen, afterHl) = varintIn(payload, 0)
       var hp = afterHl
       var dp = headerLen.toInt
+      var colIdx = 0
       val vals = Vector.newBuilder[Any]
       while (hp < headerLen) {
         val (serial, nhp) = varintIn(payload, hp); hp = nhp
         val v: Any = serial.toInt match {
           case 0 =>
-            // NULL; for the first column of a rowid table this is overwhelmingly
-            // an INTEGER PRIMARY KEY alias, but without parsed DDL we cannot
-            // know — callers of the two reference tables never hit the case.
-            null
+            // serial 0 on the FIRST column of a rowid table is overwhelmingly
+            // an INTEGER PRIMARY KEY alias (SQLite always stores the alias as
+            // NULL and the value in the cell's rowid) — substitute the rowid,
+            // accepting that a genuinely-NULL non-IPK first column surfaces as
+            // the rowid too (DDL affinity parsing is out of scope, see header).
+            // Serial 0 on any later column is a genuine NULL.
+            if (colIdx == 0) java.lang.Long.valueOf(rowid) else null
           case 1 => val r = java.lang.Long.valueOf(payload(dp).toLong); dp += 1; r
           case 2 => val r = java.lang.Long.valueOf(beInt(payload, dp, 2)); dp += 2; r
           case 3 => val r = java.lang.Long.valueOf(beInt(payload, dp, 3)); dp += 3; r
@@ -157,6 +164,7 @@ object SqliteFile {
           case n => throw new IllegalStateException(s"reserved serial type $n")
         }
         vals += v
+        colIdx += 1
       }
       vals.result()
     }

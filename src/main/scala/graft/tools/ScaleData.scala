@@ -99,9 +99,11 @@ object ScaleData {
         if (i != 0 && (((j * 1103515245 + i * 12345) >>> 16) & 1) == 1) -x else x
       }
     }
+    // defensive cast mirrors Dedup.cosine: the UDF is Seq[Float]-typed, and an
+    // array<double> source column would otherwise CCE mid-replication
     write(replicate(embeddings)((d, i) => d
       .withColumn("vec_id", col("vec_id") + lit(i * vSh))
-      .withColumn("embedding", flip(col("embedding"), lit(i)))), "embeddings")
+      .withColumn("embedding", flip(col("embedding").cast("array<float>"), lit(i)))), "embeddings")
 
     println(s"scaled $in -> $out x$factor")
   }

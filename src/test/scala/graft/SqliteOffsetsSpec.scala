@@ -140,6 +140,26 @@ class SqliteOffsetsSpec extends SparkSpec {
     assert(p1.segments.map(_.start_offset).min == 3)
   }
 
+  test("INTEGER PRIMARY KEY alias (first column) surfaces as the rowid; later NULLs stay NULL") {
+    // fixture written by the SQLite library: jobs(id INTEGER PRIMARY KEY,
+    // name TEXT, started INTEGER) — the alias column is stored as serial 0
+    // and the value lives in the cell's rowid (fileformat2 §2.1)
+    val ipk = SqliteFile.open(resource("ipk-alias.db"))
+    val jobs = ipk.table("jobs").map(r =>
+      (asLong(r.values(0)), Option(r.values(1)).map(_.asInstanceOf[String]),
+        Option(r.values(2)).map(asLong))).toSet
+    assert(jobs == Set(
+      (7L, Some("alpha"), Some(100L)),
+      (42L, Some("beta"), None),
+      (9001L, None, Some(300L))))
+    // the substituted value IS the rowid, not a column payload
+    assert(ipk.table("jobs").forall(r => r.values(0) == java.lang.Long.valueOf(r.rowid)))
+    // genuine NULL in a non-first column of a plain table is untouched
+    val notes = ipk.table("notes").map(r =>
+      (r.values(0).asInstanceOf[String], Option(r.values(1)))).toMap
+    assert(notes("a").isEmpty && notes("b").contains("x"))
+  }
+
   test("malformed input fails loudly, not garbage") {
     intercept[IllegalArgumentException](SqliteFile.open("not a database".getBytes))
     intercept[IllegalArgumentException](db.table("nonexistent"))
