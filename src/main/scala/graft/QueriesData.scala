@@ -108,6 +108,22 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signals: duplicate lines/paragraphs and
+    // repeated word n-grams — integer counting + one rounded division, so
+    // DuckDB reproduces every fraction exactly
+    "d_repetition" -> ((s, d) => {
+      val r = TextFunctions.repetitionSignals(col("text"))
+      docs(s, d).select(col("doc_id"),
+          r.getField("n_lines").as("n_lines"),
+          round(r.getField("dup_line_frac"), 6).as("dup_line_frac"),
+          round(r.getField("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(r.getField("dup_para_frac"), 6).as("dup_para_frac"),
+          round(r.getField("top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
+          round(r.getField("top_3gram_char_frac"), 6).as("top_3gram_char_frac"),
+          round(r.getField("dup_5gram_char_frac"), 6).as("dup_5gram_char_frac"))
+        .orderBy("doc_id")
+    }),
+
     // corpus stats rollup by source (the list/describe analog for documents)
     "d_source_stats" -> ((s, d) => docs(s, d)
       .groupBy("source", "lang")
@@ -195,6 +211,61 @@ object QueriesData {
         |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
         |    / greatest(len(w), 1), 6) AS mean_word_len
         |FROM t ORDER BY doc_id""".stripMargin,
+    "d_repetition" ->
+      // identical normalization on both sides: lines/paragraphs are trimmed
+      // and blank-dropped before counting; n-gram character mass is counted
+      // in the whitespace-normalized text (tokens single-space-joined)
+      """WITH lines AS (
+        |  SELECT doc_id, trim(l) AS ln
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+        |  WHERE trim(l) <> ''),
+        |lg AS (SELECT doc_id, ln, count(*) AS c FROM lines GROUP BY 1, 2),
+        |ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+        |              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup,
+        |              CAST(sum(c * length(ln)) AS BIGINT) AS tchars,
+        |              CAST(sum(CASE WHEN c > 1 THEN c * length(ln) ELSE 0 END) AS BIGINT) AS dchars
+        |       FROM lg GROUP BY 1),
+        |paras AS (
+        |  SELECT doc_id, trim(p) AS pa
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\n{2,}')) AS p FROM documents)
+        |  WHERE trim(p) <> ''),
+        |pg AS (SELECT doc_id, pa, count(*) AS c FROM paras GROUP BY 1, 2),
+        |ps AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+        |              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+        |       FROM pg GROUP BY 1),
+        |toks AS (SELECT doc_id,
+        |                list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |         FROM documents),
+        |norm AS (SELECT doc_id, greatest(length(array_to_string(w, ' ')), 1) AS nl FROM toks),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i+1])) AS g
+        |       FROM toks WHERE len(w) >= 2),
+        |g2s AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |       FROM toks WHERE len(w) >= 3),
+        |g3s AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+        |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |         i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+        |       FROM toks WHERE len(w) >= 5),
+        |g5s AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dupc
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(ls.total, 0) AS n_lines,
+        |  round(coalesce(ls.dup, 0)::DOUBLE / greatest(coalesce(ls.total, 0), 1), 6) AS dup_line_frac,
+        |  round(coalesce(ls.dchars, 0)::DOUBLE / greatest(coalesce(ls.tchars, 0), 1), 6) AS dup_line_char_frac,
+        |  round(coalesce(ps.dup, 0)::DOUBLE / greatest(coalesce(ps.total, 0), 1), 6) AS dup_para_frac,
+        |  round(coalesce(g2s.top, 0)::DOUBLE / n.nl, 6) AS top_2gram_char_frac,
+        |  round(coalesce(g3s.top, 0)::DOUBLE / n.nl, 6) AS top_3gram_char_frac,
+        |  round(coalesce(g5s.dupc, 0)::DOUBLE / n.nl, 6) AS dup_5gram_char_frac
+        |FROM documents d
+        |JOIN norm n USING (doc_id)
+        |LEFT JOIN ls USING (doc_id) LEFT JOIN ps USING (doc_id)
+        |LEFT JOIN g2s USING (doc_id) LEFT JOIN g3s USING (doc_id) LEFT JOIN g5s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "d_source_stats" ->
       """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars

@@ -172,6 +172,17 @@ object KFunctions {
   def token_len_stats(tokens: Column): Column =
     exprCol(TokenLenStats(exprOf(tokens)))
 
+  /** `[total, dup_total, total_chars, dup_chars]` over the trimmed non-empty
+    * elements of an array<string> — native (see [[DupArrayStats]]).
+    */
+  def dup_array_stats(arr: Column): Column = exprCol(DupArrayStats(exprOf(arr)))
+
+  /** `[top_chars, dup_chars]` of repeated word n-grams over an array<string>
+    * token column — native (see [[NgramRepeatStats]]).
+    */
+  def ngram_repeat_stats(tokens: Column, n: Int): Column =
+    exprCol(NgramRepeatStats(exprOf(tokens), n))
+
   /** All (i < j) pairs of an array<long> column as array<struct<id_a,id_b>>
     * — native codegen expression (see [[SortedIdPairs]]).
     */

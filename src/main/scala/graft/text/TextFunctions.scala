@@ -125,4 +125,45 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", transform(tokens(text), w => lower(w))))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) — the standard
+    * filters for boilerplate- and spam-heavy web text in LLM training
+    * pipelines. All native one-pass kernels ([[graft.functions.DupArrayStats]],
+    * [[graft.functions.NgramRepeatStats]]): a narrow map over the scan, zero
+    * shuffle at any corpus size.
+    *
+    *  - `dup_line_frac` / `dup_line_char_frac`: fraction of (trimmed,
+    *    non-empty) lines belonging to a group of ≥2 identical lines, by count
+    *    and by character mass;
+    *  - `dup_para_frac`: same by paragraph (split on blank lines);
+    *  - `top{2,3,4}gram_char_frac`: character mass of the most
+    *    repetition-heavy word n-gram over the whitespace-normalized length;
+    *  - `dup{5,10}gram_char_frac`: character mass of all word n-grams
+    *    occurring ≥2×, same denominator. Overlapping occurrences count
+    *    per-occurrence, so degenerate single-token floods can exceed 1 — the
+    *    signal is thresholded upstream, not interpreted as a proportion.
+    */
+  def repetitionSignals(text: Column): Column = {
+    import graft.functions.KFunctions.{dup_array_stats, ngram_repeat_stats, token_len_stats}
+    val lines = dup_array_stats(split(text, "\n"))
+    val paras = dup_array_stats(split(text, "\n{2,}"))
+    val t = tokens(text)
+    // whitespace-normalized doc length: tokens single-space-joined
+    val normLen = greatest(
+      element_at(token_len_stats(t), 1) + greatest(size(t) - 1, lit(0)),
+      lit(1)).cast("double")
+    def frac(num: Column, den: Column): Column = num.cast("double") / den
+    def ngramFrac(n: Int, field: Int): Column =
+      frac(element_at(ngram_repeat_stats(t, n), field), normLen)
+    struct(
+      element_at(lines, 1).as("n_lines"),
+      frac(element_at(lines, 2), greatest(element_at(lines, 1), lit(1L))).as("dup_line_frac"),
+      frac(element_at(lines, 4), greatest(element_at(lines, 3), lit(1L))).as("dup_line_char_frac"),
+      frac(element_at(paras, 2), greatest(element_at(paras, 1), lit(1L))).as("dup_para_frac"),
+      ngramFrac(2, 1).as("top_2gram_char_frac"),
+      ngramFrac(3, 1).as("top_3gram_char_frac"),
+      ngramFrac(4, 1).as("top_4gram_char_frac"),
+      ngramFrac(5, 2).as("dup_5gram_char_frac"),
+      ngramFrac(10, 2).as("dup_10gram_char_frac"))
+  }
 }

@@ -340,6 +340,40 @@ class DataOpsSpec extends SparkSpec {
     assert(sig.getDouble(1) > 0)
   }
 
+  test("repetition signals: hand-computed duplicate-line and n-gram fractions") {
+    // lines (trimmed, non-empty): "aaa bbb aaa bbb aaa bbb" ×1,
+    // "hello world" ×2 (dup), "unique line here" ×1 → 4 lines, 2 dup;
+    // chars 23+11+11+16=61, dup chars 22; paragraphs (split on blank line): 2, no dup
+    val text = "aaa bbb aaa bbb aaa bbb\nhello world\nhello world\n\nunique line here"
+    val df = docsDF((1L, text))
+    val r = df.select(TextFunctions.repetitionSignals(col("text")).as("r"))
+      .select("r.n_lines", "r.dup_line_frac", "r.dup_line_char_frac",
+        "r.dup_para_frac", "r.top_2gram_char_frac").head()
+    assert(r.getLong(0) == 4)
+    assert(r.getDouble(1) == 0.5)
+    assert(math.abs(r.getDouble(2) - 22.0 / 61.0) < 1e-12)
+    assert(r.getDouble(3) == 0.0)
+    // 13 tokens, normalized length 52+12=64; top 2-gram mass:
+    // "hello world" 2×11=22 beats "aaa bbb" 3×7=21
+    assert(math.abs(r.getDouble(4) - 22.0 / 64.0) < 1e-12)
+
+    // 5-gram repetition: "a b c d e" occurs at windows 1 and 6 → mass 2×9=18
+    // over normalized length 19; all other windows unique
+    val r5 = docsDF((2L, "a b c d e a b c d e"))
+      .select(TextFunctions.repetitionSignals(col("text")).as("r"))
+      .select("r.dup_5gram_char_frac", "r.dup_line_frac").head()
+    assert(math.abs(r5.getDouble(0) - 18.0 / 19.0) < 1e-12)
+    assert(r5.getDouble(1) == 0.0)
+
+    // degenerate cases: empty text and single-token text produce zeros, not nulls/NaN
+    val z = docsDF((3L, ""), (4L, "word"))
+      .select(TextFunctions.repetitionSignals(col("text")).as("r"))
+      .select("r.n_lines", "r.dup_line_frac", "r.top_2gram_char_frac")
+      .collect()
+    assert(z.forall(row => row.getLong(0) <= 1 && row.getDouble(1) == 0.0 &&
+      row.getDouble(2) == 0.0))
+  }
+
   test("multimodal: feature extraction batch shape and determinism") {
     val media = Multimodal.syntheticMedia(spark, sf0001)
     val feats = Multimodal.extractFeatures(media)
