@@ -167,6 +167,19 @@ object QueriesData {
           threshold = 0.12, maxDocFreq = 50)
         .orderBy("id_a", "id_b")),
 
+    // dedup clustering: connected components (large-star/small-star) over
+    // the n-gram Jaccard pair list — the transitive closure that turns pairs
+    // into keep-one-per-group decisions. The oracle recomputes the same
+    // closure with a recursive CTE over the same SQL-expressed pair list.
+    "d_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.12, maxDocFreq = 50)
+      graft.dedup.Clusters.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_member"))
+        .orderBy("component")
+    }),
+
     // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
     "a_label_centroid_norm" -> ((s, d) => emb(s, d)
       .select(col("label"),
@@ -317,6 +330,41 @@ object QueriesData {
         |             JOIN sizes sb ON sb.doc_id = pairs.id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.12
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_dedup_clusters" ->
+      // same pair list as d_ngram_jaccard, then component = min id reachable
+      // over the symmetric edge set (recursive CTE = the transitive closure
+      // the large-star/small-star rounds compute distributively)
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |freq AS (SELECT shingle, count(*) AS c FROM inv GROUP BY 1),
+        |kept AS (SELECT i.doc_id, i.shingle FROM inv i JOIN freq f USING (shingle)
+        |         WHERE f.c BETWEEN 2 AND 50),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sizes sa ON sa.doc_id = cand.id_a
+        |            JOIN sizes sb ON sb.doc_id = cand.id_b
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.12),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY 1)
+        |SELECT component, count(*) AS n_members, max(id) AS max_member
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
     "m_frame_sample" ->
       """WITH v AS (SELECT doc_id AS media_id,
         |                  CAST(1 + octet_length(encode(text)) // 4096 AS INT) AS n_frames

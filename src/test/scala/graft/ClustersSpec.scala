@@ -1,0 +1,63 @@
+package graft
+
+import graft.dedup.Clusters
+import org.apache.spark.sql.functions._
+
+/** Connected-components dedup clustering: transitive closure of near-dup
+  * pairs, canonical-winner selection, convergence on adversarial shapes.
+  */
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsDF(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+
+  test("chained pairs form one component labeled by the min id") {
+    // A~B, B~C without A~C — the case pair-dropping gets wrong
+    val cc = Clusters.connectedComponents(pairsDF((2L, 3L), (3L, 7L), (7L, 5L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(2L -> 2L, 3L -> 2L, 5L -> 2L, 7L -> 2L))
+  }
+
+  test("independent cliques keep independent components") {
+    val clique = for {
+      g <- Seq(10L, 20L, 30L); i <- 0 until 3; j <- (i + 1) until 3
+    } yield (g + i, g + j)
+    val cc = Clusters.connectedComponents(pairsDF(clique: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 9)
+    for (g <- Seq(10L, 20L, 30L); i <- 0 until 3) assert(cc(g + i) == g)
+  }
+
+  test("a 64-node path converges (the worst case for label propagation)") {
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val cc = Clusters.connectedComponents(pairsDF(path: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 64 && cc.values.forall(_ == 0L))
+  }
+
+  test("pair order and direction don't matter; self-pairs are ignored") {
+    val a = Clusters.connectedComponents(pairsDF((5L, 1L), (1L, 5L), (3L, 3L), (5L, 9L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+
+  test("assignComponents labels singletons with their own id; drop keeps one per group") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    val pairs = pairsDF((2L, 3L), (4L, 5L))
+    val assigned = Clusters.assignComponents(docs, "doc_id", pairs)
+      .select("doc_id", "component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 5L -> 4L))
+    val kept = Clusters.dropDuplicateGroups(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
+  test("empty pair list: everything is a singleton") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val kept = Clusters.dropDuplicateGroups(docs, "doc_id",
+      pairsDF().limit(0))
+    assert(kept.count() == 2)
+  }
+}
