@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Unpersist the RDD behind a locally-checkpointed DataFrame (best-effort:
+    * a no-op if the plan isn't the expected LogicalRDD shape).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Component id (= the minimum member id) for every id that appears in
     * `pairs`. Output columns: `id`, `component`. Ids not mentioned in any
     * pair are absent (they are their own singleton component — see
@@ -35,45 +44,77 @@ object Clusters {
                           idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
     val spark = pairs.sparkSession
     // canonical direction (big, small); self-pairs carry no information
-    var edges = pairs.select(
-        greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+    // convergence signature: the canonical edge set is stable. Two scalars —
+    // count + an order-independent hash sum — not an except() diff. Collected
+    // via `observe` DURING the checkpoint materialization, so the check adds
+    // zero extra passes at any scale; decimal sum because an ANSI-mode long
+    // sum of 64-bit hashes overflows.
+    var obsId = 0
+    def checkpointWithSig(e: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
+      obsId += 1
+      val obs = new org.apache.spark.sql.Observation(s"cc_sig_$obsId")
+      val out = e.observe(obs, count(lit(1)).as("n"), coalesce(
+          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h"))
+        .localCheckpoint(true)
+      val m = obs.get
+      (out, (m("n").asInstanceOf[Long],
+        m("h").asInstanceOf[java.math.BigDecimal]))
+    }
+    var (edges, edgesSig) = checkpointWithSig(
+      pairs.select(
+          greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
     var round = 0
-    var converged = edges.isEmpty
+    var converged = edgesSig._1 == 0L
+    // Size the loop's shuffles to the MEASURED edge count (known exactly from
+    // the initial checkpoint): each round is ~6 exchanges, and running them
+    // at the session's scan-sized partition count costs a stage-latency tax
+    // per round that dwarfs the work when the pair graph is small — near-dup
+    // graphs usually are, relative to the corpus that produced them. Clamped
+    // to the session default so a billions-of-edges graph still gets full
+    // cluster width. Session-scoped conf: restored in the finally below
+    // (queries running concurrently in the same session would see it; the
+    // loop is short-lived and the setting only shrinks, never widens).
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1L, math.min(defaultParts.toLong,
+      edgesSig._1 / 2000000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
     while (!converged && round < maxRounds) {
-      // large-star: every neighbor v > u links to min(Γ⁺(u))
+      // large-star: every neighbor v > u links to min(Γ⁺(u)). No distinct
+      // here — duplicates are bounded by one round's emissions and the
+      // small-star output below dedups; skipping it saves a shuffle per round
       val symm = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = symm.groupBy("u")
         .agg(least(min("v"), first("u")).as("m"))
       val ls = symm.join(lsMin, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: every neighbor v < u (and u itself) links to min(N≤(u))
       val lsSymm = ls.union(ls.select(col("v").as("u"), col("u").as("v")))
-      val down = lsSymm.where(col("v") < col("u"))
+      val down = lsSymm.where(col("v") < col("u")).distinct()
       val ssMin = down.groupBy("u").agg(min("v").as("m"))
-      val next = down.join(ssMin, "u").where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(ssMin.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint(true)
-      // convergence: the canonical edge multiset is stable. Two scalars —
-      // count + an order-independent hash sum — not an except() diff, so the
-      // check costs one aggregation at any scale.
-      def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
-        // decimal sum: an ANSI-mode long sum of 64-bit hashes overflows
-        val r = e.agg(count(lit(1)), coalesce(
-            sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-            lit(0).cast("decimal(38,0)")))
-          .head()
-        (r.getLong(0), r.getDecimal(1))
-      }
-      converged = sig(next) == sig(edges)
+      val (next, nextSig) = checkpointWithSig(
+        down.join(ssMin, "u").where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(ssMin.select(col("u"), col("m").as("v")))
+          .distinct())
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"cc round $round: edges=${nextSig._1} @${System.nanoTime() / 1000000}ms")
+      converged = nextSig == edgesSig
+      // the superseded round's checkpoint blocks are dead the moment `edges`
+      // moves on — drop them now instead of waiting for GC-driven cleanup,
+      // so an N-round run holds one round of state, not N (and doesn't leak
+      // block-manager memory into whatever the caller runs next). A local
+      // checkpoint persists at the RDD layer, so Dataset.unpersist (cache-
+      // manager scoped) can't see it — unpersist the LogicalRDD's rdd.
+      freeCheckpoint(edges)
       edges = next
+      edgesSig = nextSig
       round += 1
     }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     // fixed point is a star graph: u -> root, roots implicit
     edges.select(col("u").as("id"), col("v").as("component"))
