@@ -167,6 +167,12 @@ object QueriesData {
           threshold = 0.12, maxDocFreq = 50)
         .orderBy("id_a", "id_b")),
 
+    // C4-style global line dedup: first corpus-wide occurrence of every
+    // distinct line wins; docs reassembled in original order. Exact string
+    // semantics — fully SQL-expressible, hash-checked including text_clean
+    "d_line_dedup" -> ((s, d) =>
+      graft.text.CorpusClean.globalLineDedup(docs(s, d)).orderBy("doc_id")),
+
     // dedup clustering: connected components (large-star/small-star) over
     // the n-gram Jaccard pair list — the transitive closure that turns pairs
     // into keep-one-per-group decisions. The oracle recomputes the same
@@ -330,6 +336,25 @@ object QueriesData {
         |             JOIN sizes sb ON sb.doc_id = pairs.id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.12
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_line_dedup" ->
+      """WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS idx, trim(a[i+1]) AS ln
+        |  FROM ls, unnest(range(0, len(a))) AS t(i)
+        |  WHERE trim(a[i+1]) <> ''),
+        |kept AS (
+        |  SELECT doc_id, idx, ln FROM (
+        |    SELECT doc_id, idx, ln,
+        |           row_number() OVER (PARTITION BY ln ORDER BY doc_id, idx) AS rk
+        |    FROM lines) WHERE rk = 1),
+        |agg AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text_clean,
+        |               count(*) AS n_kept FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  coalesce(tot.n_lines, 0) - coalesce(a.n_kept, 0) AS n_dropped
+        |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN tot USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "d_dedup_clusters" ->
       // same pair list as d_ngram_jaccard, then component = min id reachable
       // over the symmetric edge set (recursive CTE = the transitive closure

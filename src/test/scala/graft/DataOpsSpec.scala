@@ -374,6 +374,21 @@ class DataOpsSpec extends SparkSpec {
       row.getDouble(2) == 0.0))
   }
 
+  test("global line dedup: first corpus-wide occurrence wins, docs reassemble in order") {
+    val df = docsDF(
+      (1L, "header\nbody one\nfooter"),
+      (2L, "header\nbody two\nfooter"),
+      (3L, "  header \n\n   \nunique three"), // whitespace-variant dup + blank lines
+      (4L, "header\nfooter"))                 // fully boilerplate
+    val out = graft.text.CorpusClean.globalLineDedup(df)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("header\nbody one\nfooter", 3L, 0L)))
+    assert(out(2L) == (("body two", 1L, 2L)))
+    assert(out(3L) == (("unique three", 1L, 1L))) // trimmed "header" deduped
+    assert(out(4L) == (("", 0L, 2L)))
+  }
+
   test("multimodal: feature extraction batch shape and determinism") {
     val media = Multimodal.syntheticMedia(spark, sf0001)
     val feats = Multimodal.extractFeatures(media)
