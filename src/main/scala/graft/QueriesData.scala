@@ -167,6 +167,24 @@ object QueriesData {
           threshold = 0.12, maxDocFreq = 50)
         .orderBy("id_a", "id_b")),
 
+    // shard packing: greedy-contiguous token-budget assignment per source —
+    // a pure prefix sum, so the rollup pins every doc's shard exactly
+    "d_pack_shards" -> ((s, d) =>
+      graft.text.CorpusClean.packShards(docs(s, d), tokensPerShard = 500)
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+        .orderBy("source", "shard_id")),
+
+    // composite keep/drop filter with first-failing-rule reasons (too_short →
+    // dup_lines → repetitive_ngrams) — thresholds chosen to split this corpus
+    "d_corpus_filter" -> ((s, d) =>
+      graft.text.CorpusClean.filterCorpus(docs(s, d),
+          graft.text.CorpusClean.FilterConfig(
+            minTokens = Some(30L), maxTokens = None, minStopwordRatio = None,
+            maxDupLineCharFrac = Some(0.2), maxTop2gramCharFrac = Some(0.15),
+            keepLangs = None))
+        .orderBy("doc_id")),
+
     // C4-style global line dedup: first corpus-wide occurrence of every
     // distinct line wins; docs reassembled in original order. Exact string
     // semantics — fully SQL-expressible, hash-checked including text_clean
@@ -336,6 +354,51 @@ object QueriesData {
         |             JOIN sizes sb ON sb.doc_id = pairs.id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.12
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_pack_shards" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST(floor((cum - n_tokens) / 500.0) AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d_corpus_filter" ->
+      """WITH lines AS (
+        |  SELECT doc_id, trim(l) AS ln
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+        |  WHERE trim(l) <> ''),
+        |lg AS (SELECT doc_id, ln, count(*) AS c FROM lines GROUP BY 1, 2),
+        |ls AS (SELECT doc_id,
+        |              CAST(sum(c * length(ln)) AS BIGINT) AS tchars,
+        |              CAST(sum(CASE WHEN c > 1 THEN c * length(ln) ELSE 0 END) AS BIGINT) AS dchars
+        |       FROM lg GROUP BY 1),
+        |toks AS (SELECT doc_id,
+        |                list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |         FROM documents),
+        |norm AS (SELECT doc_id, len(w) AS n_tokens,
+        |                greatest(length(array_to_string(w, ' ')), 1) AS nl FROM toks),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i+1])) AS g
+        |       FROM toks WHERE len(w) >= 2),
+        |g2s AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |sig AS (
+        |  SELECT n.doc_id, n.n_tokens,
+        |    coalesce(ls.dchars, 0)::DOUBLE / greatest(coalesce(ls.tchars, 0), 1) AS dlcf,
+        |    coalesce(g2s.top, 0)::DOUBLE / n.nl AS t2f
+        |  FROM norm n LEFT JOIN ls USING (doc_id) LEFT JOIN g2s USING (doc_id))
+        |SELECT doc_id,
+        |  (CASE WHEN n_tokens < 30 THEN 'too_short'
+        |        WHEN dlcf > 0.2 THEN 'dup_lines'
+        |        WHEN t2f > 0.15 THEN 'repetitive_ngrams' END) IS NULL AS keep,
+        |  CASE WHEN n_tokens < 30 THEN 'too_short'
+        |       WHEN dlcf > 0.2 THEN 'dup_lines'
+        |       WHEN t2f > 0.15 THEN 'repetitive_ngrams' END AS reason
+        |FROM sig ORDER BY doc_id""".stripMargin,
     "d_line_dedup" ->
       """WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM documents),
         |lines AS (

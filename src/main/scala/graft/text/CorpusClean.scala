@@ -26,6 +26,76 @@ object CorpusClean {
     * boilerplate lines produce). Reassembly is a per-document
     * `collect_list` bounded by document size.
     */
+  /** Pack documents into training shards by token budget: within each group
+    * (e.g. `source`), documents are taken in deterministic id order and
+    * assigned greedily-contiguously — a document starts a new shard when the
+    * running token total would place its FIRST token past the budget, so
+    * every shard except a group's last holds ≥ budget tokens' worth of
+    * starts and assignment is a pure prefix-sum (`shard = floor(
+    * (cumsum - own) / budget)`), reproducible anywhere.
+    *
+    * Scale shape: one window per group ordered by id — the shuffle key is
+    * `groupCols`, and each group streams through a single task in order. A
+    * pathologically dominant group serializes into one task (the inherent
+    * cost of an order-dependent prefix sum); split such groups upstream by
+    * adding a coarse hash of the id to `groupCols` if per-group ordering is
+    * not required across the whole group.
+    */
+  def packShards(docs: DataFrame, tokensPerShard: Long,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 groupCols: Seq[String] = Seq("source")): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select((groupCols :+ idCol).map(col) :+
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"): _*)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("n_tokens")) / tokensPerShard))
+  }
+
+  /** Thresholds for [[filterCorpus]] — the usual C4/Gopher-style keep/drop
+    * knobs. `None` disables a rule.
+    */
+  final case class FilterConfig(
+      minTokens: Option[Long] = Some(8L),
+      maxTokens: Option[Long] = None,
+      minStopwordRatio: Option[Double] = None,
+      maxDupLineCharFrac: Option[Double] = Some(0.3),
+      maxTop2gramCharFrac: Option[Double] = Some(0.2),
+      keepLangs: Option[Set[String]] = None)
+
+  /** Composite document filter: evaluates the quality + repetition (+
+    * language) signals and emits `(idCol, keep, reason)` — `reason` is the
+    * FIRST failing rule in the fixed order below (null when kept), so
+    * downstream drop-reports are deterministic. One narrow map over the
+    * scan; every signal is a native kernel, zero shuffle.
+    */
+  def filterCorpus(docs: DataFrame, cfg: FilterConfig = FilterConfig(),
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val q = TextFunctions.qualitySignals(col(textCol))
+    val r = TextFunctions.repetitionSignals(col(textCol))
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      cfg.minTokens.map(v => "too_short" -> (q.getField("n_tokens") < v)),
+      cfg.maxTokens.map(v => "too_long" -> (q.getField("n_tokens") > v)),
+      cfg.minStopwordRatio.map(v =>
+        "low_stopword" -> (q.getField("stopword_ratio") < v)),
+      cfg.maxDupLineCharFrac.map(v =>
+        "dup_lines" -> (r.getField("dup_line_char_frac") > v)),
+      cfg.maxTop2gramCharFrac.map(v =>
+        "repetitive_ngrams" -> (r.getField("top_2gram_char_frac") > v)),
+      cfg.keepLangs.map(ls =>
+        "non_target_lang" -> !TextFunctions.langId(col(textCol)).isin(ls.toSeq: _*))
+    ).flatten
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((name, cond), acc) => when(cond, lit(name)).otherwise(acc)
+    }
+    docs.select(col(idCol), reason.as("reason"))
+      .withColumn("keep", col("reason").isNull)
+      .select(idCol, "keep", "reason")
+  }
+
   def globalLineDedup(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val lines = docs.select(col(idCol), posexplode(split(col(textCol), "\n")))

@@ -389,6 +389,43 @@ class DataOpsSpec extends SparkSpec {
     assert(out(4L) == (("", 0L, 2L)))
   }
 
+  test("shard packing: greedy-contiguous token-budget assignment per source") {
+    import spark.implicits._
+    val df = Seq(
+      ("web", 1L, "w w w"), ("web", 2L, "x x x"), ("web", 3L, "y y y"),
+      ("book", 10L, "a a a a a a a"), // exceeds the budget alone
+      ("book", 11L, "b")).toDF("source", "doc_id", "text")
+    val out = graft.text.CorpusClean.packShards(df, tokensPerShard = 5)
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // web: starts at 0, 3, 6 → shards 0, 0, 1
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 1L)
+    // book: oversized doc fills shard 0; next doc starts at 7 → shard 1
+    assert(out(10L) == 0L && out(11L) == 1L)
+  }
+
+  test("corpus filter: first failing rule wins, kept docs carry null reason") {
+    val df = docsDF(
+      (1L, "short"), // 1 token → too_short
+      (2L, "dup line dup line dup line\ndup line dup line dup line\nthird line x y z a b c"),
+      (3L, "spam spam spam spam spam spam spam spam one two three four five six"),
+      (4L, "a perfectly ordinary sentence with enough distinct words to pass every rule fine"))
+    val cfg = graft.text.CorpusClean.FilterConfig(
+      minTokens = Some(3L), maxDupLineCharFrac = Some(0.3),
+      maxTop2gramCharFrac = Some(0.3))
+    val out = graft.text.CorpusClean.filterCorpus(df, cfg)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(out(1L) == ((false, Some("too_short"))))
+    assert(out(2L) == ((false, Some("dup_lines"))))
+    assert(out(3L) == ((false, Some("repetitive_ngrams"))))
+    assert(out(4L) == ((true, None)))
+    // priority: a doc failing too_short AND dup_lines reports too_short
+    val both = docsDF((5L, "x\nx"))
+    val r5 = graft.text.CorpusClean.filterCorpus(both, cfg).head()
+    assert(r5.getString(2) == "too_short")
+  }
+
   test("multimodal: feature extraction batch shape and determinism") {
     val media = Multimodal.syntheticMedia(spark, sf0001)
     val feats = Multimodal.extractFeatures(media)
