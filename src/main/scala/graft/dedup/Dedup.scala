@@ -292,18 +292,27 @@ object Dedup {
       .filter(col("norm") =!= 0.0d) // zero vectors can't cosine-pair (ANSI ÷0)
       .withColumn("unit", transform(col("vec"), x => x / col("norm")))
       .select("id", "bucket", "unit")
-    // Multi-probe recovers the recall the occupancy widening narrows: the
-    // probe side also visits every 1-bit-flipped bucket, so pairs whose
-    // signatures differ in exactly one hyperplane sign become candidates
-    // again. (effBits+1)× candidate volume — still linear in corpus size;
-    // a pair differing in bit j is found from BOTH orientations (x's flip
-    // hits y's bucket and vice versa), so the id_a < id_b filter still
-    // yields each pair exactly once and no dedup shuffle is needed.
+    // Multi-probe recovers the recall narrowing costs: the probe side also
+    // visits 1-bit-flipped buckets, so pairs whose signatures differ in
+    // exactly one flipped hyperplane sign become candidates again. A pair
+    // differing in bit j is found from BOTH orientations (x's flip hits y's
+    // bucket and vice versa), so the id_a < id_b filter still yields each
+    // pair exactly once and no dedup shuffle is needed.
+    //
+    // WHICH bits get flipped is the cost/recall knob: when the probe is the
+    // AUTOMATIC companion of occupancy widening, only the widened bits
+    // [bits, effBits) are flipped — that restores precisely the candidates
+    // the widening removed (pairs equal on the requested bits, off by one
+    // widened sign) at (effBits-bits+1)× candidate volume instead of
+    // (effBits+1)×. A caller forcing multiProbe=true gets all bits flipped
+    // (deliberate recall boost past the requested width). Either way, ≥2-bit
+    // differences remain the accepted LSH miss.
+    val flipBits = if (multiProbe) 0 until effBits else bits until effBits
     val a =
       if (!probe)
         sigs.select(col("bucket"), col("id").as("id_a"), col("unit").as("unit_a"))
       else sigs.select(
-        explode(array(col("bucket") +: (0 until effBits).map(j =>
+        explode(array(col("bucket") +: flipBits.map(j =>
           col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"),
         col("id").as("id_a"), col("unit").as("unit_a"))
     val b = sigs.select(col("bucket"), col("id").as("id_b"), col("unit").as("unit_b"))
