@@ -167,6 +167,18 @@ object QueriesData {
           threshold = 0.12, maxDocFreq = 50)
         .orderBy("id_a", "id_b")),
 
+    // PII redaction: the corpus has no PII-shaped text, so the query plants
+    // deterministic email/URL/digit-run spans per doc (same concat on both
+    // sides) and the redactor must find exactly those — placeholder output,
+    // per-kind counts, and untouched surrounding text all hash-checked
+    "d_redact" -> ((s, d) =>
+      graft.text.CorpusClean.redactPii(
+          docs(s, d).select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@mail.example.org or http://doc"), col("doc_id"),
+              lit(".example/path?ref=1 call 555-101-"), col("doc_id")).as("text")))
+        .orderBy("doc_id")),
+
     // shard packing: greedy-contiguous token-budget assignment per source —
     // a pure prefix sum, so the rollup pins every doc's shard exactly
     "d_pack_shards" -> ((s, d) =>
@@ -354,6 +366,24 @@ object QueriesData {
         |             JOIN sizes sb ON sb.doc_id = pairs.id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.12
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_redact" ->
+      // same dialect-neutral patterns as CorpusClean (Java regex == RE2 for
+      // these); DuckDB regexp_replace needs the 'g' flag for replace-all
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.org or http://doc'
+        |         || doc_id || '.example/path?ref=1 call 555-101-' || doc_id AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, t,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |r2 AS (SELECT doc_id, t, t1,
+        |    regexp_replace(t1, 'https?://[^ \t\n\r]+', '<URL>', 'g') AS t2 FROM r)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS text_redacted,
+        |  CAST(len(string_split_regex(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) - 1 AS BIGINT) AS n_emails,
+        |  CAST(len(string_split_regex(t1, 'https?://[^ \t\n\r]+')) - 1 AS BIGINT) AS n_urls,
+        |  CAST(len(string_split_regex(t2, '[0-9][0-9 ()+.-]{6,}[0-9]')) - 1 AS BIGINT) AS n_numbers
+        |FROM r2 ORDER BY doc_id""".stripMargin,
     "d_pack_shards" ->
       """WITH t AS (SELECT source, doc_id,
         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -96,6 +96,36 @@ object CorpusClean {
       .select(idCol, "keep", "reason")
   }
 
+  /** PII scrubbing: replace email addresses, URLs, and long digit runs
+    * (phone/account-number shaped) with fixed placeholder tokens, and count
+    * each replacement. The patterns are deliberately dialect-neutral regex
+    * (no lookaround, no shorthand classes beyond `\s`) so the exact same
+    * expressions run under Java regex (Spark) and RE2 (DuckDB, and the
+    * linear-time engines a 100 TB scrub would want — catastrophic
+    * backtracking is a real outage class at that scale). Pure narrow map,
+    * zero shuffle. Redaction order is fixed (email → url → digits): a URL
+    * containing an email-shaped userinfo is redacted as the email first,
+    * deterministically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val UrlRe = "https?://[^ \\t\\n\\r]+"
+  val DigitRunRe = "[0-9][0-9 ()+.-]{6,}[0-9]"
+
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    def nMatches(c: org.apache.spark.sql.Column, re: String) =
+      size(split(c, re)) - 1 // split-based count: identical in any dialect
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, UrlRe, "<URL>")
+    val t3 = regexp_replace(t2, DigitRunRe, "<NUMBER>")
+    docs.select(col(idCol),
+      t3.as("text_redacted"),
+      nMatches(t0, EmailRe).cast("long").as("n_emails"),
+      nMatches(t1, UrlRe).cast("long").as("n_urls"),
+      nMatches(t2, DigitRunRe).cast("long").as("n_numbers"))
+  }
+
   def globalLineDedup(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val lines = docs.select(col(idCol), posexplode(split(col(textCol), "\n")))

@@ -426,6 +426,22 @@ class DataOpsSpec extends SparkSpec {
     assert(r5.getString(2) == "too_short")
   }
 
+  test("PII redaction: emails, URLs, digit runs; fixed order; counts per kind") {
+    val df = docsDF(
+      (1L, "mail a.b+c@site.co.uk and http://x.y/z?a=1 then call 555 123 4567 ok"),
+      (2L, "no pii here at all"),
+      (3L, "http://host/with.an@email.path stays a single url after email redaction"))
+    val out = graft.text.CorpusClean.redactPii(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("mail <EMAIL> and <URL> then call <NUMBER> ok", 1L, 1L, 1L)))
+    assert(out(2L) == (("no pii here at all", 0L, 0L, 0L)))
+    // email-in-URL: email replaced first (documented order), remainder is
+    // still one whitespace-delimited URL token
+    assert(out(3L)._2 == 1L && out(3L)._3 == 1L &&
+      out(3L)._1.startsWith("<URL> stays"))
+  }
+
   test("multimodal: feature extraction batch shape and determinism") {
     val media = Multimodal.syntheticMedia(spark, sf0001)
     val feats = Multimodal.extractFeatures(media)
