@@ -44,7 +44,15 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // no cross-query pollution: drop any block-manager state a query left
+      // behind (result checkpoints, caches) OUTSIDE its timed region — at
+      // large sf the accumulated blocks otherwise eat the shared heap and a
+      // later query pays the bill (seen as an sf10 OOM in d_ngram_jaccard
+      // caused by everything before it)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      (name, elapsed, err)
     }
     def jstr(s: String) = graft.util.Json.escape(s)
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }

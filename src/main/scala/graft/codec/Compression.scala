@@ -58,6 +58,31 @@ object Compression {
       java.util.Arrays.copyOf(out, 4 + n)
   }
 
+  /** Compress a range in place-friendly form: returns `(buffer, offset,
+    * length)` where the buffer MAY be oversized (zstd's compressBound
+    * allocation) or the input itself (codec None — zero copy). The segment
+    * writer streams the range straight to the object store, so no
+    * exact-sized copy is ever made; callers that need a standalone array
+    * use [[compress]].
+    */
+  def compressRange(data: Array[Byte], off: Int, len: Int, codec: CompressionCodec,
+                    zstdLevel: Int = CompressionCodec.DefaultZstdLevel): (Array[Byte], Int, Int) =
+    codec match {
+      case CompressionCodec.None => (data, off, len)
+      case CompressionCodec.Zstd =>
+        val bound = Zstd.compressBound(len.toLong).toInt
+        val out = new Array[Byte](bound)
+        val n = Zstd.compressByteArray(out, 0, bound, data, off, len, zstdLevel).toInt
+        (out, 0, n)
+      case CompressionCodec.Lz4 =>
+        val comp = lz4.fastCompressor()
+        val max = comp.maxCompressedLength(len)
+        val out = new Array[Byte](4 + max)
+        val n = comp.compress(data, off, len, out, 4, max)
+        ByteBuffer.wrap(out, 0, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(len)
+        (out, 0, 4 + n)
+    }
+
   def decompress(data: Array[Byte], codec: CompressionCodec): Array[Byte] = codec match {
     case CompressionCodec.None => data
     case CompressionCodec.Zstd =>

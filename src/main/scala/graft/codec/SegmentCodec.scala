@@ -60,6 +60,12 @@ object SegmentCodec {
     def size: Int = pos
     def reset(): Unit = pos = 0
     def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, pos)
+    /** The backing array (first `size` bytes valid) — lets the segment
+      * writer compress straight from the buffer instead of paying a
+      * segment-sized defensive copy per seal. Callers must not retain it
+      * across an append/reset.
+      */
+    private[graft] def backing: Array[Byte] = arr
     private def ensure(n: Int): Unit =
       if (pos + n > arr.length)
         arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, pos + n))
@@ -141,6 +147,33 @@ object SegmentCodec {
     out.putInt(crc.getValue.toInt)
     out.put(MagicEnd)
     out.array()
+  }
+
+  /** Stream a segment to `os` without assembling it in memory: header,
+    * compressed body range, then the CRC32-of-everything footer (CRC built
+    * incrementally). Byte-identical output to [[assemble]] — the hot-path
+    * form for the backup writer, where the assemble copy doubled per-task
+    * memory at full segment size.
+    */
+  def writeSegment(os: java.io.OutputStream, h: SegmentHeader,
+                   body: Array[Byte], off: Int, len: Int): Unit = {
+    val head = ByteBuffer.allocate(HeaderSize).order(ByteOrder.LITTLE_ENDIAN)
+    head.put(Magic)
+    head.put(h.version)
+    head.put(h.codec.id)
+    head.putShort(0) // reserved
+    head.putLong(h.recordCount)
+    head.putLong(h.startOffset)
+    head.putLong(h.endOffset)
+    val crc = new CRC32()
+    crc.update(head.array(), 0, HeaderSize)
+    crc.update(body, off, len)
+    val foot = ByteBuffer.allocate(FooterSize).order(ByteOrder.LITTLE_ENDIAN)
+    foot.putInt(crc.getValue.toInt)
+    foot.put(MagicEnd)
+    os.write(head.array(), 0, HeaderSize)
+    os.write(body, off, len)
+    os.write(foot.array(), 0, FooterSize)
   }
 
   def parseHeader(data: Array[Byte]): SegmentHeader = {

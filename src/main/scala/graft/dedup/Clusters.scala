@@ -116,9 +116,15 @@ object Clusters {
     }
     } finally spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    // fixed point is a star graph: u -> root, roots implicit
-    edges.select(col("u").as("id"), col("v").as("component"))
+    // fixed point is a star graph: u -> root, roots implicit. Materialize the
+    // (id, component) map — it's the small output of the loop — and free the
+    // last round's edge checkpoint too, so a finished call retains exactly
+    // its result and nothing of the iteration.
+    val result = edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
+      .localCheckpoint(true)
+    freeCheckpoint(edges)
+    result
   }
 
   /** Every row of `df` labeled with its duplicate-group component: the min

@@ -173,18 +173,26 @@ object Backup {
     var endTs = Long.MinValue
 
     def seal(): Unit = if (count > 0) {
-      val raw = body.toArray
-      val compressed = graft.codec.Compression.compress(raw, cfg.compression, cfg.zstdLevel)
-      val bytes = SegmentCodec.assemble(
-        SegmentCodec.SegmentHeader(SegmentCodec.Version, cfg.compression, count, startOffset,
-          endOffset), compressed)
+      // compress straight off the sink's backing array and stream the
+      // segment out — the only segment-sized allocations alive per task are
+      // the sink itself and the compressor's bound buffer. The previous
+      // toArray + assemble copies doubled that, and 32 local writer tasks ×
+      // ~4 full-segment arrays is how the sf10 bench ran a 16 GB heap out
+      // (a real cluster gives each task its own executor budget, but the
+      // extra copies were pure waste at any scale).
+      val rawLen = body.size
+      val (cBuf, cOff, cLen) = graft.codec.Compression.compressRange(
+        body.backing, 0, rawLen, cfg.compression, cfg.zstdLevel)
       val key = Manifest.segmentKey(cfg.backupId, curTopic, curPartition, startOffset,
         cfg.compression.extension)
       val path = new org.apache.hadoop.fs.Path(s"${cfg.backupRoot}/$key")
       val os = fs.create(path, true)
-      try os.write(bytes) finally os.close()
+      try SegmentCodec.writeSegment(os,
+        SegmentCodec.SegmentHeader(SegmentCodec.Version, cfg.compression, count, startOffset,
+          endOffset), cBuf, cOff, cLen)
+      finally os.close()
       out += SegmentRow(curTopic, curPartition, key, startOffset, endOffset, startTs, endTs,
-        count, raw.length.toLong, compressed.length.toLong)
+        count, rawLen.toLong, cLen.toLong)
       body.reset()
       count = 0; startOffset = -1; endOffset = -1
       startTs = Long.MaxValue; endTs = Long.MinValue
