@@ -90,6 +90,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_sig"), "native kernel missing from the plan")
   }
 
+  test("repetition signals, corpus filter, and redaction are pure maps — zero shuffles") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val signals = docs.select(col("doc_id"),
+      graft.text.TextFunctions.repetitionSignals(col("text")))
+    val filtered = graft.text.CorpusClean.filterCorpus(docs)
+    val redacted = graft.text.CorpusClean.redactPii(docs)
+    for ((df, name) <- Seq((signals, "repetitionSignals"),
+        (filtered, "filterCorpus"), (redacted, "redactPii"))) {
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n${p.take(1500)}")
+    }
+  }
+
+  test("global line dedup: the line groupBys use map-side partial aggregation") {
+    val p = graft.text.CorpusClean.globalLineDedup(
+        spark.read.parquet(s"$sf0001/documents.parquet"))
+      .queryExecution.explainString(FormattedMode)
+    // boilerplate lines are the skew case: the winner-per-line aggregation
+    // must collapse duplicates BEFORE the exchange (partial min), and the
+    // join back must be a semi-join, never a window rank over the line key
+    assert(p.contains("partial_min") || p.contains("Partial"),
+      s"line winner agg must be partial:\n${p.take(2000)}")
+    assert(p.contains("LeftSemi"), "winner filter must be a semi-join")
+    assert(!p.contains("Window"), "no window rank over the line key")
+  }
+
+  test("shard packing: one exchange on the group key, then an in-order window") {
+    val p = graft.text.CorpusClean.packShards(
+        spark.read.parquet(s"$sf0001/documents.parquet"), tokensPerShard = 500)
+      .queryExecution.explainString(FormattedMode)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"packShards must shuffle exactly once (got $exchanges):\n${p.take(2000)}")
+    assert(p.contains("Window"), "prefix sum must be a window, not a self-join")
+  }
+
   test("simhash band join exchanges carry bare signatures, never id arrays") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
