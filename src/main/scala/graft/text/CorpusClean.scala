@@ -56,7 +56,10 @@ object CorpusClean {
   }
 
   /** Thresholds for [[filterCorpus]] — the usual C4/Gopher-style keep/drop
-    * knobs. `None` disables a rule.
+    * knobs. `None` disables a rule. Note the top-n-gram rules count the most
+    * repetition-heavy gram even at count 1 (Gopher semantics), so on very
+    * short documents a unique gram can exceed the threshold — pair them with
+    * `minTokens`, which fires first and gives the honest reason.
     */
   final case class FilterConfig(
       minTokens: Option[Long] = Some(8L),

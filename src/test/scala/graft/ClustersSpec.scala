@@ -54,6 +54,13 @@ class ClustersSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("exhausting maxRounds throws instead of returning a wrong grouping") {
+    val path = (0L until 63L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      Clusters.connectedComponents(pairsDF(path: _*), maxRounds = 1)
+    }
+  }
+
   test("empty pair list: everything is a singleton") {
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val kept = Clusters.dropDuplicateGroups(docs, "doc_id",

@@ -35,6 +35,39 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless text ops (repetition signals, corpus filter, redaction) run on streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, String)]
+    // zero-shuffle narrow maps are streaming-safe by construction — this
+    // pins that the whole cleaning battery keeps working in a readStream →
+    // transform → writeStream pipeline (no unsupported-operation analysis)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val out = graft.text.CorpusClean.redactPii(docs)
+      .join(graft.text.CorpusClean.filterCorpus(docs,
+        graft.text.CorpusClean.FilterConfig(minTokens = Some(3L),
+          // n-gram/dup-line rules off: on 6-word docs a UNIQUE top 2-gram is
+          // already >20% of the text (the documented short-doc noise of the
+          // Gopher thresholds); this test pins streaming execution, not knobs
+          maxDupLineCharFrac = None, maxTop2gramCharFrac = None)), "doc_id")
+      .withColumn("top2",
+        graft.text.TextFunctions.repetitionSignals(col("text_redacted"))
+          .getField("top_2gram_char_frac"))
+    val q = out.writeStream.format("memory").queryName("clean_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "mail me at a@b.example please do"), (2L, "tiny"))
+      q.processAllAvailable()
+      val rows = spark.table("clean_out")
+        .select("doc_id", "text_redacted", "keep", "reason")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getBoolean(2), Option(r.getString(3))))).toMap
+      assert(rows(1L)._1.contains("<EMAIL>") && rows(1L)._2)
+      assert(rows(2L) == (("tiny", false, Some("too_short"))))
+    } finally q.stop()
+  }
+
   test("per-source running stats via explicit keyed state (St8)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
