@@ -39,9 +39,16 @@ object Clusters {
     * @param maxRounds safety bound; the algorithm converges (edge set reaches
     *   its star-graph fixed point) long before this on real graphs. Throws if
     *   the bound is hit un-converged rather than returning a wrong grouping.
+    * @param checkpointDir when set, per-round state is checkpointed RELIABLY
+    *   to this path (object store / DFS) instead of executor-local storage.
+    *   Local checkpoints are faster but die with their executor — on a real
+    *   cluster a lost executor mid-loop fails the whole job, and a long
+    *   dedup-closure job over billions of edges should pay the write for
+    *   restartable state. The caller owns the directory's lifecycle.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
+                          idB: String = "id_b", maxRounds: Int = 30,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     // canonical direction (big, small); self-pairs carry no information
     // convergence signature: the canonical edge set is stable. Two scalars —
@@ -49,14 +56,16 @@ object Clusters {
     // via `observe` DURING the checkpoint materialization, so the check adds
     // zero extra passes at any scale; decimal sum because an ANSI-mode long
     // sum of 64-bit hashes overflows.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     var obsId = 0
     def checkpointWithSig(e: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
       obsId += 1
       val obs = new org.apache.spark.sql.Observation(s"cc_sig_$obsId")
-      val out = e.observe(obs, count(lit(1)).as("n"), coalesce(
+      val observed = e.observe(obs, count(lit(1)).as("n"), coalesce(
           sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")).as("h"))
-        .localCheckpoint(true)
+      val out = if (checkpointDir.isDefined) observed.checkpoint(true)
+        else observed.localCheckpoint(true)
       val m = obs.get
       (out, (m("n").asInstanceOf[Long],
         m("h").asInstanceOf[java.math.BigDecimal]))
@@ -120,9 +129,10 @@ object Clusters {
     // (id, component) map — it's the small output of the loop — and free the
     // last round's edge checkpoint too, so a finished call retains exactly
     // its result and nothing of the iteration.
-    val result = edges.select(col("u").as("id"), col("v").as("component"))
+    val resultPlan = edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
-      .localCheckpoint(true)
+    val result = if (checkpointDir.isDefined) resultPlan.checkpoint(true)
+      else resultPlan.localCheckpoint(true)
     freeCheckpoint(edges)
     result
   }

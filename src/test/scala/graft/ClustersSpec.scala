@@ -61,6 +61,21 @@ class ClustersSpec extends SparkSpec {
     }
   }
 
+  test("reliable checkpointing produces the identical grouping") {
+    // the restartable-state path for long closure jobs on real clusters —
+    // same algorithm, per-round state on the (here: local-fs) checkpoint dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val edges = Seq((2L, 3L), (3L, 7L), (10L, 11L), (20L, 21L), (21L, 22L))
+    val local = Clusters.connectedComponents(pairsDF(edges: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reliable = Clusters.connectedComponents(pairsDF(edges: _*),
+        checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reliable == local)
+    // round state actually landed on the checkpoint dir
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("empty pair list: everything is a singleton") {
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val kept = Clusters.dropDuplicateGroups(docs, "doc_id",
