@@ -167,6 +167,20 @@ object QueriesData {
           threshold = 0.12, maxDocFreq = 50)
         .orderBy("id_a", "id_b")),
 
+    // unicode normalization: plant decomposed sequences (e + U+0301, A +
+    // U+030A) and a C0 control char per doc; the cleaner must strip the
+    // control char and canonically compose — DuckDB's nfc_normalize is the
+    // oracle for the JDK Normalizer, and the per-doc shrink count pins both
+    "d_normalize" -> ((s, d) => {
+      val planted = concat(col("text"), lit(" cafe\u0301 A\u0007\u030A end"))
+      docs(s, d).select(col("doc_id"),
+          graft.text.CorpusClean.normalizeText(planted).as("text_norm"),
+          (length(planted) -
+            length(graft.text.CorpusClean.normalizeText(planted)))
+            .cast("long").as("shrunk"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction: the corpus has no PII-shaped text, so the query plants
     // deterministic email/URL/digit-run spans per doc (same concat on both
     // sides) and the redactor must find exactly those — placeholder output,
@@ -366,6 +380,18 @@ object QueriesData {
         |             JOIN sizes sb ON sb.doc_id = pairs.id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.12
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_normalize" ->
+      // chr(769)=U+0301 combining acute, chr(778)=U+030A combining ring,
+      // chr(7)=BEL; DuckDB nfc_normalize oracles the JDK Normalizer
+      """WITH p AS (SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' A' || chr(7) || chr(778) || ' end' AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t,
+        |    nfc_normalize(regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS tn
+        |  FROM p)
+        |SELECT doc_id, tn AS text_norm,
+        |       CAST(length(t) - length(tn) AS BIGINT) AS shrunk
+        |FROM n ORDER BY doc_id""".stripMargin,
     "d_redact" ->
       // same dialect-neutral patterns as CorpusClean (Java regex == RE2 for
       // these); DuckDB regexp_replace needs the 'g' flag for replace-all

@@ -183,6 +183,9 @@ object KFunctions {
   def ngram_repeat_stats(tokens: Column, n: Int): Column =
     exprCol(NgramRepeatStats(exprOf(tokens), n))
 
+  /** Unicode NFC normalization — native (see [[NfcNormalize]]). */
+  def nfc_normalize(text: Column): Column = exprCol(NfcNormalize(exprOf(text)))
+
   /** All (i < j) pairs of an array<long> column as array<struct<id_a,id_b>>
     * — native codegen expression (see [[SortedIdPairs]]).
     */

@@ -163,3 +163,41 @@ case class NgramRepeatStats(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NgramRepeatStats =
     copy(child = newChild)
 }
+
+/** Unicode NFC normalization of a string column — the canonical-composition
+  * step of corpus cleaning (decomposed e + U+0301 → é), via the JDK's
+  * `java.text.Normalizer`. Not allocation-free (Normalizer works on
+  * java.lang.String), but a narrow map with zero shuffle; the fast path
+  * skips the round-trip entirely for text that is already NFC (ASCII and
+  * most web text — `Normalizer.isNormalized` is a cheap scan).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Called from generated code. */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

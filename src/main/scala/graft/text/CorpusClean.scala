@@ -110,6 +110,17 @@ object CorpusClean {
     * containing an email-shaped userinfo is redacted as the email first,
     * deterministically.
     */
+  /** Text normalization: strip C0 control characters (except \t \n \r) and
+    * canonically compose to Unicode NFC (decomposed e + U+0301 → é) — the
+    * usual first cleaning pass over scraped text. Control-strip runs first
+    * (a control char between base and combining mark would block
+    * composition); NFC is the native [[graft.functions.NfcNormalize]] kernel
+    * with an already-normalized fast path. Narrow map, zero shuffle.
+    */
+  def normalizeText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.KFunctions.nfc_normalize(
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
   val UrlRe = "https?://[^ \\t\\n\\r]+"
   val DigitRunRe = "[0-9][0-9 ()+.-]{6,}[0-9]"

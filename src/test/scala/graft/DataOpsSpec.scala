@@ -442,6 +442,20 @@ class DataOpsSpec extends SparkSpec {
       out(3L)._1.startsWith("<URL> stays"))
   }
 
+  test("text normalization: NFC composition, control chars stripped, whitespace kept") {
+    val df = docsDF(
+      (1L, "café"),            // decomposed → composed é
+      (2L, "A̊ ok"),      // control char BETWEEN base and mark
+      (3L, "plain\tascii\nstays"))   // \t and \n survive the control strip
+    val out = df.select(col("doc_id"),
+        graft.text.CorpusClean.normalizeText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "café")
+    // strip-first lets the mark reach its base: A + ring → Å (U+00C5)
+    assert(out(2L) == "Å ok")
+    assert(out(3L) == "plain\tascii\nstays")
+  }
+
   test("multimodal: feature extraction batch shape and determinism") {
     val media = Multimodal.syntheticMedia(spark, sf0001)
     val feats = Multimodal.extractFeatures(media)
