@@ -230,6 +230,45 @@ object QueriesData {
         .orderBy("component")
     }),
 
+    // deterministic split assignment: md5-bucket in [0, 65536) → first
+    // cumulative cut wins (train 0.8 / val 0.1 / test 0.1). The bucket is in
+    // the output so the oracle pins the hash fold itself, not just the CASE
+    "d_split_assign" -> ((s, d) =>
+      graft.text.Sampling.assignSplits(docs(s, d),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split")
+        .select(col("doc_id"),
+          graft.text.Sampling.hashBucket16(col("doc_id"), "split").as("bucket"),
+          col("split"))
+        .orderBy("doc_id")),
+
+    // deterministic weighted mixing: src0 upsampled 2.5x, src1 kept at 0.25,
+    // everything else 1.0 — every copy row is hash-derived, so the oracle
+    // reproduces the exact multiset
+    "d_mix_sample" -> ((s, d) =>
+      graft.text.Sampling.sampleWeighted(docs(s, d),
+          Map("src0" -> 2.5, "src1" -> 0.25), defaultWeight = 1.0, salt = "mix")
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")),
+
+    // deterministic stratified take: exactly 20 docs per language, chosen by
+    // hash order — same 20 on any cluster, any partitioning, any run
+    "d_stratified" -> ((s, d) =>
+      graft.text.Sampling.stratifiedTake(docs(s, d), k = 20,
+          strataCols = Seq("lang"), salt = "strat")
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")),
+
+    // benchmark decontamination: docs sharing a 13-gram with the held-out
+    // benchmark subset (doc_id % 20 == 7) — the corpus's near-dup families
+    // straddle the subset boundary, so real hits exist at every sf
+    "d_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.Sampling.decontaminate(
+          all.filter(col("doc_id") % 20 =!= 7),
+          all.filter(col("doc_id") % 20 === 7), shingleN = 13)
+        .orderBy("doc_id")
+    }),
+
     // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
     "a_label_centroid_norm" -> ((s, d) => emb(s, d)
       .select(col("label"),
@@ -509,6 +548,62 @@ object QueriesData {
         |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY 1)
         |SELECT component, count(*) AS n_members, max(id) AS max_member
         |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_split_assign" ->
+      // the 16-bit bucket is a manual hex fold of md5's first 4 chars —
+      // bit-identical to Spark's conv(substring(md5, 1, 4), 16, 10); cuts
+      // 52429/58982 = round(cum_weight * 65536) for 0.8 / 0.9
+      """WITH h AS (SELECT doc_id, md5(doc_id || ':split') AS m FROM documents),
+        |b AS (SELECT doc_id,
+        |  CAST((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS BIGINT) AS bucket
+        |  FROM h)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 52429 THEN 'train'
+        |       WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "d_mix_sample" ->
+      """WITH h AS (SELECT doc_id, source, md5(doc_id || ':mix') AS m FROM documents),
+        |v AS (SELECT doc_id, source,
+        |  CAST((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS BIGINT) AS b,
+        |  CASE WHEN source = 'src0' THEN 2.5
+        |       WHEN source = 'src1' THEN 0.25 ELSE 1.0 END AS w
+        |  FROM h),
+        |c AS (SELECT doc_id, source,
+        |  CAST(floor(w) AS BIGINT)
+        |    + CASE WHEN b < round((w - floor(w)) * 65536) THEN 1 ELSE 0 END AS n
+        |  FROM v)
+        |SELECT doc_id, source, CAST(u AS BIGINT) AS copy
+        |FROM c, unnest(range(0, n)) AS t(u)
+        |ORDER BY doc_id, copy""".stripMargin,
+    "d_stratified" ->
+      """WITH h AS (SELECT lang, doc_id, md5(doc_id || ':strat') AS m FROM documents),
+        |b AS (SELECT lang, doc_id,
+        |  CAST((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS BIGINT) AS bucket
+        |  FROM h),
+        |r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn FROM b)
+        |SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    "d_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(list_slice(t, i, i + 12), ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 13),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 7)
+        |SELECT s.doc_id, count(*) AS n_matched
+        |FROM sh s JOIN bench USING (g) WHERE s.doc_id % 20 <> 7
+        |GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id""".stripMargin,
     "m_frame_sample" ->
       """WITH v AS (SELECT doc_id AS media_id,
         |                  CAST(1 + octet_length(encode(text)) // 4096 AS INT) AS n_frames

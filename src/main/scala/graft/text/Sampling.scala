@@ -1,0 +1,142 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines: hash-based
+  * train/val/test splits, per-source weighted mixing (epoch up/down-sampling,
+  * the Pile/Dolma recipe), and benchmark decontamination (n-gram overlap
+  * against an eval set, the GPT-3 appendix-C recipe).
+  *
+  * All assignment decisions key on `md5(id ":" salt)` truncated to 16 bits —
+  * portable integer arithmetic that any engine (and any future re-run)
+  * reproduces exactly, so a document's split/sample fate never depends on
+  * partitioning, row order, or RNG state. A 100 TB corpus re-sharded five
+  * ways still sends each doc to the same split.
+  */
+object Sampling {
+
+  /** 16-bit hash bucket in [0, 65536) keyed on (id, salt) — `md5` is
+    * available and bit-identical everywhere (Spark, DuckDB, Python), unlike
+    * engine-private hashes. 16 bits keeps threshold comparisons exact while
+    * giving 0.0015% split granularity.
+    */
+  def hashBucket16(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 4),
+      16, 10).cast("long")
+
+  /** Integer threshold for a cumulative weight — the exact cut used by both
+    * [[assignSplits]] and [[sampleWeighted]].
+    */
+  private def cut(cumWeight: Double): Long = math.round(cumWeight * 65536.0)
+
+  /** Deterministic split assignment: `splits` is an ordered list of
+    * (name, weight) with weights summing to ~1; a document lands in the
+    * first split whose cumulative hash-bucket cut exceeds its bucket. The
+    * LAST split absorbs any rounding remainder (so every doc is assigned).
+    * Output: input columns + `split`. Pure narrow map, zero shuffle —
+    * at any corpus size this costs one md5 per row on top of the scan.
+    */
+  def assignSplits(docs: DataFrame, splits: Seq[(String, Double)],
+                   salt: String = "split", idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0), "split weights must be non-negative")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
+    val b = hashBucket16(col(idCol), salt)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(cut)
+    // last split takes everything left of 65536 regardless of rounding
+    val assigned = splits.init.zip(cuts).foldRight(lit(splits.last._1)) {
+      case (((name, _), c), acc) => when(b < c, lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", assigned)
+  }
+
+  /** Deterministic weighted mixing: each source's weight w is the expected
+    * number of copies of each of its documents in the output — w = 2.5 means
+    * every doc appears twice and a hash-chosen half appear a third time;
+    * w = 0.25 keeps a hash-chosen quarter. `weights` overrides per source,
+    * `defaultWeight` covers the rest. Output: input columns + `copy`
+    * (0-based). The hash decision is per (id, salt), independent of the
+    * split salt, so mixing and splitting never correlate.
+    *
+    * Scale shape: narrow map + generator (explode of an at-most-⌈w⌉-element
+    * sequence) — zero shuffle, and output size is exactly Σ w_s·|s| rows. No
+    * RNG: retried tasks regenerate identical copies, so speculative
+    * execution and stage replay can't duplicate or drop a document.
+    */
+  def sampleWeighted(docs: DataFrame, weights: Map[String, Double],
+                     defaultWeight: Double = 1.0, salt: String = "mix",
+                     idCol: String = "doc_id", keyCol: String = "source"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "weights must be non-negative")
+    val w = weights.foldRight(lit(defaultWeight)) { case ((k, v), acc) =>
+      when(col(keyCol) === k, lit(v)).otherwise(acc)
+    }
+    val whole = floor(w).cast("long")
+    val frac = w - whole
+    val b = hashBucket16(col(idCol), salt)
+    // copies = floor(w) + (bucket < round(frac * 65536) ? 1 : 0); the frac
+    // cut is computed per row because w is a column — round() matches cut()
+    val copies = (whole +
+      when(b < round(frac * 65536.0).cast("long"), 1L).otherwise(0L)).as("n_copies")
+    docs.withColumn("n_copies", copies)
+      .where(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1L)))
+      .drop("n_copies")
+  }
+
+  /** Deterministic stratified take: EXACTLY min(k, |stratum|) documents per
+    * stratum, chosen by hash order (bucket, then id as tiebreak) — "give me
+    * 1000 docs per language, the same 1000 every run, on any cluster".
+    * Output: input columns, filtered.
+    *
+    * Scale shape: rank-over-window with the `rn <= k` filter directly on the
+    * window, which Spark rewrites into WindowGroupLimit — each map task
+    * pre-truncates its partition to k rows per stratum BEFORE the shuffle,
+    * so a billion-row stratum ships ~k×tasks rows, not the stratum. The
+    * plan-lock in SamplingSpec fails if a refactor loses that rewrite.
+    */
+  def stratifiedTake(docs: DataFrame, k: Int, strataCols: Seq[String],
+                     salt: String = "strat", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(strataCols.nonEmpty, "at least one stratum column required")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(hashBucket16(col(idCol), salt), col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥ `minMatches`
+    * distinct word `shingleN`-grams with the benchmark set (13-grams is the
+    * published GPT-3/PaLM overlap rule). Returns `(idCol, n_matched)` for
+    * flagged docs only — anti-join it back to drop them.
+    *
+    * Scale shape: the benchmark side (eval sets — thousands of docs, not
+    * billions) collapses to DISTINCT n-grams and is explicitly broadcast, so
+    * the 100 TB corpus side never shuffles: each task streams its scan
+    * partition, explodes per-doc distinct shingles, probes the broadcast
+    * hash set, and emits only hits into the tiny per-doc count aggregation.
+    * The corpus-side groupBy shuffles hits only (≈ contaminated docs ×
+    * matched grams), not the corpus.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, shingleN: Int = 13,
+                    minMatches: Int = 1, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(shingleN >= 1, "shingleN must be >= 1")
+    require(minMatches >= 1, "minMatches must be >= 1")
+    val benchGrams = benchmark
+      .select(explode(array_distinct(
+        TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(
+        TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
+    corpusGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .where(col("n_matched") >= minMatches)
+  }
+}

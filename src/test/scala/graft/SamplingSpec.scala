@@ -1,0 +1,135 @@
+package graft
+
+import graft.text.Sampling
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling battery: hash-fraction splits, weighted mixing,
+  * benchmark decontamination. Known answers are hand-computed from md5 —
+  * the whole point of these operators is that the assignment is portable
+  * integer arithmetic, so the spec pins the exact bits.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashBucket16 matches hand-computed md5 fold") {
+    // md5("42:split") = 58ad5b25... -> 0x58ad = 22701
+    val got = spark.range(42, 43).toDF("doc_id")
+      .select(Sampling.hashBucket16(col("doc_id"), "split")).head().getLong(0)
+    assert(got === 22701L)
+  }
+
+  test("assignSplits is exhaustive, deterministic, and partition-independent") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.assignSplits(docs, splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.assignSplits(docs.repartition(7), splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b, "assignment must not depend on partitioning")
+    assert(a.size === 2000, "every doc gets a split")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    // binomial(2000, 0.8): 5 sigma ≈ 90
+    assert(math.abs(counts("train") - 1600) < 120, s"train skewed: $counts")
+    assert(math.abs(counts("val") - 200) < 90, s"val skewed: $counts")
+    assert(math.abs(counts("test") - 200) < 90, s"test skewed: $counts")
+  }
+
+  test("assignSplits rejects bad weights") {
+    val docs = spark.range(0, 1).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, Seq("a" -> 0.5, "b" -> 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, Seq.empty)
+    }
+  }
+
+  test("sampleWeighted: integer weights copy exactly, fractional weights hash-sample") {
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 500, "a").otherwise("b").as("source"))
+    val out = Sampling.sampleWeighted(docs, Map("a" -> 2.0, "b" -> 0.5))
+      .groupBy("source").agg(countDistinct("doc_id").as("docs"),
+        count(lit(1)).as("rows")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") === ((500L, 1000L)), "w=2.0 must emit exactly 2 copies per doc")
+    val (bDocs, bRows) = out("b")
+    assert(bDocs === bRows, "w=0.5 emits at most one copy per doc")
+    assert(math.abs(bDocs - 250L) < 70, s"w=0.5 kept $bDocs of 500 (expect ~250)")
+    // copy indices are dense from 0
+    val copies = Sampling.sampleWeighted(docs, Map("a" -> 2.0, "b" -> 0.5))
+      .filter(col("source") === "a").groupBy("doc_id")
+      .agg(sort_array(collect_list("copy")).as("c"))
+      .select("c").distinct().collect()
+    assert(copies.length === 1 && copies.head.getSeq[Long](0) === Seq(0L, 1L))
+  }
+
+  test("sampleWeighted is deterministic under retry-like re-evaluation") {
+    val docs = spark.range(0, 400)
+      .select(col("id").as("doc_id"), lit("a").as("source"))
+    def run() = Sampling.sampleWeighted(docs, Map("a" -> 1.5))
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(run().toSeq === run().toSeq)
+  }
+
+  test("decontaminate flags n-gram overlap with the benchmark, honors minMatches") {
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x alpha beta gamma y"),               // shares "alpha beta gamma"
+      (11L, "x alpha beta gamma delta y"),          // shares 2 distinct 3-grams... plus more
+      (12L, "nothing in common here at all")
+    ).toDF("doc_id", "text")
+    val out = Sampling.decontaminate(corpus, bench, shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(10L, 11L))
+    assert(out(10L) === 1L)
+    assert(out(11L) === 2L) // "alpha beta gamma" and "beta gamma delta"
+    val strict = Sampling.decontaminate(corpus, bench, shingleN = 3, minMatches = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict === Set(11L))
+  }
+
+  test("stratifiedTake: exactly min(k, |stratum|) per stratum, deterministic, map-side limited") {
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 10 < 7, "big").otherwise(
+          when(col("id") % 10 < 9, "mid").otherwise("tiny")).as("lang"))
+    val taken = Sampling.stratifiedTake(docs, k = 50, strataCols = Seq("lang"))
+    val counts = taken.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> 50L, "mid" -> 50L, "tiny" -> 50L))
+    // small stratum: takes everything when |stratum| < k
+    val tinyAll = Sampling.stratifiedTake(docs.filter(col("lang") === "tiny"),
+      k = 500, strataCols = Seq("lang")).count()
+    assert(tinyAll === 100L)
+    // deterministic and partition-independent
+    val a = taken.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.stratifiedTake(docs.repartition(13), k = 50,
+      strataCols = Seq("lang")).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // the rn <= k filter must become a map-side WindowGroupLimit: each task
+    // pre-truncates to k per stratum before the shuffle — the reason a
+    // billion-row stratum doesn't ship a billion rows
+    val p = taken.queryExecution.explainString(FormattedMode)
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed map-side:\n$p")
+  }
+
+  test("plan shapes: splits/mixing are shuffle-free; decontaminate broadcasts the benchmark") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val splitPlan = Sampling.assignSplits(docs, Seq("train" -> 0.9, "test" -> 0.1))
+      .queryExecution.explainString(FormattedMode)
+    assert(!splitPlan.contains("Exchange"), s"assignSplits must be a narrow map:\n$splitPlan")
+    val mixPlan = Sampling.sampleWeighted(docs, Map("src0" -> 2.5))
+      .queryExecution.explainString(FormattedMode)
+    assert(!mixPlan.contains("Exchange"), s"sampleWeighted must be a narrow map:\n$mixPlan")
+    val deconPlan = Sampling.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 7),
+        docs.filter(col("doc_id") % 20 === 7), shingleN = 13)
+      .queryExecution.explainString(FormattedMode)
+    assert(deconPlan.contains("BroadcastHashJoin"),
+      s"benchmark grams must broadcast:\n$deconPlan")
+    assert(!deconPlan.contains("SortMergeJoin"),
+      "the corpus side must never sort-merge against the benchmark")
+  }
+}
