@@ -68,6 +68,37 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless sampling ops (splits, weighted mixing) run on streams") {
+    // the split/mix decisions are pure hash arithmetic per row, so the same
+    // code path must work under readStream — and assign the SAME split a
+    // batch run assigns (hash determinism is the whole contract)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "source")
+    val out = graft.text.Sampling.sampleWeighted(
+      graft.text.Sampling.assignSplits(docs, Seq("train" -> 0.9, "test" -> 0.1)),
+      Map("a" -> 2.0), defaultWeight = 1.0)
+    val q = out.writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (42L, "b"))
+      q.processAllAvailable()
+      val rows = spark.table("sample_out")
+        .select("doc_id", "split", "copy").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.count(_._1 == 1L) === 2, "w=2.0 doubles doc 1 on the stream")
+      val batch = graft.text.Sampling.assignSplits(
+          Seq((1L, "a"), (2L, "b"), (42L, "b")).toDF("doc_id", "source"),
+          Seq("train" -> 0.9, "test" -> 0.1))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.map(t => t._1 -> t._2).toMap === batch,
+        "stream and batch must assign identical splits")
+    } finally q.stop()
+  }
+
   test("per-source running stats via explicit keyed state (St8)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
