@@ -31,10 +31,13 @@ object Bench {
     } catch { case _: Throwable => }
 
     // deterministic order, heavyweight pipeline workloads (p_*) last so their
-    // GC/page-cache footprint doesn't pollute the cheap queries' timings
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (if (name.startsWith("p_")) 1 else 0, name)
-    }
+    // GC/page-cache footprint doesn't pollute the cheap queries' timings;
+    // positional args (if any) restrict the run to the named queries
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => args.isEmpty || args.contains(name) }
+      .sortBy { case (name, _) =>
+        (if (name.startsWith("p_")) 1 else 0, name)
+      }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let

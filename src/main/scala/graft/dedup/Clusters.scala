@@ -45,10 +45,20 @@ object Clusters {
     *   cluster a lost executor mid-loop fails the whole job, and a long
     *   dedup-closure job over billions of edges should pay the write for
     *   restartable state. The caller owns the directory's lifecycle.
+    * @param driverMaxEdges hybrid-execution gate, decided on the MEASURED
+    *   edge count (known exactly from the initial checkpoint, never an
+    *   estimate): at or below it the closure runs as a single-pass
+    *   union-find on the driver — the same size-based strategy switch as a
+    *   broadcast join, since a graph that small is broadcast-sized by
+    *   definition — above it the distributed large-star/small-star loop
+    *   runs. The default (1M edges ≈ 16 MB) is far below driver heap and
+    *   far above what per-round stage scheduling costs would dominate.
+    *   Both paths produce the identical grouping (spec-pinned).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxRounds: Int = 30,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     // canonical direction (big, small); self-pairs carry no information
     // convergence signature: the canonical edge set is stable. Two scalars —
@@ -75,6 +85,40 @@ object Clusters {
           greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
         .where(col("u") =!= col("v"))
         .distinct())
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"cc init: edges=${edgesSig._1} @${System.nanoTime() / 1000000}ms")
+
+    // checkpointDir callers asked for restartable distributed state — honor
+    // that literally and never shortcut, even on a tiny graph
+    if (edgesSig._1 <= driverMaxEdges && checkpointDir.isEmpty) {
+      // broadcast-sized graph: one collect + union-find beats N iterations'
+      // stage-scheduling latency (each distributed round is a full job).
+      // The collect is bounded by driverMaxEdges — this is the "small side
+      // of a broadcast join" amount of driver data, not a data-sized pull.
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      freeCheckpoint(edges)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrDefault(root, root) != root)
+          root = parent.getOrDefault(root, root)
+        var cur = x // path compression
+        while (cur != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+        root
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id keeps the canonical-winner rule
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+        parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
+      }
+      val ids = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+      import spark.implicits._
+      return ids.toSeq.map(id => (id, find(id))).toDF("id", "component")
+        .repartition(1).localCheckpoint(true)
+    }
+
     var round = 0
     var converged = edgesSig._1 == 0L
     // Size the loop's shuffles to the MEASURED edge count (known exactly from
@@ -90,6 +134,12 @@ object Clusters {
     val loopParts = math.max(1L, math.min(defaultParts.toLong,
       edgesSig._1 / 2000000L + 1L)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    // On a small graph (loop narrower than the session) AQE only adds a
+    // planning round-trip per exchange — 3-4 extra driver jobs per iteration
+    // that dwarf the sub-second work. A full-width graph keeps AQE for its
+    // skew handling.
+    val defaultAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    if (loopParts < defaultParts) spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
     while (!converged && round < maxRounds) {
       // large-star: every neighbor v > u links to min(Γ⁺(u)). No distinct
@@ -123,7 +173,10 @@ object Clusters {
       edgesSig = nextSig
       round += 1
     }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+      spark.conf.set("spark.sql.adaptive.enabled", defaultAqe)
+    }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     // fixed point is a star graph: u -> root, roots implicit. Materialize the
     // (id, component) map — it's the small output of the loop — and free the

@@ -57,7 +57,29 @@ class ClustersSpec extends SparkSpec {
   test("exhausting maxRounds throws instead of returning a wrong grouping") {
     val path = (0L until 63L).map(i => (i, i + 1))
     intercept[IllegalArgumentException] {
-      Clusters.connectedComponents(pairsDF(path: _*), maxRounds = 1)
+      // driverMaxEdges = 0 forces the distributed loop (the driver path
+      // converges in one pass and has no rounds to exhaust)
+      Clusters.connectedComponents(pairsDF(path: _*), maxRounds = 1,
+        driverMaxEdges = 0L)
+    }
+  }
+
+  test("driver union-find and the distributed loop produce identical groupings") {
+    // the hybrid gate decides on the measured edge count; both sides of it
+    // must be the same function. Shapes: chain, cliques, path, star overlap.
+    val shapes = Seq(
+      Seq((2L, 3L), (3L, 7L), (7L, 5L)),
+      (for { g <- Seq(10L, 20L); i <- 0 until 4; j <- (i + 1) until 4 }
+        yield (g + i, g + j)),
+      (0L until 31L).map(i => (i, i + 1)),
+      Seq((100L, 1L), (100L, 2L), (100L, 3L), (3L, 200L)))
+    for (edges <- shapes) {
+      val viaDriver = Clusters.connectedComponents(pairsDF(edges: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaLoop = Clusters.connectedComponents(pairsDF(edges: _*),
+          driverMaxEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaDriver == viaLoop, s"paths disagree on $edges")
     }
   }
 
