@@ -55,6 +55,9 @@ object Bench {
       // caused by everything before it)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
+      // drop pipeline scratch output before its dirty pages flush to disk
+      // during the NEXT query's timed region
+      graft.util.TempDirs.cleanAll()
       (name, elapsed, err)
     }
     def jstr(s: String) = graft.util.Json.escape(s)

@@ -296,7 +296,7 @@ object Queries {
     // end-to-end: backup events → KBAK segments → restore → per-topic totals
     // (the whole codec+catalog+scan pipeline, hash-checked by the oracle)
     "p_roundtrip_counts" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-rt").toString
+      val tmp = graft.util.TempDirs.create("graft-rt")
       graft.pipelines.Backup.run(s, graft.model.KRecord.fromEvents(s, d),
         graft.pipelines.BackupConfig("rt", tmp, graft.codec.CompressionCodec.Zstd,
           enrichHeaders = false))
@@ -312,7 +312,7 @@ object Queries {
     // (~0.8 GB at sf0.1) through the full backup pipeline — BENCH seconds for
     // this entry divide into MB for the MB/s comparison with BASELINE.md
     "p_backup_throughput" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tp").toString
+      val tmp = graft.util.TempDirs.create("graft-tp")
       val pad = lit(("x" * 1000).getBytes) // binary concat: single pass, no charset decode
       val fat = graft.model.KRecord.fromEvents(s, d)
         .crossJoin(s.range(8).select(col("id").as("rep")))
@@ -335,7 +335,7 @@ object Queries {
     // must equal the full corpus exactly (hash-checked by the oracle). A
     // duplicated or dropped record flips the counts.
     "p_incremental_resume" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+      val tmp = graft.util.TempDirs.create("graft-inc")
       val all = graft.model.KRecord.fromEvents(s, d)
       val cut = all.agg(max("offset")).head().getLong(0) / 2
       // lz4: the entry proves resume CORRECTNESS; zstd's extra encode cost
@@ -354,7 +354,7 @@ object Queries {
 
     // end-to-end PITR: restore only the [T1,T2] window through the segments
     "p_pitr_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-pitr").toString
+      val tmp = graft.util.TempDirs.create("graft-pitr")
       graft.pipelines.Backup.run(s, graft.model.KRecord.fromEvents(s, d),
         graft.pipelines.BackupConfig("rt", tmp, graft.codec.CompressionCodec.Lz4,
           enrichHeaders = false, maxSegmentBytes = 256 * 1024))

@@ -22,6 +22,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally graft.util.TempDirs.cleanAll() // pipeline scratch output
     }
     // JSON string escape (shared util): a tab or CR in builder-authored SQL
     // would otherwise make the driver's json.load fail and silently zero the
