@@ -545,21 +545,25 @@ object Queries {
       val c = customer(s, d)
       val n = nation(s, d)
       val r = region(s, d)
-      // aggregate lineitem per order BEFORE the join: map-side combine
-      // collapses ~4 items/order ahead of the shuffle, and the join then
-      // moves one narrow row per order instead of every item (same
-      // agg-then-join shape as q18; revenue is additive per order, so the
-      // regional rollup of per-order sums is exact)
-      val perOrder = l.groupBy("l_orderkey")
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .as("rev"), count(lit(1)).as("cnt"))
-      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
+      // join-then-agg, NOT agg-then-join: a per-order pre-aggregation on
+      // l_orderkey barely collapses map-side (key cardinality ~ row count /
+      // 4, far above rows-per-partition) yet pays a full hash-agg of the
+      // fact table. Joining lineitem against the NARROW (o_orderkey, r_name)
+      // stream instead lets the final groupBy(r_name) collapse to 5 groups
+      // in the partial (map-side) agg — the shuffle after the join carries 5
+      // rows per task. The dims fold into orders via broadcasts; the only
+      // data-sized exchanges are the two orderkey shuffles of the join,
+      // which is the canonical 100 TB shape (orders is never broadcastable)
+      val orderRegion = o
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("o_orderkey"), col("r_name"))
+      l.join(orderRegion, l("l_orderkey") === orderRegion("o_orderkey"))
         .groupBy("r_name")
-        .agg(sum(col("rev")).cast("double").as("revenue"),
-          sum(col("cnt")).as("n_items"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
         .orderBy("r_name")
     }),
 
