@@ -124,18 +124,28 @@ object Sampling {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, shingleN: Int = 13,
                     minMatches: Int = 1, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    broadcastMaxGrams: Long = 20000000L): DataFrame = {
     require(shingleN >= 1, "shingleN must be >= 1")
     require(minMatches >= 1, "minMatches must be >= 1")
     val benchGrams = benchmark
       .select(explode(array_distinct(
         TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
       .distinct()
+      .localCheckpoint(true) // count + join reuse one materialization
     val corpusGrams = corpus.select(col(idCol),
       explode(array_distinct(
         TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
-    corpusGrams.join(broadcast(benchGrams), Seq("gram"))
-      .groupBy(idCol)
+    // broadcast is the right plan exactly when the gram set is actually
+    // small — gate on the MEASURED count (the checkpoint makes it free),
+    // because an unconditional broadcast hint of an unexpectedly huge eval
+    // set is a driver OOM, and a shuffle join of a huge corpus against a
+    // tiny set wastes the whole corpus's worth of exchange
+    val joined =
+      if (benchGrams.count() <= broadcastMaxGrams)
+        corpusGrams.join(broadcast(benchGrams), Seq("gram"))
+      else corpusGrams.join(benchGrams, Seq("gram"))
+    joined.groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_matched"))
       .where(col("n_matched") >= minMatches)
   }

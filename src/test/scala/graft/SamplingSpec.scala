@@ -88,6 +88,12 @@ class SamplingSpec extends SparkSpec {
     val strict = Sampling.decontaminate(corpus, bench, shingleN = 3, minMatches = 2)
       .collect().map(_.getLong(0)).toSet
     assert(strict === Set(11L))
+    // the over-sized-benchmark path (measured-count gate trips → shuffle
+    // join instead of broadcast) must produce the identical flags
+    val unbroadcast = Sampling.decontaminate(corpus, bench, shingleN = 3,
+        broadcastMaxGrams = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unbroadcast === out)
   }
 
   test("stratifiedTake: exactly min(k, |stratum|) per stratum, deterministic, map-side limited") {
