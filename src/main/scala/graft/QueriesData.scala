@@ -269,6 +269,45 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    // THE capstone composition: the full training-data prep pipeline, every
+    // stage one of the library operators above, end to end — normalize →
+    // quality filter → exact dedup (min-id winner) → benchmark
+    // decontamination → deterministic split → per-split rollup. The oracle
+    // mirrors every stage in SQL, so a semantic drift ANYWHERE in the chain
+    // flips the hash. All stages are narrow maps or broadcast joins except
+    // the dedup groupBy and the final rollup.
+    "d_corpus_pipeline" -> ((s, d) => {
+      val raw = docs(s, d)
+      val norm = raw.select(col("doc_id"), col("source"),
+        graft.text.CorpusClean.normalizeText(col("text")).as("text"))
+      val keptIds = graft.text.CorpusClean.filterCorpus(norm,
+          graft.text.CorpusClean.FilterConfig(
+            minTokens = Some(30L), maxTokens = None, minStopwordRatio = None,
+            maxDupLineCharFrac = Some(0.2), maxTop2gramCharFrac = Some(0.15),
+            keepLangs = None))
+        .where(col("keep")).select("doc_id")
+      val kept = norm.join(keptIds, Seq("doc_id"), "left_semi")
+      // exact dedup within the survivors: keep the min doc_id per key
+      val dupWinners = kept
+        .groupBy(md5(lower(substring(col("text"), 1, 40))).as("k"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val deduped = kept.join(dupWinners, Seq("doc_id"), "left_semi")
+      // benchmark docs never train; survivors sharing a 13-gram with them
+      // are dropped too
+      val train = deduped.filter(col("doc_id") % 20 =!= 7)
+      val contaminated = graft.text.Sampling.decontaminate(
+        train, raw.filter(col("doc_id") % 20 === 7), shingleN = 13)
+      val clean = train.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+      graft.text.Sampling.assignSplits(clean,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.text.TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+        .orderBy("split")
+    }),
+
     // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
     "a_label_centroid_norm" -> ((s, d) => emb(s, d)
       .select(col("label"),
@@ -604,6 +643,75 @@ object QueriesData {
         |SELECT s.doc_id, count(*) AS n_matched
         |FROM sh s JOIN bench USING (g) WHERE s.doc_id % 20 <> 7
         |GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id""".stripMargin,
+    "d_corpus_pipeline" ->
+      // every stage of the composed pipeline re-expressed over the same
+      // tables: normalize → quality filter → min-id exact dedup → 13-gram
+      // decontamination vs the raw benchmark subset → md5-bucket split →
+      // per-split doc/token rollup
+      """WITH nt AS (SELECT doc_id, source,
+        |    nfc_normalize(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, trim(l) AS ln
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM nt)
+        |  WHERE trim(l) <> ''),
+        |lg AS (SELECT doc_id, ln, count(*) AS c FROM lines GROUP BY 1, 2),
+        |ls AS (SELECT doc_id,
+        |              CAST(sum(c * length(ln)) AS BIGINT) AS tchars,
+        |              CAST(sum(CASE WHEN c > 1 THEN c * length(ln) ELSE 0 END) AS BIGINT) AS dchars
+        |       FROM lg GROUP BY 1),
+        |toks AS (SELECT doc_id,
+        |                list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |         FROM nt),
+        |nrm AS (SELECT doc_id, len(w) AS n_tokens,
+        |               greatest(length(array_to_string(w, ' ')), 1) AS nl FROM toks),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i+1])) AS g
+        |       FROM toks WHERE len(w) >= 2),
+        |g2s AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |keep AS (
+        |  SELECT n.doc_id
+        |  FROM nrm n LEFT JOIN ls USING (doc_id) LEFT JOIN g2s USING (doc_id)
+        |  WHERE n.n_tokens >= 30
+        |    AND coalesce(ls.dchars, 0)::DOUBLE / greatest(coalesce(ls.tchars, 0), 1) <= 0.2
+        |    AND coalesce(g2s.top, 0)::DOUBLE / n.nl <= 0.15),
+        |dedup AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM nt JOIN keep USING (doc_id)
+        |  GROUP BY md5(lower(substring(text, 1, 40)))),
+        |tsh AS (
+        |  SELECT t.doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 11),
+        |    i -> array_to_string(list_slice(w, i, i + 12), ' ')))) AS g
+        |  FROM toks t JOIN dedup USING (doc_id)
+        |  WHERE t.doc_id % 20 <> 7 AND len(w) >= 13),
+        |braw AS (SELECT doc_id,
+        |                list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |         FROM documents WHERE doc_id % 20 = 7),
+        |bsh AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_distinct(list_transform(range(1, len(w) - 11),
+        |      i -> array_to_string(list_slice(w, i, i + 12), ' ')))) AS g
+        |    FROM braw WHERE len(w) >= 13)),
+        |cont AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN bsh USING (g)),
+        |clean AS (
+        |  SELECT d.doc_id FROM dedup d
+        |  WHERE d.doc_id % 20 <> 7
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |sp AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN b < 52429 THEN 'train' WHEN b < 58982 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          CAST((strpos('0123456789abcdef', substr(md5(doc_id || ':split'), 1, 1)) - 1) * 4096
+        |             + (strpos('0123456789abcdef', substr(md5(doc_id || ':split'), 2, 1)) - 1) * 256
+        |             + (strpos('0123456789abcdef', substr(md5(doc_id || ':split'), 3, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef', substr(md5(doc_id || ':split'), 4, 1)) - 1) AS BIGINT) AS b
+        |        FROM clean) x JOIN clean c USING (doc_id))
+        |SELECT split, count(*) AS n_docs,
+        |       CAST(sum(n.n_tokens) AS BIGINT) AS n_tokens
+        |FROM sp JOIN nrm n USING (doc_id)
+        |GROUP BY split ORDER BY split""".stripMargin,
     "m_frame_sample" ->
       """WITH v AS (SELECT doc_id AS media_id,
         |                  CAST(1 + octet_length(encode(text)) // 4096 AS INT) AS n_frames
