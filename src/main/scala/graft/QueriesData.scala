@@ -308,6 +308,18 @@ object QueriesData {
         .orderBy("split")
     }),
 
+    // ANN over the int8-quantized corpus: 4x less scan IO, per-vector scale,
+    // integer dots — the rounding (half away from zero) and every division
+    // reproduce exactly in SQL, so the whole quantize→rank path is oracled
+    "a_ann_quantized" -> ((s, d) => {
+      val q = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Ann.bruteForceTopKQuantized(
+        Ann.quantizeInt8(emb(s, d).filter(col("vec_id") =!= 0), "embedding"),
+        "vec_id", q, 10)
+    }),
+
     // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
     "a_label_centroid_norm" -> ((s, d) => emb(s, d)
       .select(col("label"),
@@ -725,6 +737,21 @@ object QueriesData {
         |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+    "a_ann_quantized" ->
+      """WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |qq AS (SELECT list_transform(qv, x -> CAST(round(x *
+        |         (CASE WHEN qm > 0 THEN 127 / qm ELSE 0 END)) AS BIGINT)) AS qi
+        |       FROM (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qm FROM q0)),
+        |c AS (SELECT vec_id, list_transform(ev, x -> CAST(round(x *
+        |        (CASE WHEN m > 0 THEN 127 / m ELSE 0 END)) AS BIGINT)) AS cv
+        |      FROM (SELECT vec_id, embedding::DOUBLE[] AS ev,
+        |              list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+        |            FROM embeddings WHERE vec_id <> 0))
+        |SELECT c.vec_id AS id,
+        |  round(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * qi[i]))::DOUBLE
+        |    / (sqrt(list_sum(list_transform(cv, x -> x * x))::DOUBLE)
+        |       * sqrt(list_sum(list_transform(qi, x -> x * x))::DOUBLE)), 6) AS cosine
+        |FROM c, qq ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
     "a_label_centroid_norm" ->
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 6) AS avg_norm,

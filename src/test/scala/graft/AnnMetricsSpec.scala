@@ -59,6 +59,36 @@ class AnnMetricsSpec extends SparkSpec {
     assert(probed.collect().map(_.getLong(0)).toSet == half)
   }
 
+  test("int8 quantization: full-range codes, zero-vector safety, rank fidelity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val quant = graft.ann.Ann.quantizeInt8(emb, "embedding")
+    // every non-zero vector uses the full int8 range: max |code| == 127
+    val ranges = quant.select(
+        array_max(transform(col("q_vec"), x => abs(x))).as("m")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(ranges === Set(127), s"expected full-range codes, got $ranges")
+    // zero vector: scale 0, all-zero codes, no division blowup
+    val z = graft.ann.Ann.quantizeInt8(
+      Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding"), "embedding")
+      .select("q_scale", "q_vec").head()
+    assert(z.getDouble(0) === 0.0 && z.getSeq[Int](1).forall(_ == 0))
+    // ranking through the quantized path matches float brute force at the
+    // top (4x less scan IO for one quantization step of rank noise)
+    val q = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = graft.ann.Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .collect().map(_.getLong(0))
+    val viaQuant = graft.ann.Ann.bruteForceTopKQuantized(quant, "vec_id", q, 5)
+      .collect().map(_.getLong(0))
+    assert(viaQuant.head === exact.head, "top-1 must survive quantization")
+    assert(viaQuant.toSet.intersect(exact.toSet).size >= 4,
+      s"top-5 overlap too low: ${exact.toSeq} vs ${viaQuant.toSeq}")
+  }
+
   test("metrics listener counts records/bytes/tasks across an action (A8/K10)") {
     val metrics = GraftMetrics.install(spark)
     spark.read.parquet(s"$sf0001/lineitem.parquet")
