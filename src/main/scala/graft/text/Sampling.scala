@@ -34,6 +34,8 @@ object Sampling {
     * (name, weight) with weights summing to ~1; a document lands in the
     * first split whose cumulative hash-bucket cut exceeds its bucket. The
     * LAST split absorbs any rounding remainder (so every doc is assigned).
+    * A null id hashes to null, so it falls through every cut and lands —
+    * deterministically — in the last split (spec-pinned).
     * Output: input columns + `split`. Pure narrow map, zero shuffle —
     * at any corpus size this costs one md5 per row on top of the scan.
     */

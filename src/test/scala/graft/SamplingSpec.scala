@@ -121,6 +121,31 @@ class SamplingSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed map-side:\n$p")
   }
 
+  test("null inputs: null text never matches, null source takes the default weight, null id falls to the last split") {
+    val withNullText = Seq((1L, "alpha beta gamma delta"), (2L, null))
+      .toDF("doc_id", "text")
+    // null text on either side: no shingles, no flags, no crash
+    val flags = Sampling.decontaminate(withNullText,
+      Seq((9L, "alpha beta gamma")).toDF("doc_id", "text"), shingleN = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(flags === Set(1L))
+    assert(Sampling.decontaminate(withNullText,
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      shingleN = 3).count() === 0)
+    // null source → defaultWeight applies
+    val mixed = Sampling.sampleWeighted(
+      Seq((1L, null.asInstanceOf[String]), (2L, "a")).toDF("doc_id", "source"),
+      Map("a" -> 2.0), defaultWeight = 1.0)
+    assert(mixed.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 1L, 2L -> 2L))
+    // null id: md5(null) is null, every `bucket < cut` is unknown → the doc
+    // lands deterministically in the LAST split (documented fall-through)
+    val s = Sampling.assignSplits(
+      Seq(Some(1L), None).map(Tuple1(_)).toDF("doc_id"),
+      Seq("train" -> 0.9, "test" -> 0.1))
+    assert(s.filter(col("doc_id").isNull).select("split").head().getString(0) === "test")
+  }
+
   test("plan shapes: splits/mixing are shuffle-free; decontaminate broadcasts the benchmark") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val splitPlan = Sampling.assignSplits(docs, Seq("train" -> 0.9, "test" -> 0.1))
