@@ -230,6 +230,17 @@ object QueriesData {
         .orderBy("component")
     }),
 
+    // corpus vocabulary: the explode→aggregate word-count path every
+    // tokenizer-training pipeline runs; map-side partial agg collapses
+    // repeated words before the shuffle, top-k is a k-row final sort
+    "d_vocab" -> ((s, d) => docs(s, d)
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"),
+        col("doc_id"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)),
+
     // deterministic split assignment: md5-bucket in [0, 65536) → first
     // cumulative cut wins (train 0.8 / val 0.1 / test 0.1). The bucket is in
     // the output so the oracle pins the hash fold itself, not just the CASE
@@ -599,6 +610,12 @@ object QueriesData {
         |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY 1)
         |SELECT component, count(*) AS n_members, max(id) AS max_member
         |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_vocab" ->
+      """SELECT w AS word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(list_filter(
+        |        regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+        |      FROM documents)
+        |GROUP BY w ORDER BY n DESC, word LIMIT 50""".stripMargin,
     "d_split_assign" ->
       // the 16-bit bucket is a manual hex fold of md5's first 4 chars —
       // bit-identical to Spark's conv(substring(md5, 1, 4), 16, 10); cuts
