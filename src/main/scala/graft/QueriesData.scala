@@ -289,8 +289,13 @@ object QueriesData {
     // the dedup groupBy and the final rollup.
     "d_corpus_pipeline" -> ((s, d) => {
       val raw = docs(s, d)
+      // localCheckpoint: five downstream branches (filter ids, dedup winners,
+      // semi-joins, decon grams, token rollup) would otherwise EACH recompute
+      // the normalize+scan chain — materialize it once. Bench/Verify free the
+      // blocks after the query (unpersist-all between entries).
       val norm = raw.select(col("doc_id"), col("source"),
         graft.text.CorpusClean.normalizeText(col("text")).as("text"))
+        .localCheckpoint(true)
       val keptIds = graft.text.CorpusClean.filterCorpus(norm,
           graft.text.CorpusClean.FilterConfig(
             minTokens = Some(30L), maxTokens = None, minStopwordRatio = None,
