@@ -32,7 +32,10 @@ object Bench {
 
     // deterministic order, heavyweight pipeline workloads (p_*) last so their
     // GC/page-cache footprint doesn't pollute the cheap queries' timings;
-    // positional args (if any) restrict the run to the named queries
+    // positional args (if any) restrict the run to the named queries — an
+    // unknown name fails loudly instead of benchmarking nothing
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
       .sortBy { case (name, _) =>

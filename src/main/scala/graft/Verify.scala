@@ -22,7 +22,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally graft.util.TempDirs.cleanAll() // pipeline scratch output
+      finally {
+        // same between-query hygiene as Bench: free pipeline scratch output
+        // and any block-manager state (result checkpoints, pinned sets) a
+        // query left behind, so a 60-entry run doesn't accumulate heap
+        graft.util.TempDirs.cleanAll()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape (shared util): a tab or CR in builder-authored SQL
     // would otherwise make the driver's json.load fail and silently zero the

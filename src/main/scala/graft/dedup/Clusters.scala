@@ -66,6 +66,10 @@ object Clusters {
     // via `observe` DURING the checkpoint materialization, so the check adds
     // zero extra passes at any scale; decimal sum because an ANSI-mode long
     // sum of 64-bit hashes overflows.
+    // context-global setting: remember the caller's dir and restore on exit —
+    // leaving ours behind would silently redirect the application's own
+    // checkpoint() calls (and their durability choice) to our scratch path
+    val priorCheckpointDir = pairs.sparkSession.sparkContext.getCheckpointDir
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     var obsId = 0
     def checkpointWithSig(e: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
@@ -89,8 +93,13 @@ object Clusters {
       println(s"cc init: edges=${edgesSig._1} @${System.nanoTime() / 1000000}ms")
 
     // checkpointDir callers asked for restartable distributed state — honor
-    // that literally and never shortcut, even on a tiny graph
-    if (edgesSig._1 <= driverMaxEdges && checkpointDir.isEmpty) {
+    // that literally and never shortcut, even on a tiny graph. The driver
+    // path is Long-typed (union-find over primitive ids; output schema
+    // bigint) — non-long id columns always take the type-generic loop, so
+    // behavior never depends on data size for them.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (edgesSig._1 <= driverMaxEdges && checkpointDir.isEmpty && longIds) {
       // broadcast-sized graph: one collect + union-find beats N iterations'
       // stage-scheduling latency (each distributed round is a full job).
       // The collect is bounded by driverMaxEdges — this is the "small side
@@ -184,8 +193,13 @@ object Clusters {
     // its result and nothing of the iteration.
     val resultPlan = edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
-    val result = if (checkpointDir.isDefined) resultPlan.checkpoint(true)
+    val result = try {
+      if (checkpointDir.isDefined) resultPlan.checkpoint(true)
       else resultPlan.localCheckpoint(true)
+    } finally {
+      if (checkpointDir.isDefined) // restore the caller's (possibly unset) dir
+        spark.sparkContext.setCheckpointDir(priorCheckpointDir.orNull)
+    }
     freeCheckpoint(edges)
     result
   }
@@ -198,9 +212,12 @@ object Clusters {
                        idA: String = "id_a", idB: String = "id_b",
                        maxRounds: Int = 30): DataFrame = {
     val cc = connectedComponents(pairs, idA, idB, maxRounds)
+    // drop by the JOINED side's reference: a bare drop("id") would also
+    // delete the caller's own "id" column (or fail outright when idCol is
+    // itself "id" — two ambiguous columns after the join)
     df.join(cc, df(idCol) === cc("id"), "left")
-      .drop("id")
-      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .drop(cc("id"))
+      .withColumn("component", coalesce(col("component"), df(idCol)))
   }
 
   /** Keep exactly one document per duplicate group (the minimum id — the

@@ -140,8 +140,10 @@ object SqliteFile {
             // an INTEGER PRIMARY KEY alias (SQLite always stores the alias as
             // NULL and the value in the cell's rowid) — substitute the rowid,
             // accepting that a genuinely-NULL non-IPK first column surfaces as
-            // the rowid too (DDL affinity parsing is out of scope, see header).
-            // Serial 0 on any later column is a genuine NULL.
+            // the rowid too — note that's a TYPE change as well as a value
+            // change (a Long where, say, a TEXT column's consumers expect
+            // String or null). DDL affinity parsing is out of scope, see
+            // header. Serial 0 on any later column is a genuine NULL.
             if (colIdx == 0) java.lang.Long.valueOf(rowid) else null
           case 1 => val r = java.lang.Long.valueOf(payload(dp).toLong); dp += 1; r
           case 2 => val r = java.lang.Long.valueOf(beInt(payload, dp, 2)); dp += 2; r

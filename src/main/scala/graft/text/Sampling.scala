@@ -134,15 +134,18 @@ object Sampling {
       .select(explode(array_distinct(
         TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
       .distinct()
-      .localCheckpoint(true) // count + join reuse one materialization
     val corpusGrams = corpus.select(col(idCol),
       explode(array_distinct(
         TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
     // broadcast is the right plan exactly when the gram set is actually
-    // small — gate on the MEASURED count (the checkpoint makes it free),
-    // because an unconditional broadcast hint of an unexpectedly huge eval
-    // set is a driver OOM, and a shuffle join of a huge corpus against a
-    // tiny set wastes the whole corpus's worth of exchange
+    // small — gate on the MEASURED count, because an unconditional broadcast
+    // hint of an unexpectedly huge eval set is a driver OOM, and a shuffle
+    // join of a huge corpus against a tiny set wastes the whole corpus's
+    // worth of exchange. The count is a second evaluation of the benchmark
+    // pipeline (benchmarks are eval-set sized by contract, so that's cheap);
+    // deliberately NOT a localCheckpoint — the checkpoint would have to stay
+    // pinned in the block manager for the life of the returned (lazy)
+    // DataFrame with no handle for the caller to free it.
     val joined =
       if (benchGrams.count() <= broadcastMaxGrams)
         corpusGrams.join(broadcast(benchGrams), Seq("gram"))

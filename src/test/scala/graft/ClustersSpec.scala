@@ -64,6 +64,30 @@ class ClustersSpec extends SparkSpec {
     }
   }
 
+  test("assignComponents works when the caller's id column is literally \"id\"") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val assigned = Clusters.assignComponents(docs, "id", pairsDF((2L, 3L)))
+      .select("id", "component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("assignComponents preserves an unrelated column named \"id\"") {
+    val docs = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("doc_id", "id")
+    val out = Clusters.assignComponents(docs, "doc_id", pairsDF((2L, 3L)))
+    assert(out.columns.contains("id"), "caller's own 'id' column must survive")
+    assert(out.select("doc_id", "id", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+      Set((1L, 100L, 1L), (2L, 200L, 2L), (3L, 300L, 2L)))
+  }
+
+  test("non-long id types skip the driver path and still converge") {
+    val pairs = Seq(("b", "c"), ("c", "a")).toDF("id_a", "id_b")
+    val cc = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("driver union-find and the distributed loop produce identical groupings") {
     // the hybrid gate decides on the measured edge count; both sides of it
     // must be the same function. Shapes: chain, cliques, path, star overlap.
