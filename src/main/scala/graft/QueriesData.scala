@@ -850,6 +850,17 @@ object QueriesData {
         bits = 6, probeHamming = 2)
     }),
 
+    // resize batch plumbing over the synthetic corpus (payloads are not
+    // decodable images, so geometry passes through — the REAL decode+resample
+    // path is golden-image-tested in DataOpsSpec); output pins the schema
+    // and batch shape without hashing re-encoded binaries
+    "m_resize" -> ((s, d) =>
+      Multimodal.resizeImages(Multimodal.syntheticMedia(s, d), maxEdge = 256)
+        .toDF()
+        .select("media_id", "media_type", "src_width", "src_height",
+          "width", "height")
+        .orderBy("media_id")),
+
     "m_media_features" -> ((s, d) => {
       Multimodal.extractFeatures(Multimodal.syntheticMedia(s, d)).toDF()
         .select(col("media_id"), col("media_type"), col("width"), col("height"),

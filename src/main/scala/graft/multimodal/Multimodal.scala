@@ -144,6 +144,62 @@ object Multimodal {
     }
   }
 
+  /** A resized media row: re-encoded payload + the old and new geometry. */
+  case class ResizedMedia(
+      media_id: Long,
+      media_type: String,
+      src_width: Int,
+      src_height: Int,
+      width: Int,
+      height: Int,
+      content: Array[Byte])
+
+  /** Batch image resize: decode (javax.imageio), aspect-preserving scale so
+    * the LONG edge becomes `maxEdge` (never upscales), bilinear resample
+    * (java.awt — in the JDK), re-encode as PNG. Non-image rows and
+    * undecodable payloads pass through untouched with their fake dims, so a
+    * mixed corpus maps in one pass. Same mapPartitions batch shape as
+    * [[extractFeatures]]: work runs where the data lives; only this
+    * operator's output carries payloads, and resized payloads are strictly
+    * smaller-or-equal rasters.
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxEdge: Int): Dataset[ResizedMedia] = {
+    require(maxEdge > 0, "maxEdge must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val decoded =
+          if (m.media_type == "image" && ImageCodec.looksLikeImage(m.content))
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.content)))
+            catch { case _: Exception => None }
+          else None
+        decoded match {
+          case Some(img) if img != null =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxEdge.toDouble / math.max(w, h))
+            val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+              math.max(1, math.round(h * scale).toInt))
+            val out = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedMedia(m.media_id, m.media_type, w, h, nw, nh, bos.toByteArray)
+          case _ =>
+            val (w, h) = FakeCodec.decodeDims(m.content)
+            ResizedMedia(m.media_id, m.media_type, w, h, w, h, m.content)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video rows: every `stride`-th fake frame index,
     * capped at `maxFrames` — the batch-shape contract of a real
     * frame-sampler (one output row per sampled frame).

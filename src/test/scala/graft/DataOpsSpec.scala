@@ -505,4 +505,41 @@ class DataOpsSpec extends SparkSpec {
       Multimodal.FakeCodec.decodeDims("not an image".getBytes))
     assert(rows(2).n_frames == 1 + png.length / Multimodal.FakeCodec.AudioBytesPerFrame)
   }
+
+  test("multimodal: resize scales the long edge, never upscales, passes non-images through") {
+    import spark.implicits._
+    import graft.multimodal.{MediaRecord, Multimodal}
+    // 40x10 gradient PNG: long edge 40 → maxEdge 20 halves both dims
+    val img = new java.awt.image.BufferedImage(40, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 40) {
+      val v = (x * 255) / 39; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq(
+      MediaRecord(1L, "image", png, Map.empty),
+      MediaRecord(2L, "audio", png, Map.empty)).toDS()
+    val out = Multimodal.resizeImages(media, maxEdge = 20)
+      .collect().sortBy(_.media_id)
+    val r = out(0)
+    assert((r.src_width, r.src_height, r.width, r.height) === ((40, 10, 20, 5)))
+    // the payload is a real PNG of the new geometry, decodable round-trip
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.content))
+    assert(back.getWidth === 20 && back.getHeight === 5)
+    // gradient preserved: left edge darker than right edge after resample
+    def lum(rgb: Int) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    assert(lum(back.getRGB(0, 2)) < lum(back.getRGB(19, 2)))
+    // already-small images never upscale
+    val same = Multimodal.resizeImages(media.filter(_.media_id == 1L), maxEdge = 4096)
+      .head()
+    assert((same.width, same.height) === ((40, 10)))
+    // non-image rows pass through byte-identical
+    assert(out(1).content.sameElements(png) && out(1).width == out(1).src_width)
+    // deterministic re-encode: same input → same bytes
+    val again = Multimodal.resizeImages(media, maxEdge = 20).collect().sortBy(_.media_id)
+    assert(again(0).content.sameElements(r.content))
+  }
 }
