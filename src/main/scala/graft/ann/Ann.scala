@@ -69,8 +69,12 @@ object Ann {
     val nCorpus = sqrt(aggregate(col("q_vec"), lit(0L),
       (acc, x) => acc + x * x).cast("double"))
     val nQuery = math.sqrt(query.map(x => { val q = r(x * qScale).toDouble; q * q }).sum)
+    // zero-norm guard, same contract as Dedup.cosine: 0/0 would be NaN, and
+    // Spark sorts NaN ABOVE every number under desc — zero vectors would
+    // dominate the top-k instead of sorting last (null) like the float path
+    val denom = nCorpus * lit(nQuery)
     quantized.select(col(idCol).as("id"),
-        round(dot.cast("double") / (nCorpus * lit(nQuery)), 6).as("cosine"))
+        when(denom =!= 0d, round(dot.cast("double") / denom, 6)).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }

@@ -35,17 +35,28 @@ object RestoreCheckpoint {
 
   /** Load if present AND config-compatible; otherwise start fresh
     * (restore/engine.rs checkpoint load: a mismatched config_hash discards
-    * the checkpoint).
+    * the checkpoint). "Otherwise" includes an UNREADABLE file — a truncated
+    * or old-schema checkpoint means re-restoring idempotent segments, while
+    * throwing would brick resumability until someone hand-deletes the file.
     */
   def loadOrEmpty(path: String, cfg: RestoreConfig): RestoreCheckpoint = {
     val p = Paths.get(path)
     if (!Files.exists(p)) empty(cfg)
     else {
-      val ckpt = JsonMethods.parse(
-        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-        .extract[RestoreCheckpoint]
-      if (ckpt.config_hash == configHash(cfg) && ckpt.backup_id == cfg.backupId) ckpt
-      else empty(cfg)
+      val parsed =
+        try Some(JsonMethods.parse(
+          new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+          .extract[RestoreCheckpoint])
+        catch { case e: Exception =>
+          System.err.println(
+            s"[checkpoint] unreadable $path (${e.getClass.getSimpleName}) — starting fresh")
+          None
+        }
+      parsed match {
+        case Some(ckpt)
+          if ckpt.config_hash == configHash(cfg) && ckpt.backup_id == cfg.backupId => ckpt
+        case _ => empty(cfg)
+      }
     }
   }
 

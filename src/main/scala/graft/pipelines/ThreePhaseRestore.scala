@@ -72,14 +72,14 @@ object ThreePhaseRestore {
     val fromSnapshot = snapshot.toSeq.flatMap(s =>
       ConsumerGroupSnapshot.importOffsets(s, restoreCfg.topicMapping,
         restoreCfg.partitionMapping))
-    val effective = (remappedCommitted ++ fromSnapshot)
-      .filterNot { case (_, t, _, _) =>
-        val skip = repartitionedTopics.contains(t)
-        skip
-      }
-    if (repartitionedTopics.nonEmpty)
+    val (skipped, effective) = (remappedCommitted ++ fromSnapshot)
+      .partition { case (_, t, _, _) => repartitionedTopics.contains(t) }
+    // warn about what was ACTUALLY dropped — naming every repartitioned
+    // topic would claim resets were skipped even when no offset referenced
+    // one
+    if (skipped.nonEmpty)
       warnings += s"Repartitioned topics skipped for offset reset: " +
-        repartitionedTopics.toSeq.sorted.mkString(", ")
+        skipped.map(_._2).distinct.sorted.mkString(", ")
 
     // Phase-3 resolution is the distributed as-of join (J1's detailed path):
     // committed offsets probe the pairs DataFrame, nearest-≤ anchor + delta.

@@ -9,23 +9,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusClean {
 
-  /** C4-style global line deduplication: every distinct (trimmed) line keeps
-    * its FIRST corpus-wide occurrence — ordered by (doc id, line index) — and
-    * every later occurrence is dropped; documents are reassembled in original
-    * line order. Blank lines are layout, not content: dropped before
-    * counting. Output: `(idCol, text_clean, n_kept, n_dropped)`, one row per
-    * input document (a fully-boilerplate doc comes back with empty
-    * `text_clean`).
-    *
-    * Scale shape: the dedup is `groupBy(line).agg(min(doc, idx))` + a
-    * semi-join back — NOT a window `row_number() over (partition by line)`.
-    * Partial aggregation collapses a line duplicated across millions of docs
-    * map-side, so the shuffle carries each distinct line ~once per input
-    * partition and no executor ever buffers a duplicate group in memory
-    * (WindowExec would buffer the largest group's rows — the exact skew that
-    * boilerplate lines produce). Reassembly is a per-document
-    * `collect_list` bounded by document size.
-    */
   /** Pack documents into training shards by token budget: within each group
     * (e.g. `source`), documents are taken in deterministic id order and
     * assigned greedily-contiguously — a document starts a new shard when the
@@ -99,17 +82,6 @@ object CorpusClean {
       .select(idCol, "keep", "reason")
   }
 
-  /** PII scrubbing: replace email addresses, URLs, and long digit runs
-    * (phone/account-number shaped) with fixed placeholder tokens, and count
-    * each replacement. The patterns are deliberately dialect-neutral regex
-    * (no lookaround, no shorthand classes beyond `\s`) so the exact same
-    * expressions run under Java regex (Spark) and RE2 (DuckDB, and the
-    * linear-time engines a 100 TB scrub would want — catastrophic
-    * backtracking is a real outage class at that scale). Pure narrow map,
-    * zero shuffle. Redaction order is fixed (email → url → digits): a URL
-    * containing an email-shaped userinfo is redacted as the email first,
-    * deterministically.
-    */
   /** Text normalization: strip C0 control characters (except \t \n \r) and
     * canonically compose to Unicode NFC (decomposed e + U+0301 → é) — the
     * usual first cleaning pass over scraped text. Control-strip runs first
@@ -125,6 +97,17 @@ object CorpusClean {
   val UrlRe = "https?://[^ \\t\\n\\r]+"
   val DigitRunRe = "[0-9][0-9 ()+.-]{6,}[0-9]"
 
+  /** PII scrubbing: replace email addresses, URLs, and long digit runs
+    * (phone/account-number shaped) with fixed placeholder tokens, and count
+    * each replacement. The patterns are deliberately dialect-neutral regex
+    * (no lookaround, no shorthand classes beyond `\s`) so the exact same
+    * expressions run under Java regex (Spark) and RE2 (DuckDB, and the
+    * linear-time engines a 100 TB scrub would want — catastrophic
+    * backtracking is a real outage class at that scale). Pure narrow map,
+    * zero shuffle. Redaction order is fixed (email → url → digits): a URL
+    * containing an email-shaped userinfo is redacted as the email first,
+    * deterministically.
+    */
   def redactPii(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     def nMatches(c: org.apache.spark.sql.Column, re: String) =
@@ -140,6 +123,24 @@ object CorpusClean {
       nMatches(t2, DigitRunRe).cast("long").as("n_numbers"))
   }
 
+  /** C4-style global line deduplication: every distinct (trimmed) line keeps
+    * its FIRST corpus-wide occurrence — ordered by (doc id, line index) — and
+    * every later occurrence is dropped; documents are reassembled in original
+    * line order. Blank lines are layout, not content: dropped before
+    * counting. Output: `(idCol, text_clean, n_kept, n_dropped)`, one row per
+    * input document (a fully-boilerplate doc comes back with empty
+    * `text_clean`).
+    *
+    * Scale shape: the dedup is `groupBy(line).agg(min(doc, idx))` + a
+    * semi-join back — NOT a window `row_number() over (partition by line)`.
+    * Partial aggregation collapses a line duplicated across millions of docs
+    * map-side, so the shuffle carries each distinct line ~once per input
+    * partition and no executor ever buffers a duplicate group in memory
+    * (WindowExec would buffer the largest group's rows — the exact skew that
+    * boilerplate lines produce). Reassembly is a per-document
+    * `collect_list` bounded by document size; per-doc line totals are a
+    * narrow map on the original text (never a third corpus explode+shuffle).
+    */
   def globalLineDedup(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val lines = docs.select(col(idCol), posexplode(split(col(textCol), "\n")))
@@ -155,14 +156,17 @@ object CorpusClean {
       .select(col(idCol),
         array_join(transform(col("ls"), e => e.getField("ln")), "\n").as("text_clean"),
         size(col("ls")).as("n_kept"))
-    val totals = lines.groupBy(idCol).agg(count(lit(1)).as("n_lines"))
-    docs.select(col(idCol))
+    // per-doc non-blank line count as a narrow map — the exploded `lines`
+    // subtree already feeds two shuffles; counting through it again would
+    // re-explode the whole corpus a third time for a scalar per doc
+    val nLines = size(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => l =!= ""))
+    docs.select(col(idCol), nLines.cast("long").as("n_lines"))
       .join(reassembled, Seq(idCol), "left")
-      .join(totals, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         coalesce(col("n_kept"), lit(0)).cast("long").as("n_kept"),
-        (coalesce(col("n_lines"), lit(0L)) - coalesce(col("n_kept"), lit(0)))
+        (col("n_lines") - coalesce(col("n_kept"), lit(0)))
           .cast("long").as("n_dropped"))
   }
 }

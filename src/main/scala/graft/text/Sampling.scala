@@ -104,8 +104,13 @@ object Sampling {
     require(k > 0, "k must be positive")
     require(strataCols.nonEmpty, "at least one stratum column required")
     import org.apache.spark.sql.expressions.Window
+    // null ids hash to null, which would sort FIRST (and tie among
+    // themselves with no further key) — push them last so the selected k is
+    // stable whenever real ids fill the quota. Multiple null-id rows are
+    // mutually indistinguishable; determinism for them needs a real id.
     val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(hashBucket16(col(idCol), salt), col(idCol))
+      .orderBy(coalesce(hashBucket16(col(idCol), salt), lit(65536L)),
+        col(idCol).asc_nulls_last)
     docs.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
       .drop("__rn")

@@ -53,6 +53,9 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "que", "est"),
     "es" -> Seq("el", "la", "los", "las", "que", "de", "un", "una", "es", "en"),
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit", "den"),
+    // zh is NOT profile-scored: unsegmented Chinese never matches whitespace
+    // tokens, so langId scores it via the CJK-character kernel instead; the
+    // entry stays only to document the language set
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
 
   /** Heuristic language ID: score = fraction of tokens hitting each

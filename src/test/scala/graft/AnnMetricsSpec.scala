@@ -75,6 +75,15 @@ class AnnMetricsSpec extends SparkSpec {
       Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding"), "embedding")
       .select("q_scale", "q_vec").head()
     assert(z.getDouble(0) === 0.0 && z.getSeq[Int](1).forall(_ == 0))
+    // ...and a zero vector in the CORPUS must sort last (null cosine), not
+    // first (the NaN-sorts-above-everything-under-desc trap)
+    val mixed = graft.ann.Ann.quantizeInt8(
+      Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array.fill(4)(0f)))
+        .toDF("vec_id", "embedding"), "embedding")
+    val ranked = graft.ann.Ann.bruteForceTopKQuantized(
+      mixed, "vec_id", Seq(1.0, 0.0, 0.0, 0.0), 2).collect()
+    assert(ranked.head.getLong(0) === 1L, "zero vector must never outrank a real match")
+    assert(ranked(1).isNullAt(1), "zero-norm cosine is null, not NaN")
     // ranking through the quantized path matches float brute force at the
     // top (4x less scan IO for one quantization step of rank noise)
     val q = spark.read.parquet(s"$sf0001/embeddings.parquet")

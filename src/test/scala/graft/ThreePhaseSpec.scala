@@ -39,6 +39,7 @@ class ThreePhaseSpec extends SparkSpec {
     manifest
     val snapshot = ConsumerGroupSnapshot(1700000000000L, List(
       graft.remap.GroupOffsets("snap-group", Map("view" -> Map("2" -> 300L),
+        "click" -> Map("0" -> 10L), // lands on the repartitioned topic → skipped
         "error" -> Map("0" -> -5L))))) // negative skipped
     val committer = new RecordingCommitter()
     val report = ThreePhaseRestore.run(spark, RestoreConfig(tmp, "tp"),
@@ -48,9 +49,19 @@ class ThreePhaseSpec extends SparkSpec {
     assert(!report.applied)
     assert(committer.committed.isEmpty)
     assert(report.warnings.exists(_.contains("dry-run")))
-    assert(report.warnings.exists(_.contains("Repartitioned")))
+    assert(report.warnings.exists(w =>
+      w.contains("Repartitioned") && w.contains("click")))
     val plan = report.reset_plan.get
-    assert(plan.entries.map(_.topic).distinct == Seq("view")) // error offset skipped
+    assert(plan.entries.map(_.topic).distinct == Seq("view")) // error + click skipped
+    // and NO false warning when no offset references a repartitioned topic
+    val quiet = ThreePhaseRestore.run(spark, RestoreConfig(tmp, "tp"),
+      new CollectingSink(), snapshot = Some(ConsumerGroupSnapshot(
+        1700000000000L, List(graft.remap.GroupOffsets("snap-group",
+          Map("view" -> Map("2" -> 300L)))))),
+      committer = Some(new RecordingCommitter()), dryRun = true,
+      repartitionedTopics = Set("click"))
+    assert(!quiet.warnings.exists(_.contains("Repartitioned")),
+      "must not claim resets were skipped when none referenced the topic")
   }
 
   test("native murmur2 expression matches driver hash and stays in codegen") {
