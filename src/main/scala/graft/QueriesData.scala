@@ -409,12 +409,12 @@ object QueriesData {
         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
         |         i -> w[i] || ' ' || w[i+1])) AS g
         |       FROM toks WHERE len(w) >= 2),
-        |g2s AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top
+        |g2s AS (SELECT doc_id, CAST(max_by(c * length(g), c * 10000000000 + c * length(g)) AS BIGINT) AS top
         |        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
         |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
         |       FROM toks WHERE len(w) >= 3),
-        |g3s AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top
+        |g3s AS (SELECT doc_id, CAST(max_by(c * length(g), c * 10000000000 + c * length(g)) AS BIGINT) AS top
         |        FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
         |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
         |         i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
@@ -546,7 +546,7 @@ object QueriesData {
         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
         |         i -> w[i] || ' ' || w[i+1])) AS g
         |       FROM toks WHERE len(w) >= 2),
-        |g2s AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top
+        |g2s AS (SELECT doc_id, CAST(max_by(c * length(g), c * 10000000000 + c * length(g)) AS BIGINT) AS top
         |        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
         |sig AS (
         |  SELECT n.doc_id, n.n_tokens,
@@ -702,7 +702,7 @@ object QueriesData {
         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
         |         i -> w[i] || ' ' || w[i+1])) AS g
         |       FROM toks WHERE len(w) >= 2),
-        |g2s AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top
+        |g2s AS (SELECT doc_id, CAST(max_by(c * length(g), c * 10000000000 + c * length(g)) AS BIGINT) AS top
         |        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
         |keep AS (
         |  SELECT n.doc_id

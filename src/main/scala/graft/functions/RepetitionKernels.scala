@@ -80,9 +80,13 @@ object DupArrayStats {
   * (single-space joins, i.e. its length in the whitespace-normalized text).
   *
   * Returns `[top_chars, dup_chars]`:
-  *  - `top_chars` = max over distinct grams of `count × gramChars` — the
-  *    character mass of the most repetition-heavy n-gram (tie-free by
-  *    construction: the max is over the product);
+  *  - `top_chars` = character mass (`count × gramChars`) of the MOST
+  *    FREQUENTLY OCCURRING n-gram — Gopher's §A1.1 definition (argmax by
+  *    count), NOT the max product over all grams: a long gram repeated
+  *    twice must not outrank a short gram repeated five times. Count ties
+  *    break by larger mass, so the result is deterministic (and on
+  *    all-unique docs it degrades to the longest gram's length, the same
+  *    short-doc caveat FilterConfig documents);
   *  - `dup_chars` = sum over grams with `count ≥ 2` of `count × gramChars`.
   * Callers divide by the normalized text length; overlapping occurrences are
   * counted per-occurrence, so pathological single-token floods can exceed 1 —
@@ -134,12 +138,15 @@ case class NgramRepeatStats(child: Expression, n: Int) extends UnaryExpression {
       else slot(0) += 1L
       w += 1
     }
-    var top = 0L; var dup = 0L
+    var topCount = 0L; var top = 0L; var dup = 0L
     val it = m.values().iterator()
     while (it.hasNext) {
       val s = it.next()
       val mass = s(0) * s(1)
-      if (mass > top) top = mass
+      // argmax by count, count ties broken by larger mass
+      if (s(0) > topCount || (s(0) == topCount && mass > top)) {
+        topCount = s(0); top = mass
+      }
       if (s(0) >= 2) dup += mass
     }
     UnsafeArrayData.fromPrimitiveArray(Array(top, dup))

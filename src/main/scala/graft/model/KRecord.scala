@@ -60,9 +60,16 @@ object KRecord {
     * Requires `spark.sql.legacy.parquet.nanosAsLong=true` — events.ts is
     * parquet TIMESTAMP(NANOS), surfaced as a Long of epoch nanos.
     */
-  def fromEvents(spark: SparkSession, sfDir: String, numPartitions: Int = 4): DataFrame = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    ev.select(
+  def fromEvents(spark: SparkSession, sfDir: String, numPartitions: Int = 4): DataFrame =
+    eventsProjection(spark.read.parquet(s"$sfDir/events.parquet"), numPartitions)
+
+  /** The ONE canonical events→record mapping, shared by the batch fixture
+    * above and the streaming file source (StreamingBackup.eventsFileSource) —
+    * a unit change (e.g. timestamp scale) must not be able to diverge
+    * between the two legs.
+    */
+  def eventsProjection(events: DataFrame, numPartitions: Int = 4): DataFrame =
+    events.select(
       col("event_type").as("topic"),
       (col("user_id") % numPartitions).cast(IntegerType).as("partition"),
       col("event_id").as("offset"),
@@ -70,5 +77,4 @@ object KRecord {
       encode(col("user_id").cast(StringType), "UTF-8").as("key"),
       encode(col("props"), "UTF-8").as("value"),
       array().cast(schema("headers").dataType).as("headers"))
-  }
 }

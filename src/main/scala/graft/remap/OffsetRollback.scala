@@ -84,9 +84,12 @@ object OffsetRollback {
         }
       } finally st.close()
       // newest first, NUMERIC on taken_at — lexicographic id order would
-      // misorder timestamps of different digit widths
+      // misorder timestamps of different digit widths. Reverse ordering
+      // rather than negating the key: -Long.MinValue overflows back to
+      // MinValue, which would have sorted a malformed id NEWEST
       out.result().sortBy(id =>
-        -id.stripPrefix("snapshot-").toLongOption.getOrElse(Long.MinValue))
+        id.stripPrefix("snapshot-").toLongOption.getOrElse(Long.MinValue))(
+        Ordering[Long].reverse)
     }
 
     def show(dir: String, sid: String): OffsetSnapshot = load(path(dir, sid).toString)

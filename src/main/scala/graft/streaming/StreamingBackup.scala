@@ -39,6 +39,10 @@ object StreamingBackup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // isEmpty scans at most one row (limit-1 head probe), and skipping
+        // empty micro-batches avoids a manifest read-merge-write per idle
+        // trigger — cheaper than letting Backup.run no-op through its
+        // commit path
         if (!batch.isEmpty) {
           Backup.run(batch.sparkSession, batch.toDF(), config)
           ()
@@ -69,17 +73,10 @@ object StreamingBackup {
     * `readStream.format("kafka")` in tests and local runs.
     */
   def eventsFileSource(spark: SparkSession, dir: String, numPartitions: Int = 4): DataFrame = {
-    import org.apache.spark.sql.functions._
     val schema = spark.read.parquet(dir).schema
-    val ev = spark.readStream.schema(schema).parquet(dir)
-    ev.select(
-      col("event_type").as("topic"),
-      (col("user_id") % numPartitions).cast("int").as("partition"),
-      col("event_id").as("offset"),
-      expr("ts div 1000000").as("timestamp"),
-      encode(col("user_id").cast("string"), "UTF-8").as("key"),
-      encode(col("props"), "UTF-8").as("value"),
-      array().cast(KRecord.schema("headers").dataType).as("headers"))
+    // same canonical projection as the batch leg — one definition, two legs
+    KRecord.eventsProjection(
+      spark.readStream.schema(schema).parquet(dir), numPartitions)
   }
 
   /** St6 lag observation: per-source lag rows from the last progress event of

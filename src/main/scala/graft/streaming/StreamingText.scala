@@ -24,11 +24,18 @@ object StreamingText {
     * within `delay` of each other collapse to the first-seen row.
     */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
-                  delay: String): DataFrame =
-    docs.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
-      .withWatermark(tsCol, delay)
+                  delay: String): DataFrame = {
+    // null text must NOT participate in dedup: fingerprint(null) equals
+    // fingerprint("") (both hash the empty token join), so null-text rows
+    // would silently collapse with empty docs and each other — route them
+    // around the stateful operator instead
+    val watermarked = docs.withWatermark(tsCol, delay)
+    val deduped = watermarked.where(col(textCol).isNotNull)
+      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
+    deduped.unionByName(watermarked.where(col(textCol).isNull))
+  }
 
   case class SourceStats(source: String, docs: Long, tokens: Long, approx_dups: Long)
 
@@ -51,9 +58,13 @@ object StreamingText {
                   idleTimeout: Option[String] = None,
                   maxRecentFps: Int = 100000): Dataset[SourceStats] = {
     import docs.sparkSession.implicits._
-    val prepared = docs.select(col(sourceCol).as("source"),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    // coalesce every nullable expression feeding the primitive-typed encoder:
+    // a single null text (size(null) = NULL → non-nullable Long field) would
+    // otherwise NPE the task and kill the whole streaming query
+    val prepared = docs.select(coalesce(col(sourceCol), lit("")).as("source"),
+      coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
+        .as("n_tokens"),
+      coalesce(TextFunctions.fingerprint(col(textCol)), lit(0L)).as("fp"))
       .as[(String, Long, Long)]
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout

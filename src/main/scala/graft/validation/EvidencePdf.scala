@@ -30,8 +30,14 @@ object EvidencePdf {
   /** Render the report to PDF bytes. Layout mirrors pdf.rs's cover page. */
   def render(report: EvidenceReport): Array[Byte] = {
     val passed = report.checks.values.count(_ == "Passed")
+    val warned = report.checks.values.count(_ == "Warning")
     val total = report.checks.size
-    val overall = if (passed == total) "PASSED" else "FAILED"
+    // same three-level verdict as Validation.summary: Warning outcomes are
+    // not failures — a warnings-only report must not print FAILED
+    val overall =
+      if (passed + warned < total) "FAILED"
+      else if (warned > 0) "WARNING"
+      else "PASSED"
     val lines =
       Seq(
         Line("Kafka Backup Validation", 18, bold = true),
@@ -52,11 +58,22 @@ object EvidencePdf {
     val content = {
       val sb = new StringBuilder
       var y = PageH - Margin
+      var dropped = 0
       lines.foreach { l =>
-        val font = if (l.bold) "/F2" else "/F1"
-        sb.append(s"BT $font ${l.size} Tf $Margin $y Td (${esc(l.text)}) Tj ET\n")
-        y -= (l.size * 3 / 2 + l.gapAfter)
+        val advance = l.size * 3 / 2 + l.gapAfter
+        // one-page layout: rows past the MediaBox would render invisibly in
+        // every viewer while the PDF stays structurally valid — truncate
+        // LOUDLY instead (reserve one row for the truncation notice)
+        if (y - advance < Margin + 12) dropped += 1
+        else {
+          val font = if (l.bold) "/F2" else "/F1"
+          sb.append(s"BT $font ${l.size} Tf $Margin $y Td (${esc(l.text)}) Tj ET\n")
+          y -= advance
+        }
       }
+      if (dropped > 0)
+        sb.append(s"BT /F2 10 Tf $Margin ${Margin} Td " +
+          s"(${esc(s"... $dropped more rows: see the JSON report for the full table")}) Tj ET\n")
       sb.result()
     }
 

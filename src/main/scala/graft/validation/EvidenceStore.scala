@@ -79,19 +79,27 @@ object EvidenceStore {
       new String(get(root, jsonKey), StandardCharsets.UTF_8)).extract[EvidenceReport]
   }
 
-  /** Self-contained verification: load report + detached sig + stored public
-    * key, re-derive the content hash, check the Ed25519 signature. False on
-    * any missing artifact or mismatch — never throws for bad evidence.
+  /** Verification against the caller's trusted key (`expectedKey`), or —
+    * when none is supplied — against the public key stored BESIDE the
+    * signature. The self-contained form detects corruption only, NOT
+    * tampering: an attacker with store write access can re-sign a modified
+    * report with their own key and overwrite both sidecars. Real
+    * tamper-evidence requires distributing the verification key out of
+    * band and passing it here (the reference's K9 model). False on any
+    * missing artifact or mismatch — never throws for bad evidence.
     */
-  def verify(root: String, jsonKey: String): Boolean = {
+  def verify(root: String, jsonKey: String,
+             expectedKey: Option[java.security.PublicKey] = None): Boolean = {
     try {
       val base = jsonKey.stripSuffix(".json")
       val report = load(root, jsonKey)
       val sig = new String(get(root, s"$base.sig"), StandardCharsets.UTF_8)
-      val pubBytes = java.util.Base64.getDecoder.decode(
-        new String(get(root, s"$base.pub"), StandardCharsets.UTF_8))
-      val pub = java.security.KeyFactory.getInstance("Ed25519")
-        .generatePublic(new java.security.spec.X509EncodedKeySpec(pubBytes))
+      val pub = expectedKey.getOrElse {
+        val pubBytes = java.util.Base64.getDecoder.decode(
+          new String(get(root, s"$base.pub"), StandardCharsets.UTF_8))
+        java.security.KeyFactory.getInstance("Ed25519")
+          .generatePublic(new java.security.spec.X509EncodedKeySpec(pubBytes))
+      }
       Evidence.verify(report, sig, pub)
     } catch { case _: Exception => false }
   }

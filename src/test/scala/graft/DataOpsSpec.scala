@@ -353,9 +353,10 @@ class DataOpsSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.5)
     assert(math.abs(r.getDouble(2) - 22.0 / 61.0) < 1e-12)
     assert(r.getDouble(3) == 0.0)
-    // 13 tokens, normalized length 52+12=64; top 2-gram mass:
-    // "hello world" 2×11=22 beats "aaa bbb" 3×7=21
-    assert(math.abs(r.getDouble(4) - 22.0 / 64.0) < 1e-12)
+    // 13 tokens, normalized length 52+12=64; top 2-gram = MOST FREQUENT gram
+    // (Gopher argmax-by-count): "aaa bbb" count 3 (mass 21) wins over
+    // "hello world" count 2 despite its larger mass 22
+    assert(math.abs(r.getDouble(4) - 21.0 / 64.0) < 1e-12)
 
     // 5-gram repetition: "a b c d e" occurs at windows 1 and 6 → mass 2×9=18
     // over normalized length 19; all other windows unique
