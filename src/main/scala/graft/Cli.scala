@@ -58,9 +58,12 @@ object Cli {
       val cfg = RestoreConfig(root, id,
         windowStartMs = rest.lift(0).map(_.toLong),
         windowEndMs = rest.lift(1).map(_.toLong))
-      val restored = Restore.records(spark, cfg)
+      // observe() captures the count DURING the write action — re-reading
+      // the freshly-written output just to print a number would double the
+      // restore's output IO
+      val (restored, obs) = Restore.withMetrics(Restore.records(spark, cfg).toDF())
       restored.write.mode("overwrite").parquet(outDir)
-      println(s"restored ${spark.read.parquet(outDir).count()} records to $outDir")
+      println(s"restored ${obs.get("records_restored")} records to $outDir")
 
     case "dry-run" =>
       val Array(_, root, id, rest @ _*) = args: @unchecked
@@ -197,8 +200,10 @@ object Cli {
           else {
             // rate_limit_* applies to the produce sink (sinks/RateLimiter),
             // not this parquet stand-in
-            Restore.records(spark, cfg).toDF().write.mode("overwrite").parquet(dataDir)
-            println(s"restored ${spark.read.parquet(dataDir).count()} records to $dataDir")
+            val (restored, obs) =
+              Restore.withMetrics(Restore.records(spark, cfg).toDF())
+            restored.write.mode("overwrite").parquet(dataDir)
+            println(s"restored ${obs.get("records_restored")} records to $dataDir")
           }
       }
 

@@ -111,8 +111,18 @@ object Manifest {
 
   def path(backupRoot: String, backupId: String): String = s"$backupRoot/$backupId/manifest.json"
 
+  // the ACTIVE session's hadoop conf, when one exists: a fresh Configuration
+  // would drop every spark.hadoop.* setting (object-store credentials,
+  // endpoints, default FS), making the manifest the one component that
+  // fails auth while segment IO succeeds
+  private def hadoopConf() =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   private def fs(backupRoot: String) = org.apache.hadoop.fs.FileSystem.get(
-    new java.net.URI(backupRoot), new org.apache.hadoop.conf.Configuration())
+    new java.net.URI(backupRoot), hadoopConf())
 
   // serializes read-merge-write within this JVM (the reference's save_lock,
   // backup/engine.rs:40-47); cross-process writers of the SAME backup_id

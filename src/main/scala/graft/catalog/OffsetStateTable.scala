@@ -121,9 +121,21 @@ object OffsetStateTable {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       target.toUri, spark.sparkContext.hadoopConfiguration)
     try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
       if (fs.exists(target)) fs.delete(target, true)
-      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // same scheme split as Manifest.save: FileContext only exists for
+      // filesystems with an AbstractFileSystem binding — s3a/gs have none
+      // by default and would throw UnsupportedFileSystemException; there
+      // FileSystem.rename (copy-based on object stores) does the move. The
+      // missing-dir window is documented above and the marks are
+      // rebuildable from manifests.
+      val fcBound = Set("file", "hdfs", "viewfs", "abfs", "abfss", "wasb", "wasbs")
+        .contains(Option(fs.getUri.getScheme).getOrElse("file"))
+      if (fcBound) {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } else if (!fs.rename(tmp, target)) {
+        throw new java.io.IOException(s"state-table rename failed: $tmp -> $target")
+      }
     } catch { case e: Throwable =>
       try fs.delete(tmp, true) catch { case _: Throwable => () }
       throw e

@@ -217,6 +217,14 @@ object YamlConfig {
 
   private def intList(m: Map[String, AnyRef], k: String): Option[Seq[Int]] =
     m.get(k).collect { case l: java.util.List[_] =>
-      l.asScala.toSeq.collect { case n: java.lang.Number => n.intValue() }
+      // accept quoted scalars like the sibling str/lng/bool helpers do —
+      // silently dropping ["0", "1"] would yield Some(Nil), which Restore
+      // reads as "match no partitions": a quietly-empty restore
+      l.asScala.toSeq.filter(_ != null).map {
+        case n: java.lang.Number => n.intValue()
+        case s: String => s.trim.toInt
+        case other => throw new IllegalArgumentException(
+          s"$k: expected an integer list element, got '$other'")
+      }
     }
 }

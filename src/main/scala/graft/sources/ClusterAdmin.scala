@@ -206,12 +206,23 @@ object ClusterAdmin {
     * every backed-up topic, under its POST-remap name, created with its
     * recorded partition count (manifest.rs:81-89 effectivePartitionCount);
     * already-existing topics are fine — restores re-run.
+    *
+    * `partitionMapping` must size the target too: remapping partition 0→7
+    * on a 4-partition topic means the target needs ≥8 partitions or every
+    * produce to the remapped id fails with unknown-partition.
     */
   def autoCreateForRestore(admin: ClusterAdmin,
                            manifest: graft.catalog.BackupManifest,
-                           topicMapping: Map[String, String] = Map.empty): Map[String, String] =
+                           topicMapping: Map[String, String] = Map.empty,
+                           partitionMapping: Map[Int, Int] = Map.empty): Map[String, String] =
     admin.createTopics(manifest.topics
-      .map(t => topicMapping.getOrElse(t.name, t.name) -> t.effectivePartitionCount)
+      .map { t =>
+        val mappedMax = t.partitions
+          .map(p => partitionMapping.getOrElse(p.partition_id, p.partition_id))
+          .foldLeft(-1)(math.max) + 1
+        topicMapping.getOrElse(t.name, t.name) ->
+          math.max(t.effectivePartitionCount, mappedMax)
+      }
       // two source topics may legally remap onto one target (topic merge):
       // size the target for the LARGEST source so every partition fits
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max })

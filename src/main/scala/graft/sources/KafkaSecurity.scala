@@ -37,6 +37,17 @@ object KafkaSecurity {
     * `SCRAM-SHA256` / `SCRAM-SHA512` (scram.rs), the Java client wants
     * `SCRAM-SHA-256` / `SCRAM-SHA-512`.
     */
+  /** Read a PEM file for inlining into a keystore option — loud on failure
+    * (a missing credential must fail the job at config time, not surface as
+    * an opaque handshake error later).
+    */
+  private def readPem(path: String, what: String): String =
+    try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    catch { case e: java.io.IOException =>
+      throw new IllegalArgumentException(s"cannot read $what PEM at $path: $e")
+    }
+
   def normalizeMechanism(m: String): String = m.trim.toUpperCase match {
     case "SCRAM-SHA256" | "SCRAM-SHA-256" => "SCRAM-SHA-256"
     case "SCRAM-SHA512" | "SCRAM-SHA-512" => "SCRAM-SHA-512"
@@ -114,9 +125,14 @@ object KafkaSecurity {
       }
       (cfg.sslClientCertPath, cfg.sslClientKeyPath) match {
         case (Some(cert), Some(key)) =>
+          // separate cert/key files must be INLINED: Kafka's PEM keystore
+          // accepts either ssl.keystore.location (ONE file holding key +
+          // chain) or ssl.keystore.key + ssl.keystore.certificate.chain as
+          // PEM CONTENT — location combined with key is rejected by
+          // DefaultSslEngineFactory, and key-as-a-path never parses
           b += "ssl.keystore.type" -> "PEM"
-          b += "ssl.keystore.location" -> cert
-          b += "ssl.keystore.key" -> key
+          b += "ssl.keystore.key" -> readPem(key, "client key")
+          b += "ssl.keystore.certificate.chain" -> readPem(cert, "client cert")
         case (None, None) => ()
         case _ => throw new IllegalArgumentException(
           "mTLS needs BOTH client cert and client key (one was missing)")

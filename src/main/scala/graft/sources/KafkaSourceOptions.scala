@@ -92,13 +92,20 @@ object KafkaSourceOptions {
 
   /** Continuous mode with glob topic discovery (St1/F1): globs become one
     * subscribePattern regex (auto-discovers new topics every cycle natively).
+    *
+    * subscribePattern is FULL-match (the Kafka consumer uses
+    * `matcher.matches()`), while the batch path's `~` regexes are
+    * substring-search (`KHash.topicMatches` uses find) — so raw regexes are
+    * wrapped in `.*(?:…).*` to keep the two paths selecting the same
+    * topics, and every alternative is non-capturing-grouped so a top-level
+    * `|` inside one pattern can't swallow its neighbours.
     */
   def continuous(bootstrap: String, includeGlobs: Seq[String]): Map[String, String] = Map(
     "kafka.bootstrap.servers" -> bootstrap,
     "subscribePattern" ->
       (if (includeGlobs.isEmpty) ".*"
        else includeGlobs.map(g =>
-         if (g.startsWith("~")) g.substring(1)
-         else graft.functions.KHash.globToRegex(g)).mkString("|")),
+         if (g.startsWith("~")) s".*(?:${g.substring(1)}).*"
+         else s"(?:${graft.functions.KHash.globToRegex(g)})").mkString("|")),
     "maxOffsetsPerTrigger" -> "1000000") // St9 read-side rate bound
 }

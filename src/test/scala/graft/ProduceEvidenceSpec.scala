@@ -127,8 +127,15 @@ class ProduceEvidenceSpec extends SparkSpec {
     val filled = KafkaSourceOptions.boundedRead("k:9092",
       Map(("t", 0) -> 100L), Map(("t", 0) -> 200L, ("t", 1) -> 50L))
     assert(filled("startingOffsets") == """{"t":{"0":100,"1":-2}}""")
+    // subscribePattern is FULL-match in the Kafka consumer: raw `~` regexes
+    // get the substring wrap (batch topicMatches uses find), and every
+    // alternative is grouped so a top-level `|` can't mis-scope
     val cont = KafkaSourceOptions.continuous("k:9092", Seq("ord*", "~pay.+"))
-    assert(cont("subscribePattern") == "^ord.*$|pay.+")
+    assert(cont("subscribePattern") == "(?:^ord.*$)|.*(?:pay.+).*")
+    val re = cont("subscribePattern").r
+    assert(re.matches("orders") && re.matches("x-payments-v2"),
+      "full-match semantics must select the same topics the batch path does")
+    assert(!re.matches("xorders"), "glob patterns stay anchored")
   }
 
   test("evidence report: canonical json, stable hash, Ed25519 sign/verify (K9)") {
