@@ -53,14 +53,22 @@ object QueriesData {
   private def ensureCached(name: String, key: String)(build: java.io.File => Unit): String = {
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_${name}_$key")
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    // our OWN completion marker, written after the build succeeds — keying
+    // on Spark's _SUCCESS would permanently rebuild-and-fail on sessions
+    // with marksuccessfuljobs disabled (dir exists, marker never will)
+    def ok(dir: java.io.File) = new java.io.File(dir, "_GRAFT_OK").exists()
+    if (!ok(path)) {
       val buildDir = new java.io.File(
         path.getParent, s"${path.getName}.build.${java.util.UUID.randomUUID().toString.take(8)}")
       var published = false
       try {
         build(buildDir)
+        java.nio.file.Files.createFile(buildDir.toPath.resolve("_GRAFT_OK"))
+        // a stale half-published dir (no marker) must not block the rename
+        if (path.exists() && !ok(path))
+          org.apache.commons.io.FileUtils.deleteDirectory(path)
         published = buildDir.renameTo(path)
-        if (!published && !new java.io.File(path, "_SUCCESS").exists())
+        if (!published && !ok(path))
           throw new IllegalStateException(s"$name cache publish failed: $path")
       } finally {
         if (!published && buildDir.exists())
@@ -810,8 +818,13 @@ object QueriesData {
           bands = 16, threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // radius 3 = the classic near-dup setting: 4 bands of 16 bits with
+    // COMPLETE candidate recall (pigeonhole). The previous radius-10 call
+    // was silently truncated to radius-3 recall by the fixed band count;
+    // honest radius-10 needs 11 five-bit bands whose dense buckets cost
+    // ~7x — callers who want a wide radius now pay it explicitly
     "d_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 10)
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.47),

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH: signatures are fixed-width arrays built map-side; only the
   *    (band, hash) pairs shuffle, so the join state is O(docs × bands), never
   *    O(docs²);
-  *  - SimHash: 64-bit signature, candidate pairs via band buckets on 16-bit
-  *    sub-keys (Hamming ≤ 3 ⇒ at least one of 4 bands exact-matches);
+  *  - SimHash: 64-bit signature, candidate pairs via maxHamming+1 band
+  *    buckets (pigeonhole: ≤ maxHamming differing bits leave one band
+  *    exact-matching);
   *  - n-gram Jaccard: inverted-index self-join on shingles with per-shingle
   *    frequency cap to bound skew (a stopword shingle would otherwise create
   *    a quadratic bucket);
@@ -29,11 +30,19 @@ object Dedup {
     * the exchange carries 16 bytes + id, not the document body.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!df.columns.contains("graft_dup_key") && !df.columns.contains("graft_rn"),
+      "input already has a graft_dup_key/graft_rn column — rename it first")
+    // NULL-text rows never enter the window: they are kept unconditionally,
+    // and partitionBy(null-key) would otherwise funnel every absent-text row
+    // of the corpus through ONE reducer just to discard its row_number
+    val keyed = df.withColumn("graft_dup_key", md5(lower(trim(col(textCol)))))
     val w = Window.partitionBy("graft_dup_key").orderBy(col(idCol))
-    df.withColumn("graft_dup_key", md5(lower(trim(col(textCol)))))
+    keyed.filter(col("graft_dup_key").isNotNull)
       .withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1 || col("graft_dup_key").isNull)
-      .drop("graft_dup_key", "graft_rn")
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+      .unionByName(keyed.filter(col("graft_dup_key").isNull))
+      .drop("graft_dup_key")
   }
 
   /** MinHash signatures for a whole corpus: (id, sig array<long> of length k).
@@ -58,6 +67,8 @@ object Dedup {
     * are candidate pairs.
     */
   def lshBands(signature: Column, bands: Int, k: Int): Column = {
+    require(k % bands == 0,
+      s"bands must divide k exactly — k=$k, bands=$bands would silently ignore the last ${k % bands} signature slots")
     val r = k / bands
     array((0 until bands).map(b =>
       struct(lit(b).as("band"),
@@ -114,13 +125,20 @@ object Dedup {
       graft.functions.KFunctions.simhash_sig(
         TextFunctions.tokens(col(textCol))).as("sig"))
 
-  /** SimHash near-dup candidates: 4 bands of 16 bits; Hamming distance ≤ 3
-    * guarantees an exact match in at least one band (pigeonhole). Exact
-    * Hamming verify inside buckets. The band join sees one row per DISTINCT
-    * signature — duplicate groups expand only on the output side.
+  /** SimHash near-dup candidates: `maxHamming + 1` bands over the 64-bit
+    * signature — with that many disjoint bands, ≤ maxHamming differing bits
+    * always leave at least one band untouched (pigeonhole), so candidate
+    * recall is COMPLETE for the requested radius; a fixed band count would
+    * silently miss pairs whenever the radius exceeds bands−1. Exact Hamming
+    * verify inside buckets. Wider radii mean narrower bands (64/(h+1) bits)
+    * and therefore denser buckets — the standard recall/candidate-count
+    * trade of banded LSH, paid explicitly. The band join sees one row per
+    * DISTINCT signature — duplicate groups expand only on the output side.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32) — got $maxHamming (bands of < 2 bits bucket everything together)")
     val sigs = simhashSignatures(df, idCol, textCol)
       .filter(col("sig").isNotNull) // empty docs can't simhash-pair
     // Collapse to DISTINCT signatures before banding. Duplicate-heavy corpora
@@ -145,11 +163,17 @@ object Dedup {
       .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(0).as("hamming"))
 
     // the band join moves BARE signatures (8-byte rows, no id payload — the
-    // ids arrays rejoin only after the sig-pair dedup, once per side)
+    // ids arrays rejoin only after the sig-pair dedup, once per side).
+    // 64 bits split into maxHamming+1 contiguous bands, as even as possible
+    val nBands = maxHamming + 1
+    val widths = Array.tabulate(nBands)(i =>
+      64 / nBands + (if (i < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val banded = groups.select(col("sig"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL).as("bucket"))): _*)).as("bb"))
+          shiftright(col("sig"), offsets(b))
+            .bitwiseAND((1L << widths(b)) - 1L).as("bucket"))): _*)).as("bb"))
       .select(col("sig"), col("bb.band"), col("bb.bucket"))
     val a = banded.select(col("band"), col("bucket"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"), col("sig").as("sig_b"))
@@ -289,7 +313,11 @@ object Dedup {
         hyperplaneSignature(vd, dim, effBits).as("bucket"))
       .withColumn("norm",
         sqrt(graft.functions.KFunctions.array_dot(col("vec"), col("vec"))))
-      .filter(col("norm") =!= 0.0d) // zero vectors can't cosine-pair (ANSI ÷0)
+      // zero vectors can't cosine-pair (ANSI division by 0), and a NaN norm
+      // (any NaN element) would pass =!= 0, get an all-ones signature (NaN
+      // compares greater than everything in Spark SQL), bucket every broken
+      // row together, and emit cosine=NaN pairs through the >= threshold
+      .filter(col("norm") =!= 0.0d && !isnan(col("norm")))
       .withColumn("unit", transform(col("vec"), x => x / col("norm")))
       .select("id", "bucket", "unit")
     // Multi-probe recovers the recall narrowing costs: the probe side also

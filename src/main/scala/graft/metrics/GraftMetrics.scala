@@ -22,8 +22,10 @@ final class GraftMetrics extends SparkListener {
   val taskTimeMs = new LongAdder
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
-    tasksCompleted.increment()
-    if (taskEnd.reason != org.apache.spark.Success) tasksFailed.increment()
+    // completed means SUCCEEDED — counting failed tasks as completed would
+    // show a 100% completion panel during an outage
+    if (taskEnd.reason == org.apache.spark.Success) tasksCompleted.increment()
+    else tasksFailed.increment()
     val m = taskEnd.taskMetrics
     if (m != null) {
       recordsRead.add(m.inputMetrics.recordsRead)

@@ -86,7 +86,14 @@ final class HealthRegistry(clock: () => Long = () => System.currentTimeMillis())
       ComponentHealth(e.getKey, s.status, s.message, s.lastCheckedMs,
         s.lastSuccessMs.map(now - _))
     }.toVector
-    val all = (explicit ++ breakerComponents).sortBy(_.name)
+    // one entry per name: a component registered both explicitly and as a
+    // breaker would emit duplicate JSON keys (parsers keep only one, hiding
+    // the other state) — merge with the WORST status winning
+    val rank = Map(Healthy -> 0, Degraded -> 1, Unhealthy -> 2)
+    val all = (explicit ++ breakerComponents)
+      .groupBy(_.name).values
+      .map(_.maxBy(c => rank.getOrElse(c.status, 2)))
+      .toVector.sortBy(_.name)
     val overall =
       if (all.exists(_.status == Unhealthy)) Unhealthy
       else if (all.exists(_.status == Degraded)) Degraded

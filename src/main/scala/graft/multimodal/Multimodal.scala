@@ -127,7 +127,10 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
+      it.map { m0 =>
+        // a NULL payload (nullable binary column) must not NPE the task —
+        // treat it as an empty payload, same as the fake path's floor
+        val m = if (m0.content == null) m0.copy(content = Array.emptyByteArray) else m0
         // image rows get the REAL decode; anything undecodable (and all
         // audio/video) falls back to the deterministic fake
         val real = if (m.media_type == "image") ImageCodec.decode(m.content) else None
@@ -167,7 +170,8 @@ object Multimodal {
     require(maxEdge > 0, "maxEdge must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
+      it.map { m0 =>
+        val m = if (m0.content == null) m0.copy(content = Array.emptyByteArray) else m0
         val decoded =
           if (m.media_type == "image" && ImageCodec.looksLikeImage(m.content))
             try Option(javax.imageio.ImageIO.read(
@@ -175,9 +179,9 @@ object Multimodal {
             catch { case _: Exception => None }
           else None
         decoded match {
-          case Some(img) if img != null =>
+          case Some(img) if img != null && math.max(img.getWidth, img.getHeight) > maxEdge =>
             val (w, h) = (img.getWidth, img.getHeight)
-            val scale = math.min(1.0, maxEdge.toDouble / math.max(w, h))
+            val scale = maxEdge.toDouble / math.max(w, h)
             val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
               math.max(1, math.round(h * scale).toInt))
             val out = new java.awt.image.BufferedImage(nw, nh,
@@ -192,6 +196,12 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
             ResizedMedia(m.media_id, m.media_type, w, h, nw, nh, bos.toByteArray)
+          case Some(img) if img != null =>
+            // already within maxEdge: pass the ORIGINAL payload through —
+            // a 1:1 re-raster + PNG transcode would burn CPU and typically
+            // inflate the bytes (JPEG→PNG) for zero geometric change
+            ResizedMedia(m.media_id, m.media_type, img.getWidth, img.getHeight,
+              img.getWidth, img.getHeight, m.content)
           case _ =>
             val (w, h) = FakeCodec.decodeDims(m.content)
             ResizedMedia(m.media_id, m.media_type, w, h, w, h, m.content)

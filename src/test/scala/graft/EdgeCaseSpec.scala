@@ -40,9 +40,12 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.minhashPairs(df, "doc_id", "text", shingleN = 3, k = 16,
       bands = 4, threshold = 0.0).count() == 0)
-    // identical empty docs must not simhash-pair either
+    // identical empty docs must not simhash-pair even at the widest radius
+    // (31 is the cap: bands need >= 2 bits to discriminate at all)
     assert(Dedup.simhashPairs(df.filter(col("doc_id") >= 4), "doc_id", "text",
-      maxHamming = 64).count() == 0)
+      maxHamming = 31).count() == 0)
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 64))
   }
 
   test("header_value returns NULL for absent keys instead of ANSI index crash") {
