@@ -559,7 +559,17 @@ object Queries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .select(col("o_orderkey"), col("r_name"))
-      l.join(orderRegion, l("l_orderkey") === orderRegion("o_orderkey"))
+      // SHUFFLE_HASH on the narrow side pins the hash build to orderRegion:
+      // without it, Catalyst's static stats rate the 3-column lineitem scan
+      // SMALLER than the join-output orderRegion (join estimates inflate) and
+      // broadcast the FACT table — a driver-side hashed relation of all of
+      // lineitem (measured 2.5-4.7 s at sf0.1, and a driver OOM the moment a
+      // stats mis-estimate let it through at real scale). The hinted shape —
+      // both sides shuffled on orderkey, hash only the narrow (orderkey,
+      // r_name) stream — is the one that survives 100 TB, where neither side
+      // is broadcastable and AQE skew-split still applies to shuffled-hash
+      l.join(orderRegion.hint("shuffle_hash"),
+          l("l_orderkey") === orderRegion("o_orderkey"))
         .groupBy("r_name")
         .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .cast("double").as("revenue"),

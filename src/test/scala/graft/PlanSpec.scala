@@ -39,6 +39,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "dimension joins must not sort-merge")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
       "lineitem scan must read exactly 3 columns")
+    // the fact join must hash the narrow orderRegion side, never broadcast
+    // lineitem (static stats rated the pruned fact scan "smaller" than the
+    // join output and built a driver-side hashed relation of the fact table)
+    assert(p.contains("ShuffledHashJoin Inner BuildRight"),
+      s"fact join must be shuffled-hash building the narrow side:\n${p.take(2000)}")
   }
 
   test("as-of join partitions by stream partition — no global sort") {
