@@ -45,6 +45,15 @@ object Clusters {
     *   cluster a lost executor mid-loop fails the whole job, and a long
     *   dedup-closure job over billions of edges should pay the write for
     *   restartable state. The caller owns the directory's lifecycle.
+    *
+    * '''Session-scoped side effects:''' for the duration of the loop this
+    * method narrows `spark.sql.shuffle.partitions` (and, on small graphs,
+    * disables AQE) and, when `checkpointDir` is set, redirects the context
+    * checkpoint dir — all restored in `finally`, including on failure. Other
+    * queries running CONCURRENTLY on the same session during the loop would
+    * observe those settings; run the closure on a dedicated session
+    * (`spark.newSession()`) if the application shares one session across
+    * threads.
     * @param driverMaxEdges hybrid-execution gate, decided on the MEASURED
     *   edge count (known exactly from the initial checkpoint, never an
     *   estimate): at or below it the closure runs as a single-pass
@@ -71,6 +80,10 @@ object Clusters {
     // checkpoint() calls (and their durability choice) to our scratch path
     val priorCheckpointDir = pairs.sparkSession.sparkContext.getCheckpointDir
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // everything below runs with the dir redirected: restore it in ONE outer
+    // finally so a mid-loop failure (or the convergence require) can't leave
+    // the session's checkpoint() calls silently pointed at our scratch path
+    try {
     var obsId = 0
     def checkpointWithSig(e: DataFrame): (DataFrame, (Long, java.math.BigDecimal)) = {
       obsId += 1
@@ -193,15 +206,15 @@ object Clusters {
     // its result and nothing of the iteration.
     val resultPlan = edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
-    val result = try {
+    val result =
       if (checkpointDir.isDefined) resultPlan.checkpoint(true)
       else resultPlan.localCheckpoint(true)
+    freeCheckpoint(edges)
+    result
     } finally {
       if (checkpointDir.isDefined) // restore the caller's (possibly unset) dir
         spark.sparkContext.setCheckpointDir(priorCheckpointDir.orNull)
     }
-    freeCheckpoint(edges)
-    result
   }
 
   /** Every row of `df` labeled with its duplicate-group component: the min

@@ -60,9 +60,52 @@ object KafkaSecurity {
   private def jaasQuote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** Regex covering every secret-bearing option key this builder can emit.
+    * Spark's redactor matches option KEYS, and its DEFAULT
+    * `spark.redaction.regex` (`secret|password|token|access.key`) matches
+    * neither `ssl.keystore.key` (value: the inlined PEM private key) nor
+    * `sasl.jaas.config` (value embeds the SASL password) — so those values
+    * surface unredacted. A session that attaches [[options]] to a reader
+    * should extend the redaction conf AT BUILD TIME (it is a core conf,
+    * immutable at runtime):
+    * {{{
+    * .config("spark.redaction.regex",
+    *         "(?i)secret|password|token|access[.]key|" +
+    *         KafkaSecurity.SensitiveOptionRegex)
+    * }}}
+    */
+  val SensitiveOptionRegex: String =
+    "(?i)ssl[.]keystore[.]key|sasl[.]jaas[.]config"
+
+  /** Option keys in `opts` whose VALUES hold key material or credentials but
+    * which the session's current `spark.redaction.regex` would NOT redact —
+    * i.e. they could surface verbatim in logs, event logs, or the UI. Empty
+    * means safe. Callers that cannot rebuild the session can at least refuse
+    * or warn on a non-empty gap.
+    */
+  def redactionGaps(redactionRegex: String,
+                    opts: Map[String, String]): Seq[String] = {
+    val sensitive = SensitiveOptionRegex.r
+    val redaction = redactionRegex.r
+    opts.keys.toSeq.sorted.filter(k =>
+      sensitive.findFirstIn(k).isDefined &&
+        redaction.findFirstIn(k).isEmpty)
+  }
+
+  /** [[redactionGaps]] against the session's effective redaction conf. */
+  def redactionGaps(spark: org.apache.spark.sql.SparkSession,
+                    opts: Map[String, String]): Seq[String] =
+    redactionGaps(spark.conf.get("spark.redaction.regex",
+      "(?i)secret|password|token|access[.]key"), opts)
+
   /** Build the `kafka.`-prefixed option map for
     * `spark.read/readStream.format("kafka").options(...)` and for the
     * producer/AdminClient legs (same keys, unprefixed, via [[clientOptions]]).
+    *
+    * SECURITY: with mTLS the private key and with SASL the password are
+    * INLINE VALUES in this map (Kafka's PEM keystore and JAAS formats require
+    * it). See [[SensitiveOptionRegex]] / [[redactionGaps]] before attaching
+    * the map to anything Spark logs.
     */
   def options(cfg: KafkaSecurityConfig): Map[String, String] =
     clientOptions(cfg).map { case (k, v) => s"kafka.$k" -> v }

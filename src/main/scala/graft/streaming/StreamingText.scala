@@ -60,12 +60,17 @@ object StreamingText {
     import docs.sparkSession.implicits._
     // coalesce every nullable expression feeding the primitive-typed encoder:
     // a single null text (size(null) = NULL → non-nullable Long field) would
-    // otherwise NPE the task and kill the whole streaming query
+    // otherwise NPE the task and kill the whole streaming query. Null text is
+    // flagged separately and EXCLUDED from dup counting (mirroring
+    // dedupStream): a shared 0L sentinel fingerprint would make every
+    // null-text row a "duplicate" of the rest — and of any real document
+    // whose fingerprint is genuinely 0
     val prepared = docs.select(coalesce(col(sourceCol), lit("")).as("source"),
       coalesce(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(0L))
         .as("n_tokens"),
-      coalesce(TextFunctions.fingerprint(col(textCol)), lit(0L)).as("fp"))
-      .as[(String, Long, Long)]
+      coalesce(TextFunctions.fingerprint(col(textCol)), lit(0L)).as("fp"),
+      col(textCol).isNull.as("no_text"))
+      .as[(String, Long, Long, Boolean)]
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -78,13 +83,13 @@ object StreamingText {
             SourceStats(source, s.docs, s.tokens, s.dups)
           } else {
             var s = state.getOption.getOrElse(StatsState(0, 0, 0, Set.empty))
-            rows.foreach { case (_, nTok, fp) =>
-              val dup = s.recentFps.contains(fp)
+            rows.foreach { case (_, nTok, fp, noText) =>
+              val dup = !noText && s.recentFps.contains(fp)
               s = StatsState(s.docs + 1, s.tokens + nTok,
                 s.dups + (if (dup) 1 else 0),
                 // bounded recent-set: stop growing past the cap (approximate
                 // by design — the exact path is dedupStream's watermark state)
-                if (dup || s.recentFps.size >= maxRecentFps) s.recentFps
+                if (noText || dup || s.recentFps.size >= maxRecentFps) s.recentFps
                 else s.recentFps + fp)
             }
             state.update(s)

@@ -63,8 +63,12 @@ object EvidencePdf {
         val advance = l.size * 3 / 2 + l.gapAfter
         // one-page layout: rows past the MediaBox would render invisibly in
         // every viewer while the PDF stays structurally valid — truncate
-        // LOUDLY instead (reserve one row for the truncation notice)
-        if (y - advance < Margin + 12) dropped += 1
+        // LOUDLY instead (reserve one row for the truncation notice). Once
+        // any line misses the fit check, stop rendering entirely: letting a
+        // later, shorter line through would silently omit a MIDDLE row and
+        // present the remainder as contiguous — truncation must be strictly
+        // a tail cut matching the "...N more rows" notice.
+        if (dropped > 0 || y - advance < Margin + 12) dropped += 1
         else {
           val font = if (l.bold) "/F2" else "/F1"
           sb.append(s"BT $font ${l.size} Tf $Margin $y Td (${esc(l.text)}) Tj ET\n")

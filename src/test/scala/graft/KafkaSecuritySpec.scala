@@ -76,6 +76,23 @@ class KafkaSecuritySpec extends AnyFunSuite {
       KafkaSecurityConfig("PLAINTEXT", sslCaCertPath = Some("/ca.pem"))))
     intercept[IllegalArgumentException](KafkaSecurity.clientOptions(
       KafkaSecurityConfig("TLSV9"))) // unknown protocol must not silently downgrade
+
+    // log-safety: Spark's DEFAULT redaction regex does not match the inlined
+    // private key or the jaas string — redactionGaps must name exactly the
+    // exposed keys, and the documented extension must close the gap
+    val sasl = KafkaSecurity.clientOptions(KafkaSecurityConfig("SASL_SSL",
+      Some("PLAIN"), Some("u"), Some("p")))
+    val sparkDefault = "(?i)secret|password|token|access[.]key"
+    assert(KafkaSecurity.redactionGaps(sparkDefault, mtls) ==
+      Seq("ssl.keystore.key"))
+    assert(KafkaSecurity.redactionGaps(sparkDefault, sasl) ==
+      Seq("sasl.jaas.config"))
+    val hardened = sparkDefault + "|" + KafkaSecurity.SensitiveOptionRegex
+    assert(KafkaSecurity.redactionGaps(hardened, mtls ++ sasl).isEmpty)
+    // the kafka.-prefixed form (what a reader actually logs) is covered too
+    assert(KafkaSecurity.redactionGaps(hardened,
+      KafkaSecurity.options(KafkaSecurityConfig("SASL_SSL",
+        Some("PLAIN"), Some("u"), Some("p")))).isEmpty)
   }
 
   test("fromEnv mirrors the reference CLI's env resolution") {
