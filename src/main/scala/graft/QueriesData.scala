@@ -296,40 +296,16 @@ object QueriesData {
     // flips the hash. All stages are narrow maps or broadcast joins except
     // the dedup groupBy and the final rollup.
     "d_corpus_pipeline" -> ((s, d) => {
-      val raw = docs(s, d)
-      // localCheckpoint: five downstream branches (filter ids, dedup winners,
-      // semi-joins, decon grams, token rollup) would otherwise EACH recompute
-      // the normalize+scan chain — materialize it once. Bench/Verify free the
-      // blocks after the query (unpersist-all between entries).
-      val norm = raw.select(col("doc_id"), col("source"),
-        graft.text.CorpusClean.normalizeText(col("text")).as("text"))
-        .localCheckpoint(true)
-      val keptIds = graft.text.CorpusClean.filterCorpus(norm,
-          graft.text.CorpusClean.FilterConfig(
-            minTokens = Some(30L), maxTokens = None, minStopwordRatio = None,
-            maxDupLineCharFrac = Some(0.2), maxTop2gramCharFrac = Some(0.15),
-            keepLangs = None))
-        .where(col("keep")).select("doc_id")
-      val kept = norm.join(keptIds, Seq("doc_id"), "left_semi")
-      // exact dedup within the survivors: keep the min doc_id per key
-      val dupWinners = kept
-        .groupBy(md5(lower(substring(col("text"), 1, 40))).as("k"))
-        .agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-      val deduped = kept.join(dupWinners, Seq("doc_id"), "left_semi")
-      // benchmark docs never train; survivors sharing a 13-gram with them
-      // are dropped too
-      val train = deduped.filter(col("doc_id") % 20 =!= 7)
-      val contaminated = graft.text.Sampling.decontaminate(
-        train, raw.filter(col("doc_id") % 20 === 7), shingleN = 13)
-      val clean = train.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
-      graft.text.Sampling.assignSplits(clean,
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split")
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(graft.text.TextFunctions.tokenCount(col("text")).cast("long"))
-            .as("n_tokens"))
-        .orderBy("split")
+      // staging mode for the capstone's one materialization point: default =
+      // localCheckpoint (executor blocks, fastest); GRAFT_PIPELINE_STAGING=
+      // <dir> stages the normalized corpus as write-once parquet under a
+      // tracked temp subdir instead — the durable/restartable path, and what
+      // the sf1+ ladder runs so corpus-sized blocks never sit on the shared
+      // heap across the battery (SCALING.md). Same rows either way
+      // (spec-pinned in SamplingSpec).
+      val staging = sys.env.get("GRAFT_PIPELINE_STAGING")
+        .map(base => graft.util.TempDirs.createUnder(base, "graft-stage-"))
+      graft.text.CorpusPipeline.summary(docs(s, d), staging = staging)
     }),
 
     // ANN over the int8-quantized corpus: 4x less scan IO, per-vector scale,

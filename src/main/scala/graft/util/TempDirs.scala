@@ -19,6 +19,17 @@ object TempDirs {
     d
   }
 
+  /** Create and track a unique directory under an explicit base (e.g. a
+    * caller-chosen staging filesystem rather than java.io.tmpdir).
+    */
+  def createUnder(base: String, prefix: String): String = {
+    val b = java.nio.file.Paths.get(base)
+    java.nio.file.Files.createDirectories(b)
+    val d = java.nio.file.Files.createTempDirectory(b, prefix).toString
+    dirs.add(d)
+    d
+  }
+
   /** Delete every tracked directory (best-effort). Callers invoke this
     * OUTSIDE timed regions — e.g. Bench between queries, mains at exit.
     */

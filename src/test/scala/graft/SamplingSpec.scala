@@ -163,4 +163,32 @@ class SamplingSpec extends SparkSpec {
     assert(!deconPlan.contains("SortMergeJoin"),
       "the corpus side must never sort-merge against the benchmark")
   }
+
+  test("corpus pipeline: parquet staging matches localCheckpoint; stage written once, never recomputed") {
+    import graft.text.CorpusPipeline
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val local = CorpusPipeline.summary(docs).collect().map(_.toString).sorted
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-stagespec").toString
+    try {
+      val stagedDf = CorpusPipeline.summary(docs, staging = Some(dir))
+      // durable: the normalized corpus is real parquet under the staging dir,
+      // written exactly once (one overwrite of one directory, by construction)
+      val files = new java.io.File(s"$dir/normalized").listFiles()
+      assert(files != null && files.exists(_.getName.endsWith(".parquet")),
+        "staging dir must hold the written normalized stage")
+      // plan-locked: downstream branches read the STAGED copy — the normalize
+      // kernel ran exactly once (inside the stage write) and must not appear
+      // anywhere in the final plan, whose scans point at the staging path
+      val plan = stagedDf.queryExecution.explainString(FormattedMode)
+      assert(!plan.contains("nfc_normalize"),
+        s"normalize must not be recomputed downstream:\n${plan.take(2000)}")
+      assert(plan.contains(s"$dir/normalized"),
+        "downstream scans must read the staged parquet")
+      // identical results on both materialization paths
+      assert(stagedDf.collect().map(_.toString).sorted === local)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
