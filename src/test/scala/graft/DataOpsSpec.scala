@@ -269,6 +269,53 @@ class DataOpsSpec extends SparkSpec {
     single.foreach { case (k, v) => assert(multi(k) == v) }
   }
 
+  test("multi-table embedding LSH: strict candidate superset, no false positives") {
+    import spark.implicits._
+    // near-orthogonal regime (the borderline-similarity case): random-ish
+    // vectors with a 0.35 threshold — exactly where one table structurally
+    // misses most true pairs and extra tables must recover them
+    val rows = (1L to 300L).map(id =>
+      (id, Array.tabulate(16)(j => math.sin(id * 7.77 + j * 1.91).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    def pairsOf(tables: Int) = Dedup.embeddingPairs(df, "vec_id", "embedding",
+        dim = 16, bits = 5, threshold = 0.35, tables = tables)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val one = pairsOf(1)
+    val eight = pairsOf(8)
+    assert(one.keySet.subsetOf(eight.keySet),
+      "table 0 is the historical signature: its pairs must all survive")
+    assert(eight.size > one.size,
+      s"extra tables must recover borderline pairs (1 table=${one.size}, 8=${eight.size})")
+    // exact in-bucket verify: no false positives at any table count, and no
+    // duplicate emissions of a pair found by several tables
+    eight.values.foreach(cos => assert(cos >= 0.35))
+    one.foreach { case (k, v) => assert(eight(k) == v) }
+    val raw = Dedup.embeddingPairs(df, "vec_id", "embedding",
+      dim = 16, bits = 5, threshold = 0.35, tables = 8).collect()
+    assert(raw.length == raw.map(r => (r.getLong(0), r.getLong(1))).distinct.length,
+      "each pair must be emitted exactly once")
+  }
+
+  test("approximate battery entries carry measured recall above their floors") {
+    // the no-oracle entries' self-audit columns (driver pins them as rows;
+    // this pins the VALUES): floors set ~0.1-0.15 under the sf0.001
+    // measurement so a real regression trips, fixture drift doesn't
+    val floors = Seq(
+      ("a_ann_lsh", "recall_at_k", 0.4),
+      ("a_ann_lsh_bucketed", "recall_at_k", 0.3),
+      ("a_ann_ivf", "recall_at_k", 0.5),
+      ("d_minhash_pairs", "exact_pair_recall", 0.9),
+      ("d_simhash_pairs", "exact_pair_recall", 0.5),
+      ("d_embedding_dups", "exact_pair_recall", 0.35))
+    for ((name, colName, floor) <- floors) {
+      val out = SparkEntry.queries(name)(spark, sf0001)
+      val vals = out.select(colName).distinct().collect().map(_.getDouble(0))
+      assert(vals.length == 1, s"$name: $colName must be a constant audit column")
+      assert(vals.head >= floor,
+        s"$name: measured ${colName}=${vals.head} below floor $floor")
+    }
+  }
+
   test("ngram jaccard exact values") {
     // doc1: shingles {a b c, b c d} ; doc2: {a b c, b c x}; inter=1 union=3 → 1/3
     val df = docsDF((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t"))
