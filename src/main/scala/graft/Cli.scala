@@ -38,7 +38,7 @@ object Cli {
   }
 
   private def usage(): Unit = System.err.println(
-    "commands: run-config backup backup-incremental import-offsets-db restore dry-run list describe validate " +
+    "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset-bulk snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -214,6 +214,14 @@ object Cli {
       val n = graft.catalog.OffsetStateTable.importSqlite(spark, dbPath, stateRoot)
       println(s"imported $n offset marks from $dbPath into " +
         graft.catalog.OffsetStateTable.path(stateRoot))
+
+    case "export-offsets-db" =>
+      // the inverse: state table -> reference-shaped SQLite file (pure-JDK
+      // writer), so marks round-trip both ways between the tools
+      val Array(_, stateRoot, dbPath) = args: @unchecked
+      val n = graft.catalog.OffsetStateTable.exportSqlite(spark, stateRoot, dbPath)
+      println(s"exported $n offset marks from " +
+        graft.catalog.OffsetStateTable.path(stateRoot) + s" to $dbPath")
 
     case "backup-incremental" =>
       // S12 batch leg: resume from the offset state table's high-water marks

@@ -101,6 +101,28 @@ object OffsetStateTable {
     n
   }
 
+  /** Write the state table back out as a reference-shaped `offsets.db` —
+    * the inverse of [[importSqlite]], closing the one-way-migration
+    * asymmetry: a user running both tools side by side can round-trip marks
+    * in either direction (reference sync: sqlite.rs:231). `backup_jobs` is
+    * synthesized from the distinct backup ids (status 'completed',
+    * timestamps from each backup's newest checkpoint) — the parquet state
+    * table deliberately doesn't track job lifecycle. Returns the number of
+    * marks written.
+    */
+  def exportSqlite(spark: SparkSession, stateRoot: String, dbPath: String): Int = {
+    val rows = load(spark, stateRoot).collect() // metadata-sized by contract
+    val offsets = rows.toSeq.map(r => graft.sources.SqliteWriter.OffsetRow(
+      r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val jobs = offsets.groupBy(_.backupId).toSeq.map { case (id, rs) =>
+      val ts = rs.map(_.checkpointTs).max
+      graft.sources.SqliteWriter.JobRow(id, None, "completed", ts, ts, Some(ts))
+    }
+    graft.sources.SqliteWriter.write(dbPath,
+      spark.sparkContext.hadoopConfiguration, offsets, jobs)
+    offsets.size
+  }
+
   private def mergeAndSwap(spark: SparkSession, stateRoot: String,
                            freshDF: DataFrame): Unit = synchronized {
     val merged = load(spark, stateRoot).unionByName(freshDF)
