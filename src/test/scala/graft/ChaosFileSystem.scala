@@ -42,7 +42,25 @@ object ChaosFileSystem {
     failAtSegmentCreate = n
   }
 
-  def disarm(): Unit = failAtSegmentCreate = -1
+  private val pathCreates = new AtomicInteger(0)
+  private val pathRemaining = new AtomicInteger(0)
+  @volatile private var failPathSubstring: Option[String] = None
+  @volatile private var failPathStartAt: Int = 1
+
+  /** Fail creates whose path contains `substr`, starting at the `startAt`-th
+    * matching create, `times` times total — the generic analog of
+    * [[armSegmentCreateFailure]] for non-segment writes (e.g. the reliable
+    * checkpoint part files inside the connected-components loop).
+    */
+  def armPathCreateFailure(substr: String, startAt: Int = 1, times: Int = 1): Unit = {
+    pathCreates.set(0)
+    firedCount.set(0)
+    pathRemaining.set(times)
+    failPathStartAt = startAt
+    failPathSubstring = Some(substr)
+  }
+
+  def disarm(): Unit = { failAtSegmentCreate = -1; failPathSubstring = None }
 
   /** True iff the armed failure actually fired (spec sanity check). */
   def failureFired: Boolean = firedCount.get() > 0
@@ -50,11 +68,21 @@ object ChaosFileSystem {
   /** How many injected failures actually threw. */
   def failuresFired: Int = firedCount.get()
 
-  private def maybeFail(f: Path): Unit =
+  private def maybeFail(f: Path): Unit = {
     if (failAtSegmentCreate >= 0 && f.getName.startsWith("segment-") &&
         segmentCreates.incrementAndGet() >= failAtSegmentCreate &&
         remainingFailures.getAndDecrement() > 0) {
       firedCount.incrementAndGet()
       throw new IOException(s"chaos: injected create failure for $f")
     }
+    failPathSubstring match {
+      case Some(sub) if f.toString.contains(sub) =>
+        if (pathCreates.incrementAndGet() >= failPathStartAt &&
+            pathRemaining.getAndDecrement() > 0) {
+          firedCount.incrementAndGet()
+          throw new IOException(s"chaos: injected create failure for $f")
+        }
+      case _ => ()
+    }
+  }
 }

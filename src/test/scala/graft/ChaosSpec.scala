@@ -48,6 +48,34 @@ class ChaosSpec extends SparkSpec {
     assert(restored.count() == sourceCount)
   }
 
+  test("task death inside the components loop: reliable checkpoint retries, grouping identical") {
+    import spark.implicits._
+    // a 48-node path forces multiple large-star/small-star rounds, so the
+    // injected failure lands INSIDE the iteration, not at setup;
+    // driverMaxEdges = 0 forces the distributed loop at this size
+    val pairs = (1L until 48L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clean = graft.dedup.Clusters
+      .connectedComponents(pairs, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val dir = Files.createTempDirectory("graft-cc-chaos").toString
+    // reliable checkpoints write rdd-*/part-* files through the chaos
+    // scheme; skip the initial checkpoint's writes (loop entry) and kill
+    // the first attempt of a WRITE TASK in a later round — executor-loss
+    // semantics for the loop's durable state
+    ChaosFileSystem.armPathCreateFailure("/rdd-", startAt = 3, times = 1)
+    val chaotic =
+      try graft.dedup.Clusters.connectedComponents(pairs,
+        checkpointDir = Some(s"chaos:$dir"), driverMaxEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally ChaosFileSystem.disarm()
+    assert(ChaosFileSystem.failureFired, "the injected checkpoint failure must fire")
+    assert(chaotic == clean,
+      "the loop must converge to the identical grouping after a task retry")
+    // the caller's checkpoint dir is restored even on the chaos path
+    assert(spark.sparkContext.getCheckpointDir.forall(!_.contains(dir)))
+  }
+
   test("concurrent manifest saves merge every writer's segments without torn state") {
     val root = Files.createTempDirectory("graft-chaos-manifest").toString
     def seg(i: Int) = SegmentMetadata(
