@@ -258,34 +258,59 @@ object Cli {
       }
 
     case "status-watch" =>
-      // live monitoring against a metrics endpoint (status_watch.rs): poll
-      // /metrics, print counter deltas per interval. Args: <baseUrl>
-      // [iterations] [intervalMs]
+      // live monitoring against a metrics endpoint (status_watch.rs
+      // run_watch): initial connection probe that fails loudly, then
+      // clear-and-redraw polling of /metrics with counter deltas, and
+      // exponential reconnect backoff when the endpoint drops mid-watch.
+      // Args: <baseUrl> [iterations] [intervalMs]
       val base = args(1).stripSuffix("/")
       val iterations = args.lift(2).map(_.toInt).getOrElse(5)
       val intervalMs = args.lift(3).map(_.toLong).getOrElse(2000L)
-      def scrape(): Map[String, Long] = {
-        val conn = new java.net.URI(s"$base/metrics").toURL
+      def fetch(path: String): String = {
+        val conn = new java.net.URI(s"$base$path").toURL
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(5000); conn.setReadTimeout(5000)
-        val body = new String(conn.getInputStream.readAllBytes, "UTF-8")
-        body.linesIterator.flatMap { l =>
+        try new String(conn.getInputStream.readAllBytes, "UTF-8")
+        finally conn.disconnect()
+      }
+      def scrape(): Map[String, Long] =
+        fetch("/metrics").linesIterator.flatMap { l =>
           l.split(' ') match {
             case Array(k, v) if k.startsWith("graft_") => Some(k -> v.toLong)
             case _ => None
           }
         }.toMap
+      // connection test before entering the loop (run_watch's fetch_health
+      // gate): a dead endpoint must be one clear error, not N timeouts
+      try fetch("/health")
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"cannot connect to metrics endpoint $base — is the backup " +
+            s"running with metrics enabled? ($e)")
       }
+      println(s"connected to $base; watching (${iterations}x @ ${intervalMs}ms)")
       var prev = scrape()
       println(prev.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
-      for (_ <- 1 until iterations) {
-        Thread.sleep(intervalMs)
-        val cur = scrape()
-        val deltas = cur.toSeq.sorted.map { case (k, v) =>
-          s"$k=$v(+${v - prev.getOrElse(k, 0L)})"
+      var backoffMs = intervalMs
+      var i = 1
+      while (i < iterations) {
+        Thread.sleep(math.min(backoffMs, 30000L))
+        try {
+          val cur = scrape()
+          // ANSI clear-and-home redraw, like the reference's clear_screen();
+          // suppressed when stdout isn't a terminal (keeps spec/CI logs sane)
+          if (System.console() != null) print("\u001b[2J\u001b[H")
+          val deltas = cur.toSeq.sorted.map { case (k, v) =>
+            s"$k=$v(+${v - prev.getOrElse(k, 0L)})"
+          }
+          println(deltas.mkString(" "))
+          prev = cur
+          backoffMs = intervalMs // reset on success (run_watch parity)
+        } catch { case e: java.io.IOException =>
+          println(s"connection lost: $e — retrying in ${backoffMs}ms")
+          backoffMs = math.min(backoffMs * 2, 30000L)
         }
-        println(deltas.mkString(" "))
-        prev = cur
+        i += 1
       }
 
     case "validate-restore" =>

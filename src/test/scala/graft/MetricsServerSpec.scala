@@ -76,8 +76,29 @@ class MetricsServerSpec extends SparkSpec {
     val server = MetricsServer.start(metrics, port = 0)
     try {
       Cli.run(spark, Array("status-watch",
-        s"http://127.0.0.1:${server.port}", "2", "50"))
+        s"http://127.0.0.1:${server.port}", "3", "50"))
     } finally server.stop()
+  }
+
+  test("cli status-watch: dead endpoint is one loud connection error, not N timeouts") {
+    // unbound port: the pre-loop /health probe must fail with guidance
+    // (status_watch.rs run_watch bails before entering its ticker loop)
+    val e = intercept[IllegalStateException] {
+      Cli.run(spark, Array("status-watch", "http://127.0.0.1:1", "3", "50"))
+    }
+    assert(e.getMessage.contains("metrics enabled"), e.getMessage)
+  }
+
+  test("cli status-watch survives a mid-watch connection loss with backoff") {
+    val metrics = GraftMetrics.install(spark)
+    val server = MetricsServer.start(metrics, port = 0)
+    val port = server.port
+    // kill the server after the first scrape; the loop must print the
+    // reconnect line (and keep going) instead of propagating the IOException
+    val killer = new Thread(() => { Thread.sleep(120); server.stop() })
+    killer.start()
+    Cli.run(spark, Array("status-watch", s"http://127.0.0.1:$port", "4", "100"))
+    killer.join()
   }
 
   test("index links endpoints; unknown paths 404") {
