@@ -83,6 +83,17 @@ object SegmentCodec {
     def putBytes(b: Array[Byte]): Unit = {
       ensure(b.length); System.arraycopy(b, 0, arr, pos, b.length); pos += b.length
     }
+    def putBytes(b: Array[Byte], off: Int, len: Int): Unit = {
+      ensure(len); System.arraycopy(b, off, arr, pos, len); pos += len
+    }
+    /** OutputStream view appending to this sink (close/flush are no-ops) —
+      * lets a compressing stream target the sink directly.
+      */
+    def asOutputStream: java.io.OutputStream = new java.io.OutputStream {
+      override def write(b: Int): Unit = putByte(b.toByte)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        putBytes(b, off, len)
+    }
   }
 
   /** Append one length-prefixed record to `out`. Header counts and header-key

@@ -165,7 +165,27 @@ object Backup {
 
     var curTopic: String = null
     var curPartition: Int = -1
+    // Per-task memory contract: zstd segments COMPRESS AS THEY APPEND — each
+    // record encodes into a small scratch sink and streams through a zstd
+    // stream into `body`, so the live allocation is the COMPRESSED body
+    // (typically 3-10x under maxSegmentBytes) plus the codec's ~1 MB window,
+    // never the raw segment. That's what lets a 32-task local run (or a
+    // tightly-packed executor) write 128 MB segments inside a default heap:
+    // the earlier buffer-raw-then-compress shape held raw + compressBound
+    // per task ≈ 2x maxSegmentBytes, and 32x that was the measured sf10
+    // 16 GB OOM. The header-before-body file format forces buffering ONE of
+    // the two forms; compressed is strictly smaller. lz4/none keep the raw
+    // buffer (the lz4 block format needs whole-body input; none is 1:1).
+    val isZstd = cfg.compression == CompressionCodec.Zstd
     val body = new SegmentCodec.ByteSink(1 << 20)
+    val scratch = if (isZstd) new SegmentCodec.ByteSink(64 << 10) else body
+    var zOut: java.io.OutputStream = null
+    def openStream(): Unit = if (isZstd)
+      zOut = new java.io.BufferedOutputStream(
+        new com.github.luben.zstd.ZstdOutputStream(body.asOutputStream, cfg.zstdLevel),
+        64 << 10)
+    openStream()
+    var rawLen = 0L
     var count = 0L
     var startOffset = -1L
     var endOffset = -1L
@@ -173,16 +193,14 @@ object Backup {
     var endTs = Long.MinValue
 
     def seal(): Unit = if (count > 0) {
-      // compress straight off the sink's backing array and stream the
-      // segment out — the only segment-sized allocations alive per task are
-      // the sink itself and the compressor's bound buffer. The previous
-      // toArray + assemble copies doubled that, and 32 local writer tasks ×
-      // ~4 full-segment arrays is how the sf10 bench ran a 16 GB heap out
-      // (a real cluster gives each task its own executor budget, but the
-      // extra copies were pure waste at any scale).
-      val rawLen = body.size
-      val (cBuf, cOff, cLen) = graft.codec.Compression.compressRange(
-        body.backing, 0, rawLen, cfg.compression, cfg.zstdLevel)
+      // stream the segment out — header, compressed body range, CRC footer —
+      // with no assemble copy; for zstd the body is ALREADY compressed (the
+      // stream's close writes the frame epilogue; the reader handles
+      // streamed frames without an up-front content size)
+      val (cBuf, cOff, cLen) =
+        if (isZstd) { zOut.close(); (body.backing, 0, body.size) }
+        else graft.codec.Compression.compressRange(
+          body.backing, 0, body.size, cfg.compression, cfg.zstdLevel)
       val key = Manifest.segmentKey(cfg.backupId, curTopic, curPartition, startOffset,
         cfg.compression.extension)
       val path = new org.apache.hadoop.fs.Path(s"${cfg.backupRoot}/$key")
@@ -192,8 +210,10 @@ object Backup {
           endOffset), cBuf, cOff, cLen)
       finally os.close()
       out += SegmentRow(curTopic, curPartition, key, startOffset, endOffset, startTs, endTs,
-        count, rawLen.toLong, cLen.toLong)
+        count, rawLen, cLen.toLong)
       body.reset()
+      openStream()
+      rawLen = 0
       count = 0; startOffset = -1; endOffset = -1
       startTs = Long.MaxValue; endTs = Long.MinValue
     }
@@ -211,12 +231,23 @@ object Backup {
       endOffset = r.offset
       startTs = math.min(startTs, r.timestamp)
       endTs = math.max(endTs, r.timestamp)
-      SegmentCodec.writeRecord(body, r)
+      if (isZstd) {
+        SegmentCodec.writeRecord(scratch, r)
+        zOut.write(scratch.backing, 0, scratch.size)
+        rawLen += scratch.size
+        scratch.reset()
+      } else {
+        SegmentCodec.writeRecord(body, r)
+        rawLen = body.size.toLong
+      }
       count += 1
-      if (body.size >= cfg.maxSegmentBytes ||
+      if (rawLen >= cfg.maxSegmentBytes ||
         cfg.maxSegmentIntervalMs.exists(iv => endTs - startTs >= iv)) seal()
     }
     seal()
+    // the fresh post-seal stream was never fed; close it so the codec's
+    // native context is released with the task, not with the GC
+    if (isZstd && zOut != null) zOut.close()
     out.iterator
   }
 
