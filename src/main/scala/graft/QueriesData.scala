@@ -233,6 +233,20 @@ object QueriesData {
           "width", "height")
         .orderBy("media_id")),
 
+    // feature-extraction plumbing, fully hash-checked: fake dims reproduce
+    // via the Arrays.hashCode fold (see m_resize), n_frames is integer
+    // arithmetic on payload length, and f0 (first byte-statistics feature) is
+    // an EXACT float32 division both engines perform identically — the f0
+    // column is cast to double BEFORE rounding so both sides round the same
+    // promoted value
+    "m_media_features" -> ((s, d) => {
+      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, d)).toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          col("n_frames"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .orderBy("media_id")
+    }),
+
     // n-gram Jaccard IS SQL-expressible (unlike the hash-signature families):
     // the oracle rebuilds the inverted index with the same [2, maxDocFreq]
     // bucket bound, counts intersections over kept shingles only, but sizes
@@ -841,6 +855,42 @@ object QueriesData {
         |       CAST(64 + ((h32 % 512) + 512) % 512 AS INT) AS width,
         |       CAST(64 + ((CAST(floor(h32 / 512.0) AS BIGINT) % 512) + 512) % 512 AS INT) AS height
         |FROM d ORDER BY media_id""".stripMargin,
+    // same hashCode fold as m_resize, plus acc[0] of the 16-lane byte-sum
+    // feature: f0 = float32(acc0) / (float32(255) * float32(max(len/16,1))) —
+    // both engines do exact float32 arithmetic here (operands < 2^24), so
+    // the division is bit-identical and rounds identically after the double
+    // promotion
+    "m_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |         hex(encode(coalesce(text, ''))) AS hx,
+        |         octet_length(encode(coalesce(text, ''))) AS len
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT media_id, media_type, len,
+        |         list_transform(range(0, len),
+        |           i -> CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT)) AS ub
+        |  FROM b),
+        |h AS (
+        |  SELECT media_id, media_type, len,
+        |         list_reduce(list_prepend(CAST(1 AS BIGINT),
+        |             list_transform(ub, x -> x - CASE WHEN x > 127 THEN 256 ELSE 0 END)),
+        |           (acc, x) -> ((31*acc + x) % 4294967296 + 4294967296) % 4294967296) AS hu,
+        |         coalesce(list_sum(list_transform(range(0, len),
+        |             i -> CASE WHEN i % 16 = 0 THEN ub[CAST(i+1 AS INT)] ELSE 0 END)), 0) AS acc0
+        |  FROM bytes),
+        |d AS (SELECT media_id, media_type, len, acc0,
+        |        CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h32 FROM h)
+        |SELECT media_id, media_type,
+        |  CAST(64 + ((h32 % 512) + 512) % 512 AS INT) AS width,
+        |  CAST(64 + ((CAST(floor(h32 / 512.0) AS BIGINT) % 512) + 512) % 512 AS INT) AS height,
+        |  CAST(CASE media_type WHEN 'video' THEN 1 + len // 4096
+        |       WHEN 'audio' THEN 1 + len // 1024 ELSE 1 END AS INT) AS n_frames,
+        |  round(CAST(CAST(acc0 AS REAL) /
+        |    (CAST(255 AS REAL) * CAST(greatest(len // 16, 1) AS REAL)) AS DOUBLE), 6) AS f0
+        |FROM d ORDER BY media_id""".stripMargin,
     "a_ann_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,
@@ -981,13 +1031,6 @@ object QueriesData {
           k = 10, bits = 6, probeHamming = 2),
         Ann.bruteForceTopK(emb(s, d).filter(col("vec_id") =!= 0),
           "vec_id", "embedding", q, 10), 10)
-    }),
-
-    "m_media_features" -> ((s, d) => {
-      Multimodal.extractFeatures(Multimodal.syntheticMedia(s, d)).toDF()
-        .select(col("media_id"), col("media_type"), col("width"), col("height"),
-          col("n_frames"), round(element_at(col("features"), 1), 6).as("f0"))
-        .orderBy("media_id")
     }),
 
   )
