@@ -4,7 +4,7 @@ import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.text.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -161,6 +161,23 @@ object QueriesData {
       .select("keep_id", "n_dups")
       .orderBy("keep_id")),
 
+    // incremental ingest: even docs are the historical index, the batch is
+    // the odd docs plus space-padded clones of every 4th doc (pad stays
+    // inside the digest's lower+trim normalization, so each clone is an
+    // exact dup of an indexed doc). Kept = odds + null-text clones (absent
+    // documents pass through, as in exact dedup)
+    "d_incremental_dedup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val index = Dedup.exactIndex(
+        base.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val batch = base.filter(col("doc_id") % 2 === 1).unionByName(
+        base.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("   "), col("text"), lit("  ")).as("text")))
+      Dedup.incrementalExact(batch, "doc_id", "text", index)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // text: quality signals (deterministic ratios)
     "d_quality" -> ((s, d) => {
       val sig = TextFunctions.qualitySignals(col("text"))
@@ -245,6 +262,27 @@ object QueriesData {
           col("n_frames"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
         .orderBy("media_id")
+    }),
+
+    // xxhash64 itself is not reproducible in DuckDB SQL, but the
+    // fingerprint's CONTRACT is: equal normalized token streams ⟺ equal
+    // fingerprints. The corpus has no full-text dups, so each doc is unioned
+    // with a whitespace-perturbed clone (doc_id+100000; ASCII-only edits, so
+    // both engines normalize identically) — the fingerprint must collapse
+    // every clone pair into one group while distinct docs stay distinct,
+    // and the oracle rebuilds the same groups from the normalized text
+    "d_fingerprint" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val variant = base.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("  "), regexp_replace(col("text"), " ", "\t  "), lit("\n"))
+          .as("text"))
+      val fp = base.unionByName(variant)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val g = fp.groupBy("fp")
+        .agg(min("doc_id").as("group_min_id"), count(lit(1)).as("group_size"))
+      fp.join(g, "fp")
+        .select("doc_id", "group_min_id", "group_size")
+        .orderBy("doc_id")
     }),
 
     // n-gram Jaccard IS SQL-expressible (unlike the hash-signature families):
@@ -436,6 +474,30 @@ object QueriesData {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
         |GROUP BY md5(lower(substring(text, 1, 40))) HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
+    // NOT EXISTS, not NOT IN: the index's NULL-text rows carry NULL digests,
+    // which null-poison NOT IN but never match an equality
+    "d_incremental_dedup" ->
+      """WITH idx AS (
+        |  SELECT md5(lower(trim(text))) AS k FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '   ' || text || '  '
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |keyed AS (SELECT doc_id, md5(lower(trim(text))) AS k FROM b),
+        |fresh AS (
+        |  SELECT doc_id, k FROM keyed n
+        |  WHERE k IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.k = n.k)),
+        |kept AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        |    FROM fresh) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id FROM keyed WHERE k IS NULL)
+        |SELECT doc_id FROM kept ORDER BY doc_id""".stripMargin,
     "d_quality" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
         |                  list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -891,6 +953,28 @@ object QueriesData {
         |  round(CAST(CAST(acc0 AS REAL) /
         |    (CAST(255 AS REAL) * CAST(greatest(len // 16, 1) AS REAL)) AS DOUBLE), 6) AS f0
         |FROM d ORDER BY media_id""".stripMargin,
+    // rebuilds the fingerprint groups from the normalized token stream
+    // itself (lowercased whitespace tokens joined by ' '); the char class is
+    // Java's \s spelled out because RE2's \s omits \x0B
+    "d_fingerprint" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         '  ' || replace(text, ' ', chr(9) || '  ') || chr(10)
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(list_filter(
+        |             regexp_split_to_array(trim(coalesce(text, '')),
+        |               '[ \t\n\x0B\f\r]+'),
+        |             t -> t <> ''), t -> lower(t)), ' ') AS k
+        |  FROM u),
+        |g AS (SELECT k, min(doc_id) AS group_min_id,
+        |             count(*) AS group_size
+        |      FROM n GROUP BY k)
+        |SELECT n.doc_id AS doc_id, g.group_min_id, g.group_size
+        |FROM n JOIN g USING (k) ORDER BY doc_id""".stripMargin,
     "a_ann_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,
@@ -947,6 +1031,33 @@ object QueriesData {
         Ann.bruteForceTopK(emb(s, d).filter(col("vec_id") =!= 0),
           "vec_id", "embedding", q, 10), 10)
     }),
+    // cross-corpus near-dup (approximate sibling of d_incremental_dedup):
+    // batch = odd docs + suffix-perturbed clones of every 4th doc, scored
+    // against the historical even-doc signature table. Audit = recall vs the
+    // EXACT jaccard>=0.2 pairs of the union, restricted to pairs that span
+    // batch×corpus (the only pairs the cross join is allowed to emit)
+    "d_incremental_minhash" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.filter(col("doc_id") % 2 === 0)
+      val batch = base.filter(col("doc_id") % 2 === 1).unionByName(
+        base.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" graft incremental probe suffix"))
+              .as("text")))
+      val approx = Dedup.minhashIncrementalPairs(
+          Dedup.minhashSignatures(batch, "doc_id", "text", shingleN = 3, k = 64),
+          Dedup.minhashSignatures(corpus, "doc_id", "text", shingleN = 3, k = 64),
+          k = 64, bands = 16, threshold = 0.2)
+        .select(least(col("batch_id"), col("corpus_id")).as("id_a"),
+          greatest(col("batch_id"), col("corpus_id")).as("id_b"),
+          col("jaccard_est"))
+      val isCorpus = (c: Column) => c % 2 === 0 && c < 100000L
+      val exact = Dedup.ngramJaccardPairs(batch.unionByName(corpus), "doc_id",
+          "text", shingleN = 3, threshold = 0.2, maxDocFreq = 50)
+        .filter(isCorpus(col("id_a")) =!= isCorpus(col("id_b")))
+      withPairRecall(approx, exact).orderBy("id_a", "id_b")
+    }),
+
     "d_minhash_pairs" -> ((s, d) => {
       val dd = docs(s, d)
       // audit: recall vs the EXACT jaccard>=0.2 pairs (same shingles, same
@@ -997,12 +1108,6 @@ object QueriesData {
         else approx.withColumn("exact_pair_recall", lit(null).cast("double"))
       audited.orderBy("id_a", "id_b")
     }),
-
-    // per-doc 64-bit fingerprints — downstream exact-dup key (corpus has no
-    // full-text dups, so the doc-level fingerprint table is the deliverable)
-    "d_fingerprint" -> ((s, d) => docs(s, d)
-      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")),
 
     "a_ann_lsh" -> ((s, d) => {
       val corpus = emb(s, d).filter(col("vec_id") =!= 0)

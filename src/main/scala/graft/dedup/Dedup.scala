@@ -45,6 +45,43 @@ object Dedup {
       .drop("graft_dup_key")
   }
 
+  /** Digest index of a corpus: one row per id with `dup_key =
+    * md5(lower(trim(text)))` — the durable artifact an incremental ingest
+    * run anti-joins new batches against (persist it as parquet, ideally
+    * bucketed by `dup_key` so the recurring join never re-shuffles the
+    * historical side). NULL-text rows carry a NULL key: absent documents
+    * index nothing, and anti-join equality never matches a NULL anyway.
+    */
+  def exactIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(lower(trim(col(textCol)))).as("dup_key"))
+
+  /** Incremental exact dedup — the "ingest day N against days 1..N-1" op:
+    * keeps rows of `batch` whose normalized digest appears neither in
+    * `index` (an [[exactIndex]] table) nor earlier in the batch itself;
+    * NULL-text batch rows pass through untouched as in [[exact]].
+    *
+    * Scale shape: the index is typically 1000× the batch, so the anti-join
+    * deliberately moves only the index's (16-byte digest) column — never a
+    * document body — and does NOT pre-`distinct` the index (anti-join
+    * semantics ignore right-side duplicates; a distinct would be a full
+    * historical-corpus shuffle for nothing). With a digest-bucketed index
+    * the exchange on the historical side disappears entirely.
+    */
+  def incrementalExact(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame): DataFrame = {
+    require(!batch.columns.contains("graft_dup_key") && !batch.columns.contains("graft_rn"),
+      "batch already has a graft_dup_key/graft_rn column — rename it first")
+    val keyed = batch.withColumn("graft_dup_key", md5(lower(trim(col(textCol)))))
+    val w = Window.partitionBy("graft_dup_key").orderBy(col(idCol))
+    keyed.filter(col("graft_dup_key").isNotNull)
+      .join(index.select(col("dup_key").as("graft_dup_key")), Seq("graft_dup_key"), "left_anti")
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+      .unionByName(keyed.filter(col("graft_dup_key").isNull))
+      .drop("graft_dup_key")
+  }
+
   /** MinHash signatures for a whole corpus: (id, sig array<long> of length k).
     *
     * One narrow map: the native [[graft.functions.MinHashSig]] kernel
@@ -106,6 +143,35 @@ object Dedup {
       .filter(col("jaccard_est") >= threshold)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 6).as("jaccard_est"))
+  }
+
+  /** Cross-corpus MinHash near-dup candidates — the approximate sibling of
+    * [[incrementalExact]]: (batch_id, corpus_id, jaccard_est) for batch docs
+    * that collide with the historical corpus in ≥ 1 LSH band and agree on ≥
+    * `threshold` of signature slots. Both inputs are [[minhashSignatures]]
+    * tables — the corpus side is a persisted artifact (k longs per doc), so
+    * the historical TEXT is never re-read or re-hashed; bands are recomputed
+    * map-side from the stored signature. Unlike the self-join, no id_a<id_b
+    * ordering applies (the sides are distinct tables) and only batch×corpus
+    * collisions survive, never corpus×corpus.
+    */
+  def minhashIncrementalPairs(batchSigs: DataFrame, corpusSigs: DataFrame,
+                              k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.5): DataFrame = {
+    def banded(sigs: DataFrame, idAs: String, sigAs: String): DataFrame =
+      sigs.filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+        .select(col("id"), col("sig"), explode(lshBands(col("sig"), bands, k)).as("bb"))
+        .select(col("id").as(idAs), col("sig").as(sigAs),
+          col("bb.band"), col("bb.bucket"))
+    banded(batchSigs, "batch_id", "sig_b")
+      .join(banded(corpusSigs, "corpus_id", "sig_c"), Seq("band", "bucket"))
+      .withColumn("jaccard_est",
+        graft.functions.KFunctions.array_eq_count(col("sig_b"), col("sig_c"))
+          .cast("double") / k)
+      .filter(col("jaccard_est") >= threshold)
+      .dropDuplicates("batch_id", "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard_est"), 6).as("jaccard_est"))
   }
 
   /** 64-bit SimHash of a text column — same native kernel as

@@ -41,6 +41,37 @@ class DataOpsSpec extends SparkSpec {
     assert(kept == Set(5L, 2L, 9L))
   }
 
+  test("incremental exact dedup: index hits dropped, intra-batch dups collapse, null text passes") {
+    val corpus = docsDF((10L, "history doc one"), (12L, "history doc two"))
+    val index = Dedup.exactIndex(corpus, "doc_id", "text")
+    val batch = docsDF(
+      (21L, "  HISTORY DOC ONE "), // exact dup of indexed 10 after lower+trim
+      (22L, "fresh doc"),
+      (23L, "Fresh Doc"),          // intra-batch dup of 22 → 22 wins
+      (24L, null))                 // absent document: always kept
+    val kept = Dedup.incrementalExact(batch, "doc_id", "text", index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(22L, 24L))
+  }
+
+  test("incremental minhash pairs span batch×corpus only and score the clone high") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " tail extra tokens"
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val corpus = docsDF((1L, base), (3L, other), (4L, other)) // 3,4: corpus-internal dup
+    val batch = docsDF((101L, nearDup), (102L, "totally unrelated text here"))
+    val pairs = Dedup.minhashIncrementalPairs(
+        Dedup.minhashSignatures(batch, "doc_id", "text", 3, 64),
+        Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 64),
+        k = 64, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 101L && p._2 == 1L && p._3 > 0.5),
+      s"clone must pair with its corpus original, got ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 4L || (p._1 < 100L)),
+      "corpus-internal dup (3,4) must never surface — only batch×corpus pairs")
+    assert(!pairs.exists(p => p._1 == 102L), "unrelated batch doc must not pair")
+  }
+
   test("minhash LSH finds near-identical docs and skips unrelated ones") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
