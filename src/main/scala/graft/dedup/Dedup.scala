@@ -55,6 +55,25 @@ object Dedup {
   def exactIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), md5(lower(trim(col(textCol)))).as("dup_key"))
 
+  /** Persist an [[exactIndex]] table BUCKETED by `dup_key` — the layout a
+    * recurring ingest wants: [[incrementalExact]] against
+    * `spark.table(tableName)` then plans with NO exchange on the historical
+    * side (the scan's hash-bucketing already satisfies the join's
+    * distribution), so at 100 TB only the day's batch ever shuffles, sized
+    * to the bucket count. `sortBy` additionally pre-sorts each bucket file,
+    * removing the index-side sort under a sort-merge join. Bucketing needs a
+    * catalog entry (`saveAsTable` + explicit `path` → external table); the
+    * files land in `dir` and survive the catalog, and re-registration on a
+    * new session is one `CREATE TABLE ... USING parquet LOCATION` away.
+    */
+  def writeExactIndexBucketed(index: DataFrame, tableName: String, dir: String,
+                              buckets: Int): Unit =
+    index.write.mode("overwrite")
+      .bucketBy(buckets, "dup_key").sortBy("dup_key")
+      .option("path", dir)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Incremental exact dedup — the "ingest day N against days 1..N-1" op:
     * keeps rows of `batch` whose normalized digest appears neither in
     * `index` (an [[exactIndex]] table) nor earlier in the batch itself;

@@ -132,6 +132,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "prefix sum must be a window, not a self-join")
   }
 
+  test("bucketed digest index: the historical side joins with zero exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bidx").toString
+    val table = "graft_bidx_plan"
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // broadcast would hide the distribution question the bucketing answers —
+    // at scale the BATCH side exceeds the threshold too, so force the
+    // shuffle-family join the real sizes would get
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.dedup.Dedup.writeExactIndexBucketed(
+        graft.dedup.Dedup.exactIndex(corpus.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"),
+        table, s"$dir/idx", buckets = 4)
+      val batch = corpus.filter(col("doc_id") % 2 === 1)
+      val out = graft.dedup.Dedup.incrementalExact(
+        batch, "doc_id", "text", spark.table(table))
+      // correctness: identical to the same join against the raw parquet index
+      val viaPlain = graft.dedup.Dedup.incrementalExact(
+          batch, "doc_id", "text",
+          graft.dedup.Dedup.exactIndex(corpus.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == viaPlain)
+      // the plan may shuffle the BATCH side to the bucket count, but never
+      // the bucketed scan: no ShuffleExchange whose subtree reads the index
+      val exchanges = out.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      val indexShuffled = exchanges.exists(_.toString.contains(table))
+      assert(!indexShuffled,
+        s"bucketed index side must not re-shuffle:\n${exchanges.mkString("\n").take(2000)}")
+      val scan = out.queryExecution.executedPlan.toString
+      assert(scan.contains("Bucketed: true"),
+        s"index scan must report bucketed output:\n${scan.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("simhash band join exchanges carry bare signatures, never id arrays") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
