@@ -37,6 +37,27 @@ object StreamingText {
     deduped.unionByName(watermarked.where(col(textCol).isNull))
   }
 
+  /** Streaming incremental exact dedup — [[dedupStream]] against a PERSISTED
+    * historical index ([[graft.dedup.Dedup.exactIndex]], ideally the bucketed
+    * layout): rows whose normalized digest already exists in the index drop
+    * via a stream-static LEFT ANTI join (re-planned every micro-batch, so an
+    * index overwritten by a nightly compaction is picked up without a
+    * restart); survivors then dedup against EACH OTHER within the watermark.
+    * Null-text rows bypass both, as in [[dedupStream]]. State carried: only
+    * the in-window digest set — the historical corpus stays on disk.
+    */
+  def incrementalDedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                             delay: String, index: DataFrame): DataFrame = {
+    val watermarked = docs.withWatermark(tsCol, delay)
+    val fresh = watermarked.where(col(textCol).isNotNull)
+      .withColumn("graft_dup_key", md5(lower(trim(col(textCol)))))
+      .join(index.select(col("dup_key").as("graft_dup_key")),
+        Seq("graft_dup_key"), "left_anti")
+      .dropDuplicatesWithinWatermark("graft_dup_key")
+      .drop("graft_dup_key")
+    fresh.unionByName(watermarked.where(col(textCol).isNull))
+  }
+
   case class SourceStats(source: String, docs: Long, tokens: Long, approx_dups: Long)
 
   // public: Spark's generated state encoder needs member access

@@ -35,6 +35,34 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: stream-static anti-join against a persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = graft.dedup.Dedup.exactIndex(
+      Seq((10L, "history doc one"), (12L, null: String))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingText.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes", index)
+    val q = out.writeStream.format("memory").queryName("inc_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "  HISTORY doc one ", ts(0)), // indexed after normalization → dropped
+        (2L, "fresh doc", ts(1)),
+        (3L, "Fresh DOC", ts(2)),          // in-stream dup of 2 → one survives
+        (4L, null: String, ts(3)))         // null text bypasses both joins
+      q.processAllAvailable()
+      input.addData((5L, "fresh doc", ts(4))) // in-window dup of batch 1 survivor
+      q.processAllAvailable()
+      val ids = spark.table("inc_dedup_out").collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(1L), "index hit must be dropped")
+      assert((ids & Set(2L, 3L)).size == 1, s"one of the in-stream dup pair survives: $ids")
+      assert(ids.contains(4L), "null text passes through")
+      assert(!ids.contains(5L), "cross-batch dup within the watermark must drop")
+    } finally q.stop()
+  }
+
   test("stateless text ops (repetition signals, corpus filter, redaction) run on streams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
