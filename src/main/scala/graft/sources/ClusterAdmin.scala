@@ -227,6 +227,31 @@ object ClusterAdmin {
       // size the target for the LARGEST source so every partition fits
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max })
 
+  /** Create-then-wait-ready gate (reference restore/engine.rs polls topic
+    * readiness after auto-create before the first produce): poll
+    * `listTopics` until every requested topic is visible with at least its
+    * requested partition count. Returns the poll count; throws on timeout
+    * naming the topics still missing. `sleep` is injectable so specs drive
+    * the loop without wall-clock waits.
+    */
+  def waitReady(admin: ClusterAdmin, topics: Map[String, Int],
+                timeoutMs: Long = 30000L, pollMs: Long = 200L,
+                sleep: Long => Unit = Thread.sleep): Int = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var polls = 0
+    while (true) {
+      polls += 1
+      val seen = admin.listTopics()
+      val missing = topics.filter { case (t, n) => seen.get(t).forall(_ < n) }
+      if (missing.isEmpty) return polls
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"topics not ready after $timeoutMs ms: ${missing.keys.toSeq.sorted.mkString(", ")}")
+      sleep(pollMs)
+    }
+    polls // unreachable
+  }
+
   /** Phase-3 committer backed by the admin facade — plugs into
     * ThreePhaseRestore and BulkOffsetReset unchanged.
     */

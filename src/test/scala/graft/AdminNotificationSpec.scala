@@ -94,6 +94,38 @@ class AdminNotificationSpec extends AnyFunSuite {
       Map("orders" -> Map("retention.ms" -> "604800000", "cleanup.policy" -> "compact")))
   }
 
+  test("admin facade: create-then-wait-ready polls until topics materialize") {
+    val admin = new InMemoryClusterAdmin(bounds)
+    // a facade whose topic becomes visible only on the 3rd metadata poll —
+    // the propagation window a real controller has after CreateTopics
+    var calls = 0
+    val lagged = new ClusterAdmin {
+      def listTopics(): Map[String, Int] = {
+        calls += 1
+        if (calls >= 3) admin.listTopics() + ("late" -> 4) else admin.listTopics()
+      }
+      def listOffsets(s: Map[(String, Int), OffsetSpec]) = admin.listOffsets(s)
+      def listConsumerGroups() = admin.listConsumerGroups()
+      def committedOffsets(g: String) = admin.committedOffsets(g)
+      def alterConsumerGroupOffsets(g: String, o: Map[(String, Int), Long]) =
+        admin.alterConsumerGroupOffsets(g, o)
+      def createTopics(t: Map[String, Int]) = admin.createTopics(t)
+      def deleteRecords(b: Map[(String, Int), Long]) = admin.deleteRecords(b)
+      def describeConfigs(t: Seq[String]) = admin.describeConfigs(t)
+      def alterConfigs(u: Map[String, Map[String, String]]) = admin.alterConfigs(u)
+    }
+    var slept = 0L
+    val polls = ClusterAdmin.waitReady(lagged, Map("late" -> 4, "orders" -> 2),
+      sleep = slept += _)
+    assert(polls == 3, s"must poll until visible, got $polls")
+    assert(slept > 0L, "must back off between polls")
+    // under-partitioned is NOT ready; timeout names the offender
+    val err = intercept[IllegalStateException] {
+      ClusterAdmin.waitReady(lagged, Map("late" -> 40), timeoutMs = 0L, sleep = _ => ())
+    }
+    assert(err.getMessage.contains("late"))
+  }
+
   // --- notifications (K11) ---
 
   private val report = EvidenceReport("b7", 1700000000000L, 1000, 5, "ab" * 32,
