@@ -215,7 +215,13 @@ object ClusterAdmin {
                            manifest: graft.catalog.BackupManifest,
                            topicMapping: Map[String, String] = Map.empty,
                            partitionMapping: Map[Int, Int] = Map.empty): Map[String, String] =
-    admin.createTopics(manifest.topics
+    admin.createTopics(restoreTopicSizes(manifest, topicMapping, partitionMapping))
+
+  /** Post-remap (topic → partition count) a restore target needs. */
+  private def restoreTopicSizes(manifest: graft.catalog.BackupManifest,
+                                topicMapping: Map[String, String],
+                                partitionMapping: Map[Int, Int]): Map[String, Int] =
+    manifest.topics
       .map { t =>
         val mappedMax = t.partitions
           .map(p => partitionMapping.getOrElse(p.partition_id, p.partition_id))
@@ -225,7 +231,23 @@ object ClusterAdmin {
       }
       // two source topics may legally remap onto one target (topic merge):
       // size the target for the LARGEST source so every partition fits
-      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max })
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+
+  /** Prepare a restore target end to end: [[autoCreateForRestore]] then
+    * [[waitReady]] on the same post-remap (topic → partitions) map — the
+    * order the reference's restore engine runs before its first produce.
+    * Returns the create outcomes once every topic is ready.
+    */
+  def prepareRestoreTarget(admin: ClusterAdmin,
+                           manifest: graft.catalog.BackupManifest,
+                           topicMapping: Map[String, String] = Map.empty,
+                           partitionMapping: Map[Int, Int] = Map.empty,
+                           timeoutMs: Long = 30000L): Map[String, String] = {
+    val outcomes = autoCreateForRestore(admin, manifest, topicMapping, partitionMapping)
+    waitReady(admin, restoreTopicSizes(manifest, topicMapping, partitionMapping),
+      timeoutMs = timeoutMs)
+    outcomes
+  }
 
   /** Create-then-wait-ready gate (reference restore/engine.rs polls topic
     * readiness after auto-create before the first produce): poll

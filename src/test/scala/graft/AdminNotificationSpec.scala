@@ -124,6 +124,12 @@ class AdminNotificationSpec extends AnyFunSuite {
       ClusterAdmin.waitReady(lagged, Map("late" -> 40), timeoutMs = 0L, sleep = _ => ())
     }
     assert(err.getMessage.contains("late"))
+    // the composed prepare path: create + wait on the same post-remap sizes
+    val m = graft.catalog.BackupManifest("b", 0L, None, Nil, "zstd", List(
+      graft.catalog.TopicBackup("fresh2", Some(2), Nil)))
+    val outcomes = ClusterAdmin.prepareRestoreTarget(admin, m)
+    assert(outcomes == Map("fresh2" -> "created"))
+    assert(admin.listTopics()("fresh2") == 2)
   }
 
   // --- notifications (K11) ---
