@@ -289,22 +289,29 @@ object Cli {
             s"running with metrics enabled? ($e)")
       }
       println(s"connected to $base; watching (${iterations}x @ ${intervalMs}ms)")
-      var prev = scrape()
-      println(prev.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      // the first scrape rides the SAME retry loop as the rest: the endpoint
+      // can die between the /health probe and here (or serve /health but
+      // error on /metrics), and that window deserves backoff, not a raw
+      // IOException
+      var prev = Map.empty[String, Long]
+      var first = true
       var backoffMs = intervalMs
-      var i = 1
+      var i = 0
       while (i < iterations) {
-        Thread.sleep(math.min(backoffMs, 30000L))
+        if (i > 0) Thread.sleep(math.min(backoffMs, 30000L))
         try {
           val cur = scrape()
           // ANSI clear-and-home redraw, like the reference's clear_screen();
           // suppressed when stdout isn't a terminal (keeps spec/CI logs sane)
           if (System.console() != null) print("\u001b[2J\u001b[H")
-          val deltas = cur.toSeq.sorted.map { case (k, v) =>
-            s"$k=$v(+${v - prev.getOrElse(k, 0L)})"
-          }
-          println(deltas.mkString(" "))
+          val line =
+            if (first) cur.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            else cur.toSeq.sorted.map { case (k, v) =>
+              s"$k=$v(+${v - prev.getOrElse(k, 0L)})"
+            }
+          println(line.mkString(" "))
           prev = cur
+          first = false
           backoffMs = intervalMs // reset on success (run_watch parity)
         } catch { case e: java.io.IOException =>
           println(s"connection lost: $e — retrying in ${backoffMs}ms")

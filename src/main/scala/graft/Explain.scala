@@ -23,10 +23,13 @@ object Explain {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.write.mode("overwrite").format("noop").save()
+      // execute through df's OWN QueryExecution: a write/save (or even
+      // Dataset.foreachPartition, which goes through the separate
+      // rddQueryExecution) builds a different QE and leaves this one's
+      // adaptive plan unexecuted (isFinalPlan=false — the static guess).
+      // toRdd IS this QE's executedPlan; foreach keeps rows distributed
+      df.queryExecution.toRdd.foreach(_ => ())
       println(s"==== $name (executed; AQE final plan) ====")
-      // queryExecution on the original df reflects the adaptive plan after
-      // execution because AQE mutates the shared plan nodes in place
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }

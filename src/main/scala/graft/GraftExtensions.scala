@@ -57,13 +57,19 @@ object GraftExtensions {
   private def intLit(fn: String, e: Expression): Int = {
     require(e.foldable && e.dataType == IntegerType,
       s"$fn: shape argument must be a constant INT (got ${e.sql})")
-    e.eval().asInstanceOf[Int]
+    val v = e.eval()
+    // a foldable NULL (CAST(NULL AS INT)) would unbox to 0 — a silent k=0
+    require(v != null, s"$fn: shape argument must be a non-NULL constant INT")
+    v.asInstanceOf[Int]
   }
 
   private def strLit(fn: String, e: Expression): String = {
     require(e.foldable && e.dataType == StringType,
       s"$fn: expected a constant STRING argument (got ${e.sql})")
-    String.valueOf(e.eval())
+    val v = e.eval()
+    // String.valueOf(null) is the 4-char string "null" — reject instead
+    require(v != null, s"$fn: expected a non-NULL constant STRING argument")
+    String.valueOf(v)
   }
 
   private type Builder = Seq[Expression] => Expression

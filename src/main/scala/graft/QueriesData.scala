@@ -30,27 +30,34 @@ object QueriesData {
 
   /** Fraction of `exact`'s (id_a, id_b) pairs also found by `approx`,
     * attached to every approx row as a constant `exact_pair_recall` column.
-    * Both counts are metadata-sized driver scalars; an empty exact set is a
-    * vacuous 1.0.
+    * Both inputs are checkpointed first: each side's pipeline (an O(n²)
+    * brute force or a full inverted index on the exact side; the banded
+    * join on the approx side) runs exactly ONCE, and the count, the
+    * semi-join, and the returned DataFrame all reuse the materialized pair
+    * lists — which are metadata-sized. An empty exact set is a vacuous 1.0.
     */
   private def withPairRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val nExact = exact.count()
+    val a = approx.localCheckpoint(true)
+    val e = exact.select("id_a", "id_b").localCheckpoint(true)
+    val nExact = e.count()
     val hits =
       if (nExact == 0) 0L
-      else exact.select("id_a", "id_b")
-        .join(approx, Seq("id_a", "id_b"), "left_semi").count()
-    approx.withColumn("exact_pair_recall", lit(
+      else e.join(a, Seq("id_a", "id_b"), "left_semi").count()
+    a.withColumn("exact_pair_recall", lit(
       if (nExact == 0) 1.0 else math.rint(hits.toDouble / nExact * 1e4) / 1e4))
   }
 
   /** recall@k of an ANN result against the exact brute-force top-k (both in
-    * the Ann family's (id, cosine) output shape).
+    * the Ann family's (id, cosine) output shape). The k-row approx result is
+    * checkpointed so its (possibly bucketed-scan) pipeline runs once, not
+    * once for the audit and again for the consumer.
     */
   private def withRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
-    val hits = approx.join(
+    val a = approx.localCheckpoint(true)
+    val hits = a.join(
       broadcast(exact.select(col("id").as("exact_id"))),
       col("id") === col("exact_id"), "left_semi").count()
-    approx.withColumn("recall_at_k",
+    a.withColumn("recall_at_k",
       lit(math.rint(hits.toDouble / k * 1e4) / 1e4))
   }
 
@@ -165,14 +172,16 @@ object QueriesData {
     // the odd docs plus space-padded clones of every 4th doc (pad stays
     // inside the digest's lower+trim normalization, so each clone is an
     // exact dup of an indexed doc). Kept = odds + null-text clones (absent
-    // documents pass through, as in exact dedup)
+    // documents pass through, as in exact dedup). Clone ids are NEGATIVE
+    // (-(doc_id+1)) so they cannot collide with a real doc_id at any scale
+    // factor (ScaleData shifts ids upward, never below 0)
     "d_incremental_dedup" -> ((s, d) => {
       val base = docs(s, d).select(col("doc_id"), col("text"))
       val index = Dedup.exactIndex(
         base.filter(col("doc_id") % 2 === 0), "doc_id", "text")
       val batch = base.filter(col("doc_id") % 2 === 1).unionByName(
         base.filter(col("doc_id") % 4 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"),
+          .select((-col("doc_id") - 1L).as("doc_id"),
             concat(lit("   "), col("text"), lit("  ")).as("text")))
       Dedup.incrementalExact(batch, "doc_id", "text", index)
         .select("doc_id").orderBy("doc_id")
@@ -267,13 +276,14 @@ object QueriesData {
     // xxhash64 itself is not reproducible in DuckDB SQL, but the
     // fingerprint's CONTRACT is: equal normalized token streams ⟺ equal
     // fingerprints. The corpus has no full-text dups, so each doc is unioned
-    // with a whitespace-perturbed clone (doc_id+100000; ASCII-only edits, so
-    // both engines normalize identically) — the fingerprint must collapse
+    // with a whitespace-perturbed clone (negative id -(doc_id+1), so no
+    // collision with real ids at any scale; ASCII-only edits, so both
+    // engines normalize identically) — the fingerprint must collapse
     // every clone pair into one group while distinct docs stay distinct,
     // and the oracle rebuilds the same groups from the normalized text
     "d_fingerprint" -> ((s, d) => {
       val base = docs(s, d).select(col("doc_id"), col("text"))
-      val variant = base.select((col("doc_id") + 100000L).as("doc_id"),
+      val variant = base.select((-col("doc_id") - 1L).as("doc_id"),
         concat(lit("  "), regexp_replace(col("text"), " ", "\t  "), lit("\n"))
           .as("text"))
       val fp = base.unionByName(variant)
@@ -483,7 +493,7 @@ object QueriesData {
         |b AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
         |  UNION ALL
-        |  SELECT doc_id + 100000, '   ' || text || '  '
+        |  SELECT -(doc_id + 1), '   ' || text || '  '
         |  FROM documents WHERE doc_id % 4 = 0),
         |keyed AS (SELECT doc_id, md5(lower(trim(text))) AS k FROM b),
         |fresh AS (
@@ -960,7 +970,7 @@ object QueriesData {
       """WITH u AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000,
+        |  SELECT -(doc_id + 1),
         |         '  ' || replace(text, ' ', chr(9) || '  ') || chr(10)
         |  FROM documents),
         |n AS (
@@ -1039,9 +1049,11 @@ object QueriesData {
     "d_incremental_minhash" -> ((s, d) => {
       val base = docs(s, d).select(col("doc_id"), col("text"))
       val corpus = base.filter(col("doc_id") % 2 === 0)
+      // clone ids are negative (-(doc_id+1)): no collision with real ids at
+      // any scale factor, and isCorpus below stays a pure sign+parity test
       val batch = base.filter(col("doc_id") % 2 === 1).unionByName(
         base.filter(col("doc_id") % 4 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"),
+          .select((-col("doc_id") - 1L).as("doc_id"),
             concat(col("text"), lit(" graft incremental probe suffix"))
               .as("text")))
       val approx = Dedup.minhashIncrementalPairs(
@@ -1051,7 +1063,7 @@ object QueriesData {
         .select(least(col("batch_id"), col("corpus_id")).as("id_a"),
           greatest(col("batch_id"), col("corpus_id")).as("id_b"),
           col("jaccard_est"))
-      val isCorpus = (c: Column) => c % 2 === 0 && c < 100000L
+      val isCorpus = (c: Column) => c % 2 === 0 && c >= 0L
       val exact = Dedup.ngramJaccardPairs(batch.unionByName(corpus), "doc_id",
           "text", shingleN = 3, threshold = 0.2, maxDocFreq = 50)
         .filter(isCorpus(col("id_a")) =!= isCorpus(col("id_b")))

@@ -426,13 +426,22 @@ object Dedup {
       // multi-table: (table, bucket) is the join key; each table's bucket
       // comes from its own plane family. Signature stage is still a pure map
       // (posexplode is row-local); the only new shuffle is the final
-      // distinct, which runs on the threshold-FILTERED pair set
+      // distinct, which runs on the threshold-FILTERED pair set.
+      // The same probe contract applies per table: occupancy widening (or an
+      // explicit multiProbe) flips the widened bits on the probe side, so
+      // corpus growth doesn't silently shrink each table's recall
+      val tblFlips = if (multiProbe) 0 until effBits else bits until effBits
       val sigs = base.select(col("id"), col("unit"),
         posexplode(array((0 until tables).map(t =>
           hyperplaneSignature(col("vec"), dim, effBits, table = t)): _*))
           .as(Seq("tbl", "bucket")))
-      val a = sigs.select(col("tbl"), col("bucket"),
-        col("id").as("id_a"), col("unit").as("unit_a"))
+      val a =
+        if (!probe) sigs.select(col("tbl"), col("bucket"),
+          col("id").as("id_a"), col("unit").as("unit_a"))
+        else sigs.select(col("tbl"),
+          explode(array(col("bucket") +: tblFlips.map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"),
+          col("id").as("id_a"), col("unit").as("unit_a"))
       val b = sigs.select(col("tbl"), col("bucket"),
         col("id").as("id_b"), col("unit").as("unit_b"))
       return a.join(b, Seq("tbl", "bucket"))

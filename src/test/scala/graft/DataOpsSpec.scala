@@ -325,6 +325,19 @@ class DataOpsSpec extends SparkSpec {
       dim = 16, bits = 5, threshold = 0.35, tables = 8).collect()
     assert(raw.length == raw.map(r => (r.getLong(0), r.getLong(1))).distinct.length,
       "each pair must be emitted exactly once")
+    // multi-probe must be WIRED in the multi-table branch too (it was once
+    // silently dropped there): with probing each table also visits flipped
+    // buckets, so candidates strictly grow — and stay exact-verified
+    def probed(p: Boolean) = Dedup.embeddingPairs(df, "vec_id", "embedding",
+        dim = 16, bits = 5, threshold = 0.35, multiProbe = p, tables = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val noProbe = probed(false)
+    val withProbe = probed(true)
+    assert(noProbe.keySet.subsetOf(withProbe.keySet))
+    assert(withProbe.size > noProbe.size,
+      s"multi-table probe must add flipped-bucket candidates " +
+        s"(noProbe=${noProbe.size}, probe=${withProbe.size})")
+    withProbe.values.foreach(cos => assert(cos >= 0.35))
   }
 
   test("approximate battery entries carry measured recall above their floors") {
