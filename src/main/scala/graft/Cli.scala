@@ -314,8 +314,12 @@ object Cli {
           first = false
           backoffMs = intervalMs // reset on success (run_watch parity)
         } catch { case e: java.io.IOException =>
-          println(s"connection lost: $e — retrying in ${backoffMs}ms")
           backoffMs = math.min(backoffMs * 2, 30000L)
+          // print the delay the loop will ACTUALLY sleep, and don't promise
+          // a retry on the final iteration
+          if (i < iterations - 1)
+            println(s"connection lost: $e — retrying in ${backoffMs}ms")
+          else println(s"connection lost: $e — giving up (last poll)")
         }
         i += 1
       }

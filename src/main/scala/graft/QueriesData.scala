@@ -30,34 +30,35 @@ object QueriesData {
 
   /** Fraction of `exact`'s (id_a, id_b) pairs also found by `approx`,
     * attached to every approx row as a constant `exact_pair_recall` column.
-    * Both inputs are checkpointed first: each side's pipeline (an O(n²)
-    * brute force or a full inverted index on the exact side; the banded
-    * join on the approx side) runs exactly ONCE, and the count, the
-    * semi-join, and the returned DataFrame all reuse the materialized pair
-    * lists — which are metadata-sized. An empty exact set is a vacuous 1.0.
+    *
+    * The EXACT side (an O(n²) brute force or a full inverted index — the
+    * dominant audit cost) is checkpointed so its pipeline runs exactly once
+    * across the count and the semi-join; the materialized pair list is
+    * metadata-sized. The APPROX side is deliberately NOT checkpointed into
+    * the returned DataFrame: the return value keeps the operator's real
+    * plan (so `graft.Explain` shows the banded join, not a checkpoint
+    * scan), at the cost of the cheap approx leg executing once for the
+    * audit and once at the sink. An empty exact set is a vacuous 1.0.
     */
   private def withPairRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val a = approx.localCheckpoint(true)
     val e = exact.select("id_a", "id_b").localCheckpoint(true)
     val nExact = e.count()
     val hits =
       if (nExact == 0) 0L
-      else e.join(a, Seq("id_a", "id_b"), "left_semi").count()
-    a.withColumn("exact_pair_recall", lit(
+      else e.join(approx, Seq("id_a", "id_b"), "left_semi").count()
+    approx.withColumn("exact_pair_recall", lit(
       if (nExact == 0) 1.0 else math.rint(hits.toDouble / nExact * 1e4) / 1e4))
   }
 
   /** recall@k of an ANN result against the exact brute-force top-k (both in
-    * the Ann family's (id, cosine) output shape). The k-row approx result is
-    * checkpointed so its (possibly bucketed-scan) pipeline runs once, not
-    * once for the audit and again for the consumer.
+    * the Ann family's (id, cosine) output shape). Returns the ORIGINAL
+    * approx plan (Explain-visible); the k-row audit re-execution is noise.
     */
   private def withRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
-    val a = approx.localCheckpoint(true)
-    val hits = a.join(
+    val hits = approx.join(
       broadcast(exact.select(col("id").as("exact_id"))),
       col("id") === col("exact_id"), "left_semi").count()
-    a.withColumn("recall_at_k",
+    approx.withColumn("recall_at_k",
       lit(math.rint(hits.toDouble / k * 1e4) / 1e4))
   }
 

@@ -29,13 +29,20 @@ object Dedup {
     * Shuffles (digest → partition) once; the digest is computed map-side so
     * the exchange carries 16 bytes + id, not the document body.
     */
+  /** THE exact-dedup digest — every batch and streaming form (exact /
+    * exactIndex / incrementalExact / StreamingText.incrementalDedupStream)
+    * must key on this one definition, or a persisted index silently stops
+    * matching future batches.
+    */
+  def dupKey(text: Column): Column = md5(lower(trim(text)))
+
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     require(!df.columns.contains("graft_dup_key") && !df.columns.contains("graft_rn"),
       "input already has a graft_dup_key/graft_rn column — rename it first")
     // NULL-text rows never enter the window: they are kept unconditionally,
     // and partitionBy(null-key) would otherwise funnel every absent-text row
     // of the corpus through ONE reducer just to discard its row_number
-    val keyed = df.withColumn("graft_dup_key", md5(lower(trim(col(textCol)))))
+    val keyed = df.withColumn("graft_dup_key", dupKey(col(textCol)))
     val w = Window.partitionBy("graft_dup_key").orderBy(col(idCol))
     keyed.filter(col("graft_dup_key").isNotNull)
       .withColumn("graft_rn", row_number().over(w))
@@ -53,7 +60,7 @@ object Dedup {
     * index nothing, and anti-join equality never matches a NULL anyway.
     */
   def exactIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), md5(lower(trim(col(textCol)))).as("dup_key"))
+    df.select(col(idCol), dupKey(col(textCol)).as("dup_key"))
 
   /** Persist an [[exactIndex]] table BUCKETED by `dup_key` — the layout a
     * recurring ingest wants: [[incrementalExact]] against
@@ -90,7 +97,7 @@ object Dedup {
       index: DataFrame): DataFrame = {
     require(!batch.columns.contains("graft_dup_key") && !batch.columns.contains("graft_rn"),
       "batch already has a graft_dup_key/graft_rn column — rename it first")
-    val keyed = batch.withColumn("graft_dup_key", md5(lower(trim(col(textCol)))))
+    val keyed = batch.withColumn("graft_dup_key", dupKey(col(textCol)))
     val w = Window.partitionBy("graft_dup_key").orderBy(col(idCol))
     keyed.filter(col("graft_dup_key").isNotNull)
       .join(index.select(col("dup_key").as("graft_dup_key")), Seq("graft_dup_key"), "left_anti")
@@ -422,15 +429,22 @@ object Dedup {
       // row together, and emit cosine=NaN pairs through the >= threshold
       .filter(col("norm") =!= 0.0d && !isnan(col("norm")))
       .withColumn("unit", transform(col("vec"), x => x / col("norm")))
+    // ONE flip policy for both branches (single- and multi-table probe sides
+    // must never diverge — the multi-table branch once silently dropped it):
+    // explicit multiProbe flips every bit, the automatic occupancy-widening
+    // companion flips only the widened bits [bits, effBits)
+    val flipBits = if (multiProbe) 0 until effBits else bits until effBits
+    def probedBuckets(bucket: Column): Column =
+      explode(array(bucket +: flipBits.map(j =>
+        bucket.bitwiseXOR(lit(1L << j))): _*))
     if (tables > 1) {
       // multi-table: (table, bucket) is the join key; each table's bucket
       // comes from its own plane family. Signature stage is still a pure map
       // (posexplode is row-local); the only new shuffle is the final
       // distinct, which runs on the threshold-FILTERED pair set.
       // The same probe contract applies per table: occupancy widening (or an
-      // explicit multiProbe) flips the widened bits on the probe side, so
+      // explicit multiProbe) flips the shared flip set on the probe side, so
       // corpus growth doesn't silently shrink each table's recall
-      val tblFlips = if (multiProbe) 0 until effBits else bits until effBits
       val sigs = base.select(col("id"), col("unit"),
         posexplode(array((0 until tables).map(t =>
           hyperplaneSignature(col("vec"), dim, effBits, table = t)): _*))
@@ -439,8 +453,7 @@ object Dedup {
         if (!probe) sigs.select(col("tbl"), col("bucket"),
           col("id").as("id_a"), col("unit").as("unit_a"))
         else sigs.select(col("tbl"),
-          explode(array(col("bucket") +: tblFlips.map(j =>
-            col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"),
+          probedBuckets(col("bucket")).as("bucket"),
           col("id").as("id_a"), col("unit").as("unit_a"))
       val b = sigs.select(col("tbl"), col("bucket"),
         col("id").as("id_b"), col("unit").as("unit_b"))
@@ -468,14 +481,13 @@ object Dedup {
     // widened sign) at (effBits-bits+1)× candidate volume instead of
     // (effBits+1)×. A caller forcing multiProbe=true gets all bits flipped
     // (deliberate recall boost past the requested width). Either way, ≥2-bit
-    // differences remain the accepted LSH miss.
-    val flipBits = if (multiProbe) 0 until effBits else bits until effBits
+    // differences remain the accepted LSH miss. (Flip set: the shared
+    // flipBits/probedBuckets above — identical policy in both branches.)
     val a =
       if (!probe)
         sigs.select(col("bucket"), col("id").as("id_a"), col("unit").as("unit_a"))
       else sigs.select(
-        explode(array(col("bucket") +: flipBits.map(j =>
-          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"),
+        probedBuckets(col("bucket")).as("bucket"),
         col("id").as("id_a"), col("unit").as("unit_a"))
     val b = sigs.select(col("bucket"), col("id").as("id_b"), col("unit").as("unit_b"))
     a.join(b, Seq("bucket"))

@@ -243,9 +243,11 @@ object ClusterAdmin {
                            topicMapping: Map[String, String] = Map.empty,
                            partitionMapping: Map[Int, Int] = Map.empty,
                            timeoutMs: Long = 30000L): Map[String, String] = {
-    val outcomes = autoCreateForRestore(admin, manifest, topicMapping, partitionMapping)
-    waitReady(admin, restoreTopicSizes(manifest, topicMapping, partitionMapping),
-      timeoutMs = timeoutMs)
+    // size ONCE and use for both create and wait — two computations could
+    // drift into creating one thing and waiting on another
+    val sizes = restoreTopicSizes(manifest, topicMapping, partitionMapping)
+    val outcomes = admin.createTopics(sizes)
+    waitReady(admin, sizes, timeoutMs = timeoutMs)
     outcomes
   }
 
@@ -261,17 +263,18 @@ object ClusterAdmin {
                 sleep: Long => Unit = Thread.sleep): Int = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var polls = 0
-    while (true) {
+    var ready = false
+    while (!ready) {
       polls += 1
       val seen = admin.listTopics()
       val missing = topics.filter { case (t, n) => seen.get(t).forall(_ < n) }
-      if (missing.isEmpty) return polls
-      if (System.nanoTime() > deadline)
+      if (missing.isEmpty) ready = true
+      else if (System.nanoTime() > deadline)
         throw new IllegalStateException(
           s"topics not ready after $timeoutMs ms: ${missing.keys.toSeq.sorted.mkString(", ")}")
-      sleep(pollMs)
+      else sleep(pollMs)
     }
-    polls // unreachable
+    polls
   }
 
   /** Phase-3 committer backed by the admin facade — plugs into

@@ -40,17 +40,25 @@ object StreamingText {
   /** Streaming incremental exact dedup — [[dedupStream]] against a PERSISTED
     * historical index ([[graft.dedup.Dedup.exactIndex]], ideally the bucketed
     * layout): rows whose normalized digest already exists in the index drop
-    * via a stream-static LEFT ANTI join (re-planned every micro-batch, so an
-    * index overwritten by a nightly compaction is picked up without a
-    * restart); survivors then dedup against EACH OTHER within the watermark.
-    * Null-text rows bypass both, as in [[dedupStream]]. State carried: only
-    * the in-window digest set — the historical corpus stays on disk.
+    * via a stream-static LEFT ANTI join; survivors then dedup against EACH
+    * OTHER within the watermark. Null-text rows bypass both, as in
+    * [[dedupStream]]. State carried: only the in-window digest set — the
+    * historical corpus stays on disk.
+    *
+    * Index freshness: the static side's FILE LISTING is snapshotted when
+    * `index` is built — a nightly compaction that rewrites the index in
+    * place can fail the query (deleted files) or silently serve the stale
+    * listing. Compact into a NEW location/table and either restart the
+    * query or, for a catalog table, `spark.catalog.refreshTable` before the
+    * swap; do not overwrite the live directory under a running stream.
     */
   def incrementalDedupStream(docs: DataFrame, textCol: String, tsCol: String,
                              delay: String, index: DataFrame): DataFrame = {
+    require(!docs.columns.contains("graft_dup_key"),
+      "input already has a graft_dup_key column — rename it first")
     val watermarked = docs.withWatermark(tsCol, delay)
     val fresh = watermarked.where(col(textCol).isNotNull)
-      .withColumn("graft_dup_key", md5(lower(trim(col(textCol)))))
+      .withColumn("graft_dup_key", graft.dedup.Dedup.dupKey(col(textCol)))
       .join(index.select(col("dup_key").as("graft_dup_key")),
         Seq("graft_dup_key"), "left_anti")
       .dropDuplicatesWithinWatermark("graft_dup_key")
