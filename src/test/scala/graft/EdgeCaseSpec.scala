@@ -26,6 +26,24 @@ class EdgeCaseSpec extends SparkSpec {
       "zero vector must not pair")
   }
 
+  test("incremental dedup degenerate inputs: empty batch, empty index, empty corpus sigs") {
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val emptyDocs = docs.limit(0)
+    // empty index keeps the whole batch (nothing historical to collide with)
+    val allKept = Dedup.incrementalExact(docs, "doc_id", "text",
+      Dedup.exactIndex(emptyDocs, "doc_id", "text"))
+    assert(allKept.count() == 2)
+    // empty batch survives the window + anti-join with zero rows
+    val none = Dedup.incrementalExact(emptyDocs, "doc_id", "text",
+      Dedup.exactIndex(docs, "doc_id", "text"))
+    assert(none.count() == 0)
+    // empty corpus signature table: band join has nothing to hit
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+    assert(Dedup.minhashIncrementalPairs(sigs,
+      Dedup.minhashSignatures(emptyDocs, "doc_id", "text", 3, 16),
+      k = 16, bands = 4, threshold = 0.1).count() == 0)
+  }
+
   test("null-text rows pass through exact dedup untouched") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, null), (4L, null))
       .toDF("doc_id", "text")
