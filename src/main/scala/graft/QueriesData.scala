@@ -371,6 +371,20 @@ object QueriesData {
         .orderBy("component")
     }),
 
+    // canonical-survivor selection: every document labeled with its dup-group
+    // component (min reachable id; own id for singletons) and whether it is
+    // the group's canonical keeper — the decision surface dropDuplicateGroups
+    // acts on. Same pair list + closure as d_dedup_clusters; the oracle
+    // left-joins the recursive-CTE closure back onto the corpus
+    "d_dedup_canonical" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.12, maxDocFreq = 50)
+      graft.dedup.Clusters.assignComponents(docs(s, d), "doc_id", pairs)
+        .select(col("doc_id"), col("component"),
+          (col("doc_id") === col("component")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // corpus vocabulary: the explode→aggregate word-count path every
     // tokenizer-training pipeline runs; map-side partial agg collapses
     // repeated words before the shuffle, top-k is a k-row final sort
@@ -756,6 +770,43 @@ object QueriesData {
         |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY 1)
         |SELECT component, count(*) AS n_members, max(id) AS max_member
         |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_dedup_canonical" ->
+      // same closure as d_dedup_clusters, joined back onto the corpus:
+      // component = min reachable id (own id for singletons), canonical =
+      // the group's minimum member
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |freq AS (SELECT shingle, count(*) AS c FROM inv GROUP BY 1),
+        |kept AS (SELECT i.doc_id, i.shingle FROM inv i JOIN freq f USING (shingle)
+        |         WHERE f.c BETWEEN 2 AND 50),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sizes sa ON sa.doc_id = cand.id_a
+        |            JOIN sizes sb ON sb.doc_id = cand.id_b
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.12),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY 1)
+        |SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component,
+        |       (d.doc_id = coalesce(cc.component, d.doc_id)) AS is_canonical
+        |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d_vocab" ->
       """SELECT w AS word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
         |FROM (SELECT doc_id, unnest(list_filter(
@@ -1029,6 +1080,37 @@ object QueriesData {
     * rows-only check by the driver; ScalaTest fixtures assert known answers.
     */
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SemDeDup-style semantic dedup: k-means cells bound the quadratic
+    // term, exact cosine only within a cell, min-id canonical per connected
+    // group. Output = the surviving corpus (one keeper per semantic-dup
+    // group + all singletons); the misses are cross-cluster pairs, measured
+    // by the same exact_pair_recall audit as d_embedding_dups. No SQL
+    // oracle BY NATURE (k-means is iterative); known-answer specs pin the
+    // survivor rule on planted exact-duplicate vectors instead
+    "d_semantic_dedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count()
+      val pairs = Dedup.semanticPairs(e, "vec_id", "embedding",
+        nClusters = 16, threshold = 0.3)
+      val survivors = graft.dedup.Clusters
+        .dropDuplicateGroups(e, "vec_id", pairs)
+        .select(col("vec_id"), col("label"))
+      val audited =
+        if (n <= 5000L) {
+          // same audit arithmetic as withPairRecall, but reduced to its one
+          // scalar here — the pair pipeline must not re-execute under an agg
+          // just to fold a constant column
+          val ex = exactCosinePairs(e, 0.3)
+            .select("id_a", "id_b").localCheckpoint(true)
+          val nExact = ex.count()
+          val hits = if (nExact == 0) 0L
+            else ex.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+          val r = if (nExact == 0) 1.0
+            else math.rint(hits.toDouble / nExact * 1e4) / 1e4
+          s.range(1).select(lit(r).as("exact_pair_recall"))
+        } else s.range(1).select(lit(null).cast("double").as("exact_pair_recall"))
+      survivors.crossJoin(broadcast(audited)).orderBy("vec_id")
+    }),
     // IVF ANN probe over the persisted k-means layout: the `list` predicate
     // is a partition filter, so only nProbe/16 of the corpus files are read
     "a_ann_ivf" -> ((s, d) => {

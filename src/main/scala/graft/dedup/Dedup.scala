@@ -497,4 +497,56 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style semantic near-dup candidates (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space (the same coarse
+    * quantizer as [[graft.ann.Ann.ivfAssign]], fixed seed), then compare
+    * pairs ONLY within a cluster — (id_a, id_b, cosine) for within-cluster
+    * pairs at `cosine >= threshold`. Compose with
+    * [[Clusters.dropDuplicateGroups]] to keep one canonical doc per
+    * semantic-dup group.
+    *
+    * Scale shape: the quadratic term is Σ clusterSize², bounded by the
+    * caller through `nClusters` (size ≈ n/k for k-means' roughly balanced
+    * cells — the paper's own tractability argument). The cluster id is the
+    * join key, so the only data-sized exchange is one hash shuffle of the
+    * UNIT-normalized vectors on `list`; normalization runs map-side exactly
+    * as [[embeddingPairs]], with the same zero-norm/NaN hardening. Unlike
+    * the hyperplane-LSH path this misses only CROSS-cluster pairs (no
+    * banding loss inside a cell) — audit with the measured
+    * `exact_pair_recall` column like every approximate family here.
+    *
+    * Canonical-winner note: the paper keeps the member farthest from the
+    * cluster centroid; this repo keeps the MINIMUM id everywhere (the
+    * [[exact]] / [[Clusters]] rule) so survivor sets are deterministic and
+    * re-shard-invariant, which a centroid-distance tie-break is not (it
+    * inherits k-means' floating-point partition-order sensitivity).
+    *
+    * K-means determinism: fixed `seed` makes training deterministic for a
+    * FIXED input partitioning; across different shard layouts centroids can
+    * drift in low-order bits and borderline points can change cells. Treat
+    * the pair list as approximate (it is), not as a stable artifact; persist
+    * survivors, not cluster ids.
+    */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, threshold: Double = 0.95,
+                    seed: Long = 42L): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1: $nClusters")
+    val (assigned, _) = graft.ann.Ann.ivfAssign(df, vecCol, nClusters, seed)
+    val vd = col(vecCol).cast("array<double>")
+    val base = assigned.select(col(idCol).as("id"), col("list"), vd.as("vec"))
+      .withColumn("norm",
+        sqrt(graft.functions.KFunctions.array_dot(col("vec"), col("vec"))))
+      .filter(col("norm") =!= 0.0d && !isnan(col("norm")))
+      .withColumn("unit", transform(col("vec"), x => x / col("norm")))
+      .select("id", "list", "unit")
+    val a = base.select(col("list"), col("id").as("id_a"), col("unit").as("unit_a"))
+    val b = base.select(col("list"), col("id").as("id_b"), col("unit").as("unit_b"))
+    a.join(b, Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        graft.functions.KFunctions.array_dot(col("unit_a"), col("unit_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

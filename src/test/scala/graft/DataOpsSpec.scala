@@ -340,6 +340,40 @@ class DataOpsSpec extends SparkSpec {
     withProbe.values.foreach(cos => assert(cos >= 0.35))
   }
 
+  test("semantic dedup: within-cluster cosine pairs, min-id survivor per group") {
+    import spark.implicits._
+    // two planted exact-duplicate groups (identical vectors always share a
+    // k-means cell regardless of centroid drift) in a sea of spread-out
+    // singletons; threshold 0.999 keeps only the planted groups
+    val dupA = Array.tabulate(8)(j => (j + 1).toFloat)
+    val dupB = Array.tabulate(8)(j => math.cos(j * 2.1).toFloat)
+    // hash-style generator (fract of a large sine product, centered): no
+    // periodic resonance between ids — a plain sin(id*c) family repeats
+    // whenever Δid*c lands near a 2π multiple and silently plants extra
+    // near-duplicate pairs
+    def pseudo(id: Long, j: Int): Float = {
+      val x = math.sin(id * 12.9898 + j * 78.233) * 43758.5453
+      ((x - math.floor(x)) - 0.5).toFloat
+    }
+    val rows = (1L to 60L).map(id => (id, Array.tabulate(8)(pseudo(id, _)))) ++
+      Seq((101L, dupA), (102L, dupA), (103L, dupA), (201L, dupB), (202L, dupB))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticPairs(df, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.999)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((101L, 102L), (101L, 103L), (102L, 103L), (201L, 202L)),
+      s"planted duplicate groups must pair exactly: $got")
+    // canonical selection: min id per group survives, singletons untouched
+    val kept = graft.dedup.Clusters.dropDuplicateGroups(df, "vec_id", pairs)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (1L to 60L).toSet + 101L + 201L)
+    // zero vectors can't cosine-pair and must not abort the job
+    val withZero = (rows :+ (999L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val pz = Dedup.semanticPairs(withZero, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.999)
+    assert(!pz.collect().exists(r => r.getLong(0) == 999L || r.getLong(1) == 999L))
+  }
+
   test("approximate battery entries carry measured recall above their floors") {
     // the no-oracle entries' self-audit columns (driver pins them as rows;
     // this pins the VALUES): floors set ~0.1-0.15 under the sf0.001

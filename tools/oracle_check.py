@@ -1,81 +1,87 @@
 #!/usr/bin/env python3
-"""Local pre-validation of SparkEntry.oracleSql vs Verify parquet dumps.
+"""Local replica of the driver's correctness gate: for each <name>.parquet
+dumped by graft.Verify, run the matching oracle SQL in DuckDB over the same
+sf directory's parquet tables and compare rows / schema / value hash the same
+way the driver does (sort columns by name, sort rows, hash values).
 
-Mimics the driver's t2 correctness gate: for each query, run the oracle SQL in
-DuckDB over the sfDir parquet tables, load the Spark result parquet, sort
-columns by name, sort rows, and compare values exactly (with a tiny float
-report so near-misses are visible).
-
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <verifyOutDir> <sfDir>
 """
-import json, math, sys
+import sys, os, json, glob, hashlib
 import duckdb
+import pandas as pd
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
-def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = float(v)
-            if isinstance(v, bytes):
-                v = v.hex()
-            vals.append(v)
-        out.append(tuple(vals))
-    key = lambda t: tuple((x is None, str(x)) for x in t)
-    return sorted(out, key=key), [cols[i] for i in order]
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # round floats to tolerate fp noise like the driver does (assume 6 digits)
+    for c in df.columns:
+        if df[c].dtype.kind == 'f':
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(("|".join(repr(v) for v in row)).encode())
+    return h.hexdigest()
+
+def main(outdir, sfdir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    failures = 0
-    for name, sql in sorted(oracle.items()):
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    results = {}
+    for d in sorted(glob.glob(os.path.join(outdir, "*"))):
+        if not os.path.isdir(d):
+            continue
+        name = os.path.basename(d)
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        spark_df = pd.concat([pd.read_parquet(f) for f in files]) if files \
+            else pd.DataFrame()
+        if name not in oracles:
+            results[name] = {"err": "no_oracle", "spark_rows": len(spark_df)}
+            continue
         try:
-            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            srows, scols = norm(spark_rel.fetchall(), spark_rel.columns)
-            duck_rel = con.sql(sql)
-            drows, dcols = norm(duck_rel.fetchall(), duck_rel.columns)
+            odf = con.execute(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: error {e}")
-            failures += 1
+            results[name] = {"err": f"oracle_sql_error: {e}"}
             continue
-        if scols != dcols:
-            print(f"FAIL {name}: columns spark={scols} duck={dcols}")
-            failures += 1
-            continue
-        if len(srows) != len(drows):
-            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
-            failures += 1
-            continue
-        bad = None
-        float_eps = 0.0
-        for a, b in zip(srows, drows):
-            for x, y in zip(a, b):
-                if x == y or (x is None and y is None):
-                    continue
-                if isinstance(x, float) and isinstance(y, float):
-                    if math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12):
-                        float_eps = max(float_eps, abs(x - y))
-                        continue
-                bad = (a, b)
-                break
-            if bad:
-                break
-        if bad:
-            print(f"FAIL {name}: first mismatch\n  spark={bad[0]}\n  duck ={bad[1]}")
-            failures += 1
+        s, o = norm(spark_df), norm(odf)
+        res = {
+            "rows_match": len(s) == len(o),
+            "schema_match": list(s.columns) == list(o.columns),
+            "hash_match": None,
+            "spark_rows": len(s), "oracle_rows": len(o),
+        }
+        if res["rows_match"] and res["schema_match"]:
+            res["hash_match"] = value_hash(s.astype(str)) == value_hash(o.astype(str))
+            if not res["hash_match"]:
+                # find first differing cell for debugging
+                ss, oo = s.astype(str), o.astype(str)
+                diff = (ss != oo)
+                if diff.any().any():
+                    r = diff.any(axis=1).idxmax()
+                    c = diff.loc[r].idxmax()
+                    res["first_diff"] = {"row": int(r), "col": c,
+                                         "spark": ss.loc[r, c], "oracle": oo.loc[r, c]}
         else:
-            note = f" (float eps {float_eps:.2e} — HASH WOULD MISMATCH)" if float_eps else ""
-            print(f"OK   {name}: {len(srows)} rows{note}")
-    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
-    sys.exit(1 if failures else 0)
+            res["spark_cols"] = list(s.columns)
+            res["oracle_cols"] = list(o.columns)
+        results[name] = res
+    bad = {k: v for k, v in results.items()
+           if v.get("err") not in (None, "no_oracle") or v.get("hash_match") is False
+           or v.get("rows_match") is False or v.get("schema_match") is False}
+    n_oracle = sum(1 for v in results.values() if v.get("hash_match") is True)
+    n_no = sum(1 for v in results.values() if v.get("err") == "no_oracle")
+    print(f"total={len(results)} oracle_green={n_oracle} no_oracle={n_no} bad={len(bad)}")
+    if bad:
+        print(json.dumps(bad, indent=2, default=str))
+    json.dump(results, open(os.path.join(outdir, "local_check.json"), "w"), indent=1)
+    return 1 if bad else 0
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main(sys.argv[1], sys.argv[2]))
