@@ -5,6 +5,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -196,6 +197,38 @@ object QueriesData {
           sig.getField("n_chars").as("n_chars"),
           round(sig.getField("stopword_ratio"), 6).as("stopword_ratio"),
           round(sig.getField("mean_word_len"), 6).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source quality-threshold calibration: keep the top 70% of each
+    // source by composite quality score — adaptive cutoffs instead of one
+    // global constant (sources differ in score distribution). Scale shape:
+    // NO per-row window over the skewy `source` key (3 sources = 3 reducers
+    // own the corpus); the corpus does one map-side-combinable groupBy into
+    // a (source, rounded-score) histogram, the percent-rank runs over that
+    // metadata-sized histogram, and the per-source cut broadcasts back.
+    // Ranking on the ROUNDED score (ties share a rank, the cut never splits
+    // a tie group) makes the decision reproducible across engines
+    "d_quality_calibrate" -> ((s, d) => {
+      val scored = docs(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val hist = scored.groupBy("source", "q").agg(count(lit(1)).as("c"))
+      val below = Window.partitionBy("source").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val whole = Window.partitionBy("source")
+      // percent_rank of a tie group = (#rows strictly below)/(n-1); the cut
+      // is the smallest score whose group clears 0.3 — monotone in q, so
+      // per-row kept = (q >= cut)
+      val cuts = hist
+        .withColumn("pr", coalesce(sum("c").over(below), lit(0L)).cast("double") /
+          greatest(sum("c").over(whole) - 1L, lit(1L)))
+        .filter(col("pr") >= 0.3)
+        .groupBy("source").agg(min("q").as("cut"))
+      // left join: a source where NO group clears 0.3 (a single-row source —
+      // its only group sits at percent rank 0) has no cut and keeps nothing
+      scored.join(broadcast(cuts), Seq("source"), "left")
+        .select(col("doc_id"), col("source"), col("q"),
+          coalesce(col("q") >= col("cut"), lit(false)).as("kept"))
         .orderBy("doc_id")
     }),
 
@@ -535,6 +568,32 @@ object QueriesData {
         |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
         |    / greatest(len(w), 1), 6) AS mean_word_len
         |FROM t ORDER BY doc_id""".stripMargin,
+    "d_quality_calibrate" ->
+      // the composite score is reproduced term-for-term (same stopword set
+      // as d_quality; punct class = Java's ASCII \p{Punct}, written out as
+      // explicit ranges because RE2's \p{P} is the different Unicode
+      // category); percent_rank is computed per row here — the oracle does
+      // not need the histogram reshape, only the same tie semantics, and
+      // ranking on the rounded score guarantees those
+      """WITH t AS (SELECT doc_id, source, text,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source, round(
+        |    least(len(w)::DOUBLE / 64.0, 1.0) * 0.4
+        |  + greatest(1.0 - ((length(text) - length(regexp_replace(text,
+        |      '[!-/:-@[-`{-~]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1)) * 5, 0.0) * 0.2
+        |  + greatest(1.0 - ((length(text) - length(regexp_replace(text,
+        |      '[0-9]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1)) * 5, 0.0) * 0.2
+        |  + least((len(list_filter(w, x -> lower(x) IN
+        |      ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+        |      / greatest(len(w), 1)) * 4, 1.0) * 0.2, 6) AS q
+        |  FROM t),
+        |r AS (SELECT doc_id, source, q,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY q NULLS FIRST) AS pr
+        |  FROM sc)
+        |SELECT doc_id, source, q, pr >= 0.3 AS kept FROM r ORDER BY doc_id""".stripMargin,
     "d_repetition" ->
       // identical normalization on both sides: lines/paragraphs are trimmed
       // and blank-dropped before counting; n-gram character mass is counted

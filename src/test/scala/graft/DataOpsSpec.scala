@@ -394,6 +394,36 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality calibration: per-source cut keeps ~top-70%, never splits a tie group") {
+    val out = SparkEntry.queries("d_quality_calibrate")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val bySource = out.groupBy(_.getString(1))
+    for ((src, rows) <- bySource) {
+      val kept = rows.filter(_.getBoolean(3)).map(_.getDouble(2))
+      val dropped = rows.filterNot(_.getBoolean(3)).map(_.getDouble(2))
+      // the decision must be a pure threshold on the rounded score: every
+      // kept score strictly above every dropped score, OR the tie group at
+      // the boundary is entirely on one side
+      if (kept.nonEmpty && dropped.nonEmpty) {
+        assert(kept.min > dropped.max,
+          s"$src: kept/dropped overlap (cut split a tie group)")
+        assert(!(kept.toSet intersect dropped.toSet).nonEmpty)
+      }
+      // exact semantics, recomputed independently: kept iff the row's
+      // strictly-below count clears 0.3(n-1) (percent_rank on the rounded
+      // score, tie groups share their minimum rank)
+      val n = rows.length
+      val scores = rows.map(_.getDouble(2))
+      for (r <- rows) {
+        val below = scores.count(_ < r.getDouble(2))
+        val expect = n > 1 && below.toDouble / (n - 1) >= 0.3
+        assert(r.getBoolean(3) == expect,
+          s"$src doc ${r.getLong(0)}: kept=${r.getBoolean(3)}, expected $expect")
+      }
+      if (n > 1) assert(dropped.nonEmpty, s"$src: rank-0 group must be dropped")
+    }
+  }
+
   test("ngram jaccard exact values") {
     // doc1: shingles {a b c, b c d} ; doc2: {a b c, b c x}; inter=1 union=3 → 1/3
     val df = docsDF((1L, "a b c d"), (2L, "a b c x"), (3L, "q r s t"))
