@@ -1150,7 +1150,7 @@ object QueriesData {
       val e = emb(s, d)
       val n = e.count()
       val pairs = Dedup.semanticPairs(e, "vec_id", "embedding",
-        nClusters = 16, threshold = 0.3)
+        nClusters = 16, threshold = 0.3, knownCount = Some(n))
       val survivors = graft.dedup.Clusters
         .dropDuplicateGroups(e, "vec_id", pairs)
         .select(col("vec_id"), col("label"))

@@ -527,12 +527,47 @@ object Dedup {
     * drift in low-order bits and borderline points can change cells. Treat
     * the pair list as approximate (it is), not as a stable artifact; persist
     * survivors, not cluster ids.
+    *
+    * Occupancy & cost model (the part that decides 100 TB viability):
+    *  - cell count auto-scales: k = clamp(n/targetCellSize, nClusters,
+    *    maxClusters), so the within-cell quadratic term stays ~n ×
+    *    targetCellSize/2 dots instead of n²/k — a FIXED k silently goes
+    *    quadratic as the corpus grows (measured: 16 cells at 500k vectors =
+    *    15G candidate pairs);
+    *  - training is sampled (`maxTrainRows`) and iteration-bounded
+    *    (`maxIter`): Lloyd is O(rows × k × dim) per iteration, so fitting on
+    *    the full corpus at scaled k would itself be the quadratic term. The
+    *    assign pass stays one O(n × k × dim) map — that's the structural IVF
+    *    cost and the reason for the `maxClusters` cap: past n ≈ maxClusters
+    *    × targetCellSize cells grow beyond target again; raise the cap (and
+    *    pay assign cost) or shard the corpus first (per-language/per-source
+    *    clustering — the paper's own practice) before this one k-means sees
+    *    100 TB.
     */
   def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
                     nClusters: Int, threshold: Double = 0.95,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, targetCellSize: Int = 1024,
+                    maxClusters: Int = 512,
+                    knownCount: Option[Long] = None,
+                    maxTrainRows: Int = 200000, maxIter: Int = 10): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1: $nClusters")
-    val (assigned, _) = graft.ann.Ann.ivfAssign(df, vecCol, nClusters, seed)
+    require(targetCellSize >= 2 && maxTrainRows >= maxClusters,
+      "targetCellSize >= 2 and maxTrainRows >= maxClusters required")
+    val n = knownCount.getOrElse(df.count())
+    val k = math.max(nClusters,
+      math.min(maxClusters.toLong, n / targetCellSize + 1L).toInt)
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.withColumn("__sem_vec",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val trainFrac = math.min(1.0, maxTrainRows.toDouble / math.max(n, 1L))
+    val train =
+      if (trainFrac < 1.0) feats.sample(withReplacement = false, trainFrac, seed)
+      else feats
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__sem_vec").setPredictionCol("list")
+      .fit(train)
+    val assigned = model.transform(feats).drop("__sem_vec")
     val vd = col(vecCol).cast("array<double>")
     val base = assigned.select(col(idCol).as("id"), col("list"), vd.as("vec"))
       .withColumn("norm",
