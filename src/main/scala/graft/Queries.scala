@@ -9,8 +9,10 @@ import graft.functions.{KFunctions, KHash}
   * synthetic testdata tables, with a DuckDB-equivalent oracle in
   * [[Queries.oracles]]. The `events` table plays the Kafka record stream:
   * topic = event_type, partition p = user_id % 4, offset = event_id,
-  * timestamp = ts (epoch millis as BIGINT `ts_ms` — events.ts is parquet
-  * TIMESTAMP(NANOS), read as Long nanos via nanosAsLong).
+  * timestamp = ts (epoch millis as BIGINT `ts_ms`; the physical parquet type
+  * of events.ts is generator-dependent — TIMESTAMP(MICROS), or TIMESTAMP(NANOS)
+  * surfaced as Long nanos via nanosAsLong — so all ts arithmetic goes through
+  * the dtype-adaptive [[graft.model.KRecord.tsMillis]] family).
   *
   * Determinism rules shared with the oracles: every float aggregate goes
   * through DECIMAL(18,4) (exact, order-independent) and is surfaced as DOUBLE;
@@ -22,17 +24,19 @@ object Queries {
   val T1 = 1704844800000L
   val T2 = 1705708800000L
 
-  private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts_ms", graft.model.KRecord.tsMillis(raw.schema("ts").dataType))
       .withColumn("p", col("user_id") % 4)
+  }
 
-  /** ts_ms ∈ [lo, hi] expressed on the raw nanos column so the predicate
-    * reaches the parquet scan (`PushedFilters` + row-group min/max pruning);
-    * a filter on the derived `ts_ms` column would evaluate post-scan.
+  /** ts_ms ∈ [lo, hi] expressed on the raw ts column in its native type so
+    * the predicate reaches the parquet scan (`PushedFilters` + row-group
+    * min/max pruning); a filter on the derived `ts_ms` column would evaluate
+    * post-scan. Dtype-adaptive: see [[graft.model.KRecord.tsBetweenMs]].
     */
-  private def tsMsBetween(lo: Long, hi: Long) =
-    col("ts").between(lo * 1000000L, (hi + 1) * 1000000L - 1)
+  private def tsMsBetween(df: DataFrame, lo: Long, hi: Long) =
+    graft.model.KRecord.tsBetweenMs(df.schema("ts").dataType, lo, hi)
 
   private def lineitem(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
   private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
@@ -83,10 +87,11 @@ object Queries {
 
   val kafka: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F7 record time-window filter — both bounds inclusive, ms precision
-    "q_pitr_window" -> ((s, d) => events(s, d)
-      .filter(tsMsBetween(T1, T2))
-      .select("event_id", "ts_ms", "event_type", "user_id")
-      .orderBy("event_id")),
+    "q_pitr_window" -> ((s, d) => { val ev = events(s, d)
+      ev.filter(tsMsBetween(ev, T1, T2))
+        .select("event_id", "ts_ms", "event_type", "user_id")
+        .orderBy("event_id")
+    }),
 
     // F8 offset-range scan bound: start inclusive, end exclusive
     "q_offset_range" -> ((s, d) => events(s, d)
@@ -132,12 +137,13 @@ object Queries {
       .orderBy("p")),
 
     // A3 dry-run rollup: per (topic, partition) + topic + global subtotals
-    "q_dryrun_rollup" -> ((s, d) => events(s, d)
-      .filter(tsMsBetween(T1, T2))
-      .rollup("event_type", "p")
-      .agg(count(lit(1)).as("n_records"),
-        min("event_id").as("min_offset"), max("event_id").as("max_offset"))
-      .orderBy(col("event_type").asc_nulls_first, col("p").asc_nulls_first)),
+    "q_dryrun_rollup" -> ((s, d) => { val ev = events(s, d)
+      ev.filter(tsMsBetween(ev, T1, T2))
+        .rollup("event_type", "p")
+        .agg(count(lit(1)).as("n_records"),
+          min("event_id").as("min_offset"), max("event_id").as("max_offset"))
+        .orderBy(col("event_type").asc_nulls_first, col("p").asc_nulls_first)
+    }),
 
     // A6 offset-mapping range fold: min/max offset with their timestamps
     "q_offset_mapping_range" -> ((s, d) => events(s, d)
@@ -236,7 +242,8 @@ object Queries {
     // J9 rollback verify: expected (all) vs actual (≤ T2) committed offsets
     "q_rollback_verify" -> ((s, d) => {
       val expected = events(s, d).groupBy("p").agg(max("event_id").as("expected"))
-      val actual = events(s, d).filter(col("ts") < (T2 + 1) * 1000000L)
+      val evA = events(s, d)
+      val actual = evA.filter(graft.model.KRecord.tsBeforeMs(evA.schema("ts").dataType, T2 + 1))
         .groupBy("p").agg(max("event_id").as("actual"))
       expected.join(actual, Seq("p"), "full_outer")
         .filter(not(col("expected") <=> col("actual")))
@@ -285,7 +292,8 @@ object Queries {
 
     // F10/St3 snapshot clamp: every partition stops at its captured latest
     "q_snapshot_clamp" -> ((s, d) => {
-      val snapshot = events(s, d).filter(col("ts") < (T2 + 1) * 1000000L)
+      val evS = events(s, d)
+      val snapshot = evS.filter(graft.model.KRecord.tsBeforeMs(evS.schema("ts").dataType, T2 + 1))
         .groupBy("p").agg(max("event_id").as("snap_latest"))
       events(s, d).join(snapshot, Seq("p"))
         .filter(col("event_id") <= col("snap_latest"))

@@ -52,13 +52,57 @@ object KRecord {
   def withTsView(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_millis(col("timestamp")))
 
+  /** Epoch-millis Column over an `events.ts` column, whatever its physical
+    * parquet type landed as in the scan:
+    *   - `LongType` — TIMESTAMP(NANOS) surfaced as epoch nanos via
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (pre-r8 testdata);
+    *   - `TimestampNTZType` / `TimestampType` — TIMESTAMP(MICROS)
+    *     (r8+ testdata; session timezone is UTC everywhere in this repo, so
+    *     the NTZ→TZ cast is exact).
+    * One definition so a unit change in the generator can never silently
+    * skew the millis column between pipelines.
+    */
+  def tsMillis(tsType: DataType): org.apache.spark.sql.Column = tsType match {
+    case LongType => expr("ts div 1000000")
+    case _        => unix_millis(col("ts").cast(TimestampType))
+  }
+
+  /** Pushdown-correct `ts` range predicate for `ts_ms ∈ [loMs, hiMs]`
+    * (inclusive): the comparison stays on the RAW `ts` column in its native
+    * type with same-type literals, so it reaches the parquet scan
+    * (`PushedFilters` + row-group min/max pruning) instead of evaluating
+    * post-scan on a derived column.
+    */
+  def tsBetweenMs(tsType: DataType, loMs: Long, hiMs: Long): org.apache.spark.sql.Column =
+    tsType match {
+      case LongType =>
+        col("ts").between(loMs * 1000000L, (hiMs + 1) * 1000000L - 1)
+      case _: TimestampNTZType =>
+        // micros precision: [lo ms, (hi+1) ms - 1 µs]
+        col("ts").between(ntzLit(loMs * 1000L), ntzLit((hiMs + 1) * 1000L - 1))
+      case _ =>
+        col("ts") >= timestamp_millis(lit(loMs)) &&
+          col("ts") < timestamp_millis(lit(hiMs + 1))
+    }
+
+  /** Pushdown-correct strict upper bound: `ts_ms < hiExclusiveMs`. */
+  def tsBeforeMs(tsType: DataType, hiExclusiveMs: Long): org.apache.spark.sql.Column =
+    tsType match {
+      case LongType            => col("ts") < hiExclusiveMs * 1000000L
+      case _: TimestampNTZType => col("ts") < ntzLit(hiExclusiveMs * 1000L)
+      case _                   => col("ts") < timestamp_millis(lit(hiExclusiveMs))
+    }
+
+  /** TIMESTAMP_NTZ literal from epoch micros (UTC wall clock). */
+  private def ntzLit(epochMicros: Long): org.apache.spark.sql.Column =
+    lit(java.time.LocalDateTime.ofInstant(
+      java.time.Instant.EPOCH.plus(epochMicros, java.time.temporal.ChronoUnit.MICROS),
+      java.time.ZoneOffset.UTC))
+
   /** Map the synthetic `events` table onto the canonical record shape:
     * topic = event_type, partition = user_id % numPartitions, offset =
     * event_id, timestamp = ts in millis, key = user_id utf8 bytes, value =
     * props utf8 bytes. Used by tests and the parquet-fixture backup pipeline.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` — events.ts is
-    * parquet TIMESTAMP(NANOS), surfaced as a Long of epoch nanos.
     */
   def fromEvents(spark: SparkSession, sfDir: String, numPartitions: Int = 4): DataFrame =
     eventsProjection(spark.read.parquet(s"$sfDir/events.parquet"), numPartitions)
@@ -73,7 +117,7 @@ object KRecord {
       col("event_type").as("topic"),
       (col("user_id") % numPartitions).cast(IntegerType).as("partition"),
       col("event_id").as("offset"),
-      expr("ts div 1000000").as("timestamp"),
+      tsMillis(events.schema("ts").dataType).as("timestamp"),
       encode(col("user_id").cast(StringType), "UTF-8").as("key"),
       encode(col("props"), "UTF-8").as("value"),
       array().cast(schema("headers").dataType).as("headers"))
