@@ -40,7 +40,7 @@ object Cli {
   private def usage(): Unit = System.err.println(
     "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
-      "offset-reset-bulk snapshot-create snapshot-list snapshot-show " +
+      "offset-reset offset-reset-bulk snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
       "evidence-create evidence-list evidence-get evidence-verify")
 
@@ -142,7 +142,8 @@ object Cli {
           windowEndMs = window.lift(1).map(_.toLong)),
         new graft.sinks.CollectingSink(),
         committed = Nil, snapshot = snapshot,
-        committer = Some(committer), dryRun = true, pairEvery = 100)
+        committer = Some(committer), dryRun = true, pairEvery = 100,
+        saveMapping = true)
       println(s"three-phase ${report.backup_id}: restored=${report.records_restored} " +
         s"partitions=${report.produce_results.size} success=${report.success}")
       report.warnings.foreach(w => println(s"  warning: $w"))
@@ -366,6 +367,78 @@ object Cli {
         graft.remap.BulkOffsetReset.Config(maxConcurrent = concurrency))
       println(report.toJson)
       if (report.failed_groups > 0) sys.exit(1)
+
+    case "offset-reset" =>
+      // plan / execute / script over a stored backup's offset mapping
+      // (main.rs OffsetReset{Plan,Execute,Script}; offset_reset.rs:22-120).
+      // Mapping resolution chain: offset-mapping.json (saved by
+      // three-phase-restore) → manifest-derived source ranges (no targets —
+      // plan rows come out unresolved with a warning). Committed offsets
+      // come from a consumer-groups snapshot JSON (broker-free S6/S7 leg).
+      // Usage: offset-reset <plan|execute|script> <root> <id> <groupsJson>
+      //        [--groups g1,g2] [--format text|json|csv|shell-script]
+      //        [--bootstrap host:9092] [--output file]
+      val Array(_, action, root, id, groupsJson, rest @ _*) = args: @unchecked
+      def opt(flag: String): Option[String] =
+        rest.sliding(2).collectFirst { case Seq(`flag`, v) => v }
+      val mapping = graft.remap.OffsetMappingStore.load(root, id).getOrElse {
+        System.err.println(s"note: no ${graft.remap.OffsetMappingStore.FileName} " +
+          "for this backup; deriving source ranges from the manifest " +
+          "(no target offsets — plan rows will be unresolved)")
+        graft.remap.OffsetMappingStore.fromManifest(Manifest.load(root, id))
+      }
+      val snapshot = graft.remap.ConsumerGroupSnapshot.fromJson(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(groupsJson))))
+      val committed0 = graft.remap.ConsumerGroupSnapshot.importOffsets(snapshot)
+      val committed = opt("--groups") match {
+        case Some(gs) =>
+          val want = gs.split(',').map(_.trim).filter(_.nonEmpty).toSet
+          committed0.filter { case (g, _, _, _) => want(g) }
+        case None => committed0
+      }
+      val plan = graft.remap.OffsetResetPlan.build(committed, mapping)
+      val unresolved = plan.entries.count(_.target_offset.isEmpty)
+      if (unresolved > 0)
+        System.err.println(s"warning: $unresolved of ${plan.entries.size} " +
+          "plan rows have no target offset")
+      val bootstrap = opt("--bootstrap").getOrElse("localhost:9092")
+      action match {
+        case "plan" =>
+          opt("--format").getOrElse("text") match {
+            case "json" => println(plan.toJson)
+            case "csv" => println(plan.toCsv)
+            case "shell-script" => println(plan.toShellScript(bootstrap))
+            case _ =>
+              println(f"${"group"}%-20s ${"topic"}%-16s ${"part"}%5s " +
+                f"${"committed"}%12s ${"target"}%12s")
+              plan.entries.foreach(e => println(
+                f"${e.group_id}%-20s ${e.topic}%-16s ${e.partition}%5d " +
+                  f"${e.source_offset}%12d ${e.target_offset.map(_.toString).getOrElse("-")}%12s"))
+              plan.groups.foreach(g => println(
+                s"group $g: ${if (plan.groupComplete(g)) "complete" else "INCOMPLETE"}"))
+          }
+        case "execute" =>
+          // the committer is the in-memory recorder unless a broker leg is
+          // wired (same seam as offset-reset-bulk)
+          val committer = new graft.pipelines.RecordingCommitter()
+          var applied = 0
+          plan.entries.foreach(e => e.target_offset.foreach { t =>
+            committer.commit(e.group_id, e.topic, e.partition, t); applied += 1
+          })
+          println(s"applied $applied resets across ${plan.groups.size} groups" +
+            (if (unresolved > 0) s"; $unresolved skipped (no target)" else ""))
+          if (unresolved > 0) sys.exit(1)
+        case "script" =>
+          val script = plan.toShellScript(bootstrap)
+          opt("--output") match {
+            case Some(f) =>
+              java.nio.file.Files.writeString(java.nio.file.Paths.get(f), script)
+              println(s"wrote $f")
+            case None => println(script)
+          }
+        case other =>
+          System.err.println(s"unknown offset-reset action: $other"); sys.exit(2)
+      }
 
     case "snapshot-create" =>
       // pre-reset safety snapshot from a consumer-groups JSON (broker-free

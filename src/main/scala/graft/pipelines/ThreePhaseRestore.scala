@@ -50,7 +50,8 @@ object ThreePhaseRestore {
           committer: Option[GroupOffsetCommitter] = None,
           dryRun: Boolean = false,
           repartitionedTopics: Set[String] = Set.empty,
-          pairEvery: Int = Produce.DefaultPairEvery): ThreePhaseReport = {
+          pairEvery: Int = Produce.DefaultPairEvery,
+          saveMapping: Boolean = false): ThreePhaseReport = {
     import spark.implicits._
     val warnings = Seq.newBuilder[String]
 
@@ -61,6 +62,17 @@ object ThreePhaseRestore {
     val (produceResults, pairsDF, unpersistPairs) =
       Produce.runDistributed(records, sink, pairEvery = pairEvery)
     val restored = produceResults.map(_.recordCount).sum
+
+    // Persist the source→target mapping next to the backup so the offline
+    // `offset-reset plan/execute/script` commands can load it later
+    // (offset_reset.rs load_offset_mapping tier 2). Bounded: range entries +
+    // capped anchor pairs per partition, never O(records) on the driver.
+    if (saveMapping && restored > 0) {
+      val saved = graft.remap.OffsetMappingStore.save(
+        restoreCfg.backupRoot, restoreCfg.backupId,
+        graft.remap.OffsetMappingStore.fromPairs(pairsDF))
+      warnings += s"offset mapping saved: $saved"
+    }
 
     // Phase 3 inputs: explicit committed offsets ∪ snapshot import (J4).
     // BOTH must pass through topic/partition remapping — the offset mapping

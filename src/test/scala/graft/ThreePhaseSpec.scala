@@ -81,4 +81,65 @@ class ThreePhaseSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
       s"murmur2 must not be a UDF:\n${plan.take(1500)}")
   }
+
+  test("offset-reset plan/execute/script from the persisted offset mapping") {
+    manifest
+    // a three-phase run with saveMapping persists offset-mapping.json
+    val report = ThreePhaseRestore.run(spark, RestoreConfig(tmp, "tp"),
+      new CollectingSink(), committed = Seq(("g1", "click", 0, 500L)),
+      committer = Some(new RecordingCommitter()), saveMapping = true)
+    assert(report.success)
+    val stored = graft.remap.OffsetMappingStore.load(tmp, "tp")
+    assert(stored.isDefined, "offset-mapping.json must exist after saveMapping")
+    val m = stored.get
+    assert(m.entries.nonEmpty && m.detailed.nonEmpty)
+    // JSON round-trip is lossless
+    assert(graft.remap.OffsetMappingStore.fromJson(
+      graft.remap.OffsetMappingStore.toJson(m)) == m)
+    // the persisted mapping resolves a committed offset to the same target
+    // the live three-phase plan produced
+    val live = report.reset_plan.get.entries.head
+    assert(m.lookupTargetOffset(live.topic, live.partition, live.source_offset)
+      == live.target_offset)
+
+    // drive the CLI over the stored mapping: plan (text), script, execute
+    val groupsJson = Files.createTempFile("graft-groups", ".json")
+    Files.writeString(groupsJson, ConsumerGroupSnapshot.toJson(
+      ConsumerGroupSnapshot(1700000000000L, List(graft.remap.GroupOffsets(
+        "g1", Map("click" -> Map("0" -> 500L)))))))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Array("offset-reset", "plan", tmp, "tp",
+        groupsJson.toString))
+    }
+    val text = out.toString
+    assert(text.contains("g1") && text.contains("click"), text)
+    assert(text.contains("complete"), text)
+
+    out.reset()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Array("offset-reset", "script", tmp, "tp",
+        groupsJson.toString, "--bootstrap", "b:9092"))
+    }
+    assert(out.toString.contains("kafka-consumer-groups") ||
+      out.toString.contains("--bootstrap-server 'b:9092'"), out.toString)
+
+    out.reset()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Array("offset-reset", "execute", tmp, "tp",
+        groupsJson.toString))
+    }
+    assert(out.toString.contains("applied 1 resets"), out.toString)
+
+    // manifest fallback: no mapping file → plan still prints, rows unresolved
+    val bare = Files.createTempDirectory("graft-bare").toString
+    Backup.run(spark, KRecord.fromEvents(spark, sf0001),
+      BackupConfig("nomap", bare, CompressionCodec.Zstd, enrichHeaders = false))
+    out.reset()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Array("offset-reset", "plan", bare, "nomap",
+        groupsJson.toString))
+    }
+    assert(out.toString.contains("INCOMPLETE"), out.toString)
+  }
 }
