@@ -500,6 +500,16 @@ object QueriesData {
         "vec_id", q, 10)
     }),
 
+    // BPE vocabulary training, round 1: the weighted adjacent-character pair
+    // histogram the first merge decision is made from. Corpus → word
+    // histogram is the ONE corpus pass; pairs explode over the distinct-word
+    // table only. Top-50 under a total order.
+    "d_bpe_pairs" -> ((s, d) =>
+      graft.text.BpeTrainer.pairCounts(graft.text.BpeTrainer.initialSymbols(
+          graft.text.BpeTrainer.wordHistogram(docs(s, d), "text")))
+        .orderBy(col("pair_freq").desc, col("a"), col("b"))
+        .limit(50)),
+
     // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
     "a_label_centroid_norm" -> ((s, d) => emb(s, d)
       .select(col("label"),
@@ -528,6 +538,24 @@ object QueriesData {
         |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
         |    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_bpe_pairs" ->
+      // generate_series is list-valued in scalar position (no lateral
+      // support), so pairs come from a list_transform over index lists
+      """WITH wc AS (
+        |  SELECT w AS word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                  x -> x <> '')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(word)-1),
+        |           i -> struct_pack(a := substring(word, CAST(i AS INT), 1),
+        |                            b := substring(word, CAST(i AS INT)+1, 1)))) AS pr,
+        |         freq
+        |  FROM wc WHERE length(word) >= 2)
+        |SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS pair_freq
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY pair_freq DESC, a, b LIMIT 50""".stripMargin,
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
         |GROUP BY md5(lower(substring(text, 1, 40))) HAVING count(*) > 1
@@ -1139,6 +1167,19 @@ object QueriesData {
     * rows-only check by the driver; ScalaTest fixtures assert known answers.
     */
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE vocabulary training, full loop: 20 merges over the corpus word
+    // histogram (end-of-word marker on — the Sennrich form). Deterministic
+    // (frequency ties break lexicographically), so the driver's rows check
+    // pins it run-to-run; no SQL oracle BY NATURE (iterative argmax). The
+    // merge sequence itself is spec-pinned against an independent
+    // driver-side reference implementation (BpeTrainerSpec).
+    "d_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      graft.text.BpeTrainer.train(docs(s, d), "text",
+          numMerges = 20, minFreq = 2L, endMarker = true)
+        .merges.toDF("rank", "a", "b", "pair_freq")
+    }),
+
     // SemDeDup-style semantic dedup: k-means cells bound the quadratic
     // term, exact cosine only within a cell, min-id canonical per connected
     // group. Output = the surviving corpus (one keeper per semantic-dup
