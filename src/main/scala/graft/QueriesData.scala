@@ -468,6 +468,19 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    // the SAME decontamination through the bloom-pruned scale path (the
+    // 100 TB shape: map-side bloom prune → exact confirm join). The bloom
+    // only prunes — the output is exact, so this entry shares the exact
+    // oracle with d_decontaminate, hash-checking the whole prune+confirm
+    // composition
+    "d_decontaminate_bloom" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.Sampling.decontaminateBloom(
+          all.filter(col("doc_id") % 20 =!= 7),
+          all.filter(col("doc_id") % 20 === 7), shingleN = 13)
+        .orderBy("doc_id")
+    }),
+
     // THE capstone composition: the full training-data prep pipeline, every
     // stage one of the library operators above, end to end — normalize →
     // quality filter → exact dedup (min-id winner) → benchmark
@@ -944,6 +957,20 @@ object QueriesData {
         |  row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn FROM b)
         |SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
     "d_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(list_slice(t, i, i + 12), ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 13),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 7)
+        |SELECT s.doc_id, count(*) AS n_matched
+        |FROM sh s JOIN bench USING (g) WHERE s.doc_id % 20 <> 7
+        |GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id""".stripMargin,
+    "d_decontaminate_bloom" ->
+      // identical oracle as d_decontaminate: the bloom path is exact
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
         |                             x -> x <> '') AS t

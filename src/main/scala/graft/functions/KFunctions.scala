@@ -122,6 +122,14 @@ object KFunctions {
     */
   def kafka_murmur2(c: Column): Column = exprCol(KafkaMurmur2(exprOf(c)))
 
+  /** Bloom membership probe over a BIGINT column against a broadcast
+    * filter — native codegen expression (see [[BloomMightContainLong]]).
+    */
+  def bloom_might_contain(c: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    exprCol(BloomMightContainLong(exprOf(c), bloom))
+
   /** Dot product of two array<double> columns — native codegen expression
     * (see [[DoubleArrayDot]]); bit-identical to the interpreted
     * aggregate(zip_with(...)) form it replaces on the ANN/dedup hot paths.

@@ -123,6 +123,54 @@ object CorpusClean {
       nMatches(t2, DigitRunRe).cast("long").as("n_numbers"))
   }
 
+  /** All URL occurrences in a text column (same pattern [[redactPii]]
+    * replaces): `array<string>`, empty when none.
+    */
+  def extractUrls(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Canonical form of a URL column for dedup/grouping (Common-Crawl-style
+    * curation keys on the normalized URL, per-domain caps on its host):
+    * scheme and host lowercased, default ports stripped, fragment dropped,
+    * tracking query parameters (utm_*, fbclid, gclid, msclkid) removed —
+    * remaining params keep their original order (reordering changes
+    * semantics on some sites) — and a bare trailing slash on the path
+    * trimmed. Declarative `parse_url`/regexp composition: a narrow map,
+    * codegen-friendly, no UDF.
+    */
+  def normalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(afterScheme, "^([^/?#]*)", 1)
+    val host = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = when(port === "", lit("")).otherwise(
+      when(scheme === "http" && port === "80", lit(""))
+        .when(scheme === "https" && port === "443", lit(""))
+        .otherwise(concat(lit(":"), port)))
+    val rest = regexp_replace(afterScheme, "^[^/?#]*", "") // /path?query#frag
+    val path0 = regexp_extract(rest, "^([^?#]*)", 1)
+    val path = when(path0 === "" || path0 === "/", lit(""))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query = regexp_extract(rest, "\\?([^#]*)", 1)
+    val keptParams = filter(split(query, "&"), p =>
+      !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)") && p =!= "")
+    val queryOut = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    when(scheme === "", u) // not a URL-shaped string: leave untouched
+      .otherwise(concat(scheme, lit("://"), host, keepPort, path, queryOut))
+  }
+
+  /** Registrable host key for per-domain caps: normalized host with a
+    * leading `www.` stripped.
+    */
+  def urlDomain(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val host = regexp_extract(normalizeUrl(url), "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    when(host === "", lit(null).cast("string"))
+      .otherwise(regexp_replace(host, "^www\\.", ""))
+  }
+
   /** C4-style global line deduplication: every distinct (trimmed) line keeps
     * its FIRST corpus-wide occurrence — ordered by (doc id, line index) — and
     * every later occurrence is dropped; documents are reassembled in original

@@ -159,4 +159,57 @@ object Sampling {
       .agg(count(lit(1)).cast("long").as("n_matched"))
       .where(col("n_matched") >= minMatches)
   }
+
+  /** Bloom-pruned decontamination — the 100 TB shape for a benchmark gram
+    * set too large to broadcast. [[decontaminate]]'s fallback above shuffles
+    * EVERY corpus gram into a sort-merge join when the gram set exceeds the
+    * broadcast gate; here the corpus grams are first probed map-side against
+    * a compact bloom filter of the benchmark grams (built distributed, one
+    * `stat.bloomFilter` tree-aggregation; carried as a broadcast; probed by
+    * a native codegen expression), so only true hits plus an `fpp` fraction
+    * of the corpus ever reach the shuffle. The survivors then confirm
+    * against the exact gram set, which kills every false positive — the
+    * OUTPUT IS EXACT, identical contract (and oracle) as [[decontaminate]];
+    * the bloom only prunes.
+    *
+    * Both sides hash grams with xxhash64 and the bloom stores the LONG
+    * hashes — the same value inserted is the same value probed, so a true
+    * benchmark gram can never be missed (no string-encoding ambiguity
+    * between put and probe paths; a 64-bit collision is just one more false
+    * positive for the confirm join).
+    *
+    * @param fpp false-positive probability to size the filter for; the cost
+    *   knob between filter size (broadcast bytes) and wasted shuffle.
+    * @param knownGramCount skip the sizing count when the caller already
+    *   knows the benchmark gram cardinality.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         shingleN: Int = 13, minMatches: Int = 1,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         fpp: Double = 0.01,
+                         knownGramCount: Option[Long] = None): DataFrame = {
+    require(shingleN >= 1, "shingleN must be >= 1")
+    require(minMatches >= 1, "minMatches must be >= 1")
+    val spark = corpus.sparkSession
+    val benchGrams = benchmark
+      .select(explode(array_distinct(
+        TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
+      .distinct()
+    val n = knownGramCount.getOrElse(benchGrams.count())
+    if (n == 0L)
+      // no benchmark grams → nothing can be contaminated; keep the schema
+      return corpus.select(col(idCol), lit(0L).as("n_matched")).where(lit(false))
+    val bloom = benchGrams.select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", n, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(
+        TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
+    val candidates = corpusGrams.where(
+      graft.functions.KFunctions.bloom_might_contain(xxhash64(col("gram")), bc))
+    candidates.join(benchGrams, Seq("gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .where(col("n_matched") >= minMatches)
+  }
 }

@@ -598,6 +598,44 @@ class DataOpsSpec extends SparkSpec {
       out(3L)._1.startsWith("<URL> stays"))
   }
 
+  test("URL normalization: case, ports, fragments, tracking params, trailing slash") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved
+      ("HTTP://Example.COM/Path/To", "http://example.com/Path/To"),
+      // default ports stripped, non-default kept
+      ("https://a.com:443/x", "https://a.com/x"),
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("http://a.com:8080/x", "http://a.com:8080/x"),
+      // fragment dropped
+      ("https://a.com/x#section", "https://a.com/x"),
+      // tracking params removed, others kept in ORIGINAL order
+      ("https://a.com/x?utm_source=t&b=2&a=1&fbclid=z", "https://a.com/x?b=2&a=1"),
+      ("https://a.com/x?utm_campaign=c", "https://a.com/x"),
+      // bare trailing slash trimmed; root path collapses
+      ("https://a.com/x/", "https://a.com/x"),
+      ("https://a.com/", "https://a.com"),
+      // not URL-shaped: untouched (trimmed only)
+      ("  not a url  ", "not a url"))
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.text.CorpusClean.normalizeUrl(col("u")))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"normalizeUrl($in) = $g, want $want") }
+    // domain key: normalized host, www. stripped; null for non-URLs
+    val doms = Seq("https://WWW.Site.org:443/a?utm_s=1", "nope")
+      .toDF("u").select(graft.text.CorpusClean.urlDomain(col("u")))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(doms == Seq(Some("site.org"), None))
+    // extractUrls and normalizeUrl compose (curation key per mention)
+    val urls = Seq("see http://A.com/x/ and https://b.io/y#top .")
+      .toDF("t").select(explode(graft.text.CorpusClean.extractUrls(col("t"))).as("u"))
+      .select(graft.text.CorpusClean.normalizeUrl(col("u")))
+      .as[String].collect().toSeq
+    assert(urls.head == "http://a.com/x")
+    assert(urls(1) == "https://b.io/y") // fragment dropped by normalization
+  }
+
   test("text normalization: NFC composition, control chars stripped, whitespace kept") {
     val df = docsDF(
       (1L, "café"),            // decomposed → composed é

@@ -96,6 +96,48 @@ class SamplingSpec extends SparkSpec {
     assert(unbroadcast === out)
   }
 
+  test("decontaminateBloom: exact result (bloom only prunes), native probe in plan") {
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x alpha beta gamma y"),
+      (11L, "x alpha beta gamma delta y"),
+      (12L, "nothing in common here at all")
+    ).toDF("doc_id", "text")
+    val exact = Sampling.decontaminate(corpus, bench, shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Sampling.decontaminateBloom(corpus, bench, shingleN = 3)
+    assert(bloomed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === exact)
+    // the probe is the native codegen expression, not a UDF, and it sits in
+    // the plan as a Filter feeding the confirm join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan.take(1500))
+    assert(!plan.toLowerCase.contains("scalaudf"), plan.take(1500))
+    // minMatches flows through identically
+    assert(Sampling.decontaminateBloom(corpus, bench, shingleN = 3,
+      minMatches = 2).collect().map(_.getLong(0)).toSet === Set(11L))
+  }
+
+  test("decontaminateBloom on sf0.001 == exact decontaminate, row for row") {
+    val all = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = all.filter(col("doc_id") % 20 =!= 7)
+    val bench = all.filter(col("doc_id") % 20 === 7)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    // tight fpp and loose fpp must both be exact — fpp only moves prune cost
+    assert(key(Sampling.decontaminateBloom(corpus, bench, 13, fpp = 0.01))
+      === key(Sampling.decontaminate(corpus, bench, 13)))
+    assert(key(Sampling.decontaminateBloom(corpus, bench, 13, fpp = 0.5))
+      === key(Sampling.decontaminate(corpus, bench, 13)))
+  }
+
+  test("decontaminateBloom: empty benchmark flags nothing, keeps schema") {
+    val corpus = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val out = Sampling.decontaminateBloom(corpus,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), shingleN = 3)
+    assert(out.columns.toSeq === Seq("doc_id", "n_matched"))
+    assert(out.count() === 0)
+  }
+
   test("stratifiedTake: exactly min(k, |stratum|) per stratum, deterministic, map-side limited") {
     val docs = spark.range(0, 1000)
       .select(col("id").as("doc_id"),
