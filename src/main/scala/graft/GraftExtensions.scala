@@ -114,5 +114,8 @@ object GraftExtensions {
     f1("graft_quality_signals")(TextFunctions.qualitySignals),
     f1("graft_quality_score")(TextFunctions.qualityScore),
     f1("graft_fingerprint")(TextFunctions.fingerprint),
-    f1("graft_repetition_signals")(TextFunctions.repetitionSignals))
+    f1("graft_repetition_signals")(TextFunctions.repetitionSignals),
+    f1("graft_normalize_url")(graft.text.CorpusClean.normalizeUrl),
+    f1("graft_url_domain")(graft.text.CorpusClean.urlDomain),
+    f1("graft_extract_urls")(graft.text.CorpusClean.extractUrls))
 }

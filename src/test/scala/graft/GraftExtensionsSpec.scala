@@ -46,6 +46,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.getDouble(6) == viaCol.getDouble(6))
   }
 
+  test("URL functions in SQL: normalize, domain key, extraction") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_normalize_url('HTTPS://WWW.Ex.org:443/a/?utm_x=1&b=2#f') AS u,
+        |       graft_url_domain('http://www.Ex.org/path') AS d,
+        |       graft_extract_urls('see http://a.io/x now') AS us""".stripMargin).head()
+    assert(r.getString(0) == "https://www.ex.org/a?b=2")
+    assert(r.getString(1) == "ex.org")
+    assert(r.getSeq[String](2) == Seq("http://a.io/x"))
+  }
+
   test("kernel shape arguments must be constant-foldable") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {
