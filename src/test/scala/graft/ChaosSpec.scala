@@ -76,6 +76,27 @@ class ChaosSpec extends SparkSpec {
     assert(spark.sparkContext.getCheckpointDir.forall(!_.contains(dir)))
   }
 
+  test("task death inside the BPE merge loop: reliable checkpoint retries, merges identical") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(200)
+    val clean = graft.text.BpeTrainer.train(docs, "text",
+      numMerges = 6, minFreq = 1L).merges
+    assert(clean.size == 6)
+
+    val dir = Files.createTempDirectory("graft-bpe-chaos").toString
+    // kill the first attempt of a reliable-checkpoint write task mid-loop —
+    // executor-loss semantics for the trainer's durable per-round state
+    ChaosFileSystem.armPathCreateFailure("/rdd-", startAt = 3, times = 1)
+    val chaotic =
+      try graft.text.BpeTrainer.train(docs, "text", numMerges = 6,
+        minFreq = 1L, checkpointDir = Some(s"chaos:$dir")).merges
+      finally ChaosFileSystem.disarm()
+    assert(ChaosFileSystem.failureFired, "the injected checkpoint failure must fire")
+    assert(chaotic == clean,
+      "the trainer must learn the identical merge sequence after a task retry")
+    // the caller's checkpoint dir is restored even on the chaos path
+    assert(spark.sparkContext.getCheckpointDir.forall(!_.contains(dir)))
+  }
+
   test("concurrent manifest saves merge every writer's segments without torn state") {
     val root = Files.createTempDirectory("graft-chaos-manifest").toString
     def seg(i: Int) = SegmentMetadata(
