@@ -1342,6 +1342,26 @@ object QueriesData {
         Ann.bruteForceTopK(corpus, "vec_id", "embedding", q, 10), 10)
     }),
 
+    // Product quantization (Jégou 2011): the compression rung below int8 —
+    // d·4/m-fold smaller scan, scored by ADC table lookups inside codegen,
+    // never decompressed. Train/encode run in-entry (m distributed k-means
+    // fits on narrow subvector columns, KB-sized model to the driver);
+    // recall@10 vs exact is measured and carried like the other approximate
+    // family members. No SQL oracle BY NATURE (iterative k-means).
+    "a_ann_pq" -> ((s, d) => {
+      val corpus = emb(s, d).filter(col("vec_id") =!= 0)
+      val q = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val model = Ann.pqTrain(corpus, "embedding", m = 8, ksub = 64)
+      val encoded = Ann.pqEncode(corpus, "embedding", model)
+        .select("vec_id", "pq_code")
+      withRecallAtK(
+        Ann.pqTopKRerank(encoded, corpus, "vec_id", "embedding", q, model,
+          10, shortlist = 100),
+        Ann.bruteForceTopK(corpus, "vec_id", "embedding", q, 10), 10)
+    }),
+
     // The scale-path ANN layout: corpus persisted partitionBy(bucket), probe
     // becomes Catalyst partition pruning (only probed buckets' files read).
     // The bucketed copy is built once per INPUT CONTENT (ensureBucketedAnn

@@ -251,4 +251,119 @@ object Ann {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  // ───────────────────────────── product quantization ──────────────────────
+
+  /** Per-subspace PQ codebooks: `codebooks(i)(j)` = j-th codeword of
+    * subspace i (length d/m each). Trained on UNIT-normalized vectors so ADC
+    * inner products approximate cosine.
+    */
+  case class PqModel(m: Int, codebooks: Array[Array[Array[Double]]]) {
+    def dsub: Int = codebooks(0)(0).length
+    def dim: Int = m * dsub
+
+    /** Per-query ADC table: `lut(i)(j) = <q_sub_i, codeword_ij>` over the
+      * normalized query — scoring a code is m table reads, no decompression.
+      */
+    def adcTable(query: Seq[Double]): Array[Array[Double]] = {
+      val qn = {
+        val n = math.sqrt(query.map(x => x * x).sum)
+        if (n > 0) query.map(_ / n) else query
+      }
+      require(qn.length == dim, s"query dim ${qn.length} != model dim $dim")
+      Array.tabulate(m) { i =>
+        codebooks(i).map { w =>
+          var s = 0.0; var t = 0
+          while (t < dsub) { s += qn(i * dsub + t) * w(t); t += 1 }
+          s
+        }
+      }
+    }
+  }
+
+  /** Unit-normalize an array<double> column (zero vectors pass unchanged). */
+  private def unitNorm(v: Column): Column = {
+    val n = sqrt(graft.functions.KFunctions.array_dot(v, v))
+    when(n > 0d, transform(v, x => x / n)).otherwise(v)
+  }
+
+  /** Train PQ codebooks: split each unit-normalized vector into `m`
+    * subvectors and fit one k-means (`ksub` codewords) per subspace —
+    * m small DISTRIBUTED fits over narrow columns; the model that reaches
+    * the driver is m·ksub·(d/m) doubles (KBs), never data-sized.
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 64,
+              seed: Long = 42L): PqModel = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = unitNorm(col(vecCol).cast("array<double>"))
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val norm = corpus.select(v.as("nv")).localCheckpoint(true)
+    try {
+      val codebooks = (0 until m).map { i =>
+        val sub = norm.select(array_to_vector(
+          slice(col("nv"), lit(i * dsub + 1), lit(dsub))).as("f"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(ksub).setSeed(seed + i).setFeaturesCol("f")
+          .fit(sub).clusterCenters.map(_.toArray)
+      }.toArray
+      PqModel(m, codebooks)
+    } finally norm.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** Encode the corpus: input columns + `pq_code: array<int>` (m entries).
+    * A narrow map through the [[graft.functions.PqEncode]] codegen kernel;
+    * at ksub ≤ 256 the code persists as m bytes of dictionary-friendly ints —
+    * the d·4/m-fold scan-size reduction for a 100 TB embedding corpus.
+    */
+  def pqEncode(corpus: DataFrame, vecCol: String, model: PqModel): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model.codebooks)
+    corpus.withColumn("pq_code",
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.PqEncode(
+          org.apache.spark.sql.graftbridge.ColumnBridge.resolvedExpression(
+            unitNorm(col(vecCol).cast("array<double>"))), bc)))
+  }
+
+  /** ADC top-k over the ENCODED corpus: the scan reads only ids + m-int
+    * codes; scoring is m lookup-table reads per row inside whole-stage
+    * codegen ([[graft.functions.PqAdcScore]]). Approximate by construction
+    * (quantization error) — rank quality is measured, not assumed: see the
+    * recall audit in the battery entry and the spec floor.
+    */
+  def pqTopK(encoded: DataFrame, idCol: String, query: Seq[Double],
+             model: PqModel, k: Int): DataFrame = {
+    val bc = encoded.sparkSession.sparkContext.broadcast(model.adcTable(query))
+    encoded.select(col(idCol).as("id"),
+        round(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.PqAdcScore(
+            org.apache.spark.sql.graftbridge.ColumnBridge.resolvedExpression(
+              col("pq_code")), bc)), 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** The production PQ shape: ADC over the compressed scan selects a
+    * `shortlist` (default 10k-sized per the PQ literature's re-rank stage),
+    * then EXACT cosine re-ranks only those rows — the full-precision vectors
+    * are fetched for O(shortlist) ids via a broadcast semi-join, never
+    * scanned. Quantization error moves from the final ranking into the
+    * shortlist boundary, where a 10× margin absorbs it.
+    */
+  def pqTopKRerank(encoded: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, query: Seq[Double], model: PqModel,
+                   k: Int, shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 10 * k
+    val shortIds = pqTopK(encoded, idCol, query, model, sl).select("id")
+    val q = array(query.map(lit): _*)
+    corpus.join(broadcast(shortIds), corpus(idCol) === shortIds("id"), "left_semi")
+      .select(col(idCol).as("id"),
+        round(Dedup.cosine(col(vecCol).cast("array<double>"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
 }

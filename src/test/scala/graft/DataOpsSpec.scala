@@ -460,6 +460,73 @@ class DataOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall (exact=$exact approx=$approx)")
   }
 
+  test("PQ: encode matches driver reference, ADC scores exactly, recall floor holds") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val model = Ann.pqTrain(corpus, "embedding", m = 8, ksub = 16)
+    assert(model.dim == 64 && model.dsub == 8)
+    assert(model.codebooks.forall(_.length == 16))
+
+    val encoded = Ann.pqEncode(corpus, "embedding", model)
+    // kernel, not UDF, and codes are in range
+    val plan = encoded.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_encode") && !plan.toLowerCase.contains("scalaudf"))
+    val rows = encoded.select(col("vec_id"),
+        col("embedding").cast("array<double>"), col("pq_code"))
+      .limit(20).collect()
+    rows.foreach { r =>
+      val vec = r.getSeq[Double](1)
+      val n = math.sqrt(vec.map(x => x * x).sum)
+      val nv = if (n > 0) vec.map(_ / n) else vec
+      val code = r.getSeq[Int](2)
+      assert(code.length == 8)
+      // driver-side reference encode: nearest codeword per subspace
+      val want = (0 until 8).map { i =>
+        val sub = nv.slice(i * 8, i * 8 + 8)
+        model.codebooks(i).zipWithIndex.minBy { case (w, _) =>
+          sub.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum
+        }._2
+      }
+      assert(code == want, s"vec ${r.getLong(0)}: $code != $want")
+    }
+
+    // ADC score is exactly Σ lut(i)(code(i)) — reference-checked per row
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val lut = model.adcTable(q)
+    val scored = Ann.pqTopK(encoded, "vec_id", q, model, 10).collect()
+    val codeOf = encoded.select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    scored.foreach { r =>
+      val want = codeOf(r.getLong(0)).zipWithIndex.map { case (c, i) => lut(i)(c) }.sum
+      assert(math.abs(r.getDouble(1) - math.rint(want * 1e6) / 1e6) < 1e-9)
+    }
+
+    // plain ADC is coarse at ksub=16 — sanity floor only; the production
+    // path re-ranks an ADC shortlist with exact cosine and must clear a
+    // real floor
+    val exact = Ann.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = scored.map(_.getLong(0)).toSet
+    assert((exact & approx).size.toDouble / exact.size >= 0.2,
+      s"plain ADC recall collapsed: $approx")
+    val reranked = Ann.pqTopKRerank(encoded, corpus, "vec_id", "embedding",
+        q, model, 10, shortlist = 100)
+      .collect().map(_.getLong(0)).toSet
+    val rr = (exact & reranked).size.toDouble / exact.size
+    assert(rr >= 0.8, s"reranked PQ recall too low: $rr")
+
+    // determinism: retrain yields the identical model (fixed seeds)
+    val model2 = Ann.pqTrain(corpus, "embedding", m = 8, ksub = 16)
+    assert(model.codebooks.flatten.flatten.toSeq == model2.codebooks.flatten.flatten.toSeq)
+
+    // m must divide dim
+    assertThrows[IllegalArgumentException] {
+      Ann.pqTrain(corpus, "embedding", m = 7)
+    }
+  }
+
   test("embedding near-dup pairs verify with exact cosine inside buckets") {
     import spark.implicits._
     val vecs = Seq(
