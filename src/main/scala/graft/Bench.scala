@@ -56,6 +56,7 @@ object Bench {
       // a_ann_lsh_bucketed / a_ann_ivf entries (which bench the pruned probe)
       QueriesData.ensureBucketedAnn(spark, sfDir)
       QueriesData.ensureIvf(spark, sfDir)
+      QueriesData.ensureIvfPq(spark, sfDir)
     } catch { case _: Throwable => }
 
     // post-query hygiene, shared by both timing passes: drop block-manager

@@ -1190,6 +1190,12 @@ object QueriesData {
       Ann.writeIvf(assigned, model, build.getAbsolutePath)
     }
 
+  def ensureIvfPq(s: SparkSession, dir: String): String =
+    ensureCached("ann_ivfpq", contentKey(s"$dir/embeddings.parquet")) { build =>
+      Ann.writeIvfPq(emb(s, dir).filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", build.getAbsolutePath, nLists = 16, m = 8, ksub = 64)
+    }
+
   /** Signature-based operators: deterministic, but no faithful SQL oracle —
     * rows-only check by the driver; ScalaTest fixtures assert known answers.
     */
@@ -1359,6 +1365,23 @@ object QueriesData {
       withRecallAtK(
         Ann.pqTopKRerank(encoded, corpus, "vec_id", "embedding", q, model,
           10, shortlist = 100),
+        Ann.bruteForceTopK(corpus, "vec_id", "embedding", q, 10), 10)
+    }),
+
+    // The persisted FAISS-style composition: IVF lists prune the scan to
+    // nProbe partitions (Catalyst partition pruning over the partitionBy
+    // layout), ADC scores only id+code columns inside them, exact cosine
+    // re-ranks the shortlist. Index built once per input content (bench
+    // warmup), so the benched cost is the pruned probe.
+    "a_ann_ivfpq" -> ((s, d) => {
+      val path = ensureIvfPq(s, d)
+      val corpus = emb(s, d).filter(col("vec_id") =!= 0)
+      val q = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      withRecallAtK(
+        Ann.ivfPqTopK(s, path, corpus, "vec_id", "embedding", q, 10,
+          nProbe = 6, shortlist = 100),
         Ann.bruteForceTopK(corpus, "vec_id", "embedding", q, 10), 10)
     }),
 

@@ -366,4 +366,68 @@ object Ann {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  object PqModel {
+    def toJson(m: PqModel): String =
+      s"""{"m": ${m.m}, "codebooks": ${m.codebooks.map(_.map(
+        _.mkString("[", ",", "]")).mkString("[", ",", "]")).mkString("[", ",", "]")}}"""
+    def fromJson(s: String): PqModel = {
+      import org.json4s._
+      implicit val formats: Formats = DefaultFormats
+      val j = org.json4s.jackson.JsonMethods.parse(s)
+      PqModel((j \ "m").extract[Int],
+        (j \ "codebooks").extract[List[List[List[Double]]]]
+          .map(_.map(_.toArray).toArray).toArray)
+    }
+  }
+
+  /** Persist the full IVF-PQ layout (the FAISS-style composition, public
+    * method): rows `(id, list, pq_code)` partitioned by IVF list, IVF
+    * centroids + PQ codebooks as JSON sidecars. A probe reads ONLY the
+    * probed lists' files (Catalyst partition pruning) and only the id+code
+    * columns — full-precision vectors never leave the source corpus; the
+    * re-rank stage fetches O(shortlist) of them by semi-join.
+    */
+  def writeIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                 path: String, nLists: Int = 16, m: Int = 8,
+                 ksub: Int = 64): Unit = {
+    val (assigned, ivfModel) = ivfAssign(corpus, vecCol, nLists)
+    val pqModel = pqTrain(corpus, vecCol, m, ksub)
+    pqEncode(assigned, vecCol, pqModel)
+      .select(col(idCol), col("list"), col("pq_code"))
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), corpus.sparkSession.sparkContext.hadoopConfiguration)
+    def sidecar(name: String, body: String): Unit = {
+      val os = fs.create(new org.apache.hadoop.fs.Path(s"$path/$name"), true)
+      try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
+    sidecar("_ivf_centroids.json", ivfModel.toJson)
+    sidecar("_pq_codebooks.json", PqModel.toJson(pqModel))
+  }
+
+  /** Probe a persisted IVF-PQ layout: partition-pruned ADC over the nProbe
+    * nearest lists → shortlist → exact re-rank against `corpus`.
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                corpus: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], k: Int, nProbe: Int,
+                shortlist: Int = 0): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def readSidecar(name: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/$name"))
+      new String(
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close(),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val ivfModel = IvfModel.fromJson(readSidecar("_ivf_centroids.json"))
+    val pqModel = PqModel.fromJson(readSidecar("_pq_codebooks.json"))
+    // list probing runs in the RAW vector space ivfAssign trained in; only
+    // the PQ stage normalizes (its own training geometry)
+    val lists = ivfModel.probeLists(query, nProbe)
+    val pruned = spark.read.parquet(path).filter(col("list").isin(lists: _*))
+    pqTopKRerank(pruned, corpus, idCol, vecCol, query, pqModel, k, shortlist)
+  }
 }

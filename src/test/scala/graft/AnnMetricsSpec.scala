@@ -59,6 +59,45 @@ class AnnMetricsSpec extends SparkSpec {
     assert(probed.collect().map(_.getLong(0)).toSet == half)
   }
 
+  test("IVF-PQ layout: sidecars round-trip, probe partition-prunes, recall floor") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val path = java.nio.file.Files.createTempDirectory("ann-ivfpq").toString + "/idx"
+    Ann.writeIvfPq(corpus, "vec_id", "embedding", path,
+      nLists = 8, m = 8, ksub = 16)
+    // both sidecars exist and the PQ model JSON round-trips bit-exact
+    val pqJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_pq_codebooks.json")))
+    val rt = Ann.PqModel.fromJson(pqJson)
+    assert(rt.m == 8 && rt.dim == 64)
+    assert(Ann.PqModel.toJson(rt) == pqJson)
+
+    val probed = Ann.ivfPqTopK(spark, path, corpus, "vec_id", "embedding",
+      q, 10, nProbe = 4, shortlist = 100)
+    val plan = probed.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PartitionFilters: [list"),
+      s"list predicate must prune partitions:\n${plan.take(1500)}")
+    // compressed scan: the pruned INDEX scan reads id + code only (the
+    // re-rank side reads vectors by design, for O(shortlist) rows)
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,pq_code:array<int>>"),
+      s"index scan must read only id+code:\n${plan.take(1500)}")
+
+    val exact = Ann.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = probed.collect().map(_.getLong(0)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall@10 too low: $recall")
+    // full probe + generous shortlist = exact re-rank over everything ADC kept
+    val full = Ann.ivfPqTopK(spark, path, corpus, "vec_id", "embedding",
+      q, 10, nProbe = 8, shortlist = corpus.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Ann.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute, "full probe + full shortlist must equal brute force")
+  }
+
   test("int8 quantization: full-range codes, zero-vector safety, rank fidelity") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
