@@ -703,6 +703,73 @@ class DataOpsSpec extends SparkSpec {
     assert(urls(1) == "https://b.io/y") // fragment dropped by normalization
   }
 
+  test("URL normalization is idempotent and domain-stable over generated URLs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def pick[A](xs: Seq[A]) = xs(rnd.nextInt(xs.length))
+    val urls = (1 to 300).map { _ =>
+      val scheme = pick(Seq("http", "https", "HTTP", "HtTpS"))
+      val host = pick(Seq("Example.com", "www.site.ORG", "a.b.co", "X.io"))
+      val port = pick(Seq("", ":80", ":443", ":8080"))
+      val path = pick(Seq("", "/", "/A/b", "/x/y/", "/p"))
+      val query = pick(Seq("", "?a=1", "?utm_source=x", "?utm_x=1&b=2", "?b=2&a=1&gclid=g"))
+      val frag = pick(Seq("", "#f", "#Sec-2"))
+      s"$scheme://$host$port$path$query$frag"
+    } ++ Seq("not a url", "", "ftp://weird:21/x")
+    val df = urls.toDF("u")
+    val once = graft.text.CorpusClean.normalizeUrl(col("u"))
+    val rows = df.select(col("u"), once.as("n1"),
+        graft.text.CorpusClean.normalizeUrl(once).as("n2"),
+        graft.text.CorpusClean.urlDomain(col("u")).as("d1"))
+      .withColumn("d2", graft.text.CorpusClean.urlDomain(col("n1")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"not idempotent: ${r.getString(0)} -> ${r.getString(1)} -> ${r.getString(2)}")
+      assert(Option(r.getString(3)) == Option(r.getString(4)),
+        s"domain unstable: ${r.getString(0)}")
+    }
+  }
+
+  test("new kernels: interpreted eval matches codegen (PQ encode/ADC, bloom probe)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+    val model = Ann.pqTrain(emb, "embedding", m = 8, ksub = 8)
+    val q = emb.select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    def pqRun(): Seq[(Long, Seq[Int], Double)] = {
+      val enc = Ann.pqEncode(emb, "embedding", model)
+      Ann.pqTopK(enc.select("vec_id", "pq_code"), "vec_id", q, model, 100)
+        .join(enc.select(col("vec_id").as("id"), col("pq_code")), "id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](2), r.getDouble(1))).toSeq
+        .sortBy(_._1)
+    }
+    val grams = Seq("a b c", "d e f", "x y z").toDF("text")
+    val bloom = grams.select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", 3, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    def bloomRun(): Seq[Boolean] =
+      Seq("a b c", "nope", "x y z").toDF("t")
+        .select(graft.functions.KFunctions.bloom_might_contain(
+          xxhash64(col("t")), bc))
+        .collect().map(_.getBoolean(0)).toSeq
+
+    val (pqGen, bloomGen) = (pqRun(), bloomRun())
+    val conf = spark.conf
+    val prior = (conf.get("spark.sql.codegen.wholeStage"),
+      conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(pqRun() == pqGen, "PQ interpreted != codegen")
+      assert(bloomRun() == bloomGen, "bloom interpreted != codegen")
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prior._1)
+      conf.set("spark.sql.codegen.factoryMode", prior._2)
+    }
+    assert(bloomGen == Seq(true, false, true) || bloomGen == Seq(true, true, true),
+      s"bloom semantics drifted: $bloomGen") // 'nope' may rarely FP
+  }
+
   test("text normalization: NFC composition, control chars stripped, whitespace kept") {
     val df = docsDF(
       (1L, "café"),            // decomposed → composed é
