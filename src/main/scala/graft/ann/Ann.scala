@@ -407,6 +407,18 @@ object Ann {
     sidecar("_pq_codebooks.json", PqModel.toJson(pqModel))
   }
 
+  /** Load the PQ codebooks sidecar of a persisted IVF-PQ layout — for
+    * reusing one content-keyed trained model across probe styles.
+    */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_pq_codebooks.json"))
+    PqModel.fromJson(new String(
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close(),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Probe a persisted IVF-PQ layout: partition-pruned ADC over the nProbe
     * nearest lists → shortlist → exact re-rank against `corpus`.
     */

@@ -2,7 +2,6 @@ package graft.remap
 
 import graft.catalog.BackupManifest
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
@@ -93,15 +92,20 @@ object OffsetMappingStore {
         r.getLong(2), r.getLong(3), Some(r.getLong(4)), Some(r.getLong(5)),
         r.getLong(6), r.getLong(7))
     }.toMap
-    // thin the anchors map-side: rank within partition by source offset and
-    // keep a uniform stride so the cap bounds what reaches the driver
-    val w = Window.partitionBy("topic", "partition").orderBy("source_offset")
+    // thin the anchors map-side with a MODULO stride on the source offset —
+    // deliberately not a row_number window: WindowExec would buffer each
+    // (topic, partition) group's full sampled-pair set in one task (the
+    // biggest partition's group at that), while the modulo filter is a pure
+    // narrow map after a broadcast of the per-partition counts. Offsets are
+    // near-dense, so offset % stride ≈ a uniform 1-in-stride sample with the
+    // same cap; the exact-first-anchor guarantee comes from keeping each
+    // partition's min explicitly (it anchors range interpolation).
     val counted = pairs.groupBy("topic", "partition")
-      .agg(count(lit(1)).as("np"))
+      .agg(count(lit(1)).as("np"), min("source_offset").as("first_src"))
     val stride = pairs.join(broadcast(counted), Seq("topic", "partition"))
-      .withColumn("rk", row_number().over(w))
-      .where((col("rk") - 1) % greatest(lit(1),
-        ceil(col("np") / maxPerPartition)).cast("int") === 0)
+      .where(col("source_offset") === col("first_src") ||
+        pmod(col("source_offset"), greatest(lit(1L),
+          ceil(col("np") / maxPerPartition)).cast("bigint")) === 0)
     val detailed = stride.select("topic", "partition", "source_offset",
         "target_offset", "timestamp")
       .collect()
