@@ -83,6 +83,43 @@ object StreamingText {
     * that is a busy loop (pair a timeout with a real ProcessingTime trigger
     * interval in production).
     */
+  /** Streaming benchmark decontamination: annotate each streaming doc with
+    * the count of `shingleN`-grams it shares with a STATIC benchmark set,
+    * and optionally filter. The stateless streaming sibling of
+    * `Sampling.decontaminate`: the benchmark's distinct grams are collected
+    * once (eval-set sized by the same contract that gates the batch
+    * broadcast) and probed per row by the [[graft.functions.StringInSetCount]]
+    * codegen kernel — a pure narrow map, so it runs identically under
+    * `readStream` with no join, no shuffle, no state, no watermark
+    * (contamination is a property of the row against a static set, not of
+    * stream history).
+    *
+    * Output: input columns + `n_matched`. `keep` = "all" (annotate only),
+    * "clean" (n_matched == 0), or "flagged" (n_matched > 0). Null/short
+    * texts carry n_matched = 0, as in batch.
+    */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                          shingleN: Int = 13, textCol: String = "text",
+                          keep: String = "all"): DataFrame = {
+    require(Set("all", "clean", "flagged")(keep),
+      s"keep must be all|clean|flagged: $keep")
+    val grams = benchmark
+      .select(explode(array_distinct(
+        TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val n =
+      if (grams.isEmpty) lit(0)
+      else graft.functions.KFunctions.string_in_set_count(
+        array_distinct(TextFunctions.shingles(
+          coalesce(col(textCol), lit("")), shingleN)), grams)
+    val annotated = docs.withColumn("n_matched", n.cast("long"))
+    keep match {
+      case "clean"   => annotated.where(col("n_matched") === 0L)
+      case "flagged" => annotated.where(col("n_matched") > 0L)
+      case _         => annotated
+    }
+  }
+
   def sourceStats(docs: DataFrame, sourceCol: String, textCol: String,
                   idleTimeout: Option[String] = None,
                   maxRecentFps: Int = 100000): Dataset[SourceStats] = {

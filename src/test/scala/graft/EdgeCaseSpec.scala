@@ -66,6 +66,29 @@ class EdgeCaseSpec extends SparkSpec {
       Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 64))
   }
 
+  test("bloom decontamination: null/short texts flag nothing, like the exact path") {
+    val corpus = Seq((1L, null: String), (2L, "too short"),
+      (3L, "alpha beta gamma extra")).toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val exact = graft.text.Sampling.decontaminate(corpus, bench, shingleN = 3)
+      .collect().map(_.getLong(0)).toSet
+    val bloomed = graft.text.Sampling.decontaminateBloom(corpus, bench, shingleN = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(3L) && bloomed == exact)
+  }
+
+  test("BPE handles unicode text and whitespace-only docs") {
+    val df = Seq("héllo héllo wörld", "   ", "日本語 日本語 テスト").toDF("text")
+    val r = graft.text.BpeTrainer.train(df, "text", numMerges = 4, minFreq = 1L)
+    assert(r.merges.nonEmpty)
+    // symbols reassemble to the exact lowercased words — no codepoint loss
+    val words = r.symWords.select(col("word"), concat_ws("", col("syms")).as("j"))
+      .collect()
+    words.foreach(w => assert(w.getString(0) == w.getString(1)))
+    assert(words.map(_.getString(0)).toSet ==
+      Set("héllo", "wörld", "日本語", "テスト"))
+  }
+
   test("header_value returns NULL for absent keys instead of ANSI index crash") {
     val df = KRecordFixtures.withHeaders(spark)
     val out = df.select(

@@ -127,6 +127,41 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: narrow-map probe matches the batch flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x alpha beta gamma y"),
+      (11L, "x alpha beta gamma delta y"),
+      (12L, "nothing in common here at all"),
+      (13L, null: String))
+    val batch = graft.text.Sampling.decontaminate(
+        corpus.toDF("doc_id", "text"), bench, shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingText.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), bench, shingleN = 3)
+    val q = out.writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(corpus: _*)
+      q.processAllAvailable()
+      val rows = spark.table("decon_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // flagged rows carry the batch path's exact match counts
+      assert(rows.filter(_._2 > 0) == batch)
+      // null/clean rows pass with zero matches
+      assert(rows(12L) == 0L && rows(13L) == 0L)
+      // the filtering modes agree
+      val clean = StreamingText.decontaminateStream(
+        corpus.toDF("doc_id", "text"), bench, shingleN = 3, keep = "clean")
+        .collect().map(_.getLong(0)).toSet
+      assert(clean == Set(12L, 13L))
+    } finally q.stop()
+  }
+
   test("per-source running stats via explicit keyed state (St8)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
