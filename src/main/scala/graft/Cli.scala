@@ -406,6 +406,7 @@ object Cli {
         case "plan" =>
           opt("--format").getOrElse("text") match {
             case "json" => println(plan.toJson)
+            case "yaml" => println(plan.toYaml)
             case "csv" => println(plan.toCsv)
             case "shell-script" => println(plan.toShellScript(bootstrap))
             case _ =>

@@ -183,6 +183,26 @@ case class OffsetResetPlan(entries: Seq[OffsetResetEntry]) {
         s""""source_offset":${e.source_offset},"target_offset":${e.target_offset.map(_.toString).getOrElse("null")}}"""
     entries.map(row).mkString("[", ",", "]")
   }
+
+  /** YAML report (offset_reset.rs:526 generate_yaml_report), grouped per
+    * group like the reference's plan shape. Strings are double-quoted with
+    * JSON-compatible escaping — valid YAML for the same adversarial names
+    * the other exports escape.
+    */
+  def toYaml: String = {
+    def y(s: String): String = graft.util.Json.escape(s)
+    val sb = new StringBuilder("groups:\n")
+    groups.foreach { g =>
+      sb.append(s"  - group_id: ${y(g)}\n    partitions:\n")
+      entries.filter(_.group_id == g).foreach { e =>
+        sb.append(s"      - topic: ${y(e.topic)}\n")
+          .append(s"        partition: ${e.partition}\n")
+          .append(s"        source_offset: ${e.source_offset}\n")
+          .append(s"        target_offset: ${e.target_offset.map(_.toString).getOrElse("null")}\n")
+      }
+    }
+    sb.result()
+  }
 }
 
 object OffsetResetPlan {

@@ -88,6 +88,12 @@ class OffsetMappingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.toCsv.contains("order-processor,orders,0,50,5050"))
     assert(plan.toShellScript("k:9092").contains("--to-offset 5050"))
     assert(plan.toJson.contains("\"target_offset\":null"))
+    // YAML report: grouped shape, resolved and unresolved rows both present
+    val yaml = plan.toYaml
+    assert(yaml.contains("- group_id: \"order-processor\""))
+    assert(yaml.contains("target_offset: 5050"))
+    assert(yaml.contains("target_offset: null"))
+    assert(yaml.linesIterator.count(_.trim.startsWith("- topic:")) == 2)
   }
 
   test("reset plan JSON escapes adversarial group/topic names (K8)") {
