@@ -42,9 +42,16 @@ object OffsetMappingStore {
   def toJson(m: OffsetMapping): String = Serialization.writePretty(m)
   def fromJson(s: String): OffsetMapping = JsonMethods.parse(s).extract[OffsetMapping]
 
+  // the ACTIVE session's Hadoop conf, like Manifest.hadoopConf — a fresh
+  // Configuration() would drop every spark.hadoop.* setting (s3a creds,
+  // endpoints), making the mapping the one artifact that fails auth on a
+  // remote backupRoot while manifest and segment IO succeed
   private def fs(root: String) = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
   }
 
   def path(root: String, backupId: String) = s"$root/$backupId/$FileName"
@@ -74,9 +81,19 @@ object OffsetMappingStore {
 
   /** Build a bounded driver-side mapping from the distributed produce-pairs
     * DataFrame (columns topic, partition, source_offset, target_offset,
-    * timestamp): exact per-partition range entries from a small aggregation,
-    * plus every Nth pair capped at [[MaxPairsPerPartition]] anchors per
-    * partition — O(partitions × cap) reaches the driver, never O(records).
+    * timestamp): exact per-partition range entries from one small
+    * aggregation, plus thinned anchor pairs.
+    *
+    * Thinning preserves EXACTNESS: `Produce.producePartition` emits an
+    * anchor at every source-offset GAP (compacted topics, transactional
+    * markers) precisely so nearest-≤ + delta reconstruction stays exact —
+    * so every RUN-START anchor (where `target - source` changes vs the
+    * previous anchor) is kept unconditionally, and only the redundant
+    * within-run anchors are strided down to ~[[MaxPairsPerPartition]].
+    * Within a contiguous run every anchor carries the same delta, so
+    * dropping interior anchors never changes a lookup result. Run starts
+    * are found with a lag window over the SAMPLED pairs (1/pairEvery of
+    * records; WindowExec spills to disk if a partition's sample is large).
     */
   def fromPairs(pairs: DataFrame,
                 maxPerPartition: Int = MaxPairsPerPartition): OffsetMapping = {
@@ -86,24 +103,27 @@ object OffsetMappingStore {
       max_by(col("target_offset"), col("source_offset")).as("tl"),
       min_by(col("timestamp"), col("source_offset")).as("ft"),
       max_by(col("timestamp"), col("source_offset")).as("lt"),
-      count(lit(1)).as("n"))
-    val entries = ranges.collect().map { r =>
+      count(lit(1)).as("n")).collect()
+    val entries = ranges.map { r =>
       s"${r.getString(0)}/${r.getInt(1)}" -> OffsetRangeEntry(
         r.getLong(2), r.getLong(3), Some(r.getLong(4)), Some(r.getLong(5)),
         r.getLong(6), r.getLong(7))
     }.toMap
-    // thin the anchors map-side with a MODULO stride on the source offset —
-    // deliberately not a row_number window: WindowExec would buffer each
-    // (topic, partition) group's full sampled-pair set in one task (the
-    // biggest partition's group at that), while the modulo filter is a pure
-    // narrow map after a broadcast of the per-partition counts. Offsets are
-    // near-dense, so offset % stride ≈ a uniform 1-in-stride sample with the
-    // same cap; the exact-first-anchor guarantee comes from keeping each
-    // partition's min explicitly (it anchors range interpolation).
-    val counted = pairs.groupBy("topic", "partition")
-      .agg(count(lit(1)).as("np"), min("source_offset").as("first_src"))
-    val stride = pairs.join(broadcast(counted), Seq("topic", "partition"))
-      .where(col("source_offset") === col("first_src") ||
+    // per-partition counts come from the ALREADY-collected ranges rows —
+    // no second corpus-scale aggregation over the pairs
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val counted = ranges.map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(8))).toSeq
+      .toDF("topic", "partition", "np")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("topic", "partition").orderBy("source_offset")
+    val stride = pairs
+      .withColumn("__delta", col("target_offset") - col("source_offset"))
+      .withColumn("__run_start",
+        !(col("__delta") <=> lag("__delta", 1).over(w)))
+      .join(broadcast(counted), Seq("topic", "partition"))
+      .where(col("__run_start") ||
         pmod(col("source_offset"), greatest(lit(1L),
           ceil(col("np") / maxPerPartition)).cast("bigint")) === 0)
     val detailed = stride.select("topic", "partition", "source_offset",

@@ -9,31 +9,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * data-pipeline side — the backup reference needs no watermarks, but a
   * continuously-ingesting corpus does):
   *
-  *  - exact dedup with BOUNDED state: fingerprint + event-time watermark via
-  *    `dropDuplicatesWithinWatermark` — a fingerprint's state is dropped once
-  *    the watermark passes it, so state size tracks the window, not the
-  *    corpus (at 100 TB/day unbounded dedup state would OOM any cluster);
+  *  - exact dedup with BOUNDED state: the shared dedup digest + event-time
+  *    watermark via `dropDuplicatesWithinWatermark` — a digest's state is
+  *    dropped once the watermark passes it, so state size tracks the window,
+  *    not the corpus (at 100 TB/day unbounded dedup state would OOM any
+  *    cluster);
   *  - per-source running corpus stats as explicit keyed state
   *    (`mapGroupsWithState` with processing-time timeout) — the St8 custom
   *    state shape: docs/tokens/dups counted across micro-batches.
   */
 object StreamingText {
 
-  /** Watermarked streaming exact dedup on the normalized text fingerprint.
-    * `tsCol` must be a TimestampType event-time column; duplicates arriving
-    * within `delay` of each other collapse to the first-seen row.
+  /** Watermarked streaming exact dedup on THE shared dedup digest
+    * ([[graft.dedup.Dedup.dupKey]] — 128-bit md5, the one definition every
+    * batch and streaming dedup form keys on; a 64-bit fingerprint here
+    * would both diverge from the persisted indexes and silently drop
+    * distinct documents on hash collisions at corpus scale). `tsCol` must
+    * be a TimestampType event-time column; duplicates arriving within
+    * `delay` of each other collapse to the first-seen row.
+    *
+    * Null text must NOT participate: null-key rows would collapse with each
+    * other — they are routed around the stateful operator instead.
     */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
                   delay: String): DataFrame = {
-    // null text must NOT participate in dedup: fingerprint(null) equals
-    // fingerprint("") (both hash the empty token join), so null-text rows
-    // would silently collapse with empty docs and each other — route them
-    // around the stateful operator instead
+    require(!docs.columns.contains("graft_dup_key"),
+      "input already has a graft_dup_key column — rename it first")
     val watermarked = docs.withWatermark(tsCol, delay)
     val deduped = watermarked.where(col(textCol).isNotNull)
-      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
-      .dropDuplicatesWithinWatermark("fp")
-      .drop("fp")
+      .withColumn("graft_dup_key", graft.dedup.Dedup.dupKey(col(textCol)))
+      .dropDuplicatesWithinWatermark("graft_dup_key")
+      .drop("graft_dup_key")
     deduped.unionByName(watermarked.where(col(textCol).isNull))
   }
 
@@ -72,23 +78,13 @@ object StreamingText {
   case class StatsState(docs: Long, tokens: Long, dups: Long,
                         recentFps: Set[Long])
 
-  /** Running per-source stats with explicit keyed state: document and token
-    * totals plus an approximate duplicate count (fingerprints seen within the
-    * state's bounded recent-set).
-    *
-    * `idleTimeout` (e.g. Some("1 hour")) expires a source's state after
-    * inactivity — no unbounded key growth. It is OPT-IN because
-    * processing-time timers make Spark schedule no-data micro-batches every
-    * trigger to evaluate them; with the default as-fast-as-possible trigger
-    * that is a busy loop (pair a timeout with a real ProcessingTime trigger
-    * interval in production).
-    */
   /** Streaming benchmark decontamination: annotate each streaming doc with
     * the count of `shingleN`-grams it shares with a STATIC benchmark set,
     * and optionally filter. The stateless streaming sibling of
     * `Sampling.decontaminate`: the benchmark's distinct grams are collected
-    * once (eval-set sized by the same contract that gates the batch
-    * broadcast) and probed per row by the [[graft.functions.StringInSetCount]]
+    * once — behind a MEASURED count gate (`maxGrams`), because they ride in
+    * the expression tree — and probed per row by the
+    * [[graft.functions.StringInSetCount]]
     * codegen kernel — a pure narrow map, so it runs identically under
     * `readStream` with no join, no shuffle, no state, no watermark
     * (contamination is a property of the row against a static set, not of
@@ -100,13 +96,23 @@ object StreamingText {
     */
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
                           shingleN: Int = 13, textCol: String = "text",
-                          keep: String = "all"): DataFrame = {
+                          keep: String = "all",
+                          maxGrams: Long = 2000000L): DataFrame = {
     require(Set("all", "clean", "flagged")(keep),
       s"keep must be all|clean|flagged: $keep")
-    val grams = benchmark
+    val gramsDf = benchmark
       .select(explode(array_distinct(
         TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
-      .distinct().collect().map(_.getString(0)).toSeq
+      .distinct()
+    // MEASURED gate, like the batch broadcast gate: the gram set rides in
+    // the expression tree (task binary), so an unexpectedly huge eval set
+    // must fail loudly here, not OOM the driver or bloat every task binary
+    // — route oversized sets through Sampling.decontaminateBloom instead
+    val nGrams = gramsDf.count()
+    require(nGrams <= maxGrams,
+      s"$nGrams benchmark grams exceed maxGrams=$maxGrams; " +
+        "use Sampling.decontaminateBloom for sets this large")
+    val grams = gramsDf.collect().map(_.getString(0)).toSeq
     val n =
       if (grams.isEmpty) lit(0)
       else graft.functions.KFunctions.string_in_set_count(
@@ -120,6 +126,17 @@ object StreamingText {
     }
   }
 
+  /** Running per-source stats with explicit keyed state: document and token
+    * totals plus an approximate duplicate count (fingerprints seen within the
+    * state's bounded recent-set).
+    *
+    * `idleTimeout` (e.g. Some("1 hour")) expires a source's state after
+    * inactivity — no unbounded key growth. It is OPT-IN because
+    * processing-time timers make Spark schedule no-data micro-batches every
+    * trigger to evaluate them; with the default as-fast-as-possible trigger
+    * that is a busy loop (pair a timeout with a real ProcessingTime trigger
+    * interval in production).
+    */
   def sourceStats(docs: DataFrame, sourceCol: String, textCol: String,
                   idleTimeout: Option[String] = None,
                   maxRecentFps: Int = 100000): Dataset[SourceStats] = {

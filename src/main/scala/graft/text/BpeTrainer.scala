@@ -149,23 +149,41 @@ object BpeTrainer {
     }
   }
 
-  /** Apply a learned merge table to new text — the encode side. Folds the
-    * merge list in rank order over each word's symbols. Driver-side merge
-    * list (it is vocabulary-small); the fold materializes per batch of
-    * `mergesPerStep` merges to keep expression depth bounded.
+  /** Apply a learned merge table to new text — the encode side.
+    *
+    * The merge fold runs over the batch's DISTINCT words (vocabulary-sized,
+    * the same shape [[train]] exploits), NOT over every token occurrence:
+    * per `mergesPerStep` merges the word table is materialized eagerly and
+    * the previous step freed — bounded expression depth AND exactly one
+    * vocabulary-sized block alive at a time (a fold over the exploded
+    * corpus would persist corpus-scale intermediates with no way to free
+    * them mid-action). Occurrences then pick up their symbolization with
+    * one broadcast-sized join on `word`.
+    *
+    * Output: input columns + `word` + `syms`, one row per token occurrence.
     */
   def encodedSymbols(docs: DataFrame, textCol: String, merges: Seq[Merge],
                      endMarker: Boolean = false,
                      mergesPerStep: Int = 16): DataFrame = {
+    require(!docs.columns.contains("word") && !docs.columns.contains("syms"),
+      "input already has a word/syms column — rename it first")
+    def free(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+    val occurrences = docs.where(col(textCol).isNotNull)
+      .select(col("*"), explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
     val chars0 = filter(split(col("word"), ""), c => c =!= "")
     val chars = if (endMarker) concat(chars0, array(lit(EndMarker))) else chars0
-    val base = docs.where(col(textCol).isNotNull)
-      .select(col("*"), explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
-      .withColumn("syms", chars)
-    merges.sortBy(_.rank).grouped(mergesPerStep).foldLeft(base) { (df, batch) =>
-      val stepped = batch.foldLeft(df)((d, m) =>
-        d.withColumn("syms", mergeSyms(col("syms"), m.a, m.b)))
-      stepped.localCheckpoint(false) // lazy: bound expression depth, no eager job
-    }
+    val base = occurrences.select("word").distinct().withColumn("syms", chars)
+    val encodedWords = merges.sortBy(_.rank).grouped(mergesPerStep)
+      .foldLeft(base.localCheckpoint(true)) { (df, batch) =>
+        val stepped = batch.foldLeft(df)((d, m) =>
+          d.withColumn("syms", mergeSyms(col("syms"), m.a, m.b)))
+          .localCheckpoint(true)
+        free(df)
+        stepped
+      }
+    occurrences.join(encodedWords, Seq("word"))
   }
 }

@@ -22,13 +22,18 @@ class StreamingTextSpec extends SparkSpec {
       input.addData((1L, "alpha beta", ts(0)), (2L, "alpha beta", ts(1)),
         (3L, "gamma", ts(2)))
       q.processAllAvailable()
-      // batch 2: same text again inside the watermark window → still a dup
-      input.addData((4L, "ALPHA   beta", ts(5))) // fingerprint normalizes ws/case
+      // batch 2: same text again inside the watermark window → still a dup.
+      // Keyed on THE shared dedup digest (md5(lower(trim(text))), same as
+      // batch Dedup.exact): case + outer whitespace normalize, interior
+      // whitespace does NOT — streaming and batch must agree on both.
+      input.addData((4L, "  ALPHA beta ", ts(5)),
+        (5L, "alpha   beta", ts(6))) // interior ws run → DISTINCT, kept
       q.processAllAvailable()
       val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
       assert(ids.contains(3L))
       assert((ids & Set(1L, 2L)).size == 1, s"one of the dup pair survives: $ids")
       assert(!ids.contains(4L), "normalized duplicate must be dropped")
+      assert(ids.contains(5L), "interior-whitespace variant is distinct, like batch")
       // the plan carries streaming dedup state, not an unbounded aggregation
       assert(q.lastProgress == null ||
         q.lastProgress.stateOperators.exists(_.operatorName.toLowerCase.contains("dedup")))

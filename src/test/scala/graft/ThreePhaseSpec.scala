@@ -82,6 +82,32 @@ class ThreePhaseSpec extends SparkSpec {
       s"murmur2 must not be a UDF:\n${plan.take(1500)}")
   }
 
+  test("fromPairs thinning keeps gap anchors: lookups stay exact across source gaps") {
+    import spark.implicits._
+    // two contiguous runs with a large source gap (compacted-topic shape):
+    // run A sources 0..2999 → targets 0..2999; gap; run B sources
+    // 10000..12999 → targets 3000..5999. 6000 pairs >> cap=100, so the
+    // stride drops most anchors — but run B's start anchor must survive or
+    // every lookup inside run B silently lands ~7000 records off.
+    val runA = (0L until 3000L).map(s => ("t", 0, s, s, 1000L + s))
+    val runB = (0L until 3000L).map(i => ("t", 0, 10000L + i, 3000L + i, 5000L + i))
+    val pairs = (runA ++ runB)
+      .toDF("topic", "partition", "source_offset", "target_offset", "timestamp")
+    val m = graft.remap.OffsetMappingStore.fromPairs(pairs, maxPerPartition = 100)
+    // exact across the gap, at run starts, mid-run, and between anchors
+    assert(m.lookupTargetOffset("t", 0, 0L).contains(0L))
+    assert(m.lookupTargetOffset("t", 0, 2999L).contains(2999L))
+    assert(m.lookupTargetOffset("t", 0, 10000L).contains(3000L))
+    assert(m.lookupTargetOffset("t", 0, 11507L).contains(4507L))
+    assert(m.lookupTargetOffset("t", 0, 12999L).contains(5999L))
+    // thinned: far fewer anchors than pairs, but bounded-close to the cap
+    val kept = m.detailed("t/0").size
+    assert(kept < 300, s"thinning ineffective: $kept anchors")
+    // JSON round-trip preserves the thinned mapping exactly
+    assert(graft.remap.OffsetMappingStore.fromJson(
+      graft.remap.OffsetMappingStore.toJson(m)) == m)
+  }
+
   test("offset-reset plan/execute/script from the persisted offset mapping") {
     manifest
     // a three-phase run with saveMapping persists offset-mapping.json
