@@ -200,9 +200,11 @@ object Cli {
           if (job.dryRun) Restore.dryRun(spark, cfg).show(100, truncate = false)
           else {
             // rate_limit_* applies to the produce sink (sinks/RateLimiter),
-            // not this parquet stand-in
+            // not this parquet stand-in. remapped, NOT records: the YAML's
+            // topic_mapping/partition_mapping must reach the output — records()
+            // stops before the remap stage and would silently drop them
             val (restored, obs) =
-              Restore.withMetrics(Restore.records(spark, cfg).toDF())
+              Restore.withMetrics(Restore.remapped(spark, cfg))
             restored.write.mode("overwrite").parquet(dataDir)
             println(s"restored ${obs.get("records_restored")} records to $dataDir")
           }
@@ -277,7 +279,11 @@ object Cli {
       def scrape(): Map[String, Long] =
         fetch("/metrics").linesIterator.flatMap { l =>
           l.split(' ') match {
-            case Array(k, v) if k.startsWith("graft_") => Some(k -> v.toLong)
+            // toDouble.toLong, not toLong: standard Prometheus clients emit
+            // counters as "123.0"/"1.5e+06"; a float value must degrade to
+            // its integral part, not NumberFormatException out of the loop
+            case Array(k, v) if k.startsWith("graft_") =>
+              v.toDoubleOption.map(d => k -> d.toLong)
             case _ => None
           }
         }.toMap

@@ -24,10 +24,22 @@ object Ann {
                      query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
     corpus.select(col(idCol).as("id"),
-        round(Dedup.cosine(col(vecCol).cast("array<double>"), q), 6).as("cosine"))
+        round(Dedup.cosine(dimChecked(col(vecCol).cast("array<double>"),
+          query.length), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  /** Fail LOUDLY on a query/corpus dimension mismatch instead of the silent
+    * all-NULL cosines zip_with padding would produce (a plausible-looking
+    * but meaningless id-ordered top-k). Zero extra jobs: the check rides the
+    * scan as a codegen'd raise_error branch.
+    */
+  private def dimChecked(v: Column, queryDim: Int): Column =
+    when(v.isNull || size(v) === queryDim, v)
+      .otherwise(raise_error(concat(
+        lit(s"ANN dim mismatch: query has $queryDim dims, corpus vector has "),
+        size(v).cast("string"))).cast("array<double>"))
 
   /** Symmetric per-vector int8 quantization: `scale = 127 / max|x_i|`,
     * `q_i = round(x_i * scale)` — 4× less storage/scan IO than float32 for
@@ -73,7 +85,13 @@ object Ann {
     // Spark sorts NaN ABOVE every number under desc — zero vectors would
     // dominate the top-k instead of sorting last (null) like the float path
     val denom = nCorpus * lit(nQuery)
-    quantized.select(col(idCol).as("id"),
+    quantized
+      .withColumn("q_vec",
+        when(col("q_vec").isNull || size(col("q_vec")) === query.length, col("q_vec"))
+          .otherwise(raise_error(concat(
+            lit(s"ANN dim mismatch: query has ${query.length} dims, q_vec has "),
+            size(col("q_vec")).cast("string"))).cast("array<int>")))
+      .select(col(idCol).as("id"),
         when(denom =!= 0d, round(dot.cast("double") / denom, 6)).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
@@ -149,13 +167,16 @@ object Ann {
     /** nProbe nearest lists to the query (euclidean, standard IVF) — pure
       * driver-side math over nLists centroids.
       */
-    def probeLists(query: Seq[Double], nProbe: Int): Seq[Int] =
+    def probeLists(query: Seq[Double], nProbe: Int): Seq[Int] = {
+      require(centroids.isEmpty || query.length == centroids.head.length,
+        s"query dim ${query.length} != centroid dim ${centroids.head.length}")
       centroids.zipWithIndex.map { case (c, i) =>
         var d = 0.0
         var j = 0
         while (j < c.length) { val t = c(j) - query(j); d += t * t; j += 1 }
         (d, i)
       }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+    }
 
     def toJson: String = centroids.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")
@@ -201,6 +222,28 @@ object Ann {
       .limit(k)
   }
 
+
+  // shared Hadoop-FS sidecar IO — one definition for the five read/write
+  // sites (index layouts persist small JSON models beside their data)
+  private def writeSidecar(df: DataFrame, path: String, name: String,
+                           body: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), df.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(new org.apache.hadoop.fs.Path(s"$path/$name"), true)
+    try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  private def readSidecar(spark: org.apache.spark.sql.SparkSession,
+                          path: String, name: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/$name"))
+    new String(
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close(),
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Persist an IVF-assigned corpus partitioned by list, with the centroid
     * model beside it — the same pruned-scan layout as [[writeBucketed]], but
     * with data-adaptive buckets (k-means lists track the embedding
@@ -208,11 +251,7 @@ object Ann {
     */
   def writeIvf(assigned: DataFrame, model: IvfModel, path: String): Unit = {
     assigned.write.mode("overwrite").partitionBy("list").parquet(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), assigned.sparkSession.sparkContext.hadoopConfiguration)
-    val os = fs.create(new org.apache.hadoop.fs.Path(s"$path/_ivf_centroids.json"), true)
-    try os.write(model.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
+    writeSidecar(assigned, path, "_ivf_centroids.json", model.toJson)
   }
 
   /** Probe a persisted IVF layout: the `list` predicate is a partition filter
@@ -221,12 +260,7 @@ object Ann {
   def ivfTopKBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
                       idCol: String, vecCol: String, query: Seq[Double], k: Int,
                       nProbe: Int): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_ivf_centroids.json"))
-    val model = IvfModel.fromJson(new String(
-      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close(),
-      java.nio.charset.StandardCharsets.UTF_8))
+    val model = IvfModel.fromJson(readSidecar(spark, path, "_ivf_centroids.json"))
     ivfTopK(spark.read.parquet(path), model, idCol, vecCol, query, k, nProbe)
   }
 
@@ -320,6 +354,11 @@ object Ann {
     * at ksub ≤ 256 the code persists as m bytes of dictionary-friendly ints —
     * the d·4/m-fold scan-size reduction for a 100 TB embedding corpus.
     */
+  /* Broadcast lifecycle (pqEncode/pqTopK): each call broadcasts its model /
+   * LUT once; the returned DataFrame holds the reference, so the broadcast
+   * lives exactly as long as the result and is reclaimed by Spark's
+   * ContextCleaner when the result is dropped — a serving loop should reuse
+   * one encoded DataFrame rather than re-encoding per query. */
   def pqEncode(corpus: DataFrame, vecCol: String, model: PqModel): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(model.codebooks)
     corpus.withColumn("pq_code",
@@ -396,28 +435,15 @@ object Ann {
     pqEncode(assigned, vecCol, pqModel)
       .select(col(idCol), col("list"), col("pq_code"))
       .write.mode("overwrite").partitionBy("list").parquet(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), corpus.sparkSession.sparkContext.hadoopConfiguration)
-    def sidecar(name: String, body: String): Unit = {
-      val os = fs.create(new org.apache.hadoop.fs.Path(s"$path/$name"), true)
-      try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally os.close()
-    }
-    sidecar("_ivf_centroids.json", ivfModel.toJson)
-    sidecar("_pq_codebooks.json", PqModel.toJson(pqModel))
+    writeSidecar(corpus, path, "_ivf_centroids.json", ivfModel.toJson)
+    writeSidecar(corpus, path, "_pq_codebooks.json", PqModel.toJson(pqModel))
   }
 
   /** Load the PQ codebooks sidecar of a persisted IVF-PQ layout — for
     * reusing one content-keyed trained model across probe styles.
     */
-  def loadPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_pq_codebooks.json"))
-    PqModel.fromJson(new String(
-      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close(),
-      java.nio.charset.StandardCharsets.UTF_8))
-  }
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession, path: String): PqModel =
+    PqModel.fromJson(readSidecar(spark, path, "_pq_codebooks.json"))
 
   /** Probe a persisted IVF-PQ layout: partition-pruned ADC over the nProbe
     * nearest lists → shortlist → exact re-rank against `corpus`.
@@ -426,16 +452,8 @@ object Ann {
                 corpus: DataFrame, idCol: String, vecCol: String,
                 query: Seq[Double], k: Int, nProbe: Int,
                 shortlist: Int = 0): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    def readSidecar(name: String): String = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/$name"))
-      new String(
-        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close(),
-        java.nio.charset.StandardCharsets.UTF_8)
-    }
-    val ivfModel = IvfModel.fromJson(readSidecar("_ivf_centroids.json"))
-    val pqModel = PqModel.fromJson(readSidecar("_pq_codebooks.json"))
+    val ivfModel = IvfModel.fromJson(readSidecar(spark, path, "_ivf_centroids.json"))
+    val pqModel = PqModel.fromJson(readSidecar(spark, path, "_pq_codebooks.json"))
     // list probing runs in the RAW vector space ivfAssign trained in; only
     // the PQ stage normalizes (its own training geometry)
     val lists = ivfModel.probeLists(query, nProbe)

@@ -63,8 +63,15 @@ object KRecord {
     * skew the millis column between pipelines.
     */
   def tsMillis(tsType: DataType): org.apache.spark.sql.Column = tsType match {
-    case LongType => expr("ts div 1000000")
-    case _        => unix_millis(col("ts").cast(TimestampType))
+    // FLOOR division, not `div` (which truncates toward zero): a pre-epoch
+    // nano timestamp must land in the same millisecond bucket the timestamp
+    // legs compute via unix_millis (which floors), or the projection and the
+    // range predicates below disagree on boundary rows
+    case LongType =>
+      // pmod-adjusted numerator is exactly divisible, so integer `div` IS
+      // floor here (a double `/` would lose precision above 2^53 nanos)
+      expr("(ts - pmod(ts, 1000000)) div 1000000")
+    case _ => unix_millis(col("ts").cast(TimestampType))
   }
 
   /** Pushdown-correct `ts` range predicate for `ts_ms ∈ [loMs, hiMs]`
@@ -73,17 +80,24 @@ object KRecord {
     * (`PushedFilters` + row-group min/max pruning) instead of evaluating
     * post-scan on a derived column.
     */
-  def tsBetweenMs(tsType: DataType, loMs: Long, hiMs: Long): org.apache.spark.sql.Column =
+  def tsBetweenMs(tsType: DataType, loMs: Long, hiMs: Long): org.apache.spark.sql.Column = {
+    // an "open" upper bound near Long.MaxValue must degrade to lower-bound
+    // only — (hiMs+1)*1e6 would overflow negative and silently match nothing
+    val hiOverflows = hiMs >= Long.MaxValue / 1000000L - 1
     tsType match {
       case LongType =>
-        col("ts").between(loMs * 1000000L, (hiMs + 1) * 1000000L - 1)
+        if (hiOverflows) col("ts") >= loMs * 1000000L
+        else col("ts").between(loMs * 1000000L, (hiMs + 1) * 1000000L - 1)
       case _: TimestampNTZType =>
         // micros precision: [lo ms, (hi+1) ms - 1 µs]
-        col("ts").between(ntzLit(loMs * 1000L), ntzLit((hiMs + 1) * 1000L - 1))
+        if (hiOverflows) col("ts") >= ntzLit(loMs * 1000L)
+        else col("ts").between(ntzLit(loMs * 1000L), ntzLit((hiMs + 1) * 1000L - 1))
       case _ =>
-        col("ts") >= timestamp_millis(lit(loMs)) &&
+        if (hiOverflows) col("ts") >= timestamp_millis(lit(loMs))
+        else col("ts") >= timestamp_millis(lit(loMs)) &&
           col("ts") < timestamp_millis(lit(hiMs + 1))
     }
+  }
 
   /** Pushdown-correct strict upper bound: `ts_ms < hiExclusiveMs`. */
   def tsBeforeMs(tsType: DataType, hiExclusiveMs: Long): org.apache.spark.sql.Column =
@@ -115,7 +129,9 @@ object KRecord {
   def eventsProjection(events: DataFrame, numPartitions: Int = 4): DataFrame =
     events.select(
       col("event_type").as("topic"),
-      (col("user_id") % numPartitions).cast(IntegerType).as("partition"),
+      // pmod, not %: a negative id must still land in [0, numPartitions) —
+      // Kafka partition ids are non-negative by definition
+      pmod(col("user_id"), lit(numPartitions)).cast(IntegerType).as("partition"),
       col("event_id").as("offset"),
       tsMillis(events.schema("ts").dataType).as("timestamp"),
       encode(col("user_id").cast(StringType), "UTF-8").as("key"),

@@ -25,7 +25,8 @@ case class ThreePhaseReport(
     reset_plan: Option[OffsetResetPlan],
     applied: Boolean,
     warnings: Seq[String],
-    success: Boolean)
+    success: Boolean,
+    mapping_path: Option[String] = None)
 
 /** The reference's flagship command (restore/three_phase.rs:101-215):
   *
@@ -63,16 +64,24 @@ object ThreePhaseRestore {
       Produce.runDistributed(records, sink, pairEvery = pairEvery)
     val restored = produceResults.map(_.recordCount).sum
 
+    // everything after this point consumes pairsDF — guarantee the eagerly
+    // checkpointed produce pairs are freed even when the mapping save or the
+    // lookup job throws (repeated failed runs in one long-lived session must
+    // not accumulate pinned checkpoint blocks)
+    var pairsFreed = false
+    def freePairs(): Unit = if (!pairsFreed) { pairsFreed = true; unpersistPairs() }
+    try {
+
     // Persist the source→target mapping next to the backup so the offline
     // `offset-reset plan/execute/script` commands can load it later
     // (offset_reset.rs load_offset_mapping tier 2). Bounded: range entries +
     // capped anchor pairs per partition, never O(records) on the driver.
-    if (saveMapping && restored > 0) {
-      val saved = graft.remap.OffsetMappingStore.save(
-        restoreCfg.backupRoot, restoreCfg.backupId,
-        graft.remap.OffsetMappingStore.fromPairs(pairsDF))
-      warnings += s"offset mapping saved: $saved"
-    }
+    val mappingPath =
+      if (saveMapping && restored > 0)
+        Some(graft.remap.OffsetMappingStore.save(
+          restoreCfg.backupRoot, restoreCfg.backupId,
+          graft.remap.OffsetMappingStore.fromPairs(pairsDF)))
+      else None
 
     // Phase 3 inputs: explicit committed offsets ∪ snapshot import (J4).
     // BOTH must pass through topic/partition remapping — the offset mapping
@@ -84,7 +93,23 @@ object ThreePhaseRestore {
     val fromSnapshot = snapshot.toSeq.flatMap(s =>
       ConsumerGroupSnapshot.importOffsets(s, restoreCfg.topicMapping,
         restoreCfg.partitionMapping))
-    val (skipped, effective) = (remappedCommitted ++ fromSnapshot)
+    // one reset decision per (group, topic, partition): the EXPLICIT list
+    // wins over snapshot-derived entries (it is the operator's direct
+    // instruction; a stale capture must not silently override it), and
+    // post-remap collisions (two source partitions mapped onto one target)
+    // keep the first and warn instead of double-committing last-writer-wins
+    val merged = (remappedCommitted ++ fromSnapshot)
+      .foldLeft((Vector.empty[(String, String, Int, Long)],
+        Set.empty[(String, String, Int)], Vector.empty[(String, String, Int)])) {
+        case ((acc, seen, dups), e @ (g, t, p, _)) =>
+          if (seen((g, t, p))) (acc, seen, dups :+ ((g, t, p)))
+          else (acc :+ e, seen + ((g, t, p)), dups)
+      }
+    if (merged._3.nonEmpty)
+      warnings += "Duplicate reset entries collapsed (explicit list wins " +
+        "over snapshot; first wins on remap collisions): " +
+        merged._3.distinct.map { case (g, t, p) => s"$g:$t/$p" }.sorted.mkString(", ")
+    val (skipped, effective) = merged._1
       .partition { case (_, t, _, _) => repartitionedTopics.contains(t) }
     // warn about what was ACTUALLY dropped — naming every repartitioned
     // topic would claim resets were skipped even when no offset referenced
@@ -99,14 +124,14 @@ object ThreePhaseRestore {
     // exactly; only the resolved plan rows (O(groups × partitions)) are
     // collected.
     val plan =
-      if (effective.isEmpty) { unpersistPairs(); None }
+      if (effective.isEmpty) { freePairs(); None }
       else {
         val probes = effective.map { case (_, t, p, o) => (t, p, o) }.distinct
           .toDF("topic", "partition", "source_offset")
         val resolved = OffsetMappingDF.lookupTargets(pairsDF, probes).collect()
           .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)),
             if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
-        unpersistPairs()
+        freePairs()
         Some(OffsetResetPlan(effective.map { case (g, t, p, o) =>
           OffsetResetEntry(g, t, p, o, resolved.getOrElse((t, p, o), None))
         }))
@@ -130,6 +155,7 @@ object ThreePhaseRestore {
       warnings += s"Groups with unresolved offsets: ${incomplete.mkString(", ")}"
 
     ThreePhaseReport(restoreCfg.backupId, restored, produceResults, plan, applied,
-      warnings.result(), success = incomplete.isEmpty)
+      warnings.result(), success = incomplete.isEmpty, mapping_path = mappingPath)
+    } finally freePairs()
   }
 }

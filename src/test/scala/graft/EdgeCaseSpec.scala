@@ -66,6 +66,24 @@ class EdgeCaseSpec extends SparkSpec {
       Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 64))
   }
 
+  test("ANN dim mismatch raises loudly instead of all-NULL garbage top-k") {
+    val vecs = Seq((1L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val wrongDim = Seq.fill(16)(1.0) // 16-dim query vs 8-dim corpus
+    val e = intercept[Exception] {
+      Ann.bruteForceTopK(vecs, "vec_id", "embedding", wrongDim, 5).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("dim mismatch"),
+      s"expected loud dim-mismatch error, got: ${e.getMessage}")
+    val eq = intercept[Exception] {
+      Ann.bruteForceTopKQuantized(Ann.quantizeInt8(vecs, "embedding"),
+        "vec_id", wrongDim, 5).collect()
+    }
+    assert(eq.getMessage != null && eq.getMessage.contains("dim mismatch"))
+    // matching dims still work
+    assert(Ann.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq.fill(8)(1.0), 5).count() == 1)
+  }
+
   test("bloom decontamination: null/short texts flag nothing, like the exact path") {
     val corpus = Seq((1L, null: String), (2L, "too short"),
       (3L, "alpha beta gamma extra")).toDF("doc_id", "text")

@@ -156,6 +156,27 @@ class YamlConfigSpec extends SparkSpec {
          |""".stripMargin)
     Cli.run(spark, Array("run-config", restoreYaml, outDir))
     assert(spark.read.parquet(outDir).count() == m.totalRecords)
+
+    // the YAML's topic_mapping must reach the written output (regression:
+    // the restore leg once called Restore.records, which stops BEFORE the
+    // remap stage — configured renames were silently dropped)
+    val remapOut = Files.createTempDirectory("graft-yaml-remap").toString
+    val remapYaml = write(
+      s"""mode: restore
+         |backup_id: ycli1
+         |target:
+         |  bootstrap_servers: [localhost:9092]
+         |storage:
+         |  path: "$root"
+         |restore:
+         |  topic_mapping:
+         |    click: click-v2
+         |""".stripMargin)
+    Cli.run(spark, Array("run-config", remapYaml, remapOut))
+    val topics = spark.read.parquet(remapOut)
+      .select("topic").distinct().collect().map(_.getString(0)).toSet
+    assert(topics.contains("click-v2") && !topics.contains("click"),
+      s"topic_mapping must apply to run-config restore output: $topics")
   }
 
   test("run-config seeds resume marks from offset_storage.db_path (migration path)") {
