@@ -523,6 +523,18 @@ object QueriesData {
         .orderBy(col("pair_freq").desc, col("a"), col("b"))
         .limit(50)),
 
+    // CCNet-style LM quality scoring: trigram stupid-backoff model trained
+    // on the in-domain 19/20 slice, every doc scored by avg per-token log10
+    // probability. The held-out 1/20 exercises the OOV + backoff paths, and
+    // the integer hit/backoff/oov counters pin the model lookup surface
+    // exactly — the oracle rebuilds counts, backoff chain, and rounding in
+    // SQL, so the hash covers train AND score.
+    "d_lm_score" -> ((s, d) => {
+      val all = docs(s, d)
+      val model = graft.text.LmScore.train(all.filter(col("doc_id") % 20 =!= 7))
+      graft.text.LmScore.score(all, model).orderBy("doc_id")
+    }),
+
     // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
     "a_label_centroid_norm" -> ((s, d) => emb(s, d)
       .select(col("label"),
@@ -551,6 +563,68 @@ object QueriesData {
         |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
         |    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_lm_score" ->
+      // the full stupid-backoff chain in SQL: counts from the 19/20 slice,
+      // per-position backoff CASE identical in structure to LmScore.score,
+      // round(avg, 5) on both sides keeps libm 1-ulp noise out of the hash
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |ref AS (SELECT t FROM toks WHERE doc_id % 20 <> 7),
+        |uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c1
+        |        FROM (SELECT unnest(t) AS w FROM ref) GROUP BY 1),
+        |nn AS (SELECT sum(c1) AS n FROM uni),
+        |bi AS (SELECT g, CAST(count(*) AS DOUBLE) AS c2 FROM (
+        |  SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS g
+        |  FROM ref WHERE len(t) >= 2) GROUP BY 1),
+        |tri AS (SELECT g, CAST(count(*) AS DOUBLE) AS c3 FROM (
+        |  SELECT unnest(list_transform(range(1, len(t) - 1),
+        |                j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS g
+        |  FROM ref WHERE len(t) >= 3) GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id,
+        |    t[i] AS w,
+        |    CASE WHEN i >= 2 THEN t[i-1] END AS v,
+        |    CASE WHEN i >= 2 THEN t[i-1] || ' ' || t[i] END AS g2low,
+        |    CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] END AS g2ctx,
+        |    CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] || ' ' || t[i] END AS g3
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks WHERE len(t) >= 1)),
+        |sc AS (
+        |  SELECT p.doc_id, p.g3, p.g2low,
+        |    u1.c1 AS c1w, u2.c1 AS c1v, bl.c2 AS c2low, bc.c2 AS c2ctx, tr.c3 AS c3
+        |  FROM p
+        |  LEFT JOIN uni u1 ON u1.w = p.w
+        |  LEFT JOIN uni u2 ON u2.w = p.v
+        |  LEFT JOIN bi bl ON bl.g = p.g2low
+        |  LEFT JOIN bi bc ON bc.g = p.g2ctx
+        |  LEFT JOIN tri tr ON tr.g = p.g3),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN g3 IS NOT NULL THEN
+        |        CASE WHEN c3 IS NOT NULL THEN log10(c3) - log10(c2ctx)
+        |             ELSE log10(0.4) +
+        |               CASE WHEN c2low IS NOT NULL THEN log10(c2low) - log10(c1v)
+        |                    ELSE log10(0.4) + log10(coalesce(c1w, 1) / (SELECT n FROM nn)) END
+        |        END
+        |      WHEN g2low IS NOT NULL THEN
+        |        CASE WHEN c2low IS NOT NULL THEN log10(c2low) - log10(c1v)
+        |             ELSE log10(0.4) + log10(coalesce(c1w, 1) / (SELECT n FROM nn)) END
+        |      ELSE log10(coalesce(c1w, 1) / (SELECT n FROM nn))
+        |    END AS lp,
+        |    (c3 IS NOT NULL) AS hit3,
+        |    (g3 IS NOT NULL AND c3 IS NULL) AS bk3,
+        |    (c1w IS NULL) AS oov
+        |  FROM sc)
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN hit3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+        |  CAST(sum(CASE WHEN bk3 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff3,
+        |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(avg(lp), 5) AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_bpe_pairs" ->
       // generate_series is list-valued in scalar position (no lateral
       // support), so pairs come from a list_transform over index lists

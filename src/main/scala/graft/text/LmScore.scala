@@ -1,0 +1,184 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet recipe (Wenzek et al.
+  * 2020): train a cheap LM on a trusted reference slice, score every corpus
+  * document by its per-token log-probability, and let downstream sampling
+  * keep the head / drop the tail. The reference implements no LM scoring;
+  * this is part of the training-data battery the build brief mandates.
+  *
+  * The model is a trigram stupid-backoff LM (Brants et al. 2007 — "Large
+  * Language Models in Machine Translation"): no discounting to tune, one
+  * backoff constant, and — unlike Kneser-Ney — every score is a ratio of
+  * integer counts, so an independent engine (the DuckDB oracle) reproduces
+  * it bit-for-bit from the same counts:
+  *
+  *   S(w | u,v) = c3(uvw)/c2(uv)   if c3 > 0 else 0.4 * S(w | v)
+  *   S(w | v)   = c2(vw)/c1(v)     if c2 > 0 else 0.4 * S(w)
+  *   S(w)       = c1(w)/N          if c1 > 0 else 1/N   (OOV floor)
+  *
+  * Position 1 of a document scores with S(w), position 2 with S(w|v), the
+  * rest with the trigram model. Scores are base-10 logs; a document's score
+  * is the average over its positions (= negative log10-perplexity).
+  *
+  * Scale shape (100 TB corpus, bounded reference):
+  *  - TRAINING is one pass over the reference: three explode→groupBy counts
+  *    with map-side partial aggregation; the model size is vocabulary-bounded
+  *    (unigrams) and type-bounded (bi/trigrams grow sub-linearly in corpus
+  *    size by Zipf). `N` alone comes to the driver.
+  *  - SCORING never shuffles the corpus: per-doc position structs are built
+  *    in ONE narrow `transform` over the token array (each neighbor access is
+  *    an O(1) array index — no self-join, no window over positions), exploded,
+  *    and left-joined against the model. When the measured trigram-type count
+  *    fits the broadcast gate (same measured-count policy as
+  *    [[Sampling.decontaminate]]), all five lookups are broadcast hash joins
+  *    — the corpus side stays map-only until the per-doc aggregation, which
+  *    partial-aggregates before its one shuffle on `doc_id`.
+  *  - Above the gate, the joins fall back to shuffle joins on the gram
+  *    string; for that regime, [[LmModel.save]]/[[LmModel.load]] persist the
+  *    counts as parquet so the (possibly expensive) training pass runs once,
+  *    not once per scoring job, and the gate's `count()` becomes a
+  *    metadata-cheap scan of the persisted table.
+  */
+object LmScore {
+
+  private val BackoffLog10: Column = log10(lit(0.4))
+
+  private def toks(textCol: Column): Column =
+    TextFunctions.tokens(lower(textCol))
+
+  /** Trained counts. `totalTokens` is N (the unigram denominator). */
+  final case class LmModel(uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                           totalTokens: Long) {
+
+    /** Persist the model as three parquet tables + a JSON sidecar with N —
+      * the same sidecar convention as the persisted ANN layouts. Re-loading
+      * makes scoring independent of the (one-time) training pass.
+      */
+    def save(dir: String): Unit = {
+      uni.write.mode("overwrite").parquet(s"$dir/uni.parquet")
+      bi.write.mode("overwrite").parquet(s"$dir/bi.parquet")
+      tri.write.mode("overwrite").parquet(s"$dir/tri.parquet")
+      val spark = uni.sparkSession
+      val conf = spark.sparkContext.hadoopConfiguration
+      val path = new org.apache.hadoop.fs.Path(s"$dir/lm-meta.json")
+      val fs = path.getFileSystem(conf)
+      val out = fs.create(path, true)
+      try out.write(s"""{"total_tokens":$totalTokens}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  object LmModel {
+    def load(spark: SparkSession, dir: String): LmModel = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val path = new org.apache.hadoop.fs.Path(s"$dir/lm-meta.json")
+      val fs = path.getFileSystem(conf)
+      val in = fs.open(path)
+      val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val n = """"total_tokens"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$dir/lm-meta.json has no total_tokens"))
+      LmModel(
+        spark.read.parquet(s"$dir/uni.parquet"),
+        spark.read.parquet(s"$dir/bi.parquet"),
+        spark.read.parquet(s"$dir/tri.parquet"), n)
+    }
+  }
+
+  /** Train the trigram model from `reference` (lower-cased whitespace
+    * tokens, the corpus-wide convention). One reference pass per order,
+    * each a partial-agg-friendly explode→count; N = sum of unigram counts.
+    */
+  def train(reference: DataFrame, textCol: String = "text"): LmModel = {
+    val t = toks(col(textCol))
+    val uni = reference.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("c1"))
+    val bi = reference.select(explode(TextFunctions.shingles(lower(col(textCol)), 2)).as("g2"))
+      .groupBy("g2").agg(count(lit(1)).cast("double").as("c2"))
+    val tri = reference.select(explode(TextFunctions.shingles(lower(col(textCol)), 3)).as("g3"))
+      .groupBy("g3").agg(count(lit(1)).cast("double").as("c3"))
+    val n = uni.agg(sum("c1")).head.getDouble(0).toLong
+    LmModel(uni, bi, tri, n)
+  }
+
+  /** Score every document with >= 1 token. Output:
+    * (idCol, n_tokens, n_tri_hits, n_backoff3, n_oov, avg_logprob) where
+    * `n_tri_hits` counts trigram positions resolved by the trigram table,
+    * `n_backoff3` the trigram positions that backed off, `n_oov` the
+    * positions whose word the model never saw, and `avg_logprob` the mean
+    * per-position log10 score rounded to 5 digits (negated = log-perplexity).
+    * The integer columns make the approximation surface auditable without
+    * floating-point comparisons.
+    *
+    * `broadcastMaxGrams` gates the model-side broadcast on the MEASURED
+    * trigram-type count (the largest of the three tables) — the same policy,
+    * for the same reason, as [[Sampling.decontaminate]].
+    */
+  def score(corpus: DataFrame, model: LmModel, idCol: String = "doc_id",
+            textCol: String = "text",
+            broadcastMaxGrams: Long = 20000000L): DataFrame = {
+    val t = toks(col(textCol))
+    // one struct per position, built by O(1) array indexing inside a single
+    // narrow transform — never a positions self-join or window
+    val pos = corpus
+      .select(col(idCol), t.as("t"))
+      .where(size(col("t")) >= 1)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("t"))),
+        i => {
+          val w = element_at(col("t"), i)
+          val v = when(i >= 2, element_at(col("t"), i - lit(1)))
+          val u = when(i >= 3, element_at(col("t"), i - lit(2)))
+          struct(
+            w.as("w"), v.as("v"),
+            when(i >= 2, concat_ws(" ", v, w)).as("g2low"),
+            when(i >= 3, concat_ws(" ", u, v)).as("g2ctx"),
+            when(i >= 3, concat_ws(" ", u, v, w)).as("g3"))
+        })).as("p"))
+      .select(col(idCol), col("p.w"), col("p.v"), col("p.g2low"),
+        col("p.g2ctx"), col("p.g3"))
+
+    val gate = model.tri.count() <= broadcastMaxGrams
+    def side(df: DataFrame): DataFrame = if (gate) broadcast(df) else df
+    val uniW = side(model.uni.select(col("w"), col("c1").as("c1w")))
+    val uniV = side(model.uni.select(col("w").as("v"), col("c1").as("c1v")))
+    val biLow = side(model.bi.select(col("g2").as("g2low"), col("c2").as("c2low")))
+    val biCtx = side(model.bi.select(col("g2").as("g2ctx"), col("c2").as("c2ctx")))
+    val triT = side(model.tri.select(col("g3"), col("c3")))
+
+    val joined = pos
+      .join(uniW, Seq("w"), "left")
+      .join(uniV, Seq("v"), "left")
+      .join(biLow, Seq("g2low"), "left")
+      .join(biCtx, Seq("g2ctx"), "left")
+      .join(triT, Seq("g3"), "left")
+
+    val n = lit(model.totalTokens.toDouble)
+    val lp1 = log10(coalesce(col("c1w"), lit(1.0)) / n)
+    val lp2 = when(col("c2low").isNotNull, log10(col("c2low")) - log10(col("c1v")))
+      .otherwise(BackoffLog10 + lp1)
+    val lp = when(col("g3").isNotNull,
+        when(col("c3").isNotNull, log10(col("c3")) - log10(col("c2ctx")))
+          .otherwise(BackoffLog10 + lp2))
+      .when(col("g2low").isNotNull, lp2)
+      .otherwise(lp1)
+
+    joined
+      .select(col(idCol), lp.as("lp"),
+        col("c3").isNotNull.as("hit3"),
+        (col("g3").isNotNull && col("c3").isNull).as("bk3"),
+        col("c1w").isNull.as("oov"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("hit3"), 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("bk3"), 1L).otherwise(0L)).as("n_backoff3"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        round(avg("lp"), 5).as("avg_logprob"))
+  }
+}
