@@ -523,6 +523,14 @@ object QueriesData {
         .orderBy(col("pair_freq").desc, col("a"), col("b"))
         .limit(50)),
 
+    // substring-level duplication surface: per-doc fraction of tokens
+    // covered by 13-token windows shared with >= 2 distinct docs (the
+    // span-granular Lee-et-al. signal; the synthetic near-dup families
+    // guarantee real covered spans at every sf). Interval-union coverage —
+    // overlapping windows never double-count — is pinned by the oracle
+    "d_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(docs(s, d), windowN = 13).orderBy("doc_id")),
+
     // CCNet-style LM quality scoring: trigram stupid-backoff model trained
     // on the in-domain 19/20 slice, every doc scored by avg per-token log10
     // probability. The held-out 1/20 exercises the OOV + backoff paths, and
@@ -563,6 +571,37 @@ object QueriesData {
         |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
         |    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_dup_spans" ->
+      // union coverage of fixed-length intervals in closed form:
+      // |union| = W + sum(min(W, gap)) over position-sorted windows
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |nt AS (SELECT doc_id, coalesce(len(t), 0) AS n_tokens FROM toks),
+        |pos AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         array_to_string(list_slice(t, i, i + 12), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i
+        |        FROM toks WHERE len(t) >= 13)),
+        |dg AS (
+        |  SELECT g FROM (SELECT g, doc_id FROM pos GROUP BY g, doc_id)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN dg USING (g)),
+        |cov AS (
+        |  SELECT doc_id, count(*) AS dup_windows,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 13
+        |                  ELSE least(13, pos - prev) END) AS BIGINT) AS covered_tokens
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM dup)
+        |  GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_tokens,
+        |  coalesce(c.dup_windows, 0) AS dup_windows,
+        |  coalesce(c.covered_tokens, 0) AS covered_tokens,
+        |  round(coalesce(c.covered_tokens, 0) / greatest(n.n_tokens, 1), 6) AS dup_fraction
+        |FROM nt n LEFT JOIN cov c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "d_lm_score" ->
       // the full stupid-backoff chain in SQL: counts from the 19/20 slice,
       // per-position backoff CASE identical in structure to LmScore.score,

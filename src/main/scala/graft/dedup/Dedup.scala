@@ -584,4 +584,60 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Substring-level duplication surface — the span-granular counterpart of
+    * the document-level families above (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", approximated at token
+    * n-gram window granularity instead of a suffix array: a span is
+    * "duplicated" when its `windowN`-token window also appears in at least
+    * `minDocFreq` distinct documents). Output, one row per document:
+    * `n_tokens`, `dup_windows` (window positions whose gram is shared),
+    * `covered_tokens` (length of the UNION of those [pos, pos+windowN)
+    * intervals — overlapping windows are not double-counted), and
+    * `dup_fraction` = covered/n_tokens. Downstream policy (drop doc, trim
+    * spans, weight down) acts on the fraction.
+    *
+    * Scale shape: positions come from ONE narrow pass (native shingle
+    * kernel + posexplode — never a positions self-join); gram doc-frequency
+    * is a two-phase partial aggregation on the gram key; duplicated grams
+    * flag positions by a semi-join (shuffle on gram, AQE-handled skew — a
+    * boilerplate gram present in millions of docs contributes one
+    * dupGrams row, not a pair explosion, which is why there is no
+    * maxDocFreq cap here unlike [[ngramJaccardPairs]]); interval union is
+    * a per-document window (sorted by position, bounded by document
+    * length) using the closed form |union| = W + Σ min(W, gap_i).
+    */
+  def dupSpans(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", windowN: Int = 13,
+               minDocFreq: Int = 2): DataFrame = {
+    require(windowN >= 1, "windowN must be >= 1")
+    require(minDocFreq >= 2, "minDocFreq must be >= 2 (1 flags everything)")
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    val nTok = toks.select(col(idCol),
+      coalesce(size(col("t")), lit(0)).as("n_tokens"))
+    val pos = toks
+      .where(size(col("t")) >= windowN)
+      .select(col(idCol), posexplode(
+        graft.functions.KFunctions.word_shingles(col("t"), windowN)))
+      .toDF(idCol, "pos", "gram")
+    val dupGrams = pos.select("gram", idCol).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select("gram")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val cov = pos.join(dupGrams, Seq("gram"), "left_semi")
+      .withColumn("prev", lag("pos", 1).over(w))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("dup_windows"),
+        sum(when(col("prev").isNull, windowN)
+          .otherwise(least(lit(windowN), col("pos") - col("prev"))))
+          .as("covered_tokens"))
+    nTok.join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1)), 6).as("dup_fraction"))
+  }
 }

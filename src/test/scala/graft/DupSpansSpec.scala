@@ -1,0 +1,55 @@
+package graft
+
+import graft.dedup.Dedup
+
+/** Span-level duplication: hand-computed interval-union coverage, the
+  * cross-doc (not intra-doc) duplication criterion, and short-doc edges.
+  */
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(rows: Seq[(Long, String)], w: Int = 3) =
+    Dedup.dupSpans(rows.toDF("doc_id", "text"), windowN = w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+  test("shared window flags both docs; coverage = window length") {
+    val got = stats(Seq(1L -> "x a b c y", 2L -> "z a b c w"))
+    // one shared 3-gram "a b c" at position 1 of each 5-token doc
+    assert(got(1L) === ((5, 1L, 3L, 0.6)))
+    assert(got(2L) === ((5, 1L, 3L, 0.6)))
+  }
+
+  test("overlapping windows union, not double-count") {
+    val got = stats(Seq(3L -> "a b c d a b c d", 4L -> "a b c d"))
+    // d4: both its windows ("a b c","b c d") also in d3 -> positions 0,1
+    // covered = 3 + min(3, 1) = 4 of 4 tokens
+    assert(got(4L) === ((4, 2L, 4L, 1.0)))
+    // d3: dup positions 0,1,4,5 -> covered = 3 + 1 + min(3,3) + 1 = 8 of 8
+    assert(got(3L) === ((8, 4L, 8L, 1.0)))
+  }
+
+  test("intra-doc repetition alone is not duplication (distinct-doc frequency)") {
+    val got = stats(Seq(5L -> "p q r s p q r s", 6L -> "u v w"))
+    assert(got(5L) === ((8, 0L, 0L, 0.0)))
+    assert(got(6L) === ((3, 0L, 0L, 0.0)))
+  }
+
+  test("docs shorter than the window, empty and null text produce zero rows") {
+    val got = stats(Seq(7L -> "a b", 8L -> "", 9L -> null.asInstanceOf[String]))
+    assert(got(7L) === ((2, 0L, 0L, 0.0)))
+    assert(got(8L) === ((0, 0L, 0L, 0.0)))
+    assert(got(9L) === ((0, 0L, 0L, 0.0)))
+  }
+
+  test("result is partition-independent") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = Dedup.dupSpans(docs, windowN = 13).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val b = Dedup.dupSpans(docs.repartition(7), windowN = 13).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(a === b)
+    assert(a.values.exists(_(2).asInstanceOf[Long] > 0L),
+      "synthetic near-dup families should produce real covered spans")
+  }
+}
