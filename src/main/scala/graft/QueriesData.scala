@@ -449,6 +449,16 @@ object QueriesData {
         .select("doc_id", "source", "copy")
         .orderBy("doc_id", "copy")),
 
+    // temperature-based source mixing at alpha=0.5: per-source weights are
+    // DERIVED (w_s = N*n_s^(a-1)/sum n_k^a) rather than given, then the
+    // hash-deterministic copy mechanics reused — the oracle recomputes the
+    // whole weight arithmetic from counts, so the hash pins derivation AND
+    // sampling
+    "d_temperature_mix" -> ((s, d) =>
+      graft.text.Sampling.temperatureMix(docs(s, d), alpha = 0.5)
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")),
+
     // deterministic stratified take: exactly 20 docs per language, chosen by
     // hash order — same 20 on any cluster, any partitioning, any run
     "d_stratified" -> ((s, d) =>
@@ -571,6 +581,30 @@ object QueriesData {
         |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
         |    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_temperature_mix" ->
+      // weight derivation mirrors temperatureMix term for term (same
+      // association order: nn * n^alpha / n / z); null-source docs fall out
+      // of the LEFT JOIN with weight 1, matching sampleWeighted's default
+      """WITH cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |             FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn, sum(power(n, 0.5)) AS z FROM cnt),
+        |w AS (SELECT source, nn * power(n, 0.5) / n / z AS w FROM cnt, tot),
+        |h AS (SELECT d.doc_id, d.source, coalesce(w.w, 1.0) AS w,
+        |             md5(d.doc_id || ':temp') AS m
+        |      FROM documents d LEFT JOIN w USING (source)),
+        |v AS (SELECT doc_id, source, w,
+        |  CAST((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS BIGINT) AS b
+        |  FROM h),
+        |c AS (SELECT doc_id, source,
+        |  CAST(floor(w) AS BIGINT)
+        |    + CASE WHEN b < round((w - floor(w)) * 65536) THEN 1 ELSE 0 END AS n
+        |  FROM v)
+        |SELECT doc_id, source, CAST(u AS BIGINT) AS copy
+        |FROM c, unnest(range(0, n)) AS t(u)
+        |ORDER BY doc_id, copy""".stripMargin,
     "d_dup_spans" ->
       // union coverage of fixed-length intervals in closed form:
       // |union| = W + sum(min(W, gap)) over position-sorted windows

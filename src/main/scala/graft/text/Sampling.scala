@@ -67,6 +67,37 @@ object Sampling {
     * RNG: retried tasks regenerate identical copies, so speculative
     * execution and stage replay can't duplicate or drop a document.
     */
+  /** Temperature-based source mixing (the XLM-R / mT5 recipe): source `s`
+    * with `n_s` documents is sampled toward proportion `p_s ∝ n_s^alpha`,
+    * i.e. each of its documents gets expected-copy weight
+    * `w_s = targetFactor * N * n_s^(alpha-1) / Σ_k n_k^alpha` — `alpha = 1`
+    * is natural proportions, `alpha = 0` equal-per-source, between the two
+    * the standard low-resource upsampling curve. `targetFactor` scales the
+    * expected output size relative to the corpus (1.0 ≈ same total docs).
+    *
+    * The per-source counts are a metadata-sized aggregate (one row per
+    * source) collected to the driver; the copies themselves reuse
+    * [[sampleWeighted]]'s hash-deterministic mechanics, so the output
+    * multiset is partition- and retry-invariant. Documents whose `keyCol`
+    * is null (no source to weight by) pass through with weight 1.
+    */
+  def temperatureMix(docs: DataFrame, alpha: Double, targetFactor: Double = 1.0,
+                     salt: String = "temp", idCol: String = "doc_id",
+                     keyCol: String = "source"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(targetFactor > 0.0, "targetFactor must be positive")
+    val counts = docs.groupBy(keyCol).count().collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    require(counts.nonEmpty, "no non-null sources to mix")
+    val n = counts.values.sum
+    val z = counts.values.map(math.pow(_, alpha)).sum
+    val weights = counts.map { case (k, ns) =>
+      k -> (targetFactor * n * math.pow(ns, alpha) / ns / z)
+    }
+    sampleWeighted(docs, weights, defaultWeight = 1.0, salt, idCol, keyCol)
+  }
+
   def sampleWeighted(docs: DataFrame, weights: Map[String, Double],
                      defaultWeight: Double = 1.0, salt: String = "mix",
                      idCol: String = "doc_id", keyCol: String = "source"): DataFrame = {

@@ -233,4 +233,37 @@ class SamplingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("temperatureMix: alpha=1 is the identity mix; alpha=0 equalizes sources") {
+    val docs = ((0 until 8).map(i => (i.toLong, "A")) ++
+      Seq((100L, "B"), (101L, "B"))).toDF("doc_id", "source")
+    // alpha=1: every w_s = 1.0 exactly -> one copy each, no cut involved
+    val id = Sampling.temperatureMix(docs, alpha = 1.0).collect()
+    assert(id.length === 10 && id.forall(_.getAs[Long]("copy") === 0L))
+    // alpha=0: w_A = 10/8/2 = 0.625, w_B = 10/2/2 = 2.5 (exact doubles) ->
+    // A docs keep at most one copy, every B doc gets at least two
+    val eq = Sampling.temperatureMix(docs, alpha = 0.0).collect()
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap).toMap
+    assert(eq("A").values.forall(_ === 1), s"A over-copied: ${eq("A")}")
+    assert(eq("B").values.forall(c => c === 2 || c === 3), s"B copies: ${eq("B")}")
+    assert(eq("B").size === 2, "no B doc dropped")
+  }
+
+  test("temperatureMix: deterministic under repartition; null source passes through once") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = Sampling.temperatureMix(docs, alpha = 0.5).select("doc_id", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Sampling.temperatureMix(docs.repartition(7), alpha = 0.5)
+      .select("doc_id", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.toSeq === b.toSeq)
+    val withNull = Seq((1L, "A"), (2L, null.asInstanceOf[String])).toDF("doc_id", "source")
+    val got = Sampling.temperatureMix(withNull, alpha = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("copy"))
+    assert(got.count(_._1 == 2L) === 1, "null-source doc kept exactly once")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(withNull, alpha = 1.5)
+    }
+  }
 }
