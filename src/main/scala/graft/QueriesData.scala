@@ -541,6 +541,14 @@ object QueriesData {
     "d_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d), windowN = 13).orderBy("doc_id")),
 
+    // the ACTIONABLE span dedup: duplicated 13-token windows trimmed out of
+    // the text, one canonical (min doc_id, min pos) occurrence kept
+    // corpus-wide. Hash covers the rebuilt text itself, so canonical
+    // selection, coverage, and token-sequence reconstruction are all pinned
+    "d_trim_dup_spans" -> ((s, d) =>
+      Dedup.trimDupSpans(docs(s, d), windowN = 13)
+        .orderBy("doc_id")),
+
     // CCNet-style LM quality scoring: trigram stupid-backoff model trained
     // on the in-domain 19/20 slice, every doc scored by avg per-token log10
     // probability. The held-out 1/20 exercises the OOV + backoff paths, and
@@ -635,6 +643,44 @@ object QueriesData {
         |  coalesce(c.covered_tokens, 0) AS covered_tokens,
         |  round(coalesce(c.covered_tokens, 0) / greatest(n.n_tokens, 1), 6) AS dup_fraction
         |FROM nt n LEFT JOIN cov c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "d_trim_dup_spans" ->
+      // canonical = row_number 1 under (doc_id, pos) order per duplicated
+      // gram; dropped positions = non-canonical windows exploded over their
+      // 13 offsets; text rebuilt from the surviving indices
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         array_to_string(list_slice(t, i, i + 12), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i
+        |        FROM toks WHERE len(t) >= 13)),
+        |dup AS (
+        |  SELECT g FROM (SELECT g, doc_id FROM pos GROUP BY 1, 2)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |canon AS (
+        |  SELECT g, doc_id AS cid, pos AS cpos FROM (
+        |    SELECT g, doc_id, pos,
+        |           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM pos JOIN dup USING (g)) WHERE rn = 1),
+        |drop_ps AS (
+        |  SELECT DISTINCT p.doc_id, p.pos + off.o AS dp
+        |  FROM pos p JOIN canon c USING (g)
+        |  CROSS JOIN (SELECT unnest(range(0, 13)) AS o) off
+        |  WHERE NOT (p.doc_id = c.cid AND p.pos = c.cpos)),
+        |dl AS (SELECT doc_id, list(dp) AS dps FROM drop_ps GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.t IS NULL THEN NULL
+        |       -- array_to_string([]) is NULL in DuckDB; Spark concat_ws is ''
+        |       ELSE coalesce(array_to_string(list_transform(
+        |         list_filter(range(0, len(t.t)),
+        |                     i -> NOT list_contains(coalesce(dl.dps, []), i)),
+        |         i -> t.t[i + 1]), ' '), '') END AS text,
+        |  coalesce(len(t.t), 0) AS n_tokens,
+        |  coalesce(len(dl.dps), 0) AS n_dropped
+        |FROM toks t LEFT JOIN dl USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "d_lm_score" ->
       // the full stupid-backoff chain in SQL: counts from the 19/20 slice,

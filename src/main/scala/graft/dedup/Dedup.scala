@@ -607,6 +607,69 @@ object Dedup {
     * a per-document window (sorted by position, bounded by document
     * length) using the closed form |union| = W + Σ min(W, gap_i).
     */
+  /** The actionable form of [[dupSpans]]: REMOVE duplicated spans from the
+    * text, keeping exactly one canonical occurrence corpus-wide (Lee et al.
+    * 2022 trim semantics at window granularity). For every duplicated gram
+    * (same `windowN`/`minDocFreq` criterion as [[dupSpans]]) the canonical
+    * occurrence is the lexicographically smallest (doc_id, pos); every token
+    * covered by a NON-canonical occurrence of any duplicated window is
+    * dropped, and the document's text is rebuilt from the surviving tokens.
+    * Output: (idCol, text, n_tokens, n_dropped) — `text` is the trimmed
+    * token sequence re-joined by single spaces (tokenization is the
+    * whitespace convention, so re-joining loses only whitespace shape).
+    *
+    * Deterministic by construction (no hash involved at all): the canonical
+    * choice is a total order over occurrences, so any partitioning and any
+    * retry produces the identical corpus. Scale shape: the covered-position
+    * explode is bounded by (redundant windows × windowN) — the duplicated
+    * MINORITY of positions, not the corpus — followed by a per-doc distinct
+    * and one anti-join back onto token positions; everything else is the
+    * same narrow shingle pass + gram-key partial aggregation as
+    * [[dupSpans]].
+    */
+  def trimDupSpans(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", windowN: Int = 13,
+                   minDocFreq: Int = 2): DataFrame = {
+    require(windowN >= 1, "windowN must be >= 1")
+    require(minDocFreq >= 2, "minDocFreq must be >= 2 (1 flags everything)")
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    val pos = toks
+      .where(size(col("t")) >= windowN)
+      .select(col(idCol), posexplode(
+        graft.functions.KFunctions.word_shingles(col("t"), windowN)))
+      .toDF(idCol, "pos", "gram")
+    // duplicated grams with their canonical (min doc, then min pos) owner —
+    // one partial-agg pass: min(struct(doc, pos)) IS the lexicographic min
+    val dupCanon = pos.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("df"),
+        min(struct(col(idCol).as("cid"), col("pos").as("cpos"))).as("canon"))
+      .where(col("df") >= minDocFreq)
+      .select(col("gram"), col("canon.cid").as("cid"), col("canon.cpos").as("cpos"))
+    // token positions covered by a non-canonical duplicated window;
+    // collect_set dedups overlapping windows' positions per doc
+    val dropped = pos.join(dupCanon, Seq("gram"))
+      .where(!(col(idCol) === col("cid") && col("pos") === col("cpos")))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(windowN - 1))).as("p"))
+      .groupBy(idCol)
+      .agg(collect_set(col("p")).as("drop_ps"))
+    // rebuild: kept indices via array_except (hash-set, O(n + dropped) per
+    // doc — not a per-token array_contains scan), then index back into the
+    // token array. sequence() is guarded because sequence(0, -1) DESCENDS.
+    val idxs = when(size(col("t")) >= 1,
+      sequence(lit(0), size(col("t")) - 1)).otherwise(array().cast("array<int>"))
+    toks.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("t"),
+        coalesce(col("drop_ps"), array().cast("array<int>")).as("drop_ps"))
+      .select(col(idCol),
+        when(col("t").isNotNull, concat_ws(" ",
+          transform(array_except(idxs, col("drop_ps")),
+            i => element_at(col("t"), i + 1)))).as("text"),
+        coalesce(size(col("t")), lit(0)).as("n_tokens"),
+        size(col("drop_ps")).as("n_dropped"))
+  }
+
   def dupSpans(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", windowN: Int = 13,
                minDocFreq: Int = 2): DataFrame = {

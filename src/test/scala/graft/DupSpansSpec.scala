@@ -42,6 +42,41 @@ class DupSpansSpec extends SparkSpec {
     assert(got(9L) === ((0, 0L, 0L, 0.0)))
   }
 
+  test("trimDupSpans keeps the canonical occurrence, trims the rest") {
+    val got = Dedup.trimDupSpans(
+      Seq(1L -> "x a b c y", 2L -> "z a b c w", 3L -> "a b").toDF("doc_id", "text"),
+      windowN = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // "a b c" duplicated; canonical = (doc 1, pos 1) -> doc 1 untouched,
+    // doc 2 loses tokens 1-3
+    assert(got(1L) === (("x a b c y", 5, 0)))
+    assert(got(2L) === (("z w", 5, 3)))
+    assert(got(3L) === (("a b", 2, 0)))
+  }
+
+  test("trimDupSpans: overlapping non-canonical windows trim their union") {
+    val got = Dedup.trimDupSpans(
+      Seq(4L -> "a b c d", 5L -> "q a b c d r").toDF("doc_id", "text"),
+      windowN = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // grams "a b c" and "b c d" both duplicated, both canonical in doc 4
+    // (pos 0 and 1); doc 5's copies at pos 1,2 cover tokens 1..4 (union)
+    assert(got(4L) === (("a b c d", 4, 0)))
+    assert(got(5L) === (("q r", 6, 4)))
+  }
+
+  test("trimDupSpans: empty and null text survive the rebuild") {
+    val got = Dedup.trimDupSpans(
+      Seq(6L -> "", 7L -> null.asInstanceOf[String]).toDF("doc_id", "text"),
+      windowN = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(6L) === ((Some(""), 0, 0)))
+    assert(got(7L) === ((None, 0, 0)))
+  }
+
   test("result is partition-independent") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = Dedup.dupSpans(docs, windowN = 13).collect()
