@@ -188,4 +188,28 @@ class StreamingTextSpec extends SparkSpec {
       assert(last("books") == ((1L, 1L, 0L)))
     } finally q.stop()
   }
+
+  test("LM scoring runs unchanged on a stream (stream-static model joins); final update == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refBatch = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val model = graft.text.LmScore.train(refBatch)
+    val input = MemoryStream[(Long, String)]
+    // the BATCH operator applied verbatim to a streaming corpus: position
+    // expansion is a narrow map, the five model lookups are stream-static
+    // left joins, the per-doc agg becomes a (update-mode) streaming agg
+    val out = graft.text.LmScore.score(input.toDF().toDF("doc_id", "text"), model)
+    val q = out.writeStream.format("memory").queryName("lm_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((10L, "a b c"), (11L, "b b z"))
+      q.processAllAvailable()
+      val streamRows = spark.table("lm_out").collect()
+        .map(r => r.getLong(0) -> r.toSeq).toMap
+      val batchRows = graft.text.LmScore.score(
+          Seq((10L, "a b c"), (11L, "b b z")).toDF("doc_id", "text"), model)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamRows === batchRows)
+    } finally q.stop()
+  }
 }
