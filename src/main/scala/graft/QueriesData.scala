@@ -1393,6 +1393,31 @@ object QueriesData {
     * rows-only check by the driver; ScalaTest fixtures assert known answers.
     */
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // model-based quality filtering: hashed-feature logistic regression
+    // DISTILLING the rule-based curation policy (filterCorpus keep/drop —
+    // the Dolma-style classifier-distillation workflow; the corpus's lang
+    // column is synthetic noise with no textual signal, so the rule label
+    // is the honest learnable target). Trained on the 19/20 slice, holdout
+    // 1/20 scored. Iterative float optimization has no SQL oracle BY
+    // NATURE -> rows-only entry carrying its measured holdout accuracy,
+    // the LSH/ANN honesty convention
+    "d_quality_classifier" -> ((s, d) => {
+      val all = docs(s, d)
+      val labeled = all.join(
+        graft.text.CorpusClean.filterCorpus(all)
+          .select(col("doc_id"), col("keep").cast("int").as("label")),
+        "doc_id")
+      val model = graft.text.QualityClassifier.train(
+        labeled.filter(col("doc_id") % 20 =!= 7), "label", dim = 1 << 15)
+      val held = labeled.filter(col("doc_id") % 20 === 7)
+      val scored = graft.text.QualityClassifier.score(held, model)
+        .join(held.select("doc_id", "label"), "doc_id")
+      val agg = scored.agg(
+        avg((col("pred") === col("label")).cast("double"))).head()
+      val acc = math.rint((if (agg.isNullAt(0)) 1.0 else agg.getDouble(0)) * 1e4) / 1e4
+      scored.withColumn("holdout_acc", lit(acc)).orderBy("doc_id")
+    }),
+
     // BPE vocabulary training, full loop: 20 merges over the corpus word
     // histogram (end-of-word marker on — the Sennrich form). Deterministic
     // (frequency ties break lexicographically), so the driver's rows check

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the GPT-3 / LLaMA data-curation
+  * classifier: a linear model over hashed text features scores every
+  * document's probability of being "in-domain" (trained positive = a
+  * trusted reference slice, negative = the raw crawl), and downstream
+  * sampling keeps the high-probability head. This is the learned
+  * counterpart of the rule-based [[CorpusClean.filterCorpus]] and the
+  * count-based [[LmScore]]; the reference implements none of the three.
+  *
+  * fastText-shaped features: word unigrams + bigrams (the corpus-wide
+  * lower/whitespace tokenization), hashed into a fixed `dim` by Spark ML's
+  * HashingTF (murmur3 — deterministic, vocabulary-free, so the feature
+  * space never needs a driver-side dictionary). Training is Spark ML
+  * logistic regression: distributed L-BFGS whose per-iteration cost is one
+  * map-side gradient treeAggregate — the corpus is never shuffled. Scoring
+  * is a narrow map (broadcast coefficient vector, one sparse dot per doc).
+  *
+  * Not SQL-reproducible by nature (iterative float optimization), so the
+  * battery entry is rows-only and carries a measured holdout-accuracy
+  * audit column, the same honesty convention as the LSH/ANN families.
+  */
+object QualityClassifier {
+
+  final case class QcModel(lr: LogisticRegressionModel, dim: Int) {
+    /** Persist as a Spark ML model dir + a JSON sidecar with the feature
+      * dim (same sidecar convention as [[LmScore.LmModel]]).
+      */
+    def save(dir: String): Unit = {
+      lr.write.overwrite().save(s"$dir/lr")
+      val spark = SparkSession.active
+      val path = new org.apache.hadoop.fs.Path(s"$dir/qc-meta.json")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(path, true)
+      try out.write(s"""{"dim":$dim}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  object QcModel {
+    def load(spark: SparkSession, dir: String): QcModel = {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/qc-meta.json")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(path)
+      val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val dim = """"dim"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"$dir/qc-meta.json has no dim"))
+      QcModel(LogisticRegressionModel.load(s"$dir/lr"), dim)
+    }
+  }
+
+  /** uni+bigram hashed features; null text featurizes as the empty doc. */
+  private def featurize(df: DataFrame, textCol: String, dim: Int): DataFrame = {
+    val lowered = lower(col(textCol))
+    val grams = concat(TextFunctions.tokens(lowered),
+      TextFunctions.shingles(lowered, 2))
+    val withArr = df.withColumn("__qc_grams",
+      coalesce(grams, array().cast("array<string>")))
+    new HashingTF().setInputCol("__qc_grams").setOutputCol("features")
+      .setNumFeatures(dim)
+      .transform(withArr).drop("__qc_grams")
+  }
+
+  /** Train on `labelCol` (0/1; 1 = in-domain). `dim` trades hash collisions
+    * against coefficient-vector size (2^18 is the fastText default scale;
+    * the coefficient vector is what scoring broadcasts).
+    */
+  def train(docs: DataFrame, labelCol: String, textCol: String = "text",
+            dim: Int = 1 << 18, regParam: Double = 1e-4,
+            maxIter: Int = 50): QcModel = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two: $dim")
+    val feats = featurize(
+      docs.select(col(labelCol).cast("double").as("label"), col(textCol)),
+      textCol, dim)
+    val lr = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+    val fitted = lr.fit(feats)
+    // Spark 4.1's LogisticRegressionModel keeps its trainingSummary in a
+    // NON-transient field, and transform()'s udfs capture the model — so a
+    // freshly fitted model drags summary -> SparkSession into every task
+    // closure (NotSerializableException: ObservationManager). A save/load
+    // round-trip is the supported way to get a summary-free model; the
+    // coefficient payload is KB-to-MB sized.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qc-fit").toString
+    val clean = try {
+      fitted.write.overwrite().save(tmp)
+      LogisticRegressionModel.load(tmp)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    QcModel(clean, dim)
+  }
+
+  /** Score: (idCol, quality_prob, pred) — `quality_prob` = P(label 1). */
+  def score(docs: DataFrame, model: QcModel, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    model.lr.transform(featurize(docs.select(col(idCol), col(textCol)), textCol, model.dim))
+      .select(col(idCol),
+        round(element_at(vector_to_array(col("probability")), 2), 6)
+          .as("quality_prob"),
+        col("prediction").cast("long").as("pred"))
+  }
+}
