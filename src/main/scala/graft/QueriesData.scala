@@ -561,6 +561,29 @@ object QueriesData {
       graft.text.LmScore.score(all, model).orderBy("doc_id")
     }),
 
+    // SECOND capstone, over the round-8 curation family: substring-level
+    // span trim → trigram-LM scoring (trained on the trimmed corpus) →
+    // static log-prob cut → temperature mixing → per-source rollup. One
+    // DuckDB oracle mirrors all five stages, so a semantic drift anywhere
+    // in the new-family chain flips the hash (the round-6 capstone plays
+    // the same role for the cleaning family)
+    "d_curation_pipeline" -> ((s, d) => {
+      val all = docs(s, d)
+      val trimmed = Dedup.trimDupSpans(all, windowN = 13)
+        .where(col("text").isNotNull && length(col("text")) > 0)
+        .select("doc_id", "text")
+      val model = graft.text.LmScore.train(trimmed)
+      val kept = graft.text.LmScore.score(trimmed, model)
+        .where(col("avg_logprob") >= -1.3)
+        .join(all.select("doc_id", "source"), "doc_id")
+      graft.text.Sampling.temperatureMix(kept, alpha = 0.5, salt = "cur")
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_copies"),
+          round(avg("avg_logprob"), 5).as("avg_lp"))
+        .orderBy("source")
+    }),
+
     // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
     "a_label_centroid_norm" -> ((s, d) => emb(s, d)
       .select(col("label"),
@@ -589,6 +612,114 @@ object QueriesData {
         |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
         |    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d_curation_pipeline" ->
+      // all five stages chained in one WITH: trim (kept token LISTS — the
+      // rebuilt string re-split would yield exactly these, tokens contain
+      // no whitespace), self-trained trigram LM, static cut, temperature
+      // mix (salt 'cur'), per-source rollup
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |pos0 AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         array_to_string(list_slice(t, i, i + 12), ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i
+        |        FROM toks WHERE len(t) >= 13)),
+        |dup0 AS (
+        |  SELECT g FROM (SELECT g, doc_id FROM pos0 GROUP BY 1, 2)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |canon AS (
+        |  SELECT g, doc_id AS cid, pos AS cpos FROM (
+        |    SELECT g, doc_id, pos,
+        |           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM pos0 JOIN dup0 USING (g)) WHERE rn = 1),
+        |drop_ps AS (
+        |  SELECT DISTINCT p.doc_id, p.pos + off.o AS dp
+        |  FROM pos0 p JOIN canon c USING (g)
+        |  CROSS JOIN (SELECT unnest(range(0, 13)) AS o) off
+        |  WHERE NOT (p.doc_id = c.cid AND p.pos = c.cpos)),
+        |dl AS (SELECT doc_id, list(dp) AS dps FROM drop_ps GROUP BY doc_id),
+        |corpus AS (
+        |  SELECT doc_id, kt FROM (
+        |    SELECT t.doc_id,
+        |      list_transform(
+        |        list_filter(range(0, coalesce(len(t.t), 0)),
+        |                    i -> NOT list_contains(coalesce(dl.dps, []), i)),
+        |        i -> lower(t.t[i + 1])) AS kt
+        |    FROM toks t LEFT JOIN dl USING (doc_id)
+        |    WHERE t.t IS NOT NULL)
+        |  WHERE len(kt) >= 1),
+        |uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c1
+        |        FROM (SELECT unnest(kt) AS w FROM corpus) GROUP BY 1),
+        |nn AS (SELECT sum(c1) AS n FROM uni),
+        |bi AS (SELECT g, CAST(count(*) AS DOUBLE) AS c2 FROM (
+        |  SELECT unnest(list_transform(range(1, len(kt)), j -> kt[j] || ' ' || kt[j+1])) AS g
+        |  FROM corpus WHERE len(kt) >= 2) GROUP BY 1),
+        |tri AS (SELECT g, CAST(count(*) AS DOUBLE) AS c3 FROM (
+        |  SELECT unnest(list_transform(range(1, len(kt) - 1),
+        |                j -> kt[j] || ' ' || kt[j+1] || ' ' || kt[j+2])) AS g
+        |  FROM corpus WHERE len(kt) >= 3) GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id,
+        |    kt[i] AS w,
+        |    CASE WHEN i >= 2 THEN kt[i-1] END AS v,
+        |    CASE WHEN i >= 2 THEN kt[i-1] || ' ' || kt[i] END AS g2low,
+        |    CASE WHEN i >= 3 THEN kt[i-2] || ' ' || kt[i-1] END AS g2ctx,
+        |    CASE WHEN i >= 3 THEN kt[i-2] || ' ' || kt[i-1] || ' ' || kt[i] END AS g3
+        |  FROM (SELECT doc_id, kt, unnest(range(1, len(kt) + 1)) AS i FROM corpus)),
+        |sc AS (
+        |  SELECT p.doc_id, p.g3, p.g2low,
+        |    u1.c1 AS c1w, u2.c1 AS c1v, bl.c2 AS c2low, bc.c2 AS c2ctx, tr.c3 AS c3
+        |  FROM p
+        |  LEFT JOIN uni u1 ON u1.w = p.w
+        |  LEFT JOIN uni u2 ON u2.w = p.v
+        |  LEFT JOIN bi bl ON bl.g = p.g2low
+        |  LEFT JOIN bi bc ON bc.g = p.g2ctx
+        |  LEFT JOIN tri tr ON tr.g = p.g3),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN g3 IS NOT NULL THEN
+        |        CASE WHEN c3 IS NOT NULL THEN log10(c3) - log10(c2ctx)
+        |             ELSE log10(0.4) +
+        |               CASE WHEN c2low IS NOT NULL THEN log10(c2low) - log10(c1v)
+        |                    ELSE log10(0.4) + log10(coalesce(c1w, 1) / (SELECT n FROM nn)) END
+        |        END
+        |      WHEN g2low IS NOT NULL THEN
+        |        CASE WHEN c2low IS NOT NULL THEN log10(c2low) - log10(c1v)
+        |             ELSE log10(0.4) + log10(coalesce(c1w, 1) / (SELECT n FROM nn)) END
+        |      ELSE log10(coalesce(c1w, 1) / (SELECT n FROM nn))
+        |    END AS lp
+        |  FROM sc),
+        |score AS (SELECT doc_id, round(avg(lp), 5) AS avg_logprob
+        |          FROM lp GROUP BY doc_id),
+        |kept AS (
+        |  SELECT s.doc_id, s.avg_logprob, d.source
+        |  FROM score s JOIN documents d USING (doc_id)
+        |  WHERE s.avg_logprob >= -1.3),
+        |cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |        FROM kept WHERE source IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT sum(n) AS sn, sum(power(n, 0.5)) AS z FROM cnt),
+        |wt AS (SELECT source, sn * power(n, 0.5) / n / z AS w FROM cnt, tot),
+        |h AS (SELECT k.doc_id, k.source, k.avg_logprob, coalesce(wt.w, 1.0) AS w,
+        |             md5(k.doc_id || ':cur') AS m
+        |      FROM kept k LEFT JOIN wt USING (source)),
+        |v AS (SELECT doc_id, source, avg_logprob, w,
+        |  CAST((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS BIGINT) AS b
+        |  FROM h),
+        |c AS (SELECT doc_id, source, avg_logprob,
+        |  CAST(floor(w) AS BIGINT)
+        |    + CASE WHEN b < round((w - floor(w)) * 65536) THEN 1 ELSE 0 END AS nc
+        |  FROM v),
+        |copies AS (SELECT doc_id, source, avg_logprob
+        |           FROM c, unnest(range(0, nc)) AS t(u))
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_copies,
+        |  round(avg(avg_logprob), 5) AS avg_lp
+        |FROM copies GROUP BY source ORDER BY source""".stripMargin,
     "d_temperature_mix" ->
       // weight derivation mirrors temperatureMix term for term (same
       // association order: nn * n^alpha / n / z); null-source docs fall out
