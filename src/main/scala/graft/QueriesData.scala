@@ -563,18 +563,37 @@ object QueriesData {
 
     // SECOND capstone, over the round-8 curation family: substring-level
     // span trim → trigram-LM scoring (trained on the trimmed corpus) →
-    // static log-prob cut → temperature mixing → per-source rollup. One
+    // corpus-relative log-prob cut → temperature mixing → per-source rollup. One
     // DuckDB oracle mirrors all five stages, so a semantic drift anywhere
     // in the new-family chain flips the hash (the round-6 capstone plays
     // the same role for the cleaning family)
     "d_curation_pipeline" -> ((s, d) => {
       val all = docs(s, d)
-      val trimmed = Dedup.trimDupSpans(all, windowN = 13)
-        .where(col("text").isNotNull && length(col("text")) > 0)
-        .select("doc_id", "text")
+      // the trimmed corpus feeds SIX consumers (three model count passes,
+      // the gate count, scoring, and N) — materialize it once, with the
+      // same staging choice as the first capstone (localCheckpoint default,
+      // durable parquet staging under GRAFT_PIPELINE_STAGING)
+      val staging = sys.env.get("GRAFT_PIPELINE_STAGING")
+        .map(base => graft.util.TempDirs.createUnder(base, "graft-cur-"))
+      val trimmed = graft.text.CorpusPipeline.materializeStage(
+        Dedup.trimDupSpans(all, windowN = 13)
+          .where(col("text").isNotNull && length(col("text")) > 0)
+          .select("doc_id", "text"),
+        staging, "trimmed")
       val model = graft.text.LmScore.train(trimmed)
-      val kept = graft.text.LmScore.score(trimmed, model)
-        .where(col("avg_logprob") >= -1.3)
+      // doc-LEVEL rows (id + score), materialized once: the mean and the
+      // filter both consume it, and re-running the position-scale scoring
+      // joins for a scalar would double the pipeline's real cost
+      val scored = graft.text.LmScore.score(trimmed, model).localCheckpoint(true)
+      // corpus-RELATIVE cut (keep the above-mean head): an absolute
+      // log-prob threshold is scale-brittle — vocabulary growth shifts the
+      // whole distribution down as the corpus grows. Rounded to 3 decimals
+      // so the engine-vs-oracle comparison boundary sits far above fp
+      // summation noise; the mean is a metadata-sized scalar
+      val cut = math.rint(
+        scored.agg(avg("avg_logprob")).head.getDouble(0) * 1e3) / 1e3
+      val kept = scored
+        .where(col("avg_logprob") >= cut)
         .join(all.select("doc_id", "source"), "doc_id")
       graft.text.Sampling.temperatureMix(kept, alpha = 0.5, salt = "cur")
         .groupBy("source")
@@ -697,7 +716,7 @@ object QueriesData {
         |kept AS (
         |  SELECT s.doc_id, s.avg_logprob, d.source
         |  FROM score s JOIN documents d USING (doc_id)
-        |  WHERE s.avg_logprob >= -1.3),
+        |  WHERE s.avg_logprob >= (SELECT round(avg(avg_logprob), 3) FROM score)),
         |cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
         |        FROM kept WHERE source IS NOT NULL GROUP BY 1),
         |tot AS (SELECT sum(n) AS sn, sum(power(n, 0.5)) AS z FROM cnt),
