@@ -102,8 +102,12 @@ object LmScore {
       .groupBy("g2").agg(count(lit(1)).cast("double").as("c2"))
     val tri = reference.select(explode(TextFunctions.shingles(lower(col(textCol)), 3)).as("g3"))
       .groupBy("g3").agg(count(lit(1)).cast("double").as("c3"))
-    val n = uni.agg(sum("c1")).head.getDouble(0).toLong
-    LmModel(uni, bi, tri, n)
+    val nRow = uni.agg(sum("c1")).head
+    // sum over an empty vocabulary is SQL NULL — fail loudly rather than
+    // NPE here or divide by zero at scoring time
+    require(!nRow.isNullAt(0) && nRow.getDouble(0) > 0,
+      "reference corpus has no tokens to train on")
+    LmModel(uni, bi, tri, nRow.getDouble(0).toLong)
   }
 
   /** Score every document with >= 1 token. Output:

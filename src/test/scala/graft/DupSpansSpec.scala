@@ -77,6 +77,12 @@ class DupSpansSpec extends SparkSpec {
     assert(got(7L) === ((None, 0, 0)))
   }
 
+  test("empty corpus flows through both span operators") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.dupSpans(empty, windowN = 3).collect().isEmpty)
+    assert(Dedup.trimDupSpans(empty, windowN = 3).collect().isEmpty)
+  }
+
   test("result is partition-independent") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = Dedup.dupSpans(docs, windowN = 13).collect()

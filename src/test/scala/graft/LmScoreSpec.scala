@@ -83,6 +83,16 @@ class LmScoreSpec extends SparkSpec {
     assert(heldOut.getLong(0) > 0, "no backoff exercised on held-out docs")
   }
 
+  test("empty or tokenless reference fails loudly, not with an NPE or a zero denominator") {
+    intercept[IllegalArgumentException] {
+      LmScore.train(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+    intercept[IllegalArgumentException] {
+      LmScore.train(Seq((1L, ""), (2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    }
+  }
+
   test("under the gate, all five model lookups broadcast (corpus never shuffles pre-agg)") {
     val model = LmScore.train(refDocs)
     val plan = LmScore.score(refDocs, model)
