@@ -557,7 +557,9 @@ object QueriesData {
     // SQL, so the hash covers train AND score.
     "d_lm_score" -> ((s, d) => {
       val all = docs(s, d)
-      val model = graft.text.LmScore.train(all.filter(col("doc_id") % 20 =!= 7))
+      // cache(): score() consumes the lazy count tables six times (gate
+      // count + five join sides) — uncached that re-runs training per use
+      val model = graft.text.LmScore.train(all.filter(col("doc_id") % 20 =!= 7)).cache()
       graft.text.LmScore.score(all, model).orderBy("doc_id")
     }),
 
@@ -580,7 +582,7 @@ object QueriesData {
           .where(col("text").isNotNull && length(col("text")) > 0)
           .select("doc_id", "text"),
         staging, "trimmed")
-      val model = graft.text.LmScore.train(trimmed)
+      val model = graft.text.LmScore.train(trimmed).cache()
       // doc-LEVEL rows (id + score), materialized once: the mean and the
       // filter both consume it, and re-running the position-scale scoring
       // joins for a scalar would double the pipeline's real cost
@@ -589,9 +591,11 @@ object QueriesData {
       // log-prob threshold is scale-brittle — vocabulary growth shifts the
       // whole distribution down as the corpus grows. Rounded to 3 decimals
       // so the engine-vs-oracle comparison boundary sits far above fp
-      // summation noise; the mean is a metadata-sized scalar
-      val cut = math.rint(
-        scored.agg(avg("avg_logprob")).head.getDouble(0) * 1e3) / 1e3
+      // summation noise — VIA SPARK'S round, the same half-up rule every
+      // other hash-compared rounding in this file uses (math.rint is
+      // half-to-even and could disagree with the oracle's round() at an
+      // exact half-millis mean)
+      val cut = scored.agg(round(avg("avg_logprob"), 3)).head.getDouble(0)
       val kept = scored
         .where(col("avg_logprob") >= cut)
         .join(all.select("doc_id", "source"), "doc_id")
@@ -654,10 +658,12 @@ object QueriesData {
         |           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
         |    FROM pos0 JOIN dup0 USING (g)) WHERE rn = 1),
         |drop_ps AS (
-        |  SELECT DISTINCT p.doc_id, p.pos + off.o AS dp
-        |  FROM pos0 p JOIN canon c USING (g)
-        |  CROSS JOIN (SELECT unnest(range(0, 13)) AS o) off
-        |  WHERE NOT (p.doc_id = c.cid AND p.pos = c.cpos)),
+        |  SELECT doc_id, dp FROM (
+        |    SELECT p.doc_id, p.pos + off.o AS dp,
+        |           (p.doc_id = c.cid AND p.pos = c.cpos) AS is_canon
+        |    FROM pos0 p JOIN canon c USING (g)
+        |    CROSS JOIN (SELECT unnest(range(0, 13)) AS o) off)
+        |  GROUP BY doc_id, dp HAVING NOT bool_or(is_canon)),
         |dl AS (SELECT doc_id, list(dp) AS dps FROM drop_ps GROUP BY doc_id),
         |corpus AS (
         |  SELECT doc_id, kt FROM (
@@ -796,8 +802,8 @@ object QueriesData {
         |ORDER BY doc_id""".stripMargin,
     "d_trim_dup_spans" ->
       // canonical = row_number 1 under (doc_id, pos) order per duplicated
-      // gram; dropped positions = non-canonical windows exploded over their
-      // 13 offsets; text rebuilt from the surviving indices
+      // gram; a position drops iff covered by some non-canonical window and
+      // exempted by no canonical one (bool_or); text rebuilt from survivors
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
         |                             x -> x <> '') AS t
@@ -816,10 +822,12 @@ object QueriesData {
         |           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
         |    FROM pos JOIN dup USING (g)) WHERE rn = 1),
         |drop_ps AS (
-        |  SELECT DISTINCT p.doc_id, p.pos + off.o AS dp
-        |  FROM pos p JOIN canon c USING (g)
-        |  CROSS JOIN (SELECT unnest(range(0, 13)) AS o) off
-        |  WHERE NOT (p.doc_id = c.cid AND p.pos = c.cpos)),
+        |  SELECT doc_id, dp FROM (
+        |    SELECT p.doc_id, p.pos + off.o AS dp,
+        |           (p.doc_id = c.cid AND p.pos = c.cpos) AS is_canon
+        |    FROM pos p JOIN canon c USING (g)
+        |    CROSS JOIN (SELECT unnest(range(0, 13)) AS o) off)
+        |  GROUP BY doc_id, dp HAVING NOT bool_or(is_canon)),
         |dl AS (SELECT doc_id, list(dp) AS dps FROM drop_ps GROUP BY doc_id)
         |SELECT t.doc_id,
         |  CASE WHEN t.t IS NULL THEN NULL

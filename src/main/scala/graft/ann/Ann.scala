@@ -223,26 +223,15 @@ object Ann {
   }
 
 
-  // shared Hadoop-FS sidecar IO — one definition for the five read/write
-  // sites (index layouts persist small JSON models beside their data)
+  // sidecar IO shared repo-wide (LM counts and classifier coefficients use
+  // the same layout) — see graft.util.Sidecar
   private def writeSidecar(df: DataFrame, path: String, name: String,
-                           body: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), df.sparkSession.sparkContext.hadoopConfiguration)
-    val os = fs.create(new org.apache.hadoop.fs.Path(s"$path/$name"), true)
-    try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
-  }
+                           body: String): Unit =
+    graft.util.Sidecar.write(df.sparkSession, path, name, body)
 
   private def readSidecar(spark: org.apache.spark.sql.SparkSession,
-                          path: String, name: String): String = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/$name"))
-    new String(
-      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in) finally in.close(),
-      java.nio.charset.StandardCharsets.UTF_8)
-  }
+                          path: String, name: String): String =
+    graft.util.Sidecar.read(spark, path, name)
 
   /** Persist an IVF-assigned corpus partitioned by list, with the centroid
     * model beside it — the same pruned-scan layout as [[writeBucketed]], but

@@ -611,9 +611,11 @@ object Dedup {
     * text, keeping exactly one canonical occurrence corpus-wide (Lee et al.
     * 2022 trim semantics at window granularity). For every duplicated gram
     * (same `windowN`/`minDocFreq` criterion as [[dupSpans]]) the canonical
-    * occurrence is the lexicographically smallest (doc_id, pos); every token
-    * covered by a NON-canonical occurrence of any duplicated window is
-    * dropped, and the document's text is rebuilt from the surviving tokens.
+    * occurrence is the lexicographically smallest (doc_id, pos); a token is
+    * dropped when a NON-canonical occurrence of some duplicated window
+    * covers it and no canonical window does — the canonical-cover exemption
+    * guarantees the canonical copy of every duplicated span survives even
+    * where non-canonical windows of OTHER grams overlap it.
     * Output: (idCol, text, n_tokens, n_dropped) — `text` is the trimmed
     * token sequence re-joined by single spaces (tokenization is the
     * whitespace convention, so re-joining loses only whitespace shape).
@@ -646,12 +648,19 @@ object Dedup {
         min(struct(col(idCol).as("cid"), col("pos").as("cpos"))).as("canon"))
       .where(col("df") >= minDocFreq)
       .select(col("gram"), col("canon.cid").as("cid"), col("canon.cpos").as("cpos"))
-    // token positions covered by a non-canonical duplicated window;
-    // collect_set dedups overlapping windows' positions per doc
+    // drop a position iff some non-canonical duplicated window covers it
+    // AND no canonical window does: without the canonical-cover exemption,
+    // overlapping non-canonical windows of OTHER grams could destroy a
+    // canonical occurrence and the last copy of a duplicated span would
+    // vanish from the corpus — violating keep-one trim semantics. One
+    // groupBy(doc, position) with bool_or(is_canon) decides both at once
     val dropped = pos.join(dupCanon, Seq("gram"))
-      .where(!(col(idCol) === col("cid") && col("pos") === col("cpos")))
       .select(col(idCol),
+        (col(idCol) === col("cid") && col("pos") === col("cpos")).as("is_canon"),
         explode(sequence(col("pos"), col("pos") + lit(windowN - 1))).as("p"))
+      .groupBy(col(idCol), col("p"))
+      .agg(max(col("is_canon")).as("protected"))
+      .where(!col("protected"))
       .groupBy(idCol)
       .agg(collect_set(col("p")).as("drop_ps"))
     // rebuild: kept indices via array_except (hash-set, O(n + dropped) per

@@ -53,40 +53,40 @@ object LmScore {
   final case class LmModel(uni: DataFrame, bi: DataFrame, tri: DataFrame,
                            totalTokens: Long) {
 
-    /** Persist the model as three parquet tables + a JSON sidecar with N —
-      * the same sidecar convention as the persisted ANN layouts. Re-loading
-      * makes scoring independent of the (one-time) training pass.
+    /** Persist the model as three parquet tables + a JSON sidecar with N
+      * (shared [[graft.util.Sidecar]] convention, like the ANN layouts).
+      * Re-loading makes scoring independent of the one-time training pass.
       */
     def save(dir: String): Unit = {
       uni.write.mode("overwrite").parquet(s"$dir/uni.parquet")
       bi.write.mode("overwrite").parquet(s"$dir/bi.parquet")
       tri.write.mode("overwrite").parquet(s"$dir/tri.parquet")
-      val spark = uni.sparkSession
-      val conf = spark.sparkContext.hadoopConfiguration
-      val path = new org.apache.hadoop.fs.Path(s"$dir/lm-meta.json")
-      val fs = path.getFileSystem(conf)
-      val out = fs.create(path, true)
-      try out.write(s"""{"total_tokens":$totalTokens}""".getBytes("UTF-8"))
-      finally out.close()
+      graft.util.Sidecar.write(uni.sparkSession, dir, "lm-meta.json",
+        s"""{"total_tokens":$totalTokens}""")
+    }
+
+    /** Pin the three count tables in the block-manager cache. A freshly
+      * trained model is three LAZY aggregation plans over the reference
+      * corpus, and [[score]] consumes them six times (the gate count + five
+      * join sides) — un-cached, that re-runs training per use. Callers own
+      * the lifecycle: pair with [[unpersist]] (or use [[save]]/[[LmModel.load]]
+      * for the durable equivalent).
+      */
+    def cache(): LmModel = { uni.persist(); bi.persist(); tri.persist(); this }
+
+    def unpersist(): LmModel = {
+      uni.unpersist(); bi.unpersist(); tri.unpersist(); this
     }
   }
 
   object LmModel {
     def load(spark: SparkSession, dir: String): LmModel = {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val path = new org.apache.hadoop.fs.Path(s"$dir/lm-meta.json")
-      val fs = path.getFileSystem(conf)
-      val in = fs.open(path)
-      val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      val n = """"total_tokens"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
-        .map(_.group(1).toLong)
-        .getOrElse(throw new IllegalArgumentException(
-          s"$dir/lm-meta.json has no total_tokens"))
+      val meta = graft.util.Sidecar.read(spark, dir, "lm-meta.json")
       LmModel(
         spark.read.parquet(s"$dir/uni.parquet"),
         spark.read.parquet(s"$dir/bi.parquet"),
-        spark.read.parquet(s"$dir/tri.parquet"), n)
+        spark.read.parquet(s"$dir/tri.parquet"),
+        graft.util.Sidecar.requiredLong(meta, "total_tokens", s"$dir/lm-meta.json"))
     }
   }
 

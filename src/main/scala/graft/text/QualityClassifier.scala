@@ -33,26 +33,16 @@ object QualityClassifier {
       */
     def save(dir: String): Unit = {
       lr.write.overwrite().save(s"$dir/lr")
-      val spark = SparkSession.active
-      val path = new org.apache.hadoop.fs.Path(s"$dir/qc-meta.json")
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(path, true)
-      try out.write(s"""{"dim":$dim}""".getBytes("UTF-8"))
-      finally out.close()
+      graft.util.Sidecar.write(SparkSession.active, dir, "qc-meta.json",
+        s"""{"dim":$dim}""")
     }
   }
 
   object QcModel {
     def load(spark: SparkSession, dir: String): QcModel = {
-      val path = new org.apache.hadoop.fs.Path(s"$dir/qc-meta.json")
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(path)
-      val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      val dim = """"dim"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
-        .map(_.group(1).toInt)
-        .getOrElse(throw new IllegalArgumentException(s"$dir/qc-meta.json has no dim"))
-      QcModel(LogisticRegressionModel.load(s"$dir/lr"), dim)
+      val meta = graft.util.Sidecar.read(spark, dir, "qc-meta.json")
+      QcModel(LogisticRegressionModel.load(s"$dir/lr"),
+        graft.util.Sidecar.requiredLong(meta, "dim", s"$dir/qc-meta.json").toInt)
     }
   }
 
@@ -88,13 +78,20 @@ object QualityClassifier {
     // freshly fitted model drags summary -> SparkSession into every task
     // closure (NotSerializableException: ObservationManager). A save/load
     // round-trip is the supported way to get a summary-free model; the
-    // coefficient payload is KB-to-MB sized.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-qc-fit").toString
+    // coefficient payload is KB-to-MB sized. The scratch path is resolved
+    // against the Hadoop DEFAULT filesystem (never java.nio local temp):
+    // the ML writer runs on executors, so on a real cluster a driver-local
+    // path would be written remotely and read locally — and cleanup goes
+    // through the same FS, so nothing leaks on HDFS/object stores.
+    val spark = docs.sparkSession
+    val tmp = new org.apache.hadoop.fs.Path(
+      "/tmp", s"graft-qc-fit-${java.util.UUID.randomUUID}")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val clean = try {
-      fitted.write.overwrite().save(tmp)
-      LogisticRegressionModel.load(tmp)
+      fitted.write.overwrite().save(tmp.toString)
+      LogisticRegressionModel.load(tmp.toString)
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      fs.delete(tmp, true)
     }
     QcModel(clean, dim)
   }

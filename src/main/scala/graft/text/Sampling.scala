@@ -86,15 +86,19 @@ object Sampling {
                      keyCol: String = "source"): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
     require(targetFactor > 0.0, "targetFactor must be positive")
+    // sorted by source so the two fp summations below have ONE canonical
+    // order — collect() partition order must not be able to shift n/z by an
+    // ulp and flip a copy-count cut on a .5 boundary
     val counts = docs.groupBy(keyCol).count().collect()
       .filter(!_.isNullAt(0))
-      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      .map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .sortBy(_._1)
     require(counts.nonEmpty, "no non-null sources to mix")
-    val n = counts.values.sum
-    val z = counts.values.map(math.pow(_, alpha)).sum
+    val n = counts.map(_._2).sum
+    val z = counts.map(c => math.pow(c._2, alpha)).sum
     val weights = counts.map { case (k, ns) =>
       k -> (targetFactor * n * math.pow(ns, alpha) / ns / z)
-    }
+    }.toMap
     sampleWeighted(docs, weights, defaultWeight = 1.0, salt, idCol, keyCol)
   }
 

@@ -67,6 +67,20 @@ class DupSpansSpec extends SparkSpec {
     assert(got(5L) === (("q r", 6, 4)))
   }
 
+  test("trimDupSpans: canonical windows are exempt from cross-gram trimming — duplicated content never vanishes entirely") {
+    val got = Dedup.trimDupSpans(
+      Seq(1L -> "a b c d", 2L -> "b c d e", 3L -> "c d e").toDF("doc_id", "text"),
+      windowN = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // "b c d" canonical at (1,1); "c d e" canonical at (2,1).
+    // doc2's non-canonical "b c d" covers 0-2, but its canonical "c d e"
+    // covers 1-3 -> only token 0 drops; doc3's copy is fully trimmed.
+    assert(got(1L) === (("a b c d", 4, 0)))
+    assert(got(2L) === (("c d e", 4, 1)))
+    assert(got(3L) === (("", 3, 3)))
+  }
+
   test("trimDupSpans: empty and null text survive the rebuild") {
     val got = Dedup.trimDupSpans(
       Seq(6L -> "", 7L -> null.asInstanceOf[String]).toDF("doc_id", "text"),
