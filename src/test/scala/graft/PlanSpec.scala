@@ -179,6 +179,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("span dedup: no cartesian product, gram aggs partial-aggregate before exchange") {
+    // the span family's whole scale story is "no pair expansion": any
+    // nested-loop/cartesian appearing here means a join key was lost
+    for (q <- Seq("d_dup_spans", "d_trim_dup_spans")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join only:\n${p.take(1500)}")
+      assert(p.contains("HashAggregate"), s"$q gram agg missing")
+    }
+  }
+
+  test("LM scoring: doc-side position expansion is a Generate, not a positions self-join") {
+    val p = planOf("d_lm_score")
+    assert(p.contains("Generate"), "position structs must come from one explode")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere in LM scoring")
+  }
+
   test("simhash band join exchanges carry bare signatures, never id arrays") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
