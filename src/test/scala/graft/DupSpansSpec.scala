@@ -91,6 +91,30 @@ class DupSpansSpec extends SparkSpec {
     assert(got(7L) === ((None, 0, 0)))
   }
 
+  test("keep-one property on the real corpus: every duplicated gram survives in some trimmed doc") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val w = 13
+    val dupGrams = docs
+      .select(col("doc_id"), explode(array_distinct(
+        graft.text.TextFunctions.shingles(col("text"), w))).as("g"))
+      .groupBy("g").agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= 2).select("g")
+    val trimmedTexts = graft.dedup.Dedup.trimDupSpans(docs, windowN = w)
+      .where(col("text").isNotNull)
+      .select(col("text"))
+    // canonical windows are exempt from cross-gram trimming and their
+    // tokens stay contiguous in the rebuilt text, so the gram string must
+    // appear verbatim in at least one survivor
+    val survivors = trimmedTexts
+      .crossJoin(broadcast(dupGrams))
+      .where(col("text").contains(col("g")))
+      .select("g").distinct()
+    val missing = dupGrams.join(survivors, Seq("g"), "left_anti").count()
+    assert(dupGrams.count() > 0, "fixture must contain duplicated grams")
+    assert(missing === 0L, s"$missing duplicated grams vanished from the corpus")
+  }
+
   test("empty corpus flows through both span operators") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.dupSpans(empty, windowN = 3).collect().isEmpty)
