@@ -459,6 +459,14 @@ object QueriesData {
         .select("doc_id", "source", "copy")
         .orderBy("doc_id", "copy")),
 
+    // deterministic training-order shuffle: (shard, pos) coordinates from
+    // md5 order — the oracle reproduces bucket fold, shard mod, and the
+    // within-shard rank, so the whole permutation is hash-pinned
+    "d_shuffle_order" -> ((s, d) =>
+      graft.text.Sampling.shuffleOrder(docs(s, d), nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")),
+
     // deterministic stratified take: exactly 20 docs per language, chosen by
     // hash order — same 20 on any cluster, any partitioning, any run
     "d_stratified" -> ((s, d) =>
@@ -745,6 +753,23 @@ object QueriesData {
         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_copies,
         |  round(avg(avg_logprob), 5) AS avg_lp
         |FROM copies GROUP BY source ORDER BY source""".stripMargin,
+    "d_shuffle_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5(doc_id || ':shuffle') AS k,
+        |    md5(doc_id || ':shuffle:shard') AS ms
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, k,
+        |    CAST((
+        |      (strpos('0123456789abcdef', substr(ms, 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(ms, 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(ms, 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(ms, 4, 1)) - 1)) % 8 AS INT) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "d_temperature_mix" ->
       // weight derivation mirrors temperatureMix term for term (same
       // association order: nn * n^alpha / n / z); null-source docs fall out

@@ -102,6 +102,37 @@ object Sampling {
     sampleWeighted(docs, weights, defaultWeight = 1.0, salt, idCol, keyCol)
   }
 
+  /** Deterministic global training-order shuffle: every document gets a
+    * (shard, pos) coordinate where `shard` is an md5-derived bucket mod
+    * `nShards` and `pos` is the document's rank within its shard under the
+    * md5 order — i.e. the corpus read back shard-by-shard, position-by-
+    * position is a pseudo-random permutation that is identical for any
+    * partitioning, any retry, any engine (the training-data requirement:
+    * shuffle once, reproduce forever; RNG-free like every assignment in
+    * this file). Ties under the hex key break by id; documents with a null
+    * id share a null shard and have no defined order among themselves.
+    *
+    * Scale shape: one exchange on `shard` plus a per-shard sort — exactly
+    * the repartition+sortWithinPartitions shape a shard writer runs; size
+    * `nShards` to O(output files), keeping each shard's sort
+    * executor-sized.
+    */
+  def shuffleOrder(docs: DataFrame, nShards: Int, salt: String = "shuffle",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val shard = (hashBucket16(col(idCol), salt + ":shard") % nShards).cast("int")
+    docs
+      .withColumn("shard", shard)
+      .withColumn("shuffle_key", key)
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy("shard").orderBy(col("shuffle_key"), col(idCol)))
+          - 1).cast("long"))
+      .drop("shuffle_key")
+  }
+
   def sampleWeighted(docs: DataFrame, weights: Map[String, Double],
                      defaultWeight: Double = 1.0, salt: String = "mix",
                      idCol: String = "doc_id", keyCol: String = "source"): DataFrame = {

@@ -250,6 +250,29 @@ class SamplingSpec extends SparkSpec {
     assert(eq("B").size === 2, "no B doc dropped")
   }
 
+  test("shuffleOrder: a partition-invariant permutation with contiguous per-shard ranks") {
+    val docs = spark.range(0, 1000).toDF("doc_id")
+    val a = Sampling.shuffleOrder(docs, nShards = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val b = Sampling.shuffleOrder(docs.repartition(7), nShards = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(a === b, "coordinates must not depend on partitioning")
+    assert(a.size === 1000)
+    // ranks are a contiguous 0..n-1 within every shard
+    a.values.groupBy(_._1).foreach { case (shard, rs) =>
+      val ps = rs.map(_._2).toSeq.sorted
+      assert(ps === (0L until ps.size.toLong), s"shard $shard ranks not contiguous")
+    }
+    // md5 spreads shards evenly-ish (binomial 5-sigma on 1000 docs / 8)
+    val sizes = a.values.groupBy(_._1).view.mapValues(_.size)
+    sizes.foreach { case (shard, n) =>
+      assert(math.abs(n - 125) < 60, s"shard $shard skewed: $n")
+    }
+    // the order is actually shuffled, not id order
+    val shard0 = a.collect { case (id, (0, p)) => (p, id) }.toSeq.sortBy(_._1).map(_._2)
+    assert(shard0 != shard0.sorted, "permutation should not be the identity")
+  }
+
   test("temperatureMix: deterministic under repartition; null source passes through once") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = Sampling.temperatureMix(docs, alpha = 0.5).select("doc_id", "copy")
