@@ -615,6 +615,42 @@ object QueriesData {
         .orderBy("source")
     }),
 
+    // sampling: DSIR importance resampling (Xie et al. 2023) — fit hashed
+    // n-gram bucket log-ratios on a target sample vs the raw corpus, score
+    // every raw doc, keep the deterministic Gumbel top-k. Full pipeline
+    // under one oracle: bucket fold, smoothing, log-sum, Gumbel key and the
+    // selected SET all hash-checked. Target = doc_id % 7 == 1 (a stand-in
+    // "high-quality reference corpus"), raw = everything else.
+    "d_dsir_select" -> ((s, d) => {
+      val all = docs(s, d)
+      val target = all.filter(col("doc_id") % 7 === 1)
+      val raw = all.filter(col("doc_id") % 7 =!= 1)
+      val ratios = graft.text.Dsir.fitLogRatios(target, raw, nBuckets = 4096)
+      val scored = graft.text.Dsir.scoreLogWeights(raw, ratios, nBuckets = 4096)
+      graft.text.Dsir.resampleTopK(scored, 40)
+        .select(col("doc_id"), round(col("log_weight"), 5).as("log_weight"),
+          col("gumbel_key"))
+    }),
+
+    // dedup analytics: cross-source duplicate overlap matrix (which sources
+    // copy from each other) on the battery's 40-char-prefix digest — the
+    // same digest d_exact_dedup groups on, so the two entries agree on what
+    // "a duplicate" is at this sf
+    "d_source_overlap" -> ((s, d) => Dedup.crossGroupOverlap(
+        docs(s, d), "source",
+        key = Some(md5(lower(substring(col("text"), 1, 40)))))
+      .orderBy("group_a", "group_b")),
+
+    // sampling gate: train/test leakage — exact-dup groups straddling the
+    // deterministic md5 splits; composition of assignSplits (same salt and
+    // cuts as d_split_assign) with the overlap report
+    "d_split_leakage" -> ((s, d) => Dedup.crossGroupOverlap(
+        graft.text.Sampling.assignSplits(docs(s, d),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+        "split",
+        key = Some(md5(lower(substring(col("text"), 1, 40)))))
+      .orderBy("group_a", "group_b")),
+
     // ANN: exact centroid distance ranking per label (IVF-style coarse stats)
     "a_label_centroid_norm" -> ((s, d) => emb(s, d)
       .select(col("label"),
@@ -1289,6 +1325,85 @@ object QueriesData {
         |        regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS w
         |      FROM documents)
         |GROUP BY w ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    // DSIR reproduced end to end: gram bag (unigrams+bigrams), md5 bucket
+    // fold mod 4096, add-one smoothing with exact integer totals, log-sum
+    // per doc, Gumbel key from the doc-id hash. round(lw,5)/round(key,6)
+    // on both sides keeps libm 1-ulp noise out of the hash, and ranking on
+    // the ROUNDED key (tiebreak doc_id) makes the selected set itself
+    // engine-invariant.
+    "d_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(t || list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks),
+        |gb AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 4096 AS bucket
+        |  FROM (SELECT doc_id, md5(g || ':dsir') AS m FROM grams)),
+        |tc AS (SELECT bucket, count(*) AS n_t FROM gb WHERE doc_id % 7 = 1 GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS n_r FROM gb WHERE doc_id % 7 <> 1 GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(sum(n_t), 0) FROM tc) AS tt,
+        |               (SELECT coalesce(sum(n_r), 0) FROM rc) AS tr),
+        |ratio AS (
+        |  SELECT s.bucket,
+        |    ln((coalesce(n_t, 0) + 1.0) / (tt + 4096.0))
+        |  - ln((coalesce(n_r, 0) + 1.0) / (tr + 4096.0)) AS lr
+        |  FROM (SELECT unnest(range(0, 4096)) AS bucket) s
+        |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot),
+        |sc AS (SELECT gb.doc_id, sum(lr) AS lw
+        |       FROM gb JOIN ratio USING (bucket)
+        |       WHERE gb.doc_id % 7 <> 1 GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, coalesce(sc.lw, 0.0) AS lw
+        |  FROM documents d LEFT JOIN sc USING (doc_id)
+        |  WHERE d.doc_id % 7 <> 1),
+        |g AS (
+        |  SELECT doc_id, round(lw, 5) AS log_weight,
+        |    round(lw - ln(-ln((
+        |      (strpos('0123456789abcdef', substr(mg, 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(mg, 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(mg, 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(mg, 4, 1)) - 1) + 1.0) / 65537.0)),
+        |      6) AS gumbel_key
+        |  FROM (SELECT doc_id, lw, md5(doc_id || ':dsir:g') AS mg FROM scored))
+        |SELECT doc_id, log_weight, gumbel_key
+        |FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 40""".stripMargin,
+    "d_source_overlap" ->
+      """WITH k AS (
+        |  SELECT DISTINCT md5(lower(substring(text, 1, 40))) AS k, source
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+        |SELECT a.source AS group_a, b.source AS group_b, count(*) AS n_shared
+        |FROM k a JOIN k b ON a.k = b.k AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d_split_leakage" ->
+      // same split assignment as d_split_assign (cuts 52429/58982), then
+      // the d_source_overlap report keyed on split
+      """WITH h AS (SELECT doc_id, text, md5(doc_id || ':split') AS m
+        |           FROM documents),
+        |a AS (SELECT text,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |          + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) < 52429
+        |       THEN 'train'
+        |       WHEN (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |          + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) < 58982
+        |       THEN 'val' ELSE 'test' END AS split
+        |  FROM h),
+        |k AS (SELECT DISTINCT md5(lower(substring(text, 1, 40))) AS k, split
+        |      FROM a WHERE text IS NOT NULL)
+        |SELECT x.split AS group_a, y.split AS group_b, count(*) AS n_shared
+        |FROM k x JOIN k y ON x.k = y.k AND x.split < y.split
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d_split_assign" ->
       // the 16-bit bucket is a manual hex fold of md5's first 4 chars —
       // bit-identical to Spark's conv(substring(md5, 1, 4), 16, 10); cuts

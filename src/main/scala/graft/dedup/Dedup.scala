@@ -712,4 +712,44 @@ object Dedup {
         round(coalesce(col("covered_tokens"), lit(0L)) /
           greatest(col("n_tokens"), lit(1)), 6).as("dup_fraction"))
   }
+
+  /** Cross-group duplicate overlap: for every unordered pair of `groupCol`
+    * values, how many exact-dup groups ([[dupKey]] digests) have at least
+    * one document in BOTH — the report behind two curation questions:
+    *  - `groupCol = source`: which sources copy from each other (crawl
+    *    overlap matrix, the Dolma/Pile-style corpus diff);
+    *  - `groupCol = split`: train/test leakage — a digest straddling splits
+    *    means the eval split contains a training document verbatim (run it
+    *    on [[graft.text.Sampling.assignSplits]] output as a release gate).
+    *
+    * Output: `(group_a, group_b, n_shared)` with `group_a < group_b`,
+    * pairs with no overlap absent. NULL-text rows index nothing (NULL
+    * digest) and NULL groups are dropped — both would otherwise fabricate
+    * an "overlap" out of absent data. `key` overrides the digest (e.g. a
+    * prefix digest to catch near-verbatim heads, or a MinHash band key to
+    * lift the same report to near-dup granularity).
+    *
+    * Scale shape: the corpus collapses map-side to DISTINCT (digest, group)
+    * — the only full-width exchange, carrying 16 bytes + group per row. The
+    * self-join is digest-partitioned and each digest matches at most
+    * |groups| rows per side (distinct!), so the pair expansion is bounded
+    * by |groups|² per digest — no mega-group quadratic blowup, because
+    * group multiplicity was collapsed before the join. The final pair
+    * rollup has ≤ |groups|² rows.
+    */
+  def crossGroupOverlap(df: DataFrame, groupCol: String,
+                        textCol: String = "text",
+                        key: Option[Column] = None): DataFrame = {
+    val keyed = df
+      .where(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(key.getOrElse(dupKey(col(textCol))).as("graft_dup_key"),
+        col(groupCol).cast("string").as("graft_group"))
+      .distinct()
+    val a = keyed.select(col("graft_dup_key"), col("graft_group").as("group_a"))
+    val b = keyed.select(col("graft_dup_key"), col("graft_group").as("group_b"))
+    a.join(b, Seq("graft_dup_key"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

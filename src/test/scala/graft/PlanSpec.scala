@@ -224,4 +224,35 @@ class PlanSpec extends SparkSpec {
         s"band shuffle must not carry arrays: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
     }
   }
+
+  test("DSIR scoring: ratio table broadcasts, corpus never joins back on id") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val target = docs.where(col("doc_id") % 7 === 1)
+    val raw = docs.where(col("doc_id") % 7 =!= 1)
+    val ratios = graft.text.Dsir.fitLogRatios(target, raw, nBuckets = 256)
+    val p = graft.text.Dsir.scoreLogWeights(raw, ratios, nBuckets = 256)
+      .queryExecution.explainString(FormattedMode)
+    // the ≤65536-row ratio table must be the BUILD side of a broadcast
+    // join — the corpus side must never shuffle to be scored
+    assert(p.contains("BroadcastHashJoin"), s"ratio probe must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"), "scoring must not sort-merge the corpus")
+    // exactly ONE corpus-keyed exchange (the per-doc sum); a second would be
+    // the corpus-sized join-back this design deliberately avoids
+    val hashParts = "hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(hashParts <= 1, s"expected at most one doc_id exchange, got $hashParts:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      "per-doc sum must partial-aggregate map-side")
+  }
+
+  test("DSIR selection is a top-k (TakeOrdered), never a global sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val scored = docs.select(col("doc_id"),
+      (col("doc_id") % 13).cast("double").as("log_weight"))
+    val p = graft.text.Dsir.resampleTopK(scored, 40)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n${p.take(1200)}")
+  }
 }
