@@ -1853,6 +1853,37 @@ object QueriesData {
       audited.orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means the embeddings, within-cluster
+    // cosine pairs ≥ threshold, keep the member least similar to its
+    // centroid per duplicate group. No SQL oracle BY NATURE (iterative
+    // k-means); the audit carried instead is PAIR recall — the fraction of
+    // the EXACT global cosine-threshold pairs whose endpoints landed in one
+    // duplicate group (what clustering can miss: cross-cluster pairs).
+    "d_semantic_dedup" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count()
+      val verdicts = graft.dedup.SemDedup.semanticDedup(
+        e, "vec_id", "embedding", nClusters = 8, threshold = 0.3)
+      val audited =
+        if (n <= 5000L) {
+          val ex = exactCosinePairs(e, 0.3)
+            .select("id_a", "id_b").localCheckpoint(true)
+          val nEx = ex.count()
+          val va = verdicts.select(col("id").as("id_a"),
+            col("component").as("comp_a"))
+          val vb = verdicts.select(col("id").as("id_b"),
+            col("component").as("comp_b"))
+          val hits =
+            if (nEx == 0) 0L
+            else ex.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+              .where(col("comp_a") === col("comp_b")).count()
+          verdicts.withColumn("exact_pair_recall", lit(
+            if (nEx == 0) 1.0 else math.rint(hits.toDouble / nEx * 1e4) / 1e4))
+        } else verdicts.withColumn("exact_pair_recall",
+          lit(null).cast("double"))
+      audited.orderBy("id")
+    }),
+
     "a_ann_lsh" -> ((s, d) => {
       val corpus = emb(s, d).filter(col("vec_id") =!= 0)
       val q = emb(s, d).filter(col("vec_id") === 0)

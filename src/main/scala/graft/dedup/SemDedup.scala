@@ -1,0 +1,143 @@
+package graft.dedup
+
+import graft.ann.Ann
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication via embedding clustering (Abbas et
+  * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+  * semantic deduplication", arXiv:2303.09540): k-means the embedding space,
+  * call two documents semantic duplicates when their cosine similarity
+  * within a shared cluster exceeds a threshold, and keep ONE exemplar per
+  * duplicate group — the member LEAST similar to its cluster centroid (the
+  * paper's choice: of a redundant group, retain the most "edge-like"
+  * example, prune the interior).
+  *
+  * This is the third rung of the dedup ladder: exact (digest) → lexical
+  * near-dup (MinHash/SimHash/Jaccard) → SEMANTIC (same meaning, different
+  * words), which only an embedding can see.
+  *
+  * Scale shape: clustering is what makes the quadratic tractable — the
+  * pair search is a self-join ON THE CLUSTER ID, so candidate volume is
+  * Σ|c|² over clusters instead of n². Size `nClusters` so the expected
+  * cluster (n / nClusters) keeps |c|² executor-sized — the paper runs 50k
+  * clusters over LAION-440M (~9k per cluster). The k-means fit runs on
+  * Spark ML (at real scale, fit on a `corpus.sample` and assign the full
+  * corpus — the centroids, not the fit set, define the index), the
+  * assignment is one narrow transform materialized ONCE (local checkpoint,
+  * or durable parquet staging via `staging` — same choice as the corpus
+  * capstone), and the duplicate-group closure reuses the measured-gate
+  * connected-components loop. Nothing in the pipeline is all-pairs.
+  */
+object SemDedup {
+
+  /** Per-document semantic-dedup verdicts for every document that belongs
+    * to a duplicate group: `(id, list, component, centroid_cos, keep)` —
+    * `component` is the duplicate group (connected via ≥-threshold pairs
+    * within a cluster), `keep` marks the paper's exemplar (min centroid
+    * cosine, ties by min id). Documents in no duplicate pair are ABSENT
+    * (they are all keepers); anti-join `keep = false` rows against the
+    * corpus to prune it.
+    *
+    * @param threshold within-cluster cosine at/above which two docs are
+    *   semantic duplicates (the paper sweeps ~0.95-0.999 for CLIP text
+    *   embeddings; synthetic batteries use lower).
+    * @param staging when set, the cluster-assigned corpus is staged as
+    *   write-once parquet under this dir (durable across executor loss —
+    *   the assignment feeds BOTH pair-join sides and the centroid-cosine
+    *   pass); default is an eager local checkpoint.
+    * @param checkpointDir reliable-checkpoint dir for the components loop
+    *   (see [[Clusters.connectedComponents]]).
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, threshold: Double, seed: Long = 42L,
+                    staging: Option[String] = None,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val vd = col(vecCol).cast("array<double>")
+    // zero-norm / NaN vectors can't cosine-compare — exclude them up front
+    // (same hardening as embeddingPairs: an all-NaN row would otherwise
+    // poison its whole cluster with NaN cosines)
+    val base = corpus.select(col(idCol).as("id"), vd.as("vec"))
+      .withColumn("norm",
+        sqrt(graft.functions.KFunctions.array_dot(col("vec"), col("vec"))))
+      .filter(col("norm") =!= 0.0d && !isnan(col("norm")))
+      .withColumn("unit", transform(col("vec"), x => x / col("norm")))
+      .select("id", "vec", "unit")
+    // Spark ML KMeans requires k ≥ 2; nClusters = 1 (brute-force SemDeDup,
+    // no cluster pruning) assigns everything to one list whose centroid is
+    // the dimension-wise mean — the same centroid k-means(k=1) converges to
+    val (assignedPlan, model) =
+      if (nClusters == 1) {
+        val centroid = base
+          .select(posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy("pos").agg(avg("x").as("m"))
+          .orderBy("pos").collect().map(_.getDouble(1))
+        (base.withColumn("list", lit(0)), Ann.IvfModel(Array(centroid)))
+      } else Ann.ivfAssign(base, "vec", nClusters, seed)
+    // materialized once: the assignment feeds three consumers (two pair-join
+    // sides + the centroid pass); without this the k-means transform and the
+    // corpus scan would re-run per consumer
+    val assigned = graft.text.CorpusPipeline.materializeStage(
+      assignedPlan.select("id", "unit", "list"), staging, "semdedup-assigned")
+
+    // within-cluster candidate pairs — the cluster id is the join key, so
+    // the exchange partitions by cluster and each task's pair expansion is
+    // bounded by its clusters' |c|²
+    val a = assigned.select(col("list"), col("id").as("id_a"),
+      col("unit").as("unit_a"))
+    val b = assigned.select(col("list"), col("id").as("id_b"),
+      col("unit").as("unit_b"))
+    val pairs = a.join(b, Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        graft.functions.KFunctions.array_dot(col("unit_a"), col("unit_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+
+    val comps = Clusters.connectedComponents(pairs,
+      checkpointDir = checkpointDir)
+
+    // centroid cosine for group members only (semi-join first: the corpus-
+    // sized centroid pass would be wasted on non-duplicates). Centroids are
+    // a driver-resident nClusters×dim table — broadcast by construction.
+    val spark = corpus.sparkSession
+    val centroids = spark.createDataFrame(
+      model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("list", "cvec")
+      .withColumn("cnorm",
+        sqrt(graft.functions.KFunctions.array_dot(col("cvec"), col("cvec"))))
+    val members = assigned.join(comps, Seq("id"))
+      .join(broadcast(centroids), Seq("list"))
+      // unit is already normalized; guard the (degenerate) zero centroid
+      .withColumn("centroid_cos", round(
+        graft.functions.KFunctions.array_dot(col("unit"), col("cvec"))
+          / when(col("cnorm") =!= 0.0d, col("cnorm")).otherwise(lit(1.0)), 6))
+      .select("id", "list", "component", "centroid_cos")
+
+    // the paper's exemplar: LOWEST centroid similarity in the group (keep
+    // the edge of the cluster, drop the redundant interior); min_by with an
+    // explicit id tiebreak so the winner is deterministic under cosine ties
+    // one row per duplicate GROUP — usually tiny but unbounded in
+    // principle, so no forced broadcast: both sides are already
+    // component-keyed and AQE broadcasts the winners side when it measures
+    // small
+    val winners = members.groupBy("component")
+      .agg(min(struct(col("centroid_cos"), col("id"))).as("w"))
+      .select(col("component"), col("w.id").as("keep_id"))
+    members.join(winners, Seq("component"))
+      .withColumn("keep", col("id") === col("keep_id"))
+      .select("id", "list", "component", "centroid_cos", "keep")
+  }
+
+  /** Prune a corpus with [[semanticDedup]] verdicts: drop every non-exemplar
+    * group member. `verdicts` is metadata-shaped (duplicate-group members
+    * only), so the anti-join's build side is small.
+    */
+  def prune(corpus: DataFrame, verdicts: DataFrame, idCol: String): DataFrame =
+    corpus.join(
+      verdicts.where(!col("keep")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+}
