@@ -370,7 +370,17 @@ object Queries {
           graft.pipelines.RestoreConfig(tmp, "rt", Some(T1), Some(T2))).toDF()
         .groupBy("topic").agg(count(lit(1)).as("n"))
         .orderBy("topic")
-    })
+    }),
+
+    // sessionization (gaps-and-islands, 6h inactivity gap) per user over the
+    // event stream — one key shuffle feeds both window passes and the
+    // session aggregate combines map-side (plan-locked in SessionizeSpec).
+    // Per-user rollup keeps the output metadata-sized.
+    "q_sessionize" -> ((s, d) =>
+      graft.operators.Sessionize.sessionReport(
+          events(s, d), "user_id", "ts_ms",
+          gapMs = 6 * 3600 * 1000L, tiebreakCol = "event_id")
+        .orderBy("user_id"))
   )
 
   val kafkaOracles: Map[String, String] = Map(
@@ -518,7 +528,32 @@ object Queries {
         |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
     "p_pitr_roundtrip" ->
       s"""SELECT event_type AS topic, count(*) AS n FROM events
-         |WHERE epoch_ms(ts) BETWEEN $T1 AND $T2 GROUP BY 1 ORDER BY topic""".stripMargin
+         |WHERE epoch_ms(ts) BETWEEN $T1 AND $T2 GROUP BY 1 ORDER BY topic""".stripMargin,
+    // the same gaps-and-islands construction: lag finds the >6h gaps, the
+    // running sum numbers sessions, two GROUP BYs roll sessions then users
+    "q_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_ms,
+        |         sum(CASE WHEN prev IS NULL OR ts_ms - prev > 21600000
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM l),
+        |sess AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events,
+        |         max(ts_ms) - min(ts_ms) AS duration_ms
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       max(n_events) AS max_session_events,
+        |       max(duration_ms) AS max_session_ms,
+        |       CAST(sum(duration_ms) AS BIGINT) AS total_session_ms
+        |FROM sess GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 
   // ───────────────────────── analytic anchors over the TPC-H-ish tables ────

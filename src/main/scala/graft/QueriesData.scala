@@ -662,8 +662,109 @@ object QueriesData {
       .groupBy("label")
       .agg(count(lit(1)).as("n"), round(avg("norm"), 6).as("avg_norm"),
         round(min("self_cos"), 6).as("min_self_cos"))
-      .orderBy("label"))
+      .orderBy("label")),
+
+    // data layout: z-order (Morton) bucket spans over (n_chars, doc_id%1024)
+    // — the per-bucket min/max report is exactly what parquet file-level
+    // pruning sees after ZOrder.writeZOrdered: every bucket holds a TIGHT
+    // span on BOTH dimensions, so a selective predicate on either one skips
+    // most buckets. The z-value is a flat shift/and/multiply expression
+    // (whole-stage codegen, no UDF) and the oracle reproduces the same
+    // 20-term interleave in SQL bit arithmetic.
+    "d_zorder_layout" -> ((s, d) => graft.operators.ZOrder.bucketSpans(
+        docs(s, d).withColumn("id_mod", col("doc_id") % 1024),
+        bits = 10, bucketBits = 6,
+        ("chars", col("n_chars")), ("id_mod", col("id_mod")))
+      .orderBy("bucket")),
+
+    // quality: CCNet-style perplexity bucketing (Wenzek et al. 2020) — score
+    // every doc with the reference-slice LM (same model as d_lm_score),
+    // split the corpus at the tercile thresholds of a DETERMINISTIC 1/3
+    // sample's score distribution (doc_id % 3 == 0), label head/middle/tail.
+    // The sample is what bounds exact-percentile state at scale: Spark's
+    // exact percentile accumulates its group's values, so the sample rate —
+    // not the corpus — sizes that state; CCNet itself fits its percentile
+    // cuts on a sample for the same reason. Scores are rounded to 5 decimals
+    // BEFORE the percentile so both engines interpolate over bit-identical
+    // doubles, and the thresholds are rounded to 5 so a 1-ulp interpolation
+    // difference cannot flip a boundary doc's bucket.
+    "d_ccnet_buckets" -> ((s, d) => {
+      val all = docs(s, d)
+      val model = graft.text.LmScore.train(all.filter(col("doc_id") % 20 =!= 7))
+      val scored = graft.text.LmScore.score(all, model)
+        .select(col("doc_id"), round(col("avg_logprob"), 5).as("lp"))
+        .localCheckpoint(true) // thresholds + bucketing both read it
+      val cuts = scored.filter(col("doc_id") % 3 === 0)
+        .agg(round(percentile(col("lp"), lit(1.0 / 3)), 5),
+          round(percentile(col("lp"), lit(2.0 / 3)), 5)).head()
+      val (t1, t2) = (cuts.getDouble(0), cuts.getDouble(1))
+      scored
+        .withColumn("bucket", when(col("lp") < t1, "tail")
+          .when(col("lp") < t2, "middle").otherwise("head"))
+        .join(all.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), round(avg("lp"), 5).as("avg_lp"))
+        .orderBy("source", "bucket")
+    })
   )
+
+  /** Shared stupid-backoff scoring CTE chain (tokenize, 19/20-slice model
+    * counts, per-position backoff log-probs in `lp`): the d_lm_score oracle
+    * aggregates it per doc; the d_ccnet_buckets oracle adds the percentile
+    * cuts and bucket rollup on top of the identical scores.
+    */
+  private val lmLpCte: String =
+    """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |ref AS (SELECT t FROM toks WHERE doc_id % 20 <> 7),
+        |uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c1
+        |        FROM (SELECT unnest(t) AS w FROM ref) GROUP BY 1),
+        |nn AS (SELECT sum(c1) AS n FROM uni),
+        |bi AS (SELECT g, CAST(count(*) AS DOUBLE) AS c2 FROM (
+        |  SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS g
+        |  FROM ref WHERE len(t) >= 2) GROUP BY 1),
+        |tri AS (SELECT g, CAST(count(*) AS DOUBLE) AS c3 FROM (
+        |  SELECT unnest(list_transform(range(1, len(t) - 1),
+        |                j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS g
+        |  FROM ref WHERE len(t) >= 3) GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id,
+        |    t[i] AS w,
+        |    CASE WHEN i >= 2 THEN t[i-1] END AS v,
+        |    CASE WHEN i >= 2 THEN t[i-1] || ' ' || t[i] END AS g2low,
+        |    CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] END AS g2ctx,
+        |    CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] || ' ' || t[i] END AS g3
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks WHERE len(t) >= 1)),
+        |sc AS (
+        |  SELECT p.doc_id, p.g3, p.g2low,
+        |    u1.c1 AS c1w, u2.c1 AS c1v, bl.c2 AS c2low, bc.c2 AS c2ctx, tr.c3 AS c3
+        |  FROM p
+        |  LEFT JOIN uni u1 ON u1.w = p.w
+        |  LEFT JOIN uni u2 ON u2.w = p.v
+        |  LEFT JOIN bi bl ON bl.g = p.g2low
+        |  LEFT JOIN bi bc ON bc.g = p.g2ctx
+        |  LEFT JOIN tri tr ON tr.g = p.g3),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN g3 IS NOT NULL THEN
+        |        CASE WHEN c3 IS NOT NULL THEN log10(c3) - log10(c2ctx)
+        |             ELSE log10(0.4) +
+        |               CASE WHEN c2low IS NOT NULL THEN log10(c2low) - log10(c1v)
+        |                    ELSE log10(0.4) + log10(coalesce(c1w, 1) / (SELECT n FROM nn)) END
+        |        END
+        |      WHEN g2low IS NOT NULL THEN
+        |        CASE WHEN c2low IS NOT NULL THEN log10(c2low) - log10(c1v)
+        |             ELSE log10(0.4) + log10(coalesce(c1w, 1) / (SELECT n FROM nn)) END
+        |      ELSE log10(coalesce(c1w, 1) / (SELECT n FROM nn))
+        |    END AS lp,
+        |    (c3 IS NOT NULL) AS hit3,
+        |    (g3 IS NOT NULL AND c3 IS NULL) AS bk3,
+        |    (c1w IS NULL) AS oov
+        |  FROM sc)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d_token_count" ->
@@ -905,57 +1006,7 @@ object QueriesData {
       // the full stupid-backoff chain in SQL: counts from the 19/20 slice,
       // per-position backoff CASE identical in structure to LmScore.score,
       // round(avg, 5) on both sides keeps libm 1-ulp noise out of the hash
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |                             x -> x <> '') AS t
-        |  FROM documents),
-        |ref AS (SELECT t FROM toks WHERE doc_id % 20 <> 7),
-        |uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS c1
-        |        FROM (SELECT unnest(t) AS w FROM ref) GROUP BY 1),
-        |nn AS (SELECT sum(c1) AS n FROM uni),
-        |bi AS (SELECT g, CAST(count(*) AS DOUBLE) AS c2 FROM (
-        |  SELECT unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS g
-        |  FROM ref WHERE len(t) >= 2) GROUP BY 1),
-        |tri AS (SELECT g, CAST(count(*) AS DOUBLE) AS c3 FROM (
-        |  SELECT unnest(list_transform(range(1, len(t) - 1),
-        |                j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS g
-        |  FROM ref WHERE len(t) >= 3) GROUP BY 1),
-        |p AS (
-        |  SELECT doc_id,
-        |    t[i] AS w,
-        |    CASE WHEN i >= 2 THEN t[i-1] END AS v,
-        |    CASE WHEN i >= 2 THEN t[i-1] || ' ' || t[i] END AS g2low,
-        |    CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] END AS g2ctx,
-        |    CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] || ' ' || t[i] END AS g3
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
-        |        FROM toks WHERE len(t) >= 1)),
-        |sc AS (
-        |  SELECT p.doc_id, p.g3, p.g2low,
-        |    u1.c1 AS c1w, u2.c1 AS c1v, bl.c2 AS c2low, bc.c2 AS c2ctx, tr.c3 AS c3
-        |  FROM p
-        |  LEFT JOIN uni u1 ON u1.w = p.w
-        |  LEFT JOIN uni u2 ON u2.w = p.v
-        |  LEFT JOIN bi bl ON bl.g = p.g2low
-        |  LEFT JOIN bi bc ON bc.g = p.g2ctx
-        |  LEFT JOIN tri tr ON tr.g = p.g3),
-        |lp AS (
-        |  SELECT doc_id,
-        |    CASE
-        |      WHEN g3 IS NOT NULL THEN
-        |        CASE WHEN c3 IS NOT NULL THEN log10(c3) - log10(c2ctx)
-        |             ELSE log10(0.4) +
-        |               CASE WHEN c2low IS NOT NULL THEN log10(c2low) - log10(c1v)
-        |                    ELSE log10(0.4) + log10(coalesce(c1w, 1) / (SELECT n FROM nn)) END
-        |        END
-        |      WHEN g2low IS NOT NULL THEN
-        |        CASE WHEN c2low IS NOT NULL THEN log10(c2low) - log10(c1v)
-        |             ELSE log10(0.4) + log10(coalesce(c1w, 1) / (SELECT n FROM nn)) END
-        |      ELSE log10(coalesce(c1w, 1) / (SELECT n FROM nn))
-        |    END AS lp,
-        |    (c3 IS NOT NULL) AS hit3,
-        |    (g3 IS NOT NULL AND c3 IS NULL) AS bk3,
-        |    (c1w IS NULL) AS oov
-        |  FROM sc)
+      s"""$lmLpCte
         |SELECT doc_id,
         |  count(*) AS n_tokens,
         |  CAST(sum(CASE WHEN hit3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
@@ -963,6 +1014,7 @@ object QueriesData {
         |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  round(avg(lp), 5) AS avg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d_bpe_pairs" ->
       // generate_series is list-valued in scalar position (no lateral
       // support), so pairs come from a list_transform over index lists
@@ -1667,7 +1719,43 @@ object QueriesData {
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 6) AS avg_norm,
         |  round(min(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS min_self_cos
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "d_zorder_layout" ->
+      // the identical 20-term Morton interleave in SQL bit arithmetic:
+      // dim 0 = clamped n_chars (even interleaved bits), dim 1 = doc_id%1024
+      // (odd bits); bucket = top 6 of the 20 z bits
+      s"""WITH dz AS (
+         |  SELECT n_chars, doc_id % 1024 AS id_mod,
+         |         greatest(0, least(n_chars, 1023)) AS a,
+         |         greatest(0, least(doc_id % 1024, 1023)) AS m
+         |  FROM documents),
+         |z AS (SELECT n_chars, id_mod,
+         |        (${(0 until 10).flatMap(b => Seq(
+                    s"((a >> $b) & 1) * ${1L << (2 * b)}",
+                    s"((m >> $b) & 1) * ${1L << (2 * b + 1)}"))
+                    .mkString(" + ")}) AS zv
+         |      FROM dz)
+         |SELECT zv >> 14 AS bucket, count(*) AS n,
+         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         |       min(id_mod) AS min_id_mod, max(id_mod) AS max_id_mod
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "d_ccnet_buckets" ->
+      // same scored-docs CTE as d_lm_score, then the tercile cuts fitted on
+      // the deterministic doc_id%3==0 sample and the (source, bucket) rollup
+      s"""$lmLpCte,
+        |perdoc AS (SELECT doc_id, round(avg(lp), 5) AS lps FROM lp GROUP BY 1),
+        |cuts AS (SELECT
+        |    round(percentile_cont(1.0/3) WITHIN GROUP (ORDER BY lps), 5) AS t1,
+        |    round(percentile_cont(2.0/3) WITHIN GROUP (ORDER BY lps), 5) AS t2
+        |  FROM perdoc WHERE doc_id % 3 = 0),
+        |b AS (SELECT p.doc_id, p.lps,
+        |        CASE WHEN p.lps < c.t1 THEN 'tail'
+        |             WHEN p.lps < c.t2 THEN 'middle' ELSE 'head' END AS bucket
+        |      FROM perdoc p CROSS JOIN cuts c)
+        |SELECT d.source, b.bucket, count(*) AS n_docs,
+        |       round(avg(b.lps), 5) AS avg_lp
+        |FROM b JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
   )
 
   /** Build-or-reuse the IVF layout (k-means lists, partitioned parquet +

@@ -100,4 +100,26 @@ class LmScoreSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("SortMergeJoin"), "model join fell back to SMJ:\n" + plan.take(1200))
   }
+
+  test("ccnet buckets: terciles cover every scored doc and rank by score") {
+    val rows = graft.QueriesData.all("d_ccnet_buckets")(spark, sf0001).collect()
+    val buckets = rows.map(_.getString(1)).toSet
+    assert(buckets == Set("head", "middle", "tail"), s"got $buckets")
+    val n = rows.map(_.getLong(2)).sum
+    val scored = graft.text.LmScore.score(
+      spark.read.parquet(s"$sf0001/documents.parquet"),
+      graft.text.LmScore.train(spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter(col("doc_id") % 20 =!= 7))).count()
+    assert(n == scored, s"bucketed $n of $scored scored docs")
+    // bucket label ordering must follow the score: head > middle > tail
+    def avgOf(b: String) = {
+      val r = rows.filter(_.getString(1) == b)
+      r.map(x => x.getDouble(3) * x.getLong(2)).sum / r.map(_.getLong(2)).sum
+    }
+    assert(avgOf("head") > avgOf("middle") && avgOf("middle") > avgOf("tail"))
+    // the sample-fitted terciles should split a same-distribution corpus
+    // roughly in thirds (loose: the fixture is small)
+    val counts = rows.groupBy(_.getString(1)).map { case (_, g) => g.map(_.getLong(2)).sum }
+    assert(counts.min > n / 6, s"degenerate tercile split: $counts")
+  }
 }
