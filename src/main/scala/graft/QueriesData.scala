@@ -677,6 +677,13 @@ object QueriesData {
         ("chars", col("n_chars")), ("id_mod", col("id_mod")))
       .orderBy("bucket")),
 
+    // profiling: the per-source corpus report (counts, duplicate surface,
+    // exact length percentiles, token volume) — exact form as the oracle
+    // gate; Profile.approx is the sketch-based 100 TB form, spec-pinned
+    // within tolerance of this one (ProfileSpec)
+    "d_corpus_profile" -> ((s, d) =>
+      graft.text.Profile.exact(docs(s, d)).orderBy("source")),
+
     // quality: CCNet-style perplexity bucketing (Wenzek et al. 2020) — score
     // every doc with the reference-slice LM (same model as d_lm_score),
     // split the corpus at the tercile thresholds of a DETERMINISTIC 1/3
@@ -1720,6 +1727,17 @@ object QueriesData {
         |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 6) AS avg_norm,
         |  round(min(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS min_self_cos
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "d_corpus_profile" ->
+      // same digest as d_exact_dedup, same tokenization as d_token_count;
+      // percentile_cont mirrors Spark's exact `percentile` interpolation
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(lower(substring(text, 1, 40)))) AS n_unique,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS p50_chars,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4) AS p90_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                                 x -> x <> '')) AS DOUBLE)), 4) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d_zorder_layout" ->
       // the identical 20-term Morton interleave in SQL bit arithmetic:
       // dim 0 = clamped n_chars (even interleaved bits), dim 1 = doc_id%1024
