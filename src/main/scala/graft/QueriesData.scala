@@ -603,7 +603,13 @@ object QueriesData {
       // other hash-compared rounding in this file uses (math.rint is
       // half-to-even and could disagree with the oracle's round() at an
       // exact half-millis mean)
-      val cut = scored.agg(round(avg("avg_logprob"), 3)).head.getDouble(0)
+      // decimal sums, not double avg: the 5dp scores are exact in
+      // DECIMAL(15,5), so the mean is partial-order-independent — a double
+      // avg's last ulp can flip the rounded digit between runs (observed on
+      // d_ccnet_buckets before the same fix)
+      val cut = scored.agg(round(
+        sum(col("avg_logprob").cast("decimal(15,5)")).cast("double") /
+          count(lit(1)), 3)).head.getDouble(0)
       val kept = scored
         .where(col("avg_logprob") >= cut)
         .join(all.select("doc_id", "source"), "doc_id")
@@ -611,7 +617,8 @@ object QueriesData {
         .groupBy("source")
         .agg(countDistinct("doc_id").as("n_docs"),
           count(lit(1)).as("n_copies"),
-          round(avg("avg_logprob"), 5).as("avg_lp"))
+          round(sum(col("avg_logprob").cast("decimal(15,5)")).cast("double") /
+            count(lit(1)), 5).as("avg_lp"))
         .orderBy("source")
     }),
 
@@ -677,6 +684,26 @@ object QueriesData {
         ("chars", col("n_chars")), ("id_mod", col("id_mod")))
       .orderBy("bucket")),
 
+    // interchange: JSONL round-trip — the corpus out as compressed
+    // JSON-lines shards partitioned by source (directory-pruned for every downstream
+    // reader), back in through the explicit-schema PERMISSIVE reader, and
+    // proven lossless per source against the parquet original (the corrupt
+    // counter is part of the hashed result: a single mangled row flips it)
+    "d_jsonl_roundtrip" -> ((s, d) => {
+      val tmp = graft.util.TempDirs.create("graft-jsonl")
+      val src = docs(s, d)
+      graft.sources.CorpusIO.writeJsonl(src, tmp, partitionBy = Seq("source"))
+      val back = graft.sources.CorpusIO.readJsonl(s, tmp,
+        org.apache.spark.sql.types.StructType(
+          src.schema.filterNot(_.name == "source")))
+      back.groupBy("source").agg(
+          count(lit(1)).as("n"), sum("n_chars").as("total_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"))
+        .orderBy("source")
+    }),
+
     // profiling: the per-source corpus report (counts, duplicate surface,
     // exact length percentiles, token volume) — exact form as the oracle
     // gate; Profile.approx is the sketch-based 100 TB form, spec-pinned
@@ -686,31 +713,42 @@ object QueriesData {
 
     // quality: CCNet-style perplexity bucketing (Wenzek et al. 2020) — score
     // every doc with the reference-slice LM (same model as d_lm_score),
-    // split the corpus at the tercile thresholds of a DETERMINISTIC 1/3
-    // sample's score distribution (doc_id % 3 == 0), label head/middle/tail.
-    // The sample is what bounds exact-percentile state at scale: Spark's
-    // exact percentile accumulates its group's values, so the sample rate —
-    // not the corpus — sizes that state; CCNet itself fits its percentile
-    // cuts on a sample for the same reason. Scores are rounded to 5 decimals
-    // BEFORE the percentile so both engines interpolate over bit-identical
-    // doubles, and the thresholds are rounded to 5 so a 1-ulp interpolation
-    // difference cannot flip a boundary doc's bucket.
+    // split the corpus at tercile cuts fitted on a DETERMINISTIC 1/3 sample
+    // (doc_id % 3 == 0), label head/middle/tail. The sample is the scale
+    // contract: the cut is a top-k order statistic OF THE SAMPLE (TakeOrdered
+    // of k = ceil(|sample|/3) rows), so the sample rate — not the corpus —
+    // bounds that state; CCNet fits its cuts on a sample for the same
+    // reason. Order statistics, not interpolated percentiles, on purpose:
+    // the cut is an actual 5dp score value and every bucket comparison is
+    // between bit-identical doubles in both engines — an interpolated
+    // threshold lands between data values where Spark's and DuckDB's
+    // last-ulp arithmetic can disagree.
     "d_ccnet_buckets" -> ((s, d) => {
       val all = docs(s, d)
       val model = graft.text.LmScore.train(all.filter(col("doc_id") % 20 =!= 7))
       val scored = graft.text.LmScore.score(all, model)
         .select(col("doc_id"), round(col("avg_logprob"), 5).as("lp"))
         .localCheckpoint(true) // thresholds + bucketing both read it
-      val cuts = scored.filter(col("doc_id") % 3 === 0)
-        .agg(round(percentile(col("lp"), lit(1.0 / 3)), 5),
-          round(percentile(col("lp"), lit(2.0 / 3)), 5)).head()
-      val (t1, t2) = (cuts.getDouble(0), cuts.getDouble(1))
+      val sample = scored.filter(col("doc_id") % 3 === 0)
+      val n = sample.count()
+      def cutAt(k: Long) = sample.orderBy("lp").limit(k.toInt)
+        .agg(max("lp")).head.getDouble(0)
+      val t1 = cutAt(math.ceil(n / 3.0).toLong)
+      val t2 = cutAt(math.ceil(2 * n / 3.0).toLong)
       scored
-        .withColumn("bucket", when(col("lp") < t1, "tail")
-          .when(col("lp") < t2, "middle").otherwise("head"))
+        .withColumn("bucket", when(col("lp") <= t1, "tail")
+          .when(col("lp") <= t2, "middle").otherwise("head"))
         .join(all.select("doc_id", "source"), "doc_id")
         .groupBy("source", "bucket")
-        .agg(count(lit(1)).as("n_docs"), round(avg("lp"), 5).as("avg_lp"))
+        // battery determinism rule, strong form: the hashed float is the
+        // EXACT decimal sum of the 5dp scores (order-independent, no
+        // division). A divided mean re-rounds and can straddle a half
+        // boundary where Spark (shortest-repr HALF_UP) and DuckDB (binary
+        // round) disagree — observed here before this form. Readers get the
+        // mean as sum_lp / n_docs.
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("lp").cast("decimal(15,5)")).cast("double"), 5)
+            .as("sum_lp"))
         .orderBy("source", "bucket")
     })
   )
@@ -874,7 +912,9 @@ object QueriesData {
         |kept AS (
         |  SELECT s.doc_id, s.avg_logprob, d.source
         |  FROM score s JOIN documents d USING (doc_id)
-        |  WHERE s.avg_logprob >= (SELECT round(avg(avg_logprob), 3) FROM score)),
+        |  WHERE s.avg_logprob >= (SELECT round(
+        |    CAST(sum(CAST(avg_logprob AS DECIMAL(15,5))) AS DOUBLE) / count(*), 3)
+        |    FROM score)),
         |cnt AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
         |        FROM kept WHERE source IS NOT NULL GROUP BY 1),
         |tot AS (SELECT sum(n) AS sn, sum(power(n, 0.5)) AS z FROM cnt),
@@ -895,7 +935,8 @@ object QueriesData {
         |copies AS (SELECT doc_id, source, avg_logprob
         |           FROM c, unnest(range(0, nc)) AS t(u))
         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_copies,
-        |  round(avg(avg_logprob), 5) AS avg_lp
+        |  round(CAST(sum(CAST(avg_logprob AS DECIMAL(15,5))) AS DOUBLE)
+        |        / count(*), 5) AS avg_lp
         |FROM copies GROUP BY source ORDER BY source""".stripMargin,
     "d_shuffle_order" ->
       """WITH h AS (
@@ -1727,6 +1768,13 @@ object QueriesData {
         |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 6) AS avg_norm,
         |  round(min(list_cosine_similarity(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS min_self_cos
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "d_jsonl_roundtrip" ->
+      // the engine writes+reads its own shards; the oracle only has to state
+      // what lossless MEANS: the original per-source totals, zero corrupt
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d_corpus_profile" ->
       // same digest as d_exact_dedup, same tokenization as d_token_count;
       // percentile_cont mirrors Spark's exact `percentile` interpolation
@@ -1758,20 +1806,24 @@ object QueriesData {
          |       min(id_mod) AS min_id_mod, max(id_mod) AS max_id_mod
          |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     "d_ccnet_buckets" ->
-      // same scored-docs CTE as d_lm_score, then the tercile cuts fitted on
-      // the deterministic doc_id%3==0 sample and the (source, bucket) rollup
+      // same scored-docs CTE as d_lm_score; tercile cuts are ORDER
+      // STATISTICS of the deterministic doc_id%3==0 sample (max of the
+      // first ceil(n/3) sorted values — tie order inside row_number cannot
+      // change a max-of-prefix), then the (source, bucket) rollup
       s"""$lmLpCte,
         |perdoc AS (SELECT doc_id, round(avg(lp), 5) AS lps FROM lp GROUP BY 1),
-        |cuts AS (SELECT
-        |    round(percentile_cont(1.0/3) WITHIN GROUP (ORDER BY lps), 5) AS t1,
-        |    round(percentile_cont(2.0/3) WITHIN GROUP (ORDER BY lps), 5) AS t2
-        |  FROM perdoc WHERE doc_id % 3 = 0),
+        |cuts AS (
+        |  SELECT max(CASE WHEN rn <= ceil(n / 3.0) THEN lps END) AS t1,
+        |         max(CASE WHEN rn <= ceil(2 * n / 3.0) THEN lps END) AS t2
+        |  FROM (SELECT lps, row_number() OVER (ORDER BY lps) AS rn,
+        |               count(*) OVER () AS n
+        |        FROM perdoc WHERE doc_id % 3 = 0)),
         |b AS (SELECT p.doc_id, p.lps,
-        |        CASE WHEN p.lps < c.t1 THEN 'tail'
-        |             WHEN p.lps < c.t2 THEN 'middle' ELSE 'head' END AS bucket
+        |        CASE WHEN p.lps <= c.t1 THEN 'tail'
+        |             WHEN p.lps <= c.t2 THEN 'middle' ELSE 'head' END AS bucket
         |      FROM perdoc p CROSS JOIN cuts c)
         |SELECT d.source, b.bucket, count(*) AS n_docs,
-        |       round(avg(b.lps), 5) AS avg_lp
+        |       round(CAST(sum(CAST(b.lps AS DECIMAL(15,5))) AS DOUBLE), 5) AS sum_lp
         |FROM b JOIN documents d USING (doc_id)
         |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
   )

@@ -114,7 +114,7 @@ class LmScoreSpec extends SparkSpec {
     // bucket label ordering must follow the score: head > middle > tail
     def avgOf(b: String) = {
       val r = rows.filter(_.getString(1) == b)
-      r.map(x => x.getDouble(3) * x.getLong(2)).sum / r.map(_.getLong(2)).sum
+      r.map(_.getDouble(3)).sum / r.map(_.getLong(2)).sum
     }
     assert(avgOf("head") > avgOf("middle") && avgOf("middle") > avgOf("tail"))
     // the sample-fitted terciles should split a same-distribution corpus
