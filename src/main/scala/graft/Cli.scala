@@ -39,6 +39,7 @@ object Cli {
 
   private def usage(): Unit = System.err.println(
     "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
+      "prepare-corpus " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -259,6 +260,41 @@ object Cli {
             println(s"offset state: $t/$p last_offset=$off")
           }
       }
+
+    // prepare-corpus <docs.parquet> <outDir> [stagingDir|-] [format]
+    // The training-data prep chain (normalize → quality filter → exact dedup
+    // → decontaminate → split) shipped as released JSONL (default) or
+    // parquet shards partitioned by split, plus a per-split JSON report
+    // computed from what was WRITTEN (read-back is the proof, not the plan).
+    case "prepare-corpus" =>
+      val Array(_, docsPath, outDir, rest @ _*) = args: @unchecked
+      val staging = rest.lift(0).filter(_ != "-")
+      val format = rest.lift(1).getOrElse("jsonl")
+      val prepared = graft.text.CorpusPipeline.prepare(
+        spark.read.parquet(docsPath), staging = staging)
+      val back = format match {
+        case "jsonl" =>
+          graft.sources.CorpusIO.writeJsonl(prepared, outDir,
+            partitionBy = Seq("split"))
+          graft.sources.CorpusIO.readJsonl(spark, outDir,
+            org.apache.spark.sql.types.StructType(
+              prepared.schema.filterNot(_.name == "split")))
+        case "parquet" =>
+          prepared.write.mode("overwrite").partitionBy("split").parquet(outDir)
+          spark.read.parquet(outDir)
+        case other => throw new IllegalArgumentException(
+          s"unknown format '$other' (jsonl|parquet)")
+      }
+      val report = back.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.text.TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+        .orderBy("split").collect()
+        .map(r => s"""{"split":${graft.util.Json.escape(r.getString(0))},""" +
+          s""""n_docs":${r.getLong(1)},"n_tokens":${r.getLong(2)}}""")
+      println(s"""{"out":${graft.util.Json.escape(outDir)},""" +
+        s""""format":${graft.util.Json.escape(format)},""" +
+        s""""splits":[${report.mkString(",")}]}""")
 
     case "status-watch" =>
       // live monitoring against a metrics endpoint (status_watch.rs
