@@ -21,6 +21,20 @@ object QueriesData {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Deterministic messy URL per document — the URL-curation fixture: mixed
+    * case, default port, and one of three cosmetic variants by doc_id%3
+    * (tracking params / trailing slash / fragment). Variants 1 and 2
+    * collapse to the SAME canonical form under CorpusClean.normalizeUrl, so
+    * the url-keyed entries exercise genuine normalization collisions.
+    */
+  private def messyUrl: org.apache.spark.sql.Column =
+    concat(lit("HTTPS://WWW."), col("source"), lit(".Example.com:443/"),
+      col("lang"), lit("/page"), (col("doc_id") % 10).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=x&ref="), (col("doc_id") % 5).cast("string")))
+        .when(col("doc_id") % 3 === 1, lit("/"))
+        .otherwise(lit("#frag")))
+
   // ──── measured-quality audits for the approximate (no-oracle) entries ────
   // The LSH/ANN families have no SQL oracle BY NATURE (hash signatures), so
   // each battery entry instead computes and CARRIES its own quality number
@@ -710,6 +724,41 @@ object QueriesData {
     // within tolerance of this one (ProfileSpec)
     "d_corpus_profile" -> ((s, d) =>
       graft.text.Profile.exact(docs(s, d)).orderBy("source")),
+
+    // curation keys: URL-level dedup — one survivor (longest, id tiebreak)
+    // per canonical URL. The synthesized URLs are deliberately messy (mixed
+    // case, default port, tracking params, trailing slash, fragment); the
+    // %3 cosmetic variants collapse under normalizeUrl (slash-trim and
+    // fragment-drop meet at the bare path), so the entry hash-checks the
+    // normalizer doing real work, not string equality. The oracle re-derives
+    // the canonical form literally.
+    "d_url_dedup" -> ((s, d) =>
+      graft.text.CorpusClean.urlDedup(docs(s, d).withColumn("url", messyUrl), "url")
+        .select("url_norm", "doc_id", "n_chars")
+        .orderBy("url_norm")),
+
+    // curation quota: per-domain cap (C4/RefinedWeb anti-skew) — at most 15
+    // docs per registrable domain, longest first, id tiebreak. WindowGroupLimit
+    // keeps the per-partition buffer at cap rows (plan-locked in PlanSpec).
+    "d_domain_cap" -> ((s, d) =>
+      graft.text.CorpusClean.domainCap(docs(s, d).withColumn("url", messyUrl),
+          "url", cap = 15)
+        .select("domain", "doc_id", "n_chars")
+        .orderBy("domain", "doc_id")),
+
+    // release notes: snapshot diff — v1 drops doc_id%7==0, v2 drops %11==0
+    // and edits %5==0 texts, so all four statuses occur at every sf; the
+    // rollup counts per (source, status) hash-pin the digest compare and the
+    // full-outer presence logic in one go
+    "d_corpus_diff" -> ((s, d) => {
+      val all = docs(s, d)
+      val v1 = all.filter(col("doc_id") % 7 =!= 0)
+      val v2 = all.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.text.CorpusDiff.diffReport(v1, v2)
+        .orderBy("source", "status")
+    }),
 
     // quality: CCNet-style perplexity bucketing (Wenzek et al. 2020) — score
     // every doc with the reference-slice LM (same model as d_lm_score),
@@ -1786,6 +1835,55 @@ object QueriesData {
         |  round(avg(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
         |                                 x -> x <> '')) AS DOUBLE)), 4) AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the canonical URL is re-derived LITERALLY (lowercase, :443 gone,
+    // %3==0 keeps only the ref param, %3∈{1,2} collapse to the bare path) —
+    // hash equality proves normalizeUrl lands exactly there
+    "d_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |         'https://www.' || source || '.example.com/' || lang ||
+        |         '/page' || CAST(doc_id % 10 AS VARCHAR) ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+        |              ELSE '' END AS url_norm
+        |  FROM documents),
+        |r AS (
+        |  SELECT url_norm, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY url_norm
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM u)
+        |SELECT url_norm, doc_id, n_chars FROM r WHERE rn = 1
+        |ORDER BY url_norm""".stripMargin,
+    "d_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars, source || '.example.com' AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT domain, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY domain
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM u)
+        |SELECT domain, doc_id, n_chars FROM r WHERE rn <= 15
+        |ORDER BY domain, doc_id""".stripMargin,
+    // presence decided on the id (doc_id is never null in the fixture),
+    // content equality on the dupKey digest, null-safe like the Spark side
+    "d_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source, md5(lower(trim(text))) AS dig
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, source, md5(lower(trim(
+        |           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END))) AS dig
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |j AS (
+        |  SELECT coalesce(v2.source, v1.source) AS source,
+        |         CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |              WHEN v2.doc_id IS NULL THEN 'removed'
+        |              WHEN v1.dig IS NOT DISTINCT FROM v2.dig THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source, status, count(*) AS n_docs FROM j
+        |GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
     "d_zorder_layout" ->
       // the identical 20-term Morton interleave in SQL bit arithmetic:
       // dim 0 = clamped n_chars (even interleaved bits), dim 1 = doc_id%1024

@@ -217,4 +217,61 @@ object CorpusClean {
         (col("n_lines") - coalesce(col("n_kept"), lit(0)))
           .cast("long").as("n_dropped"))
   }
+
+  /** URL-level deduplication (the RefinedWeb/Common-Crawl curation step that
+    * runs BEFORE content dedup: one surviving document per canonical URL).
+    * The key is [[normalizeUrl]] — case, default ports, fragments, and
+    * tracking params collapse, so the same page fetched under cosmetic URL
+    * variants dedups. Winner per URL = the longest document (`lenCol` desc),
+    * id ascending as the deterministic tiebreak. Rows whose `urlCol` is not
+    * URL-shaped (normalizeUrl leaves them untouched) dedup under that
+    * literal string; NULL urls are never grouped — they all survive.
+    *
+    * Output: the surviving input rows plus a `url_norm` column.
+    *
+    * Scale shape: `groupBy(url_norm).agg(min(struct(-len, id)))` — partial
+    * aggregation collapses a hot URL map-side, and the shuffle carries only
+    * (url ~tens of bytes, len, id) per distinct URL, never document text.
+    * The winner set joins back as an id semi-join (winner ids are unique, a
+    * doc has one URL). Never a window over the URL key: a crawl's hottest
+    * URL would be the skewed group a WindowExec task must buffer.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String, lenCol: String = "n_chars",
+               idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.withColumn("url_norm", normalizeUrl(col(urlCol)))
+    val nullUrl = keyed.where(col("url_norm").isNull)
+    val winners = keyed.where(col("url_norm").isNotNull)
+      .groupBy("url_norm")
+      .agg(min(struct((-col(lenCol)).as("neg_len"), col(idCol).as("id"))).as("w"))
+      .select(col("w.id").as(idCol))
+    keyed.join(winners, Seq(idCol), "left_semi").unionByName(nullUrl)
+  }
+
+  /** Per-domain document cap (the C4/anti-skew quota: no single registrable
+    * domain may dominate the corpus). Keeps at most `cap` documents per
+    * [[urlDomain]] key, preferring the longest (`lenCol` desc, id asc
+    * tiebreak). Rows without a parseable domain (urlDomain = NULL) are NOT
+    * one shared quota group — they bypass the cap untouched.
+    *
+    * Output: the surviving input rows plus a `domain` column.
+    *
+    * Scale shape: `row_number` over (domain → len desc, id) — Spark's
+    * WindowGroupLimit pushes a map-side per-partition top-`cap` below the
+    * exchange, so a mega-domain contributes at most `cap` rows per input
+    * partition to the shuffle and no task buffers an unbounded group.
+    */
+  def domainCap(docs: DataFrame, urlCol: String, cap: Int,
+                lenCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.withColumn("domain", urlDomain(col(urlCol)))
+    val noDomain = keyed.where(col("domain").isNull)
+    val w = Window.partitionBy("domain")
+      .orderBy(col(lenCol).desc, col(idCol).asc_nulls_last)
+    keyed.where(col("domain").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+      .unionByName(noDomain)
+  }
 }
