@@ -262,16 +262,22 @@ object Cli {
       }
 
     // prepare-corpus <docs.parquet> <outDir> [stagingDir|-] [format]
+    //                [urlCol|-] [maxDocsPerDomain]
     // The training-data prep chain (normalize → quality filter → exact dedup
     // → decontaminate → split) shipped as released JSONL (default) or
     // parquet shards partitioned by split, plus a per-split JSON report
     // computed from what was WRITTEN (read-back is the proof, not the plan).
+    // With urlCol set, URL-level dedup runs first and (optionally) the
+    // per-domain quota caps the final corpus — the RefinedWeb curation legs.
     case "prepare-corpus" =>
       val Array(_, docsPath, outDir, rest @ _*) = args: @unchecked
       val staging = rest.lift(0).filter(_ != "-")
       val format = rest.lift(1).getOrElse("jsonl")
+      val cfg = graft.text.CorpusPipeline.Config(
+        urlCol = rest.lift(2).filter(_ != "-"),
+        maxDocsPerDomain = rest.lift(3).map(_.toInt))
       val prepared = graft.text.CorpusPipeline.prepare(
-        spark.read.parquet(docsPath), staging = staging)
+        spark.read.parquet(docsPath), cfg, staging = staging)
       val back = format match {
         case "jsonl" =>
           graft.sources.CorpusIO.writeJsonl(prepared, outDir,

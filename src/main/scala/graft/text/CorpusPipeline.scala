@@ -46,7 +46,17 @@ object CorpusPipeline {
       shingleN: Int = 13,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-      splitSalt: String = "split")
+      splitSalt: String = "split",
+      // URL curation (both need a URL column in the input, carried through
+      // to the output): urlCol turns on URL-level dedup immediately after
+      // normalization — the cheapest stage, so it runs FIRST (RefinedWeb
+      // order: a page fetched under N cosmetic URL variants dies before any
+      // text-level work pays for it). maxDocsPerDomain applies the
+      // per-domain quota to the FINAL clean corpus (after content dedup and
+      // decontamination), right before splits — a quota taken earlier would
+      // count docs that later stages delete.
+      urlCol: Option[String] = None,
+      maxDocsPerDomain: Option[Int] = None)
 
   /** Materialize a stage consumed by several downstream branches: local
     * checkpoint by default, a write-once/read-many parquet staging dir when
@@ -68,10 +78,21 @@ object CorpusPipeline {
     */
   def prepare(raw: DataFrame, cfg: Config = Config(),
               staging: Option[String] = None): DataFrame = {
-    val norm = materializeStage(
-      raw.select(col("doc_id"), col("source"),
-        CorpusClean.normalizeText(col("text")).as("text")),
+    require(cfg.maxDocsPerDomain.isEmpty || cfg.urlCol.isDefined,
+      "maxDocsPerDomain needs urlCol")
+    val norm0 = materializeStage(
+      raw.select(col("doc_id") +: col("source") +:
+        CorpusClean.normalizeText(col("text")).as("text") +:
+        cfg.urlCol.toSeq.map(col): _*),
       staging, "normalized")
+    // URL-level dedup first: length(text) is the winner criterion — the
+    // scratch column never survives into the pipeline schema
+    val norm = cfg.urlCol match {
+      case Some(u) => CorpusClean.urlDedup(
+          norm0.withColumn("__len", length(col("text"))), u, lenCol = "__len")
+        .drop("__len", "url_norm")
+      case None => norm0
+    }
     val keptIds = CorpusClean.filterCorpus(norm, cfg.filter)
       .where(col("keep")).select("doc_id")
     val kept = norm.join(keptIds, Seq("doc_id"), "left_semi")
@@ -87,7 +108,17 @@ object CorpusPipeline {
     val contaminated = Sampling.decontaminate(
       train, raw.filter(cfg.benchmarkPred), shingleN = cfg.shingleN)
     val clean = train.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
-    Sampling.assignSplits(clean, cfg.splits, salt = cfg.splitSalt)
+    // the per-domain quota counts only docs that made it through every
+    // deletion stage — a capped domain's slots must not be spent on rows
+    // dedup or decontamination would have removed anyway
+    val capped = (cfg.urlCol, cfg.maxDocsPerDomain) match {
+      case (Some(u), Some(capN)) => CorpusClean.domainCap(
+          clean.withColumn("__len", length(col("text"))), u, capN,
+          lenCol = "__len")
+        .drop("__len", "domain")
+      case _ => clean
+    }
+    Sampling.assignSplits(capped, cfg.splits, salt = cfg.splitSalt)
   }
 
   /** Per-split doc/token rollup of [[prepare]] — the capstone query shape. */

@@ -38,6 +38,53 @@ class PrepareCorpusSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("prepare with URL curation equals the manual stage composition") {
+    import graft.text.{CorpusClean, CorpusPipeline, Sampling}
+    val raw = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("url",
+        concat(lit("https://www."), col("source"), lit(".site.org/p"),
+          (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("#f"))))
+    val cfg = CorpusPipeline.Config(urlCol = Some("url"),
+      maxDocsPerDomain = Some(3))
+    val got = CorpusPipeline.prepare(raw, cfg)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // the same stages composed by hand from the standalone operators
+    val baseCfg = CorpusPipeline.Config()
+    val norm = raw.select(col("doc_id"), col("source"),
+      CorpusClean.normalizeText(col("text")).as("text"), col("url"))
+    val urlDeduped = CorpusClean.urlDedup(
+        norm.withColumn("__len", length(col("text"))), "url", lenCol = "__len")
+      .drop("__len", "url_norm")
+    val kept = urlDeduped.join(
+      CorpusClean.filterCorpus(urlDeduped, baseCfg.filter)
+        .where(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val deduped = kept.join(
+      kept.groupBy(baseCfg.dedupKey(col("text")).as("k"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val train = deduped.filter(!baseCfg.benchmarkPred)
+    val clean = train.join(
+      Sampling.decontaminate(train, raw.filter(baseCfg.benchmarkPred),
+        shingleN = baseCfg.shingleN).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val capped = CorpusClean.domainCap(
+        clean.withColumn("__len", length(col("text"))), "url", 3,
+        lenCol = "__len").drop("__len", "domain")
+    val want = Sampling.assignSplits(capped, baseCfg.splits, salt = "split")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(got == want && got.nonEmpty, s"got ${got.size}, want ${want.size}")
+    // the quota really bites: no domain above the cap in the output
+    val overCap = CorpusPipeline.prepare(raw, cfg)
+      .groupBy(CorpusClean.urlDomain(col("url"))).count()
+      .where(col("count") > 3).count()
+    assert(overCap == 0L)
+  }
+
   test("prepare-corpus: parquet format and unknown format") {
     val out = Files.createTempDirectory("graft-prep-pq").toString
     try {
