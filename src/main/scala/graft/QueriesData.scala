@@ -725,6 +725,13 @@ object QueriesData {
     "d_corpus_profile" -> ((s, d) =>
       graft.text.Profile.exact(docs(s, d)).orderBy("source")),
 
+    // profiling: the datasheet's "top words" panel — per-source top-5 terms
+    // by frequency (lexicographic tiebreak). Word-count partial agg + map-
+    // side WindowGroupLimit: state is O(sources × 5), never the vocabulary
+    "d_top_terms" -> ((s, d) =>
+      graft.text.Profile.topTerms(docs(s, d), k = 5)
+        .orderBy("source", "rank")),
+
     // curation keys: URL-level dedup — one survivor (longest, id tiebreak)
     // per canonical URL. The synthesized URLs are deliberately messy (mixed
     // case, default port, tracking params, trailing slash, fragment); the
@@ -1835,6 +1842,19 @@ object QueriesData {
         |  round(avg(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
         |                                 x -> x <> '')) AS DOUBLE)), 4) AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // same tokenization as d_corpus_profile's avg_tokens
+    "d_top_terms" ->
+      """WITH t AS (
+        |  SELECT source, u AS term FROM documents,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                       x -> x <> '')) AS s(u)),
+        |c AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, term, n,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY n DESC, term) AS rank
+        |      FROM c)
+        |SELECT source, term, n, rank FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
     // the canonical URL is re-derived LITERALLY (lowercase, :443 gone,
     // %3==0 keeps only the ref param, %3∈{1,2} collapse to the bare path) —
     // hash equality proves normalizeUrl lands exactly there

@@ -49,4 +49,32 @@ object Profile {
         .cast("double").as("p90_chars"),
       sum("n_chars").as("total_chars"),
       round(avg(tokens.cast("double")), 4).as("avg_tokens"))
+
+  /** Most-frequent terms per group — the datasheet's "top words" panel.
+    * Tokenization matches [[TextFunctions.tokens]] on the lowercased text
+    * (so counts agree with the avg_tokens metric above). Ties on frequency
+    * break lexicographically, so the report is deterministic at any scale.
+    *
+    * Scale shape: the term count is the canonical word-count (explode +
+    * partial-agg groupBy — the map side collapses each partition's repeats
+    * before the one (group, term) exchange), and the per-group top-k is a
+    * `row_number <= k` that Spark executes as a map-side WindowGroupLimit:
+    * a vocabulary-sized group contributes at most k rows per partition to
+    * the final ordering, so driver and executors hold O(groups × k), never
+    * the vocabulary.
+    */
+  def topTerms(docs: DataFrame, k: Int,
+               groupCols: Seq[String] = Seq("source"),
+               textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val counts = docs
+      .select(g :+ explode(TextFunctions.tokens(lower(col(textCol)))).as("term"): _*)
+      .groupBy(g :+ col("term"): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(g: _*).orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

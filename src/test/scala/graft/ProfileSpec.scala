@@ -42,6 +42,24 @@ class ProfileSpec extends SparkSpec {
       s"approx profile must be a single sketch-state shuffle, got $exchanges:\n$ap")
   }
 
+  test("topTerms: frequency order, lexicographic tiebreak, map-side group limit") {
+    import spark.implicits._
+    val f = Seq(
+      (1L, "b b b A a c", "s1"), (2L, "a d", "s1"),
+      (3L, "z z", "s2"), (4L, null.asInstanceOf[String], "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Profile.topTerms(f, k = 2)
+    val got = out.orderBy("source", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // s1: a=3 (case-folded) ties b=3 → 'a' first lexicographically; null text contributes nothing
+    assert(got.toSeq == Seq(("s1", "a", 3L, 1), ("s1", "b", 3L, 2),
+      ("s2", "z", 2L, 1)), got.mkString(", "))
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed map-side:\n$p")
+    assert(p.contains("partial_count"), "term count must partial-aggregate")
+  }
+
   test("null and empty text: profiled, not dropped") {
     import spark.implicits._
     val f = Seq((1L, "a b", "s1", 3L), (2L, null.asInstanceOf[String], "s1", 0L),
