@@ -355,6 +355,21 @@ object QueriesData {
           threshold = 0.12, maxDocFreq = 50)
         .orderBy("id_a", "id_b")),
 
+    // candidate-confirm composition: a LOOSE jaccard candidate pass (0.05 —
+    // deliberately below the 0.12 the pure entry uses, so marginal pairs
+    // exist) verified by thresholded prefix edit distance. At sf0.01 the
+    // confirm genuinely splits the candidates (25 pass / 4 fail) — the hash
+    // pins both the surviving set and each pair's exact distance
+    "d_edit_confirm" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.confirmPairsEditDistance(
+          Dedup.ngramJaccardPairs(all, "doc_id", "text", shingleN = 3,
+            threshold = 0.05, maxDocFreq = 50),
+          all, maxDist = 30, prefixLen = 120)
+        .select("id_a", "id_b", "jaccard", "edit_dist")
+        .orderBy("id_a", "id_b")
+    }),
+
     // unicode normalization: plant decomposed sequences (e + U+0301, A +
     // U+030A) and a C0 control char per doc; the cleaner must strip the
     // control char and canonically compose — DuckDB's nfc_normalize is the
@@ -1308,6 +1323,39 @@ object QueriesData {
         |  FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
         |             JOIN sizes sb ON sb.doc_id = pairs.id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.12
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the jaccard pipeline at the loose 0.05 cut + byte-level levenshtein on
+    // the 120-char prefixes (the corpus is pure ASCII at every sf, so
+    // DuckDB's byte distances equal Spark's codepoint distances)
+    "d_edit_confirm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |freq AS (SELECT shingle, count(*) AS c FROM inv GROUP BY 1),
+        |kept AS (SELECT i.doc_id, i.shingle FROM inv i JOIN freq f USING (shingle)
+        |         WHERE f.c BETWEEN 2 AND 50),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
+        |             JOIN sizes sb ON sb.doc_id = pairs.id_b),
+        |cand AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05),
+        |pfx AS (SELECT doc_id, substring(text, 1, 120) AS p FROM documents)
+        |SELECT id_a, id_b, jaccard, levenshtein(pa.p, pb.p) AS edit_dist
+        |FROM cand JOIN pfx pa ON pa.doc_id = cand.id_a
+        |          JOIN pfx pb ON pb.doc_id = cand.id_b
+        |WHERE levenshtein(pa.p, pb.p) <= 30
         |ORDER BY id_a, id_b""".stripMargin,
     "d_normalize" ->
       // chr(769)=U+0301 combining acute, chr(778)=U+030A combining ring,

@@ -323,6 +323,40 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance confirmation of candidate pairs — the verify leg that
+    * runs AFTER a candidate generator (MinHash/SimHash/Jaccard buckets):
+    * keep only pairs whose text prefixes are within `maxDist` Levenshtein
+    * edits. Confirming on a `prefixLen` prefix is the scale contract —
+    * Levenshtein is O(len²) per pair, so the bound must come from the
+    * operator, not the data; near-dup docs agree early, and a pair that
+    * diverges inside the prefix was never a near-dup. Output: the input
+    * pair columns + `edit_dist`.
+    *
+    * Scale shape: two id joins attach prefixes to the PAIR set (post-LSH —
+    * orders of magnitude smaller than the corpus); the docs side ships only
+    * (id, prefix ≤ prefixLen chars). The distance runs through Spark's
+    * thresholded `levenshtein(l, r, maxDist)` codegen built-in, which
+    * early-exits the DP once the band exceeds the threshold — O(len×maxDist)
+    * per pair instead of O(len²).
+    */
+  def confirmPairsEditDistance(pairs: DataFrame, docs: DataFrame,
+                               maxDist: Int, prefixLen: Int = 256,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(prefixLen > 0, "prefixLen must be positive")
+    val pfx = docs.select(col(idCol).as("__cid"),
+      substring(col(textCol), 1, prefixLen).as("__pfx"))
+    pairs
+      .join(pfx.select(col("__cid").as("id_a"), col("__pfx").as("__pfx_a")), Seq("id_a"))
+      .join(pfx.select(col("__cid").as("id_b"), col("__pfx").as("__pfx_b")), Seq("id_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("__pfx_a"), col("__pfx_b"), maxDist))
+      // the thresholded form returns -1 for "further than maxDist"
+      .where(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .drop("__pfx_a", "__pfx_b")
+  }
+
   /** Cosine similarity of two float-array columns as a single aggregate
     * expression (dot / norms), codegen-friendly. NULL (not a DIVIDE_BY_ZERO
     * crash under Spark's default ANSI mode) when either vector is all-zero —

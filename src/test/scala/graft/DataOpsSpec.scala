@@ -870,4 +870,29 @@ class DataOpsSpec extends SparkSpec {
     val again = Multimodal.resizeImages(media, maxEdge = 20).collect().sortBy(_.media_id)
     assert(again(0).content.sameElements(r.content))
   }
+
+  test("edit-distance confirm: distances exact within prefix, threshold kills far pairs") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown cat jumps"),  // 3 edits from doc 1
+      (3L, "completely different text!!"),
+      (4L, "short" + "x" * 300)           // prefix-bounded: long tail ignored
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 0.5), (1L, 3L, 0.5), (4L, 4L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = graft.dedup.Dedup.confirmPairsEditDistance(
+        pairs, docsDf, maxDist = 5, prefixLen = 10)
+      .select("id_a", "id_b", "edit_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    // within the 10-char prefix: docs 1,2 are IDENTICAL ("the quick "),
+    // doc 3 differs by >5; the self-pair is distance 0 regardless of length
+    assert(out.toSeq == Seq((1L, 2L, 0), (4L, 4L, 0)), out.mkString(", "))
+    // a wider prefix exposes the real distance
+    val wide = graft.dedup.Dedup.confirmPairsEditDistance(
+        pairs.where(col("id_a") === 1L && col("id_b") === 2L), docsDf,
+        maxDist = 5, prefixLen = 100)
+      .select("edit_dist").as[Int].collect()
+    assert(wide.toSeq == Seq(3))
+  }
 }
