@@ -123,6 +123,40 @@ class EdgeCaseSpec extends SparkSpec {
       "invalid regex must select nothing, not throw")
   }
 
+  test("url curation and corpus diff degenerate inputs: empty frames, all-null urls") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "url", "n_chars")
+    assert(graft.text.CorpusClean.urlDedup(empty, "url").count() == 0L)
+    assert(graft.text.CorpusClean.domainCap(empty, "url", 3).count() == 0L)
+    val allNull = Seq((1L, null.asInstanceOf[String], 5L),
+      (2L, null.asInstanceOf[String], 6L)).toDF("doc_id", "url", "n_chars")
+    // null urls never group: both survive both operators
+    assert(graft.text.CorpusClean.urlDedup(allNull, "url").count() == 2L)
+    assert(graft.text.CorpusClean.domainCap(allNull, "url", 1).count() == 2L)
+
+    val docs = Seq((1L, "t", "s")).toDF("doc_id", "text", "source")
+    val none = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    // empty old snapshot → everything added; empty new → everything removed
+    val added = graft.text.CorpusDiff.diff(none, docs).collect()
+    assert(added.length == 1 && added(0).getAs[String]("status") == "added")
+    val removed = graft.text.CorpusDiff.diff(docs, none).collect()
+    assert(removed.length == 1 && removed(0).getAs[String]("status") == "removed")
+    assert(graft.text.CorpusDiff.diff(none, none).count() == 0L)
+  }
+
+  test("edit-distance confirm: empty pair set, maxDist 0 keeps only identical prefixes") {
+    import spark.implicits._
+    val docsDf = Seq((1L, "aaa"), (2L, "aab")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.dedup.Dedup.confirmPairsEditDistance(
+      noPairs, docsDf, maxDist = 3).count() == 0L)
+    val p = Seq((1L, 2L)).toDF("id_a", "id_b")
+    assert(graft.dedup.Dedup.confirmPairsEditDistance(
+      p, docsDf, maxDist = 0).count() == 0L)
+    assert(graft.dedup.Dedup.confirmPairsEditDistance(
+      p, docsDf, maxDist = 1).count() == 1L)
+  }
+
   test("validation flags partitions missing from either side (full outer)") {
     import graft.validation.Validation
     val segments = Seq(("t", 0, "k0", 0L, 9L, 0L, 0L, 10L, 0L, 0L))
