@@ -39,7 +39,7 @@ object Cli {
 
   private def usage(): Unit = System.err.println(
     "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
-      "prepare-corpus " +
+      "prepare-corpus corpus-diff " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -301,6 +301,20 @@ object Cli {
       println(s"""{"out":${graft.util.Json.escape(outDir)},""" +
         s""""format":${graft.util.Json.escape(format)},""" +
         s""""splits":[${report.mkString(",")}]}""")
+
+    // corpus-diff <old.parquet> <new.parquet> — release notes between two
+    // corpus snapshots: per-(source, status) counts as one JSON line.
+    case "corpus-diff" =>
+      val Array(_, oldPath, newPath) = args.take(3): @unchecked
+      val report = graft.text.CorpusDiff.diffReport(
+          spark.read.parquet(oldPath), spark.read.parquet(newPath))
+        .orderBy("source", "status").collect()
+        .map(r => s"""{"source":${graft.util.Json.escape(r.getString(0))},""" +
+          s""""status":${graft.util.Json.escape(r.getString(1))},""" +
+          s""""n_docs":${r.getLong(2)}}""")
+      println(s"""{"old":${graft.util.Json.escape(oldPath)},""" +
+        s""""new":${graft.util.Json.escape(newPath)},""" +
+        s""""diff":[${report.mkString(",")}]}""")
 
     case "status-watch" =>
       // live monitoring against a metrics endpoint (status_watch.rs

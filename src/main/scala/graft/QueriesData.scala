@@ -2060,7 +2060,13 @@ object QueriesData {
     // by the same exact_pair_recall audit as d_embedding_dups. No SQL
     // oracle BY NATURE (k-means is iterative); known-answer specs pin the
     // survivor rule on planted exact-duplicate vectors instead
-    "d_semantic_dedup" -> ((s, d) => {
+    // NOTE on the name: this is the min-id-canonical PRUNE composition over
+    // semanticPairs; the exemplar-verdict SemDeDup form is d_semantic_dedup
+    // below. They were briefly BOTH keyed "d_semantic_dedup" — Scala Map
+    // literals silently keep the later duplicate, so the occupancy-scaled
+    // entry here was shadowed by the then-fixed-k one (950 s at sf10).
+    // QueryKeySpec now pins every entry literal unique.
+    "d_semantic_prune" -> ((s, d) => {
       val e = emb(s, d)
       val n = e.count()
       val pairs = Dedup.semanticPairs(e, "vec_id", "embedding",
@@ -2187,7 +2193,8 @@ object QueriesData {
       val e = emb(s, d)
       val n = e.count()
       val verdicts = graft.dedup.SemDedup.semanticDedup(
-        e, "vec_id", "embedding", nClusters = 8, threshold = 0.3)
+        e, "vec_id", "embedding", nClusters = 8, threshold = 0.3,
+        knownCount = Some(n))
       val audited =
         if (n <= 5000L) {
           val ex = exactCosinePairs(e, 0.3)

@@ -39,6 +39,12 @@ object SemDedup {
     * (they are all keepers); anti-join `keep = false` rows against the
     * corpus to prune it.
     *
+    * @param nClusters FLOOR on the cluster count. The effective k
+    *   occupancy-scales exactly like [[Dedup.semanticPairs]]:
+    *   k = clamp(n / targetCellSize, nClusters, maxClusters) — a fixed k
+    *   silently goes quadratic as the corpus grows (measured: this entry at
+    *   a hard k=8 over 200k vectors ran 950 s; occupancy-scaled k=196 runs
+    *   the same data in ~60 s with the same verdict semantics).
     * @param threshold within-cluster cosine at/above which two docs are
     *   semantic duplicates (the paper sweeps ~0.95-0.999 for CLIP text
     *   embeddings; synthetic batteries use lower).
@@ -48,14 +54,25 @@ object SemDedup {
     *   pass); default is an eager local checkpoint.
     * @param checkpointDir reliable-checkpoint dir for the components loop
     *   (see [[Clusters.connectedComponents]]).
+    * @param targetCellSize expected rows per cell the scaling aims at (the
+    *   |c|² executor budget); maxClusters caps the assign cost (see
+    *   [[Dedup.semanticPairs]]'s cost model for when to raise it).
+    * @param maxTrainRows k-means fits on at most this many sampled rows —
+    *   Lloyd is O(rows × k × dim) per iteration and the centroids, not the
+    *   fit set, define the cells; maxIter bounds the iterations.
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nClusters: Int, threshold: Double, seed: Long = 42L,
                     staging: Option[String] = None,
-                    checkpointDir: Option[String] = None): DataFrame = {
+                    checkpointDir: Option[String] = None,
+                    targetCellSize: Int = 1024, maxClusters: Int = 512,
+                    maxTrainRows: Int = 200000, maxIter: Int = 10,
+                    knownCount: Option[Long] = None): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    require(targetCellSize >= 2 && maxTrainRows >= maxClusters,
+      "targetCellSize >= 2 and maxTrainRows >= maxClusters required")
     val vd = col(vecCol).cast("array<double>")
     // zero-norm / NaN vectors can't cosine-compare — exclude them up front
     // (same hardening as embeddingPairs: an all-NaN row would otherwise
@@ -66,17 +83,38 @@ object SemDedup {
       .filter(col("norm") =!= 0.0d && !isnan(col("norm")))
       .withColumn("unit", transform(col("vec"), x => x / col("norm")))
       .select("id", "vec", "unit")
-    // Spark ML KMeans requires k ≥ 2; nClusters = 1 (brute-force SemDeDup,
-    // no cluster pruning) assigns everything to one list whose centroid is
+    // occupancy-scaled cell count — nClusters is the floor, never the k
+    // (same clamp as Dedup.semanticPairs; a fixed k is the silent-quadratic
+    // trap its cost model documents)
+    val n = knownCount.getOrElse(base.count())
+    val k = math.max(nClusters,
+      math.min(maxClusters.toLong, n / targetCellSize + 1L).toInt)
+    // Spark ML KMeans requires k ≥ 2; k = 1 (brute-force SemDeDup, no
+    // cluster pruning) assigns everything to one list whose centroid is
     // the dimension-wise mean — the same centroid k-means(k=1) converges to
     val (assignedPlan, model) =
-      if (nClusters == 1) {
+      if (k == 1) {
         val centroid = base
           .select(posexplode(col("vec")).as(Seq("pos", "x")))
           .groupBy("pos").agg(avg("x").as("m"))
           .orderBy("pos").collect().map(_.getDouble(1))
         (base.withColumn("list", lit(0)), Ann.IvfModel(Array(centroid)))
-      } else Ann.ivfAssign(base, "vec", nClusters, seed)
+      } else {
+        // sampled, iteration-bounded fit (the centroids define the cells;
+        // the fit set doesn't have to be the corpus), full-corpus assign
+        import org.apache.spark.ml.functions.array_to_vector
+        val feats = base.withColumn("__sem_vec", array_to_vector(col("vec")))
+        val trainFrac = math.min(1.0, maxTrainRows.toDouble / math.max(n, 1L))
+        val train =
+          if (trainFrac < 1.0) feats.sample(withReplacement = false, trainFrac, seed)
+          else feats
+        val m = new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("__sem_vec").setPredictionCol("list")
+          .fit(train)
+        (m.transform(feats).drop("__sem_vec"),
+          Ann.IvfModel(m.clusterCenters.map(_.toArray)))
+      }
     // materialized once: the assignment feeds three consumers (two pair-join
     // sides + the centroid pass); without this the k-means transform and the
     // corpus scan would re-run per consumer

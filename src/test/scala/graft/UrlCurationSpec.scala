@@ -91,6 +91,58 @@ class UrlCurationSpec extends SparkSpec {
       ("s1", "unchanged", 1L), ("s9", "changed", 1L)))
   }
 
+  test("corpus-diff CLI: JSON report matches the library rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdiff").toString
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$dir/old")
+      docs.write.parquet(s"$dir/new")
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        Cli.run(spark, Array("corpus-diff", s"$dir/old", s"$dir/new"))
+      }
+      val line = bos.toString("UTF-8").linesIterator
+        .filter(_.startsWith("{")).toSeq.last
+      // every odd doc is an 'added'; no removals possible
+      assert(line.contains("\"status\":\"added\"") &&
+        !line.contains("\"removed\""), line)
+      val report = graft.text.CorpusDiff.diffReport(
+        spark.read.parquet(s"$dir/old"), spark.read.parquet(s"$dir/new"))
+      val addedRows = report.where(col("status") === "added").count().toInt
+      assert(addedRows > 0)
+      assert(line.sliding("\"status\":\"added\"".length)
+        .count(_ == "\"status\":\"added\"") == addedRows, line)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("normalizeUrl is idempotent and domain-stable over generated messy URLs") {
+    // randomized-but-seeded URL soup: scheme/host case, ports, paths,
+    // params (tracking + real), fragments, and non-URL junk
+    val rnd = new scala.util.Random(42)
+    def pick[T](xs: Seq[T]) = xs(rnd.nextInt(xs.length))
+    val urls = (1 to 300).map { i =>
+      if (i % 17 == 0) pick(Seq("", "not a url", "ftp:/broken", "   "))
+      else {
+        val scheme = pick(Seq("http", "HTTP", "https", "HTTPS"))
+        val host = pick(Seq("A.com", "www.B.org", "x.Y.co.uk", "H0st.net"))
+        val port = pick(Seq("", ":80", ":443", ":8080"))
+        val path = pick(Seq("", "/", "/a", "/a/b", "/a/b/"))
+        val q = pick(Seq("", "?utm_source=t", "?a=1&utm_campaign=c&b=2",
+          "?fbclid=x", "?b=2&a=1"))
+        val frag = pick(Seq("", "#f", "#sec-2"))
+        s"$scheme://$host$port$path$q$frag"
+      }
+    }
+    val df = urls.toDF("u").select(col("u"),
+      graft.text.CorpusClean.normalizeUrl(col("u")).as("n1"))
+      .withColumn("n2", graft.text.CorpusClean.normalizeUrl(col("n1")))
+      .withColumn("d1", graft.text.CorpusClean.urlDomain(col("u")))
+      .withColumn("d2", graft.text.CorpusClean.urlDomain(col("n1")))
+    val bad = df.where(!(col("n1") <=> col("n2")) || !(col("d1") <=> col("d2")))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
+
   test("corpus diff: digest compare ignores case/whitespace cosmetics (dupKey semantics)") {
     val old = Seq((1L, "Hello World ", "s")).toDF("doc_id", "text", "source")
     val neu = Seq((1L, "hello world", "s")).toDF("doc_id", "text", "source")
