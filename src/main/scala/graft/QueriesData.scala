@@ -65,6 +65,19 @@ object QueriesData {
       if (nExact == 0) 1.0 else math.rint(hits.toDouble / nExact * 1e4) / 1e4))
   }
 
+  /** [[withPairRecall]] behind the same measured-count gate d_embedding_dups
+    * uses: the exact side (a full inverted index or O(n²) brute force) runs
+    * only at verification scales (the sf≤0.1 batteries the driver checks);
+    * above the gate the column is an explicit null — at 100 TB the audit
+    * belongs on a sampled slice, not inside the operator's own benched cost
+    * (ungated, the sf10 minhash/simhash entries measured their audit, not
+    * their operator: ~31 s of exact-jaccard under a ~10 s operator).
+    */
+  private def withPairRecallGated(approx: DataFrame, exact: => DataFrame,
+                                  n: Long, maxAuditRows: Long = 5000L): DataFrame =
+    if (n <= maxAuditRows) withPairRecall(approx, exact)
+    else approx.withColumn("exact_pair_recall", lit(null).cast("double"))
+
   /** recall@k of an ANN result against the exact brute-force top-k (both in
     * the Ann family's (id, cosine) output shape). Returns the ORIGINAL
     * approx plan (Explain-visible); the k-row audit re-execution is noise.
@@ -2126,22 +2139,23 @@ object QueriesData {
           greatest(col("batch_id"), col("corpus_id")).as("id_b"),
           col("jaccard_est"))
       val isCorpus = (c: Column) => c % 2 === 0 && c >= 0L
-      val exact = Dedup.ngramJaccardPairs(batch.unionByName(corpus), "doc_id",
+      def exact = Dedup.ngramJaccardPairs(batch.unionByName(corpus), "doc_id",
           "text", shingleN = 3, threshold = 0.2, maxDocFreq = 50)
         .filter(isCorpus(col("id_a")) =!= isCorpus(col("id_b")))
-      withPairRecall(approx, exact).orderBy("id_a", "id_b")
+      withPairRecallGated(approx, exact, base.count()).orderBy("id_a", "id_b")
     }),
 
     "d_minhash_pairs" -> ((s, d) => {
       val dd = docs(s, d)
       // audit: recall vs the EXACT jaccard>=0.2 pairs (same shingles, same
       // threshold the signatures estimate; ngramJaccardPairs' maxDocFreq
-      // contract applies to both sides of the comparison)
-      withPairRecall(
+      // contract applies to both sides of the comparison) — measured-count
+      // gated like d_embedding_dups, so sf10 benches the operator
+      withPairRecallGated(
         Dedup.minhashPairs(dd, "doc_id", "text", shingleN = 3, k = 64,
           bands = 16, threshold = 0.2),
         Dedup.ngramJaccardPairs(dd, "doc_id", "text", shingleN = 3,
-          threshold = 0.2, maxDocFreq = 50))
+          threshold = 0.2, maxDocFreq = 50), dd.count())
         .orderBy("id_a", "id_b")
     }),
 
@@ -2156,10 +2170,10 @@ object QueriesData {
       // (spec-pinned), so the informative number is semantic recall — what
       // fraction of the exact jaccard>=0.2 near-dup pairs land within
       // hamming<=3 of each other's simhash
-      withPairRecall(
+      withPairRecallGated(
         Dedup.simhashPairs(dd, "doc_id", "text", maxHamming = 3),
         Dedup.ngramJaccardPairs(dd, "doc_id", "text", shingleN = 3,
-          threshold = 0.2, maxDocFreq = 50))
+          threshold = 0.2, maxDocFreq = 50), dd.count())
         .orderBy("id_a", "id_b")
     }),
 
