@@ -39,7 +39,7 @@ object Cli {
 
   private def usage(): Unit = System.err.println(
     "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
-      "prepare-corpus corpus-diff " +
+      "prepare-corpus corpus-diff datasheet " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -301,6 +301,30 @@ object Cli {
       println(s"""{"out":${graft.util.Json.escape(outDir)},""" +
         s""""format":${graft.util.Json.escape(format)},""" +
         s""""splits":[${report.mkString(",")}]}""")
+
+    // datasheet <docs.parquet> [termsK] — the corpus datasheet in one JSON
+    // line: per-source profile (counts, dup surface, length percentiles,
+    // token volume), top-K terms, and language mix. Composes the oracled
+    // profiling operators; every sub-report is metadata-shaped, so the
+    // driver assembles the JSON from a handful of small collects.
+    case "datasheet" =>
+      val docs = spark.read.parquet(args(1))
+      val k = args.lift(2).map(_.toInt).getOrElse(5)
+      def j(s: String) = graft.util.Json.escape(s)
+      val prof = graft.text.Profile.exact(docs).orderBy("source").collect()
+        .map(r => s"""{"source":${j(r.getString(0))},"n_docs":${r.getLong(1)},""" +
+          s""""n_unique":${r.getLong(2)},"p50_chars":${r.getDouble(3)},""" +
+          s""""p90_chars":${r.getDouble(4)},"total_chars":${r.getLong(5)},""" +
+          s""""avg_tokens":${r.getDouble(6)}}""")
+      val terms = graft.text.Profile.topTerms(docs, k).orderBy("source", "rank")
+        .collect()
+        .map(r => s"""{"source":${j(r.getString(0))},"term":${j(r.getString(1))},""" +
+          s""""n":${r.getLong(2)},"rank":${r.getInt(3)}}""")
+      val langs = docs.groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+        .collect()
+        .map(r => s"""{"lang":${j(r.getString(0))},"n":${r.getLong(1)}}""")
+      println(s"""{"corpus":${j(args(1))},"profile":[${prof.mkString(",")}],""" +
+        s""""top_terms":[${terms.mkString(",")}],"languages":[${langs.mkString(",")}]}""")
 
     // corpus-diff <old.parquet> <new.parquet> — release notes between two
     // corpus snapshots: per-(source, status) counts as one JSON line.

@@ -115,6 +115,45 @@ class UrlCurationSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("datasheet CLI: profile numbers in the JSON match Profile.exact") {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      Cli.run(spark, Array("datasheet", s"$sf0001/documents.parquet", "3"))
+    }
+    val line = bos.toString("UTF-8").linesIterator
+      .filter(_.startsWith("{")).toSeq.last
+    val prof = graft.text.Profile.exact(
+      spark.read.parquet(s"$sf0001/documents.parquet")).collect()
+    prof.foreach { r =>
+      assert(line.contains(
+        s""""source":"${r.getString(0)}","n_docs":${r.getLong(1)}"""), line.take(300))
+    }
+    assert(line.contains("\"top_terms\":[{") && line.contains("\"rank\":1"))
+    assert(line.contains("\"languages\":[{\"lang\":"))
+  }
+
+  test("diff invariants over random snapshot subsets: statuses partition both sides") {
+    val rnd = new scala.util.Random(7)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text", "source")
+    for (round <- 1 to 3) {
+      val (a, b) = (rnd.nextInt(97), rnd.nextInt(89))
+      val old = docs.where(col("doc_id") % 97 >= a)
+      val neu = docs.where(col("doc_id") % 89 >= b)
+        .withColumn("text", when(col("doc_id") % 13 === round,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      val counts = graft.text.CorpusDiff.diff(old, neu)
+        .groupBy("status").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap.withDefaultValue(0L)
+      val (nOld, nNew) = (old.count(), neu.count())
+      // the statuses partition each snapshot exactly
+      assert(counts("added") + counts("unchanged") + counts("changed") == nNew,
+        s"round $round: $counts vs new=$nNew")
+      assert(counts("removed") + counts("unchanged") + counts("changed") == nOld,
+        s"round $round: $counts vs old=$nOld")
+    }
+  }
+
   test("normalizeUrl is idempotent and domain-stable over generated messy URLs") {
     // randomized-but-seeded URL soup: scheme/host case, ports, paths,
     // params (tracking + real), fragments, and non-URL junk
