@@ -377,7 +377,7 @@ object QueriesData {
       val all = docs(s, d)
       Dedup.confirmPairsEditDistance(
           Dedup.ngramJaccardPairs(all, "doc_id", "text", shingleN = 3,
-            threshold = 0.05, maxDocFreq = 50),
+            threshold = 0.05, maxDocFreq = 25),
           all, maxDist = 30, prefixLen = 120)
         .select("id_a", "id_b", "jaccard", "edit_dist")
         .orderBy("id_a", "id_b")
@@ -1353,7 +1353,7 @@ object QueriesData {
         |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
         |freq AS (SELECT shingle, count(*) AS c FROM inv GROUP BY 1),
         |kept AS (SELECT i.doc_id, i.shingle FROM inv i JOIN freq f USING (shingle)
-        |         WHERE f.c BETWEEN 2 AND 50),
+        |         WHERE f.c BETWEEN 2 AND 25),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
