@@ -272,7 +272,7 @@ object Cli {
     case "prepare-corpus" =>
       val Array(_, docsPath, outDir, rest @ _*) = args: @unchecked
       val staging = rest.lift(0).filter(_ != "-")
-      val format = rest.lift(1).getOrElse("jsonl")
+      val format = rest.lift(1).filter(_ != "-").getOrElse("jsonl")
       val cfg = graft.text.CorpusPipeline.Config(
         urlCol = rest.lift(2).filter(_ != "-"),
         maxDocsPerDomain = rest.lift(3).map(_.toInt))
@@ -310,12 +310,18 @@ object Cli {
     case "datasheet" =>
       val docs = spark.read.parquet(args(1))
       val k = args.lift(2).map(_.toInt).getOrElse(5)
-      def j(s: String) = graft.util.Json.escape(s)
+      // null-safe JSON: corpora legitimately carry null source/lang rows
+      // (the profiling operators keep them), and all-null n_chars groups
+      // make the percentile aggregates null — render JSON null, never NPE
+      def j(s: String) =
+        if (s == null) "null" else graft.util.Json.escape(s)
+      def jd(r: org.apache.spark.sql.Row, i: Int) =
+        if (r.isNullAt(i)) "null" else r.getDouble(i).toString
       val prof = graft.text.Profile.exact(docs).orderBy("source").collect()
         .map(r => s"""{"source":${j(r.getString(0))},"n_docs":${r.getLong(1)},""" +
-          s""""n_unique":${r.getLong(2)},"p50_chars":${r.getDouble(3)},""" +
-          s""""p90_chars":${r.getDouble(4)},"total_chars":${r.getLong(5)},""" +
-          s""""avg_tokens":${r.getDouble(6)}}""")
+          s""""n_unique":${r.getLong(2)},"p50_chars":${jd(r, 3)},""" +
+          s""""p90_chars":${jd(r, 4)},"total_chars":${r.getLong(5)},""" +
+          s""""avg_tokens":${jd(r, 6)}}""")
       val terms = graft.text.Profile.topTerms(docs, k).orderBy("source", "rank")
         .collect()
         .map(r => s"""{"source":${j(r.getString(0))},"term":${j(r.getString(1))},""" +

@@ -240,9 +240,15 @@ object CorpusClean {
                idCol: String = "doc_id"): DataFrame = {
     val keyed = docs.withColumn("url_norm", normalizeUrl(col(urlCol)))
     val nullUrl = keyed.where(col("url_norm").isNull)
+    // null-safe length key: a null field sorts FIRST in struct ordering, so
+    // a bare -len would crown a null-length doc over every real one —
+    // coalesce to MaxValue ranks null lengths last, matching domainCap's
+    // len desc (nulls last) ordering
     val winners = keyed.where(col("url_norm").isNotNull)
       .groupBy("url_norm")
-      .agg(min(struct((-col(lenCol)).as("neg_len"), col(idCol).as("id"))).as("w"))
+      .agg(min(struct(
+        coalesce(-col(lenCol).cast("long"), lit(Long.MaxValue)).as("neg_len"),
+        col(idCol).as("id"))).as("w"))
       .select(col("w.id").as(idCol))
     keyed.join(winners, Seq(idCol), "left_semi").unionByName(nullUrl)
   }

@@ -14,22 +14,39 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueryKeySpec extends AnyFunSuite {
 
   private val entryKey = """"([a-z][a-z0-9_]*)"\s*->\s*\(\(s, d\)""".r
+  // oracle entries map a name to a string literal ("..." or [s]"""...),
+  // possibly with // comment lines between the arrow and the literal
+  private val oracleKey =
+    """"([a-z][a-z0-9_]*)"\s*->(?:\s|//[^\n]*)*(?:s?\"\"\"|\")""".r
 
-  test("battery entry keys are unique across the query source files") {
+  private def scan(re: scala.util.matching.Regex): Seq[String] = {
     val files = Seq(
       "src/main/scala/graft/Queries.scala",
       "src/main/scala/graft/QueriesData.scala")
-    val keys = files.flatMap { f =>
+    files.flatMap { f =>
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
-      entryKey.findAllMatchIn(src).map(_.group(1)).toSeq
+      re.findAllMatchIn(src).map(_.group(1)).toSeq
     }
+  }
+
+  test("battery entry keys are unique across the query source files") {
+    val keys = scan(entryKey)
     val dups = keys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
     assert(dups.isEmpty,
       s"duplicate battery entry keys (later silently wins): ${dups.mkString(", ")}")
     // sanity: the scan actually sees the battery (names drift → regex rots)
     assert(keys.size >= 90, s"entry-key scan found only ${keys.size} keys")
     assert(keys.contains("d_semantic_dedup") && keys.contains("d_semantic_prune"))
+  }
+
+  test("oracle keys are unique too (same silent-shadowing trap, SQL side)") {
+    val keys = scan(oracleKey)
+    val dups = keys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dups.isEmpty,
+      s"duplicate oracle keys (later silently wins): ${dups.mkString(", ")}")
+    assert(keys.size >= 80, s"oracle-key scan found only ${keys.size} keys")
+    assert(keys.contains("d_url_dedup") && keys.contains("q5_region_revenue"))
   }
 
   test("every oracle key has a matching query entry") {

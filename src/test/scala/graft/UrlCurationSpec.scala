@@ -45,6 +45,17 @@ class UrlCurationSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L))
   }
 
+  test("urlDedup: a null-length doc never beats a real one") {
+    // struct min sorts a null field FIRST — unguarded, the null-length row
+    // would win the group and the real content would vanish
+    val df = Seq(
+      (1L, "https://t.com/p", Option(100L)),
+      (2L, "https://t.com/p", None: Option[Long])
+    ).toDF("doc_id", "url", "n_chars")
+    val kept = CorpusClean.urlDedup(df, "url").select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(1L), s"real doc must win, got ${kept.toSeq}")
+  }
+
   test("domainCap: per-domain quota, longest kept, null domain bypasses") {
     val docs = (1L to 9L).map(i =>
         (i, s"https://www.shard${i % 2}.com/p$i", i * 10L))
