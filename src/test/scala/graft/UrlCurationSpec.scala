@@ -193,6 +193,23 @@ class UrlCurationSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
 
+  test("new operators are re-shard invariant (same answer at any partitioning)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".x.org/p"), (col("doc_id") % 7).cast("string")))
+    def fp(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val shuffled = docs.repartition(13)
+    assert(fp(CorpusClean.urlDedup(docs, "url")) ==
+      fp(CorpusClean.urlDedup(shuffled, "url")))
+    assert(fp(CorpusClean.domainCap(docs, "url", 5)) ==
+      fp(CorpusClean.domainCap(shuffled, "url", 5)))
+    assert(fp(graft.text.Profile.topTerms(docs, 3)) ==
+      fp(graft.text.Profile.topTerms(shuffled, 3)))
+    assert(fp(CorpusDiff.diffReport(docs.filter(col("doc_id") % 2 === 0), docs)) ==
+      fp(CorpusDiff.diffReport(shuffled.filter(col("doc_id") % 2 === 0), shuffled)))
+  }
+
   test("corpus diff: digest compare ignores case/whitespace cosmetics (dupKey semantics)") {
     val old = Seq((1L, "Hello World ", "s")).toDF("doc_id", "text", "source")
     val neu = Seq((1L, "hello world", "s")).toDF("doc_id", "text", "source")
