@@ -446,7 +446,8 @@ object Dedup {
                      targetBucketSize: Int = 1024,
                      multiProbe: Boolean = false,
                      knownCount: Option[Long] = None,
-                     tables: Int = 1): DataFrame = {
+                     tables: Int = 1,
+                     quantizedPrefilter: Boolean = true): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
     val effBits = effectiveBits(knownCount.getOrElse(df.count()), bits, targetBucketSize)
     val probe = multiProbe || effBits > bits
@@ -479,6 +480,54 @@ object Dedup {
       // The same probe contract applies per table: occupancy widening (or an
       // explicit multiProbe) flips the shared flip set on the probe side, so
       // corpus growth doesn't silently shrink each table's recall
+      if (quantizedPrefilter) {
+        // Shuffle-compressed two-stage scoring, EXACT by construction. The
+        // candidate join is the dominant exchange: every vector ships once
+        // per (table, probe) — 8 tables × 4 probes of a 64-dim double array
+        // is ~16 KB of exchange per vector, the int8 payload ~2 KB. Stage 1
+        // scores candidates on the bytes (native BinaryDot) and keeps any
+        // pair whose quantized cosine clears `threshold − margin`, where
+        // margin bounds the quantization error ANALYTICALLY for unit
+        // vectors: with s = max|x|/127 ≤ 1/127, |e_i| ≤ s/2, ‖x‖₁ ≤ √d,
+        //   |cos − cosq| ≤ 2·(√d + d/254)/254·... folded to
+        //   margin(d) = (√d + d/254)/127 + d/(4·127²)  (≈ 0.066 at d=64),
+        // plus 1e-6 for the final 6-dp rounding — so every pair the exact
+        // stage would keep survives the prefilter and the output is
+        // IDENTICAL to the direct form (spec-pinned equality). Stage 2
+        // re-attaches full vectors BY ID to the distinct survivor pairs
+        // (output-sized, not candidate-sized) and applies the exact cosine.
+        val margin = (math.sqrt(dim) + dim / 254.0) / 127.0 +
+          dim / (4.0 * 127.0 * 127.0) + 1e-6
+        val baseQ = base.withColumn("qb",
+          graft.functions.KFunctions.pack_unit_int8(col("unit")))
+          .withColumn("qs",
+            array_max(transform(col("unit"), x => abs(x))) / 127.0d)
+        val sigs = baseQ.select(col("id"), col("qb"), col("qs"),
+          posexplode(array((0 until tables).map(t =>
+            hyperplaneSignature(col("vec"), dim, effBits, table = t)): _*))
+            .as(Seq("tbl", "bucket")))
+        val a =
+          if (!probe) sigs.select(col("tbl"), col("bucket"),
+            col("id").as("id_a"), col("qb").as("qb_a"), col("qs").as("qs_a"))
+          else sigs.select(col("tbl"),
+            probedBuckets(col("bucket")).as("bucket"),
+            col("id").as("id_a"), col("qb").as("qb_a"), col("qs").as("qs_a"))
+        val b = sigs.select(col("tbl"), col("bucket"),
+          col("id").as("id_b"), col("qb").as("qb_b"), col("qs").as("qs_b"))
+        val survivors = a.join(b, Seq("tbl", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(graft.functions.KFunctions.binary_dot(col("qb_a"), col("qb_b"))
+            .cast("double") * col("qs_a") * col("qs_b") >= threshold - margin)
+          .select("id_a", "id_b")
+          .distinct()
+        return survivors
+          .join(base.select(col("id").as("id_a"), col("unit").as("unit_a")), Seq("id_a"))
+          .join(base.select(col("id").as("id_b"), col("unit").as("unit_b")), Seq("id_b"))
+          .withColumn("cosine", round(
+            graft.functions.KFunctions.array_dot(col("unit_a"), col("unit_b")), 6))
+          .filter(col("cosine") >= threshold)
+          .select("id_a", "id_b", "cosine")
+      }
       val sigs = base.select(col("id"), col("unit"),
         posexplode(array((0 until tables).map(t =>
           hyperplaneSignature(col("vec"), dim, effBits, table = t)): _*))

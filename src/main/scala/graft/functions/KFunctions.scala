@@ -137,6 +137,15 @@ object KFunctions {
   def array_dot(a: Column, b: Column): Column =
     exprCol(DoubleArrayDot(exprOf(a), exprOf(b)))
 
+  /** Per-vector int8 quantization to a binary payload (see [[PackUnitInt8]]) —
+    * the shuffle-compression form of a vector for pairwise candidate joins.
+    */
+  def pack_unit_int8(v: Column): Column = exprCol(PackUnitInt8(exprOf(v)))
+
+  /** Signed-byte dot of two int8 binary payloads (see [[BinaryDot]]). */
+  def binary_dot(a: Column, b: Column): Column =
+    exprCol(BinaryDot(exprOf(a), exprOf(b)))
+
   /** k-slot MinHash signature of an array<string> column in one map pass —
     * native codegen expression, hash-compatible with
     * min(xxhash64(shingle, lit(seed))) per slot (see [[MinHashSig]]).

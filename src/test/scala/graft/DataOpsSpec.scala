@@ -300,6 +300,62 @@ class DataOpsSpec extends SparkSpec {
     single.foreach { case (k, v) => assert(multi(k) == v) }
   }
 
+  test("int8 kernels: pack/dot match a scala reference, null and shape semantics") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(0.9, -0.3, 0.1, 0.0)),
+      (2L, Array(0.5, 0.5, -0.5, 0.5)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0)), // all-zero → all-zero bytes
+      (4L, Array(1e-9, -1e-9, 0.0, 0.0)) // tiny scale still exact shape
+    ).toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+    val out = vs.select(col("id"),
+        graft.functions.KFunctions.pack_unit_int8(col("v")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("b")).toMap
+    def ref(a: Array[Double]): Array[Byte] = {
+      val m = a.map(math.abs).max
+      if (m == 0) Array.fill(a.length)(0: Byte)
+      else a.map(x => Math.round(x / (m / 127.0)).toByte)
+    }
+    assert(out(1L).sameElements(ref(Array(0.9, -0.3, 0.1, 0.0))))
+    assert(out(2L).sameElements(ref(Array(0.5, 0.5, -0.5, 0.5))))
+    assert(out(3L).sameElements(Array[Byte](0, 0, 0, 0)))
+    // dot: scala reference, length mismatch → null
+    val d = spark.range(1).select(
+      graft.functions.KFunctions.binary_dot(
+        lit(Array[Byte](1, -2, 3)), lit(Array[Byte](4, 5, -6))).as("d"),
+      graft.functions.KFunctions.binary_dot(
+        lit(Array[Byte](1)), lit(Array[Byte](1, 2))).as("m")).head()
+    assert(d.getInt(0) == 1 * 4 + -2 * 5 + 3 * -6)
+    assert(d.isNullAt(1))
+  }
+
+  test("quantized prefilter pipeline is pair-identical to the direct multi-table form") {
+    import spark.implicits._
+    // mixed regime: random near-orthogonal vectors PLUS planted near-dup
+    // clones — borderline pairs sit right at the threshold, where a broken
+    // margin would show as a missing pair
+    val rnd = new scala.util.Random(11)
+    val baseVecs = (1L to 200L).map(id =>
+      (id, Array.tabulate(16)(j => math.sin(id * 7.77 + j * 1.91).toFloat)))
+    val clones = (1L to 40L).map(id =>
+      (1000L + id, baseVecs(id.toInt - 1)._2.map(x =>
+        x + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    val df = (baseVecs ++ clones).toDF("vec_id", "embedding")
+    for (thr <- Seq(0.3, 0.8)) {
+      def run(q: Boolean) = Dedup.embeddingPairs(df, "vec_id", "embedding",
+          dim = 16, bits = 5, threshold = thr, tables = 8,
+          quantizedPrefilter = q)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val direct = run(false)
+      val pre = run(true)
+      assert(pre == direct,
+        s"thr=$thr: prefiltered=${pre.size} direct=${direct.size}; " +
+          s"missing=${(direct.keySet -- pre.keySet).take(5)}, " +
+          s"extra=${(pre.keySet -- direct.keySet).take(5)}")
+      assert(direct.nonEmpty, s"thr=$thr fixture must produce pairs")
+    }
+  }
+
   test("multi-table embedding LSH: strict candidate superset, no false positives") {
     import spark.implicits._
     // near-orthogonal regime (the borderline-similarity case): random-ish
