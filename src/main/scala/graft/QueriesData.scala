@@ -797,31 +797,24 @@ object QueriesData {
 
     // quality: CCNet-style perplexity bucketing (Wenzek et al. 2020) — score
     // every doc with the reference-slice LM (same model as d_lm_score),
-    // split the corpus at tercile cuts fitted on a DETERMINISTIC 1/3 sample
-    // (doc_id % 3 == 0), label head/middle/tail. The sample is the scale
-    // contract: the cut is a top-k order statistic OF THE SAMPLE (TakeOrdered
-    // of k = ceil(|sample|/3) rows), so the sample rate — not the corpus —
-    // bounds that state; CCNet fits its cuts on a sample for the same
-    // reason. Order statistics, not interpolated percentiles, on purpose:
-    // the cut is an actual 5dp score value and every bucket comparison is
-    // between bit-identical doubles in both engines — an interpolated
-    // threshold lands between data values where Spark's and DuckDB's
-    // last-ulp arithmetic can disagree.
+    // split the corpus at tercile cuts fitted on a BOUNDED-SIZE
+    // deterministic sample (doc_id % m == 0, m = ceil(n/budget) — see
+    // LmScore.tercileCuts for the scale contract: the modulus grows with
+    // the corpus so the fit state is budget-bounded, never corpus-sized),
+    // label head/middle/tail. Both cuts come out of one window job; the
+    // oracle derives the same modulus from its own count.
     "d_ccnet_buckets" -> ((s, d) => {
       val all = docs(s, d)
       val model = graft.text.LmScore.train(all.filter(col("doc_id") % 20 =!= 7))
       val scored = graft.text.LmScore.score(all, model)
         .select(col("doc_id"), round(col("avg_logprob"), 5).as("lp"))
         .localCheckpoint(true) // thresholds + bucketing both read it
-      val sample = scored.filter(col("doc_id") % 3 === 0)
-      val n = sample.count()
-      def cutAt(k: Long) = sample.orderBy("lp").limit(k.toInt)
-        .agg(max("lp")).head.getDouble(0)
-      val t1 = cutAt(math.ceil(n / 3.0).toLong)
-      val t2 = cutAt(math.ceil(2 * n / 3.0).toLong)
+      val (t1, t2) = graft.text.LmScore.tercileCuts(scored, "doc_id", "lp")
+      def cut(c: Option[Double]) =
+        c.map(lit).getOrElse(lit(null).cast("double"))
       scored
-        .withColumn("bucket", when(col("lp") <= t1, "tail")
-          .when(col("lp") <= t2, "middle").otherwise("head"))
+        .withColumn("bucket", when(col("lp") <= cut(t1), "tail")
+          .when(col("lp") <= cut(t2), "middle").otherwise("head"))
         .join(all.select("doc_id", "source"), "doc_id")
         .groupBy("source", "bucket")
         // battery determinism rule, strong form: the hashed float is the
@@ -1986,17 +1979,21 @@ object QueriesData {
          |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     "d_ccnet_buckets" ->
       // same scored-docs CTE as d_lm_score; tercile cuts are ORDER
-      // STATISTICS of the deterministic doc_id%3==0 sample (max of the
-      // first ceil(n/3) sorted values — tie order inside row_number cannot
-      // change a max-of-prefix), then the (source, bucket) rollup
+      // STATISTICS of the bounded-size deterministic sample (doc_id % m ==
+      // 0 with m = ceil(n/100000) re-derived from the oracle's own count —
+      // LmScore.tercileCuts in lockstep; max of the first ceil(sn/3) sorted
+      // values — tie order inside row_number cannot change a
+      // max-of-prefix), then the (source, bucket) rollup
       s"""$lmLpCte,
         |perdoc AS (SELECT doc_id, round(avg(lp), 5) AS lps FROM lp GROUP BY 1),
+        |mm AS (SELECT greatest(1, CAST(ceil(count(*) / 100000.0) AS BIGINT)) AS m
+        |       FROM perdoc),
         |cuts AS (
         |  SELECT max(CASE WHEN rn <= ceil(n / 3.0) THEN lps END) AS t1,
         |         max(CASE WHEN rn <= ceil(2 * n / 3.0) THEN lps END) AS t2
         |  FROM (SELECT lps, row_number() OVER (ORDER BY lps) AS rn,
         |               count(*) OVER () AS n
-        |        FROM perdoc WHERE doc_id % 3 = 0)),
+        |        FROM perdoc, mm WHERE doc_id % mm.m = 0)),
         |b AS (SELECT p.doc_id, p.lps,
         |        CASE WHEN p.lps <= c.t1 THEN 'tail'
         |             WHEN p.lps <= c.t2 THEN 'middle' ELSE 'head' END AS bucket

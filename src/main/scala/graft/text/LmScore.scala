@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** N-gram language-model quality scoring — the CCNet recipe (Wenzek et al.
@@ -88,6 +89,54 @@ object LmScore {
         spark.read.parquet(s"$dir/tri.parquet"),
         graft.util.Sidecar.requiredLong(meta, "total_tokens", s"$dir/lm-meta.json"))
     }
+  }
+
+  /** CCNet-style tercile cuts (t1, t2) fitted on a BOUNDED-SIZE
+    * deterministic sample — the scale contract CCNet itself uses (Wenzek et
+    * al. 2020 fit their perplexity cuts on a sample precisely so the fit
+    * cost is independent of corpus size).
+    *
+    * Sample membership is `idCol % m == 0` with `m = ceil(n /
+    * sampleBudget)`: the modulus GROWS with the corpus, so the sampled row
+    * count never exceeds ~`sampleBudget` and the order-statistic state is
+    * bounded by the budget, not the corpus. (A fixed-FRACTION sample — the
+    * shape this replaced — makes the fit a corpus-sized top-k: at 100 TB
+    * that is a global-sort/driver-pressure job, and a 32-bit `limit(k)`
+    * overflows past 2³¹ sampled rows.)
+    *
+    * Both cuts come out of ONE job: row_number + count windows over the
+    * bounded sample (a single-partition sort of ≤ sampleBudget rows, by
+    * construction), folded by one aggregate. Order STATISTICS, not
+    * interpolated percentiles, on purpose: each cut is an actual data value
+    * at full precision, so bucket comparisons are between bit-identical
+    * doubles in Spark and any independent engine (the DuckDB oracle) — an
+    * interpolated threshold lands between data values where the engines'
+    * last-ulp arithmetic can disagree. Tie order inside row_number cannot
+    * change a max-of-prefix, so the fit is deterministic and
+    * re-shard-invariant (spec-pinned).
+    *
+    * Returns None cuts when the sample is empty (then every row buckets
+    * `head`, matching SQL's NULL-comparison semantics).
+    *
+    * @param knownCount corpus row count if the caller already has it (skips
+    *   the sizing `count()` — same convention as [[graft.dedup.Dedup]])
+    */
+  def tercileCuts(scored: DataFrame, idCol: String, scoreCol: String,
+                  sampleBudget: Long = 100000L,
+                  knownCount: Option[Long] = None): (Option[Double], Option[Double]) = {
+    require(sampleBudget >= 3, s"sampleBudget must be >= 3, got $sampleBudget")
+    val n = knownCount.getOrElse(scored.count())
+    val m = math.max(1L, math.ceil(n.toDouble / sampleBudget).toLong)
+    val cuts = scored.filter(col(idCol) % m === 0)
+      .select(col(scoreCol).as("s"),
+        row_number().over(Window.orderBy(scoreCol)).as("rn"),
+        count(lit(1)).over().as("sn"))
+      .agg(
+        max(when(col("rn") <= ceil(col("sn") / 3.0), col("s"))).as("t1"),
+        max(when(col("rn") <= ceil(col("sn") * 2 / 3.0), col("s"))).as("t2"))
+      .head
+    (if (cuts.isNullAt(0)) None else Some(cuts.getDouble(0)),
+     if (cuts.isNullAt(1)) None else Some(cuts.getDouble(1)))
   }
 
   /** Train the trigram model from `reference` (lower-cased whitespace

@@ -122,4 +122,33 @@ class LmScoreSpec extends SparkSpec {
     val counts = rows.groupBy(_.getString(1)).map { case (_, g) => g.map(_.getLong(2)).sum }
     assert(counts.min > n / 6, s"degenerate tercile split: $counts")
   }
+
+  test("tercileCuts: bounded sample (m>1), brute-force equality, re-shard invariance") {
+    // 1,000 rows, budget 100 → m = 10, sample = the 100 rows with id%10==0:
+    // exercises the modulus-scaling path the sf0.01 battery never reaches
+    // (there m=1). Score is a deterministic non-monotone function of id so
+    // sort order differs from id order.
+    val scored = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        round(sin(col("id").cast("double")), 5).as("lp"))
+    val (t1, t2) = LmScore.tercileCuts(scored, "doc_id", "lp", sampleBudget = 100L)
+    // brute force on the same deterministic sample
+    val lps = (0L until 1000L by 10L)
+      .map(i => math.rint(math.sin(i.toDouble) * 1e5) / 1e5).sorted
+    assert(t1.contains(lps(math.ceil(lps.size / 3.0).toInt - 1)))
+    assert(t2.contains(lps(math.ceil(2 * lps.size / 3.0).toInt - 1)))
+    // re-shard invariance: membership is id-arithmetic, the cut a multiset
+    // order statistic — no partition-layout sensitivity
+    for (p <- Seq(1, 7, 32)) {
+      assert(LmScore.tercileCuts(scored.repartition(p), "doc_id", "lp",
+        sampleBudget = 100L) == ((t1, t2)), s"cuts drifted at $p partitions")
+    }
+    // knownCount short-circuits the sizing count but yields the same cuts
+    assert(LmScore.tercileCuts(scored, "doc_id", "lp", sampleBudget = 100L,
+      knownCount = Some(1000L)) == ((t1, t2)))
+    // empty sample → None cuts (every row would bucket 'head', the SQL
+    // NULL-comparison behavior)
+    assert(LmScore.tercileCuts(scored.filter(col("doc_id") < 0), "doc_id",
+      "lp") == ((None, None)))
+  }
 }
