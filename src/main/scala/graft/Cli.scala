@@ -317,10 +317,14 @@ object Cli {
         if (s == null) "null" else graft.util.Json.escape(s)
       def jd(r: org.apache.spark.sql.Row, i: Int) =
         if (r.isNullAt(i)) "null" else r.getDouble(i).toString
+      // sum over an all-null n_chars group is null too — same rule as the
+      // percentile columns (getLong on a null cell NPEs)
+      def jl(r: org.apache.spark.sql.Row, i: Int) =
+        if (r.isNullAt(i)) "null" else r.getLong(i).toString
       val prof = graft.text.Profile.exact(docs).orderBy("source").collect()
         .map(r => s"""{"source":${j(r.getString(0))},"n_docs":${r.getLong(1)},""" +
           s""""n_unique":${r.getLong(2)},"p50_chars":${jd(r, 3)},""" +
-          s""""p90_chars":${jd(r, 4)},"total_chars":${r.getLong(5)},""" +
+          s""""p90_chars":${jd(r, 4)},"total_chars":${jl(r, 5)},""" +
           s""""avg_tokens":${jd(r, 6)}}""")
       val terms = graft.text.Profile.topTerms(docs, k).orderBy("source", "rank")
         .collect()

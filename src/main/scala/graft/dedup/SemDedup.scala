@@ -39,8 +39,14 @@ object SemDedup {
     * (they are all keepers); anti-join `keep = false` rows against the
     * corpus to prune it.
     *
-    * @param nClusters FLOOR on the cluster count. The effective k
-    *   occupancy-scales exactly like [[Dedup.semanticPairs]]:
+    * @param nClusters FLOOR on the cluster count — deliberately NOT an
+    *   exact k. BEHAVIOR CHANGE vs the pre-occupancy-scaling signature:
+    *   callers passing n > nClusters × targetCellSize rows now get a
+    *   larger, occupancy-scaled clustering, which can change individual
+    *   dedup verdicts (different cell boundaries ⇒ different within-cell
+    *   pairs) while keeping the semantics (near-dup groups at `threshold`)
+    *   and fixing the cost. The effective k scales exactly like
+    *   [[Dedup.semanticPairs]]:
     *   k = clamp(n / targetCellSize, nClusters, maxClusters) — a fixed k
     *   silently goes quadratic as the corpus grows (measured: this entry at
     *   a hard k=8 over 200k vectors ran 950 s; occupancy-scaled k=196 runs
@@ -60,6 +66,10 @@ object SemDedup {
     * @param maxTrainRows k-means fits on at most this many sampled rows —
     *   Lloyd is O(rows × k × dim) per iteration and the centroids, not the
     *   fit set, define the cells; maxIter bounds the iterations.
+    * @param knownCount corpus row count if the caller already has it (skips
+    *   the sizing `count()`). MAY BE APPROXIMATE: it only sizes k, so a
+    *   pre-filter count (before the zero-norm/NaN exclusion) is fine — k
+    *   lands within one targetCellSize bucket of the post-filter value.
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nClusters: Int, threshold: Double, seed: Long = 42L,

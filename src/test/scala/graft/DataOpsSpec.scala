@@ -341,15 +341,19 @@ class DataOpsSpec extends SparkSpec {
       (1000L + id, baseVecs(id.toInt - 1)._2.map(x =>
         x + (rnd.nextFloat() - 0.5f) * 0.1f)))
     val df = (baseVecs ++ clones).toDF("vec_id", "embedding")
-    for (thr <- Seq(0.3, 0.8)) {
+    // probe=true exercises the probedBuckets leg of the prefilter branch —
+    // 240 rows at bits=5/default targetBucketSize never trigger occupancy
+    // widening, so without the explicit multiProbe case that leg would go
+    // untested (advisor finding)
+    for (thr <- Seq(0.3, 0.8); probe <- Seq(false, true)) {
       def run(q: Boolean) = Dedup.embeddingPairs(df, "vec_id", "embedding",
           dim = 16, bits = 5, threshold = thr, tables = 8,
-          quantizedPrefilter = q)
+          multiProbe = probe, quantizedPrefilter = q)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       val direct = run(false)
       val pre = run(true)
       assert(pre == direct,
-        s"thr=$thr: prefiltered=${pre.size} direct=${direct.size}; " +
+        s"thr=$thr probe=$probe: prefiltered=${pre.size} direct=${direct.size}; " +
           s"missing=${(direct.keySet -- pre.keySet).take(5)}, " +
           s"extra=${(pre.keySet -- direct.keySet).take(5)}")
       assert(direct.nonEmpty, s"thr=$thr fixture must produce pairs")

@@ -189,6 +189,34 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sourceStats: null-text rows never count as duplicates (no shared-sentinel inflation)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val stats = StreamingText.sourceStats(
+      input.toDF().toDF("source", "text"), "source", "text")
+    val q = stats.writeStream.format("memory").queryName("stats_null_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // null-HEAVY batch: four null-text rows, two distinct real docs, one
+      // real dup. Under the old shared-0L-sentinel fingerprint the nulls
+      // would count each other (and any real fingerprint-0 doc) as dups —
+      // approx_dups must see exactly the ONE real duplicate.
+      input.addData(
+        ("web", null: String), ("web", "one two"), ("web", null: String),
+        ("web", null: String), ("web", "three"), ("web", "one two"),
+        ("web", null: String))
+      q.processAllAvailable()
+      // a later all-null batch: still no new dups, docs/tokens keep counting
+      input.addData(("web", null: String), ("web", null: String))
+      q.processAllAvailable()
+      val last = spark.table("stats_null_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).last
+      assert(last == ((9L, 5L, 1L)),
+        s"(docs, tokens, dups) = $last — null rows inflated approx_dups")
+    } finally q.stop()
+  }
+
   test("LM scoring runs unchanged on a stream (stream-static model joins); final update == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -143,6 +143,31 @@ class UrlCurationSpec extends SparkSpec {
     assert(line.contains("\"languages\":[{\"lang\":"))
   }
 
+  test("datasheet CLI: all-null n_chars group renders JSON nulls, never NPEs") {
+    import spark.implicits._
+    // one group entirely null text/n_chars: sum → null, same as the
+    // percentile aggregates — every numeric cell must go through the
+    // null-safe render (total_chars once NPE'd here)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ds-null").toString
+    try {
+      Seq((1L, null: String, "empty", null: String, null.asInstanceOf[java.lang.Long]),
+          (2L, null: String, "empty", null: String, null.asInstanceOf[java.lang.Long]),
+          (3L, "real doc here", "web", "en", java.lang.Long.valueOf(13L)))
+        .toDF("doc_id", "text", "source", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        Cli.run(spark, Array("datasheet", s"$dir/docs", "2"))
+      }
+      val line = bos.toString("UTF-8").linesIterator
+        .filter(_.startsWith("{")).toSeq.last
+      assert(line.contains(""""source":"empty""""), line.take(300))
+      assert(line.contains(""""total_chars":null"""), line.take(300))
+      // the emitted line must be structurally valid (balanced, parse-shaped)
+      assert(line.count(_ == '{') == line.count(_ == '}'), line.take(300))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("diff invariants over random snapshot subsets: statuses partition both sides") {
     val rnd = new scala.util.Random(7)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
