@@ -41,7 +41,7 @@ object Cli {
     "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
       "prepare-corpus corpus-diff datasheet " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
-      "offset-reset offset-reset-bulk snapshot-create snapshot-list snapshot-show " +
+      "offset-reset offset-reset-bulk snapshot-groups snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
       "evidence-create evidence-list evidence-get evidence-verify")
 
@@ -536,6 +536,42 @@ object Cli {
         case other =>
           System.err.println(s"unknown offset-reset action: $other"); sys.exit(2)
       }
+
+    case "snapshot-groups" =>
+      // capture consumer-group offsets for BACKED-UP topics and store the
+      // snapshot beside the backup (main.rs:746 Commands::SnapshotGroups;
+      // snapshot_groups.rs: list groups -> fetch committed -> filter to
+      // manifest topics & offset >= 0 -> skip empty groups -> save
+      // {backup_id}/consumer-groups-snapshot.json; restore loads it via
+      // auto_consumer_groups / three-phase-restore's [groupsSnapshot]).
+      // The live-broker leg is the ClusterAdmin facade: <groupsJson> seeds
+      // the InMemory impl here; a kafka-clients-backed impl swaps in one
+      // class without touching this flow.
+      // Usage: snapshot-groups <backupRoot> <backupId> <groupsJson> [--now ms]
+      val Array(_, root, id, groupsJson, rest @ _*) = args: @unchecked
+      def opt(flag: String): Option[String] =
+        rest.sliding(2).collectFirst { case Seq(`flag`, v) => v }
+      val backed = Manifest.load(root, id).topics.map(_.name).toSet
+      val seeded = graft.remap.ConsumerGroupSnapshot.importOffsets(
+          graft.remap.ConsumerGroupSnapshot.fromJson(new String(
+            java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(groupsJson)), "UTF-8")))
+        .groupBy(_._1).map { case (g, rows) =>
+          g -> rows.map { case (_, t, p, off) => (t, p) -> off }.toMap
+        }
+      val admin = new graft.sources.InMemoryClusterAdmin(
+        Map.empty, Map.empty, seeded)
+      val nowMs = opt("--now").map(_.toLong).getOrElse(System.currentTimeMillis())
+      val captured = graft.sources.ClusterAdmin.captureSnapshot(admin, nowMs)
+      val snap = graft.remap.ConsumerGroupSnapshot.restrictTo(captured, backed)
+      val path = new org.apache.hadoop.fs.Path(s"$root/$id/consumer-groups-snapshot.json")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(path, true)
+      try out.write(
+        graft.remap.ConsumerGroupSnapshot.toJson(snap).getBytes("UTF-8"))
+      finally out.close()
+      println(s"snapshot-groups $id: kept ${snap.groups.size} of " +
+        s"${captured.groups.size} groups with offsets on backed-up topics -> $path")
 
     case "snapshot-create" =>
       // pre-reset safety snapshot from a consumer-groups JSON (broker-free

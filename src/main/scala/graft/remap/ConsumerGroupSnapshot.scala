@@ -25,6 +25,23 @@ object ConsumerGroupSnapshot {
 
   def toJson(s: ConsumerGroupSnapshot): String = Serialization.writePretty(s)
 
+  /** Keep only offsets on `topics` with non-negative values and drop groups
+    * left empty — the snapshot-groups capture filter
+    * (crates/kafka-backup-cli/src/commands/snapshot_groups.rs:108-125:
+    * `backed_topics.contains(&co.topic) && co.offset >= 0`, then groups with
+    * no qualifying offsets are skipped). Group and topic order are preserved.
+    */
+  def restrictTo(snapshot: ConsumerGroupSnapshot,
+                 topics: Set[String]): ConsumerGroupSnapshot =
+    ConsumerGroupSnapshot(snapshot.snapshot_time,
+      snapshot.groups.flatMap { g =>
+        val kept = g.offsets.collect {
+          case (t, parts) if topics(t) =>
+            t -> parts.filter { case (_, off) => off >= 0 }
+        }.filter(_._2.nonEmpty)
+        if (kept.isEmpty) None else Some(GroupOffsets(g.group_id, kept))
+      })
+
   /** Flatten to committed-offset tuples, applying import rules and optional
     * topic/partition remapping (J4 auto-snapshot import join).
     */

@@ -64,6 +64,33 @@ class ThreePhaseSpec extends SparkSpec {
       "must not claim resets were skipped when none referenced the topic")
   }
 
+  test("snapshot-groups CLI: facade capture filtered to manifest topics, stored beside the backup") {
+    manifest
+    // raw cluster state standing in for the live S6/S7 leg: one group with
+    // offsets on backed + unbacked topics and a negative offset, one group
+    // with ONLY a foreign topic (must be dropped entirely)
+    val raw = ConsumerGroupSnapshot(1L, List(
+      graft.remap.GroupOffsets("app", Map(
+        "click" -> Map("0" -> 500L, "1" -> -3L), // negative skipped at import
+        "not-backed-up" -> Map("0" -> 7L))),
+      graft.remap.GroupOffsets("foreign-only", Map(
+        "not-backed-up" -> Map("0" -> 9L)))))
+    val groupsJson = Files.createTempFile("graft-sg", ".json")
+    Files.writeString(groupsJson, ConsumerGroupSnapshot.toJson(raw))
+    Cli.run(spark, Array("snapshot-groups", tmp, "tp", groupsJson.toString,
+      "--now", "1700000000000"))
+    val stored = ConsumerGroupSnapshot.fromJson(Files.readString(
+      java.nio.file.Paths.get(s"$tmp/tp/consumer-groups-snapshot.json")))
+    assert(stored.snapshot_time == 1700000000000L)
+    assert(stored.groups.map(_.group_id) == List("app"),
+      s"foreign-only group must be dropped: ${stored.groups}")
+    assert(stored.groups.head.offsets == Map("click" -> Map("0" -> 500L)),
+      "only backed-up topics with non-negative offsets survive")
+    // the stored artifact round-trips into the reset-plan path unchanged
+    val imported = ConsumerGroupSnapshot.importOffsets(stored)
+    assert(imported == Seq(("app", "click", 0, 500L)))
+  }
+
   test("native murmur2 expression matches driver hash and stays in codegen") {
     manifest
     import graft.functions.{KFunctions, KHash}
