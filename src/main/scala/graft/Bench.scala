@@ -127,5 +127,21 @@ object Bench {
       System.err.println(s"bench_out write failed: $e")
     }
     spark.stop()
+    // LAST stdout line: a compact summary guaranteed to fit the driver's
+    // ~2000-char tail capture WHOLE (the full 99-entry line is ~5 KB, so
+    // the capture decapitates it and the driver records "parsed": null —
+    // the r7 finding). Slowest entries at 3 decimals + error map; the
+    // complete per-query map lives in the full line above and in the file.
+    val slowest = results.sortBy(-_._2).take(25)
+      .map { case (k, v, _) => jstr(k) + ":" + math.rint(v * 1e3) / 1e3 }
+      .mkString("{", ",", "}")
+    val errsShort = results.collect { case (k, _, Some(e)) =>
+      jstr(k) + ":" + jstr(e.take(60)) }.take(5).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},""" +
+      s""""unit":"sec","queries":$slowest,""" +
+      s""""note":"slowest 25 of ${results.size}; full map in $out",""" +
+      s""""errors":$errsShort,"n_errors":${results.count(_._3.isDefined)},""" +
+      s""""sf":${jstr(sfDir)},"cpus":$cpus,"disk_write_mb_s":$diskMbS,""" +
+      s""""timing":"best-of-2 over 1s"}""")
   }
 }

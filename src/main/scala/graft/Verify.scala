@@ -20,11 +20,42 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // measured-quality surface for the no-oracle entries: each approximate
+    // operator carries its audit as a constant result column
+    // (exact_pair_recall / recall_at_k / holdout_acc); collect them here so
+    // the round artifact (AUDITS_r<k>.json) records value, floor, and
+    // above-floor verdict without anyone re-running Spark. Floors mirror
+    // the ScalaTest floors (DataOpsSpec/QualityClassifierSpec); entries
+    // with no spec floor record null and above_floor is vacuous-true.
+    val auditColumns = Set("exact_pair_recall", "recall_at_k", "holdout_acc")
+    val floors = Map(
+      "a_ann_lsh" -> 0.4, "a_ann_lsh_bucketed" -> 0.3, "a_ann_ivf" -> 0.5,
+      "a_ann_pq" -> 0.3, "a_ann_ivfpq" -> 0.3,
+      "d_minhash_pairs" -> 0.9, "d_simhash_pairs" -> 0.5,
+      "d_embedding_dups" -> 0.35, "d_quality_classifier" -> 0.8)
+    val audits = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val res = spark.read.parquet(s"$outDir/$name")
+        res.columns.find(auditColumns).foreach { c =>
+          // constant audit column: one cell decides; a NULL means the entry
+          // ran above its measured-count gate (operator-only timing regime)
+          val cell = res.select(c).head()
+          val (value, gated) =
+            if (cell.isNullAt(0)) ("null", true)
+            else (cell.getDouble(0).toString, false)
+          val floor = floors.get(name).map(_.toString).getOrElse("null")
+          val above = floors.get(name).forall(f =>
+            gated || cell.getDouble(0) >= f)
+          audits(name) =
+            s"""{"column":"$c","value":$value,"floor":$floor,""" +
+              s""""above_floor":$above,"gated":$gated}"""
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -44,6 +75,37 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the three no-oracle entries with no in-result audit column are
+    // spec-verified; record the basis so the audits file covers every
+    // no-oracle row
+    val specBasis = Map(
+      "d_bpe_train" -> ("merge-for-merge equality vs an independent " +
+        "reference implementation (BpeTrainerSpec); pair statistics " +
+        "oracled by d_bpe_pairs"),
+      "p_backup_throughput" -> ("end-to-end pipeline; counts oracled by " +
+        "p_roundtrip_counts, MB/s recorded in the bench artifact"),
+      "q_murmur2_partition" -> ("bit-exact golden vectors vs Kafka's " +
+        "murmur2 (KHashSpec)"))
+    specBasis.foreach { case (name, basis) =>
+      if (only.forall(_.contains(name)) && !audits.contains(name))
+        audits(name) = s"""{"basis":${q(basis)}}"""
+    }
+    if (audits.nonEmpty) {
+      val auditsJson = audits
+        .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/audits.json"), auditsJson)
+      // repo-root round copy next to BENCH_r<k>: the driver stamps
+      // CORRECTNESS_r<k> at round END, so the in-flight round is max+1
+      if (only.isEmpty) try {
+        val prior = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+          .flatMap(f => "CORRECTNESS_r(\\d+)\\.json".r
+            .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        val round = if (prior.isEmpty) 0 else prior.max + 1
+        Files.writeString(Paths.get(f"AUDITS_r$round%02d.json"), auditsJson)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] audits round copy failed: $e")
+      }
+    }
     spark.stop()
   }
 }
