@@ -334,6 +334,43 @@ object QueriesData {
         .orderBy("media_id")
     }),
 
+    // image near-dup dedup via perceptual hash (dHash) + the Hamming band
+    // machinery shared with d_simhash_pairs. Payloads here never decode as
+    // images, so every row takes the FAKE grid (contiguous byte-chunk sums
+    // — integer arithmetic the oracle reproduces from hex, like m_resize);
+    // the REAL decode path is golden-image-tested (re-encoded clone
+    // collides at hamming 0, resized clone within radius, distinct images
+    // far). Each non-null doc gets a same-length clone (id −(doc_id+1))
+    // whose LAST byte becomes '~': only the final grid chunk changes, so
+    // clone↔original pairs land at hamming ≤ 1 — the entry hash-checks
+    // cross-signature band pairs, not just identical-sig cliques. The
+    // banding is EXACT by pigeonhole, so the family-convention recall audit
+    // (vs gated brute-force Hamming) must measure 1.0 — and the oracle
+    // pins that constant.
+    "m_phash_dups" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, d).toDF()
+      val clones = media
+        .filter(col("content").isNotNull)
+        .withColumn("media_id", -(col("media_id") + lit(1L)))
+        .withColumn("content", concat(
+          expr("substring(content, 1, greatest(length(content) - 1, 0))"),
+          lit(Array[Byte](0x7e))))
+      import s.implicits._
+      val sigs = Multimodal.perceptualHash(
+          media.unionByName(clones).as[graft.multimodal.MediaRecord])
+        .select(col("media_id").as("id"), col("phash").as("sig"))
+        .localCheckpoint(true) // approx + brute-force audit + gate count
+      val approx = Dedup.hammingPairs(sigs, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      def exact = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")),
+          col("id_a") < col("id_b"))
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+        .select("id_a", "id_b")
+      withPairRecallGated(approx, exact, sigs.count(), maxAuditRows = 25000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // xxhash64 itself is not reproducible in DuckDB SQL, but the
     // fingerprint's CONTRACT is: equal normalized token streams ⟺ equal
     // fingerprints. The corpus has no full-text dups, so each doc is unioned
@@ -1830,6 +1867,48 @@ object QueriesData {
         |  round(CAST(CAST(acc0 AS REAL) /
         |    (CAST(255 AS REAL) * CAST(greatest(len // 16, 1) AS REAL)) AS DOUBLE), 6) AS f0
         |FROM d ORDER BY media_id""".stripMargin,
+    // the dHash fold from hex bytes: clone rows re-derive the last-byte
+    // swap on the hex string; cells are contiguous chunk sums
+    // (list_slice over ⌊l·len/72⌋ boundaries — FakeCodec.chunkGrid
+    // verbatim); bit 63 contributes -2^63 so the BIGINT bit pattern equals
+    // the JVM Long; pairs are BRUTE-FORCE Hamming ≤ 3 (the banded plan is
+    // exact by pigeonhole, hence also the literal 1.0 recall)
+    "m_phash_dups" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx
+        |  FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT -(doc_id + 1),
+        |         substring(hex(encode(text)), 1,
+        |           CAST(greatest(2 * (octet_length(encode(text)) - 1), 0) AS INT))
+        |           || '7E'
+        |  FROM documents WHERE text IS NOT NULL),
+        |ub AS (
+        |  SELECT media_id, length(hx) // 2 AS len,
+        |         list_transform(range(0, length(hx) // 2),
+        |           i -> CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT)) AS u
+        |  FROM b WHERE length(hx) > 0),
+        |cells AS (
+        |  SELECT media_id,
+        |         list_transform(range(0, 72), l ->
+        |           coalesce(list_sum(list_slice(u,
+        |             CAST(l*len//72 + 1 AS INT),
+        |             CAST((l+1)*len//72 AS INT))), 0)) AS cl
+        |  FROM ub),
+        |sig AS (
+        |  SELECT media_id, CAST(list_sum(list_transform(range(0, 64), k ->
+        |           CASE WHEN cl[CAST((k//8)*9 + (k%8) + 1 AS INT)]
+        |                     < cl[CAST((k//8)*9 + (k%8) + 2 AS INT)]
+        |                THEN CASE WHEN k = 63 THEN -9223372036854775808
+        |                     ELSE CAST(1 AS BIGINT) << CAST(k AS INT) END
+        |                ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM cells)
+        |SELECT a.media_id AS id_a, bb.media_id AS id_b,
+        |       CAST(bit_count(xor(a.sig, bb.sig)) AS INT) AS hamming,
+        |       1.0 AS exact_pair_recall
+        |FROM sig a JOIN sig bb ON a.media_id < bb.media_id
+        |WHERE bit_count(xor(a.sig, bb.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // rebuilds the fingerprint groups from the normalized token stream
     // itself (lowercased whitespace tokens joined by ' '); the char class is
     // Java's \s spelled out because RE2's \s omits \x0B

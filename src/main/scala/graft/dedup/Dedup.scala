@@ -228,11 +228,22 @@ object Dedup {
     * DISTINCT signature — duplicate groups expand only on the output side.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashSignatures(df, idCol, textCol), maxHamming)
+
+  /** All `(id_a, id_b, hamming)` pairs with Hamming distance ≤ `maxHamming`
+    * over 64-bit signatures `(id, sig)` — the banded machinery shared by
+    * [[simhashPairs]] (text simhash) and
+    * [[graft.multimodal.Multimodal.perceptualHash]] (image dHash). EXACT
+    * for the given radius by pigeonhole: 64 bits split into maxHamming+1
+    * bands, so any pair within the radius agrees on at least one whole
+    * band. Null signatures (empty docs/payloads) are excluded.
+    */
+  def hammingPairs(sigs0: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32) — got $maxHamming (bands of < 2 bits bucket everything together)")
-    val sigs = simhashSignatures(df, idCol, textCol)
-      .filter(col("sig").isNotNull) // empty docs can't simhash-pair
+    val sigs = sigs0.toDF("id", "sig")
+      .filter(col("sig").isNotNull) // empty docs can't pair
     // Collapse to DISTINCT signatures before banding. Duplicate-heavy corpora
     // (boilerplate, mirrored pages — the normal shape at scale) otherwise turn
     // each 16-bit band bucket into a quadratic self-join over repeated rows:

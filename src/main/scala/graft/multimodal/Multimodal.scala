@@ -50,6 +50,52 @@ object Multimodal {
         (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
         (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
 
+    /** Decode to a `cols`×`rows` block-average luminance grid (row-major)
+      * — the raster input of [[Multimodal.dHash]]. Block sums are probed on
+      * a bounded stride (≤ ~16×16 probes per block), so grid cost is capped
+      * per image regardless of resolution, same policy as [[decode]].
+      * None when the payload is not a readable image.
+      */
+    def lumGrid(content: Array[Byte], cols: Int = 9, rows: Int = 8): Option[Array[Long]] = {
+      if (!looksLikeImage(content)) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val cells = new Array[Long](cols * rows)
+      var r = 0
+      while (r < rows) {
+        val y0 = r * h / rows
+        val y1 = math.max(y0 + 1, (r + 1) * h / rows)
+        val stepY = math.max(1, (y1 - y0) / 16)
+        var c = 0
+        while (c < cols) {
+          val x0 = c * w / cols
+          val x1 = math.max(x0 + 1, (c + 1) * w / cols)
+          val stepX = math.max(1, (x1 - x0) / 16)
+          var sum = 0L
+          var n = 0L
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              n += 1
+              x += stepX
+            }
+            y += stepY
+          }
+          cells(r * cols + c) = if (n == 0) 0L else sum / n
+          c += 1
+        }
+        r += 1
+      }
+      Some(cells)
+    }
+
     /** Decode to (width, height, 16-bin luminance histogram); None when the
       * payload is not a readable image.
       */
@@ -113,6 +159,23 @@ object Multimodal {
       acc.map(a => a.toFloat / (255f * n))
     }
 
+    /** Fake 72-cell "luminance grid": contiguous byte-chunk sums (cell l
+      * sums unsigned bytes [⌊l·len/72⌋, ⌊(l+1)·len/72⌋) — the byte-stream
+      * analog of resampling a raster to a 9×8 grid). Pure integer
+      * arithmetic, reproduced byte-for-byte by the m_phash_dups DuckDB
+      * oracle; a real decoder replaces this with [[ImageCodec.lumGrid]].
+      */
+    def chunkGrid(content: Array[Byte], cells: Int = 72): Array[Long] = {
+      val len = content.length
+      Array.tabulate(cells) { l =>
+        var i = (l.toLong * len / cells).toInt
+        val end = ((l + 1).toLong * len / cells).toInt
+        var s = 0L
+        while (i < end) { s += (content(i) & 0xff); i += 1 }
+        s
+      }
+    }
+
     def frameCount(mediaType: String, content: Array[Byte]): Int = mediaType match {
       case "video" => 1 + content.length / VideoBytesPerFrame
       case "audio" => 1 + content.length / AudioBytesPerFrame
@@ -145,6 +208,54 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Difference hash (dHash, Krawetz 2013 — the public "kind of like that"
+    * recipe): 9-column × 8-row luminance grid, bit k = r·8+c set iff
+    * cell(r,c) < cell(r,c+1) — 64 horizontal-gradient bits. Gradient
+    * comparisons survive re-encoding and resizing (both preserve relative
+    * block luminance), which is exactly the near-dup signal; absolute
+    * brightness shifts cancel. `cells` is row-major 9×8 (72 entries).
+    */
+  def dHash(cells: Array[Long]): Long = {
+    require(cells.length == 72, s"dHash wants a 9x8 grid, got ${cells.length}")
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      val r = k / 8
+      val c = k % 8
+      if (cells(r * 9 + c) < cells(r * 9 + c + 1)) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  /** Per-row perceptual hash: `(media_id, phash)` with null for empty/null
+    * payloads (nothing to hash — mirrors simhash's null signature for empty
+    * docs, and keeps such rows out of the pair join). Image payloads hash
+    * the REAL decoded raster ([[ImageCodec.lumGrid]]); everything else
+    * hashes the deterministic fake grid ([[FakeCodec.chunkGrid]] — integer
+    * arithmetic, SQL-oracle-able). Same mapPartitions batch shape as
+    * [[extractFeatures]]; output is 16 bytes/row, so the downstream
+    * Hamming band join ([[graft.dedup.Dedup.hammingPairs]]) never moves
+    * payloads.
+    */
+  def perceptualHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val content =
+          if (m.content == null) Array.emptyByteArray else m.content
+        val sig: Option[Long] =
+          if (content.isEmpty) None
+          else {
+            val real =
+              if (m.media_type == "image") ImageCodec.lumGrid(content) else None
+            Some(dHash(real.getOrElse(FakeCodec.chunkGrid(content))))
+          }
+        (m.media_id, sig)
+      }
+    }.toDF("media_id", "phash")
   }
 
   /** A resized media row: re-encoded payload + the old and new geometry. */

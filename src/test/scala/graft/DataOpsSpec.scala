@@ -931,6 +931,89 @@ class DataOpsSpec extends SparkSpec {
     assert(again(0).content.sameElements(r.content))
   }
 
+  test("perceptual hash: re-encoded/resized clones collide, distinct images don't; fake grid hand-checked") {
+    import spark.implicits._
+    import graft.multimodal.{MediaRecord, Multimodal}
+    def pattern(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // structured pattern (diagonal gradient + horizontal sine texture) —
+    // enough luminance variation that every dHash comparison is meaningful
+    val base = pattern(180, 120, (x, y) =>
+      (x * 200) / 179 + (28 * math.sin(y / 7.0)).toInt + 20)
+    val distinct = pattern(180, 120, (x, y) =>
+      220 - (x * 200) / 179 + (28 * math.sin(x / 5.0 + 2)).toInt)
+    def transcode(bytes: Array[Byte], format: String): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    // PNG re-encode is deterministic (byte-identical — vacuous as a clone),
+    // so the exact-collision clone is a BMP transcode: identical pixels,
+    // different container bytes. The JPEG transcode adds LOSSY re-encoding.
+    val reencoded = transcode(base, "bmp")
+    val jpegged = transcode(base, "jpg")
+    assert(!reencoded.sameElements(base),
+      "transcode should produce fresh bytes (else the test is vacuous)")
+    val resized = Multimodal.resizeImages(
+      Seq(MediaRecord(1L, "image", base, Map.empty)).toDS(), maxEdge = 90)
+      .head().content
+    val media = Seq(
+      MediaRecord(1L, "image", base, Map.empty),
+      MediaRecord(2L, "image", reencoded, Map.empty),
+      MediaRecord(3L, "image", resized, Map.empty),
+      MediaRecord(4L, "image", distinct, Map.empty),
+      MediaRecord(5L, "audio", "some text payload".getBytes, Map.empty),
+      MediaRecord(6L, "image", Array.emptyByteArray, Map.empty), // null sig
+      MediaRecord(7L, "image", null, Map.empty),
+      MediaRecord(8L, "image", jpegged, Map.empty)).toDS()
+    val sigs = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(sigs(6L).isEmpty && sigs(7L).isEmpty, "empty/null payloads can't hash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L).get == sigs(2L).get,
+      "losslessly re-encoded clone must collide exactly")
+    val hJpeg = ham(sigs(1L).get, sigs(8L).get)
+    assert(hJpeg <= 6, s"lossy JPEG clone drifted $hJpeg bits")
+    val hResized = ham(sigs(1L).get, sigs(3L).get)
+    assert(hResized <= 8, s"resized clone drifted $hResized bits (block averages should survive bilinear downscale)")
+    val hDistinct = ham(sigs(1L).get, sigs(4L).get)
+    assert(hDistinct >= 16, s"distinct images too close: $hDistinct bits")
+    // end-to-end through the shared band machinery: clones pair, distinct doesn't
+    val pairs = graft.dedup.Dedup.hammingPairs(
+        Multimodal.perceptualHash(media)
+          .select(col("media_id").as("id"), col("phash").as("sig")),
+        maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"distinct image paired: $pairs")
+    // fake grid, hand-checked: 144 bytes → chunks of exactly 2 bytes/cell
+    val payload = Array.tabulate(144)(i => ((i * 37 + 11) % 251).toByte)
+    val grid = Multimodal.FakeCodec.chunkGrid(payload)
+    assert(grid.length == 72)
+    assert(grid(0) == (payload(0) & 0xff) + (payload(1) & 0xff))
+    assert(grid(71) == (payload(142) & 0xff) + (payload(143) & 0xff))
+    // dHash bit rule: bit k = r*8+c set iff cell(r*9+c) < cell(r*9+c+1)
+    val sig = Multimodal.dHash(grid)
+    for (k <- 0 until 64) {
+      val (r, c) = (k / 8, k % 8)
+      assert(((sig >> k) & 1L) == (if (grid(r * 9 + c) < grid(r * 9 + c + 1)) 1L else 0L))
+    }
+    // last-byte perturbation (the battery's clone rule) only touches the
+    // final chunk → at most the one comparison feeding bit 63 flips
+    val perturbed = payload.clone(); perturbed(143) = '~'
+    assert(ham(sig, Multimodal.dHash(Multimodal.FakeCodec.chunkGrid(perturbed))) <= 1)
+  }
+
   test("edit-distance confirm: distances exact within prefix, threshold kills far pairs") {
     import spark.implicits._
     val docsDf = Seq(
