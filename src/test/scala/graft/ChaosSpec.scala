@@ -97,6 +97,57 @@ class ChaosSpec extends SparkSpec {
     assert(spark.sparkContext.getCheckpointDir.forall(!_.contains(dir)))
   }
 
+  test("task death inside a streaming incremental-dedup micro-batch: retry keeps exactly-once survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val index = graft.dedup.Dedup.exactIndex(
+      Seq((10L, "history doc one")).toDF("doc_id", "text"), "doc_id", "text")
+    def run(ckpt: String, name: String): Set[Long] = {
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = graft.streaming.StreamingText.incrementalDedupStream(
+        input.toDF().toDF("doc_id", "text", "ts"), "text", "ts",
+        "10 minutes", index)
+      val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(
+          (1L, "history DOC one", ts(0)), // indexed → dropped
+          (2L, "fresh doc", ts(1)),
+          (3L, "fresh DOC", ts(2)),       // in-stream dup of 2
+          (4L, null: String, ts(3)))      // null text bypasses both joins
+        q.processAllAvailable()
+        input.addData((5L, "fresh doc", ts(4)), // cross-batch in-window dup
+          (6L, "brand new", ts(5)))
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    val clean = run(Files.createTempDirectory("graft-inc-clean").toString,
+      "inc_chaos_clean")
+    // kill one task attempt on its state-store delta write mid-micro-batch:
+    // the retried attempt must re-commit its dedup state without dropping or
+    // double-emitting any survivor
+    val dir = Files.createTempDirectory("graft-inc-chaos").toString
+    ChaosFileSystem.armPathCreateFailure(".delta", startAt = 2, times = 1)
+    val chaotic =
+      try run(s"chaos:$dir", "inc_chaos_out")
+      finally ChaosFileSystem.disarm()
+    assert(ChaosFileSystem.failureFired,
+      "the injected state-store write failure must fire")
+    // the in-stream dup pair's WINNER may legitimately differ between runs
+    // (first-seen within the shuffle); everything else must match exactly,
+    // and each run keeps exactly one of the pair
+    assert(chaotic -- Set(2L, 3L) == clean -- Set(2L, 3L),
+      s"survivor drift after task retry: $chaotic vs $clean")
+    assert((clean & Set(2L, 3L)).size == 1 && (chaotic & Set(2L, 3L)).size == 1)
+    assert(clean.contains(4L) && clean.contains(6L))
+    assert(!clean.contains(1L) && !clean.contains(5L))
+  }
+
   test("concurrent manifest saves merge every writer's segments without torn state") {
     val root = Files.createTempDirectory("graft-chaos-manifest").toString
     def seg(i: Int) = SegmentMetadata(
