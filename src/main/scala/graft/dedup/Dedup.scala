@@ -442,6 +442,12 @@ object Dedup {
     *   absent the width heuristic runs an eager `df.count()`, which executes
     *   the full upstream pipeline once before the real job — pass it for
     *   expensive inputs
+    * @param idOnlyBand quantized-prefilter band-join shape: ship only
+    *   (tbl, bucket, id) through the band exchange, DISTINCT the candidate
+    *   id-pairs (collapsing table×probe duplication), then attach int8
+    *   payloads by id join at distinct-candidate scale. Output identical
+    *   either way (spec-pinned); pick by the measured exchange weight
+    *   (SCALING.md A/B). Ignored unless quantizedPrefilter && tables > 1.
     * @param tables number of INDEPENDENT hyperplane tables (classic
     *   multi-table LSH). One table recalls p^bits of pairs at hyperplane
     *   agreement probability p = 1 - θ/π — fine for true near-dups (p ≈ 1)
@@ -458,7 +464,8 @@ object Dedup {
                      multiProbe: Boolean = false,
                      knownCount: Option[Long] = None,
                      tables: Int = 1,
-                     quantizedPrefilter: Boolean = true): DataFrame = {
+                     quantizedPrefilter: Boolean = true,
+                     idOnlyBand: Boolean = false): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
     val effBits = effectiveBits(knownCount.getOrElse(df.count()), bits, targetBucketSize)
     val probe = multiProbe || effBits > bits
@@ -513,6 +520,49 @@ object Dedup {
           graft.functions.KFunctions.pack_unit_int8(col("unit")))
           .withColumn("qs",
             array_max(transform(col("unit"), x => abs(x))) / 127.0d)
+        // exact-cosine finish, shared by both band shapes: re-attach full
+        // unit vectors BY ID to the distinct survivor pairs (output-sized,
+        // not candidate-sized) and apply the exact threshold
+        def finish(survivors: DataFrame): DataFrame = survivors
+          .join(base.select(col("id").as("id_a"), col("unit").as("unit_a")), Seq("id_a"))
+          .join(base.select(col("id").as("id_b"), col("unit").as("unit_b")), Seq("id_b"))
+          .withColumn("cosine", round(
+            graft.functions.KFunctions.array_dot(col("unit_a"), col("unit_b")), 6))
+          .filter(col("cosine") >= threshold)
+          .select("id_a", "id_b", "cosine")
+        if (idOnlyBand) {
+          // A/B alternative shape: the band join moves (tbl, bucket, id)
+          // ONLY (16-byte rows instead of the ~2 KB int8 payload per
+          // (table × probe) copy), candidate id-pairs go DISTINCT first —
+          // collapsing the (table × probe) duplication before any scoring —
+          // and the quantized payloads attach by TWO id joins at
+          // distinct-candidate scale. Same output by construction
+          // (spec-pinned pair-identical); which shape wins depends on
+          // distinct-candidate volume vs payload fan-out — see SCALING.md
+          // for the measured sf1/sf10 A/B.
+          val sigs = baseQ.select(col("id"),
+            posexplode(array((0 until tables).map(t =>
+              hyperplaneSignature(col("vec"), dim, effBits, table = t)): _*))
+              .as(Seq("tbl", "bucket")))
+          val a =
+            if (!probe) sigs.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+            else sigs.select(col("tbl"),
+              probedBuckets(col("bucket")).as("bucket"), col("id").as("id_a"))
+          val b = sigs.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+          val cand = a.join(b, Seq("tbl", "bucket"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+          val survivors = cand
+            .join(baseQ.select(col("id").as("id_a"),
+              col("qb").as("qb_a"), col("qs").as("qs_a")), Seq("id_a"))
+            .join(baseQ.select(col("id").as("id_b"),
+              col("qb").as("qb_b"), col("qs").as("qs_b")), Seq("id_b"))
+            .filter(graft.functions.KFunctions.binary_dot(col("qb_a"), col("qb_b"))
+              .cast("double") * col("qs_a") * col("qs_b") >= threshold - margin)
+            .select("id_a", "id_b")
+          return finish(survivors)
+        }
         val sigs = baseQ.select(col("id"), col("qb"), col("qs"),
           posexplode(array((0 until tables).map(t =>
             hyperplaneSignature(col("vec"), dim, effBits, table = t)): _*))
@@ -531,13 +581,7 @@ object Dedup {
             .cast("double") * col("qs_a") * col("qs_b") >= threshold - margin)
           .select("id_a", "id_b")
           .distinct()
-        return survivors
-          .join(base.select(col("id").as("id_a"), col("unit").as("unit_a")), Seq("id_a"))
-          .join(base.select(col("id").as("id_b"), col("unit").as("unit_b")), Seq("id_b"))
-          .withColumn("cosine", round(
-            graft.functions.KFunctions.array_dot(col("unit_a"), col("unit_b")), 6))
-          .filter(col("cosine") >= threshold)
-          .select("id_a", "id_b", "cosine")
+        return finish(survivors)
       }
       val sigs = base.select(col("id"), col("unit"),
         posexplode(array((0 until tables).map(t =>

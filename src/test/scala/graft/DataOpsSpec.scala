@@ -346,9 +346,10 @@ class DataOpsSpec extends SparkSpec {
     // widening, so without the explicit multiProbe case that leg would go
     // untested (advisor finding)
     for (thr <- Seq(0.3, 0.8); probe <- Seq(false, true)) {
-      def run(q: Boolean) = Dedup.embeddingPairs(df, "vec_id", "embedding",
+      def run(q: Boolean, idOnly: Boolean = false) =
+        Dedup.embeddingPairs(df, "vec_id", "embedding",
           dim = 16, bits = 5, threshold = thr, tables = 8,
-          multiProbe = probe, quantizedPrefilter = q)
+          multiProbe = probe, quantizedPrefilter = q, idOnlyBand = idOnly)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       val direct = run(false)
       val pre = run(true)
@@ -356,6 +357,12 @@ class DataOpsSpec extends SparkSpec {
         s"thr=$thr probe=$probe: prefiltered=${pre.size} direct=${direct.size}; " +
           s"missing=${(direct.keySet -- pre.keySet).take(5)}, " +
           s"extra=${(pre.keySet -- direct.keySet).take(5)}")
+      // both band-exchange shapes of the prefilter are pair-identical
+      val idb = run(true, idOnly = true)
+      assert(idb == direct,
+        s"thr=$thr probe=$probe: id-only band drifted; " +
+          s"missing=${(direct.keySet -- idb.keySet).take(5)}, " +
+          s"extra=${(idb.keySet -- direct.keySet).take(5)}")
       assert(direct.nonEmpty, s"thr=$thr fixture must produce pairs")
     }
   }
