@@ -371,6 +371,33 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    // video near-dup by FRAME VOTE over a multi-frame synthetic corpus:
+    // each video row (doc_id%3==2 convention) gets an 8×-repeated payload
+    // (~3 KB → 3 frames at the 1 KiB test frame size) and an EXTENDED
+    // clone (id −(doc_id+1), same payload + one more copy appended) —
+    // every full frame is byte-identical, only the trailing partial
+    // differs: the "same scenes plus extra footage" case.
+    // minMatchedFrames=2 keeps exactly the pairs sharing ≥2 full frames;
+    // docs too short for two full frames stay unpaired (deterministic,
+    // oracle mirrors). Frame slicing, per-frame dHash, the banded frame
+    // join, and the least/greatest vote rollup are all hash-checked.
+    "m_video_dups" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d)
+        .filter(col("doc_id") % 3 === 2 && col("text").isNotNull)
+      def asMedia(id: Column, content: Column) =
+        base.select(id.as("media_id"), lit("video").as("media_type"),
+          content.as("content"),
+          typedLit(Map.empty[String, String]).as("meta"))
+      val vids = asMedia(col("doc_id"), encode(repeat(col("text"), 8), "UTF-8"))
+      val exts = asMedia(-(col("doc_id") + lit(1L)),
+        encode(concat(repeat(col("text"), 8), col("text")), "UTF-8"))
+      Multimodal.videoPairs(
+          vids.unionByName(exts).as[graft.multimodal.MediaRecord],
+          frameBytes = 1024, maxHamming = 3, minMatchedFrames = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // xxhash64 itself is not reproducible in DuckDB SQL, but the
     // fingerprint's CONTRACT is: equal normalized token streams ⟺ equal
     // fingerprints. The corpus has no full-text dups, so each doc is unioned
@@ -866,6 +893,36 @@ object QueriesData {
         .orderBy("source", "bucket")
     })
   )
+
+  /** Shared DuckDB fragment: hex payload → unsigned bytes → 72 contiguous
+    * chunk sums → 64-bit dHash — `FakeCodec.chunkGrid` + `Multimodal.dHash`
+    * verbatim (bit 63 contributes −2⁶³ so the BIGINT bit pattern equals the
+    * JVM Long). `src` must expose the `keys` columns plus `hx`; emits CTE
+    * bodies `ub`, `cells`, `sig` (no leading/trailing comma) where `sig`
+    * carries (keys…, sig). Used by the m_phash_dups and m_video_dups
+    * oracles.
+    */
+  private def dhashSqlCtes(src: String, keys: String): String =
+    s"""ub AS (
+       |  SELECT $keys, length(hx) // 2 AS len,
+       |         list_transform(range(0, length(hx) // 2),
+       |           i -> CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT)) AS u
+       |  FROM $src WHERE length(hx) > 0),
+       |cells AS (
+       |  SELECT $keys,
+       |         list_transform(range(0, 72), l ->
+       |           coalesce(list_sum(list_slice(u,
+       |             CAST(l*len//72 + 1 AS INT),
+       |             CAST((l+1)*len//72 AS INT))), 0)) AS cl
+       |  FROM ub),
+       |sig AS (
+       |  SELECT $keys, CAST(list_sum(list_transform(range(0, 64), k ->
+       |           CASE WHEN cl[CAST((k//8)*9 + (k%8) + 1 AS INT)]
+       |                     < cl[CAST((k//8)*9 + (k%8) + 2 AS INT)]
+       |                THEN CASE WHEN k = 63 THEN -9223372036854775808
+       |                     ELSE CAST(1 AS BIGINT) << CAST(k AS INT) END
+       |                ELSE 0 END)) AS BIGINT) AS sig
+       |  FROM cells)""".stripMargin
 
   /** Shared stupid-backoff scoring CTE chain (tokenize, 19/20-slice model
     * counts, per-position backoff log-probs in `lp`): the d_lm_score oracle
@@ -1867,14 +1924,12 @@ object QueriesData {
         |  round(CAST(CAST(acc0 AS REAL) /
         |    (CAST(255 AS REAL) * CAST(greatest(len // 16, 1) AS REAL)) AS DOUBLE), 6) AS f0
         |FROM d ORDER BY media_id""".stripMargin,
-    // the dHash fold from hex bytes: clone rows re-derive the last-byte
-    // swap on the hex string; cells are contiguous chunk sums
-    // (list_slice over ⌊l·len/72⌋ boundaries — FakeCodec.chunkGrid
-    // verbatim); bit 63 contributes -2^63 so the BIGINT bit pattern equals
-    // the JVM Long; pairs are BRUTE-FORCE Hamming ≤ 3 (the banded plan is
-    // exact by pigeonhole, hence also the literal 1.0 recall)
+    // the dHash fold from hex bytes (shared dhashSqlCtes fragment): clone
+    // rows re-derive the last-byte swap on the hex string; pairs are
+    // BRUTE-FORCE Hamming ≤ 3 (the banded plan is exact by pigeonhole,
+    // hence also the literal 1.0 recall)
     "m_phash_dups" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx
         |  FROM documents WHERE text IS NOT NULL
         |  UNION ALL
@@ -1883,31 +1938,44 @@ object QueriesData {
         |           CAST(greatest(2 * (octet_length(encode(text)) - 1), 0) AS INT))
         |           || '7E'
         |  FROM documents WHERE text IS NOT NULL),
-        |ub AS (
-        |  SELECT media_id, length(hx) // 2 AS len,
-        |         list_transform(range(0, length(hx) // 2),
-        |           i -> CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT)) AS u
-        |  FROM b WHERE length(hx) > 0),
-        |cells AS (
-        |  SELECT media_id,
-        |         list_transform(range(0, 72), l ->
-        |           coalesce(list_sum(list_slice(u,
-        |             CAST(l*len//72 + 1 AS INT),
-        |             CAST((l+1)*len//72 AS INT))), 0)) AS cl
-        |  FROM ub),
-        |sig AS (
-        |  SELECT media_id, CAST(list_sum(list_transform(range(0, 64), k ->
-        |           CASE WHEN cl[CAST((k//8)*9 + (k%8) + 1 AS INT)]
-        |                     < cl[CAST((k//8)*9 + (k%8) + 2 AS INT)]
-        |                THEN CASE WHEN k = 63 THEN -9223372036854775808
-        |                     ELSE CAST(1 AS BIGINT) << CAST(k AS INT) END
-        |                ELSE 0 END)) AS BIGINT) AS sig
-        |  FROM cells)
+        |${dhashSqlCtes(src = "b", keys = "media_id")}
         |SELECT a.media_id AS id_a, bb.media_id AS id_b,
         |       CAST(bit_count(xor(a.sig, bb.sig)) AS INT) AS hamming,
         |       1.0 AS exact_pair_recall
         |FROM sig a JOIN sig bb ON a.media_id < bb.media_id
         |WHERE bit_count(xor(a.sig, bb.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // frame-level dHash (the same shared fragment over hex FRAME slices),
+    // then brute-force frame pairs across distinct videos and the
+    // least/greatest frame-vote rollup — videoPairs mirrored end to end
+    "m_video_dups" ->
+      s"""WITH v AS (
+        |  SELECT doc_id AS media_id, hex(encode(repeat(text, 8))) AS hx
+        |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), hex(encode(repeat(text, 8) || text))
+        |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
+        |fr AS (
+        |  SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |         substring(hx, CAST(2*f*1024 + 1 AS INT),
+        |           CAST(least(2048, length(hx) - 2*f*1024) AS INT)) AS hx
+        |  FROM v, unnest(range(0, (length(hx) // 2 + 1023) // 1024)) AS t(f)),
+        |${dhashSqlCtes(src = "fr", keys = "media_id, frame_idx")},
+        |fid AS (
+        |  SELECT media_id, media_id * 1048576 + frame_idx AS fid, sig FROM sig),
+        |fp AS (
+        |  SELECT a.media_id AS ma, b.media_id AS mb, a.fid AS fa, b.fid AS fb
+        |  FROM fid a JOIN fid b
+        |    ON a.fid < b.fid AND a.media_id <> b.media_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+        |agg AS (
+        |  SELECT least(ma, mb) AS id_a, greatest(ma, mb) AS id_b,
+        |         count(*) AS n_frame_pairs,
+        |         count(DISTINCT CASE WHEN ma < mb THEN fa ELSE fb END) AS n_matched_a,
+        |         count(DISTINCT CASE WHEN ma < mb THEN fb ELSE fa END) AS n_matched_b
+        |  FROM fp GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_frame_pairs, n_matched_a, n_matched_b
+        |FROM agg WHERE least(n_matched_a, n_matched_b) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
     // rebuilds the fingerprint groups from the normalized token stream
     // itself (lowercased whitespace tokens joined by ' '); the char class is

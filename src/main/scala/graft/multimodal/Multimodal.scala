@@ -258,6 +258,81 @@ object Multimodal {
     }.toDF("media_id", "phash")
   }
 
+  /** Per-frame perceptual hashes for VIDEO rows: the payload split into
+    * `frameBytes`-sized frames (the stub decode contract — byte slices
+    * stand in for decoded rasters; a real decoder would route each frame
+    * raster through [[ImageCodec.lumGrid]] instead of
+    * [[FakeCodec.chunkGrid]], a one-function swap), each frame dHashed.
+    * Output `(media_id, frame_idx, fhash)`; the trailing partial frame
+    * hashes too, empty payloads produce no rows. Narrow map — each payload
+    * is read once where it lives, and only 16-byte hash rows leave the
+    * scan.
+    */
+  def frameHashes(media: Dataset[MediaRecord],
+                  frameBytes: Int = FakeCodec.VideoBytesPerFrame): DataFrame = {
+    require(frameBytes > 0, "frameBytes must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.media_type == "video").flatMap { m =>
+        val content = if (m.content == null) Array.emptyByteArray else m.content
+        val nFrames = (content.length + frameBytes - 1) / frameBytes
+        // fid packing in videoPairs is media_id * 2^20 + frame_idx — a
+        // payload past 2^20 frames would silently collide, so fail the row
+        // loudly here instead
+        require(nFrames < (1 << 20),
+          s"media ${m.media_id}: $nFrames frames exceeds the 2^20 fid budget")
+        (0 until nFrames).iterator.map { f =>
+          val frame = java.util.Arrays.copyOfRange(content, f * frameBytes,
+            math.min((f + 1) * frameBytes, content.length))
+          (m.media_id, f, dHash(FakeCodec.chunkGrid(frame)))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /** Video near-dup pairs by FRAME VOTE: two videos pair when at least
+    * `minMatchedFrames` of EACH side's frames collide within `maxHamming`
+    * bits (the shared-scenes signal — re-encodes, appends/trims, and
+    * container changes keep most frame hashes; unrelated videos share
+    * none). Output: `(id_a, id_b, n_frame_pairs, n_matched_a,
+    * n_matched_b)` with id_a < id_b; `n_matched_a` counts the distinct
+    * matched frames of the LOWER media id.
+    *
+    * Scale shape: frame hashing is one narrow map over the payload; the
+    * Hamming machinery ([[graft.dedup.Dedup.hammingPairs]]) ships bare
+    * 8-byte signatures; the vote is a partial-agg rollup on the pair key.
+    * Nothing touches payloads after the scan. Frame ids pack as
+    * `media_id * 2^20 + frame_idx` (bijective while a payload stays under
+    * 2^20 frames = 4 GiB at the default frame size; larger payloads
+    * violate the require below).
+    */
+  def videoPairs(media: Dataset[MediaRecord],
+                 frameBytes: Int = FakeCodec.VideoBytesPerFrame,
+                 maxHamming: Int = 3,
+                 minMatchedFrames: Int = 2): DataFrame = {
+    require(minMatchedFrames >= 1, "minMatchedFrames must be >= 1")
+    val MaxFrames = 1L << 20
+    val fh = frameHashes(media, frameBytes)
+      .withColumn("fid", col("media_id") * lit(MaxFrames) + col("frame_idx"))
+    val fp = graft.dedup.Dedup.hammingPairs(
+      fh.select(col("fid").as("id"), col("fhash").as("sig")), maxHamming)
+    val m = fh.select(col("fid"), col("media_id"))
+    val mapped = fp
+      .join(m.select(col("fid").as("id_a"), col("media_id").as("ma")), Seq("id_a"))
+      .join(m.select(col("fid").as("id_b"), col("media_id").as("mb")), Seq("id_b"))
+      .filter(col("ma") =!= col("mb"))
+    mapped
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        when(col("ma") < col("mb"), col("id_a")).otherwise(col("id_b")).as("f_lo"),
+        when(col("ma") < col("mb"), col("id_b")).otherwise(col("id_a")).as("f_hi"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        countDistinct(col("f_lo")).as("n_matched_a"),
+        countDistinct(col("f_hi")).as("n_matched_b"))
+      .filter(least(col("n_matched_a"), col("n_matched_b")) >= minMatchedFrames)
+  }
+
   /** A resized media row: re-encoded payload + the old and new geometry. */
   case class ResizedMedia(
       media_id: Long,

@@ -1021,6 +1021,45 @@ class DataOpsSpec extends SparkSpec {
     assert(ham(sig, Multimodal.dHash(Multimodal.FakeCodec.chunkGrid(perturbed))) <= 1)
   }
 
+  test("video frame-vote dedup: shared frames pair, one frame is not enough, unrelated stay apart") {
+    import spark.implicits._
+    import graft.multimodal.{MediaRecord, Multimodal}
+    def frame(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(4096)(r.nextInt(256).toByte)
+    }
+    val (p1, p2, p3, q1, q2) = (frame(1), frame(2), frame(3), frame(4), frame(5))
+    // one byte changed mid-frame: the frame hash drifts ≤ 2 bits (one chunk
+    // sum changes → at most its two adjacent comparisons) — still a match
+    val p2tweaked = p2.clone(); p2tweaked(2000) = (p2tweaked(2000) ^ 0x01).toByte
+    val media = Seq(
+      MediaRecord(1L, "video", p1 ++ p2 ++ p3, Map.empty),
+      MediaRecord(2L, "video", p1 ++ p2tweaked ++ q1, Map.empty), // shares 2 of 3
+      MediaRecord(3L, "video", p1 ++ p2 ++ p3, Map.empty),        // exact re-upload
+      MediaRecord(4L, "video", q2 ++ q1.take(100), Map.empty),    // shares 1 (q1? no — partial ≠ full)
+      MediaRecord(5L, "video", frame(6) ++ frame(7), Map.empty),  // unrelated
+      MediaRecord(6L, "image", p1 ++ p2 ++ p3, Map.empty),        // non-video: ignored
+      MediaRecord(7L, "video", Array.emptyByteArray, Map.empty))  // no frames
+      .toDS()
+    val pairs = Multimodal.videoPairs(media, minMatchedFrames = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"frame-vote pairs wrong: ${pairs.keySet}")
+    assert(pairs((1L, 3L)) == ((3L, 3L, 3L)), "exact re-upload matches all frames")
+    assert(pairs((1L, 2L))._2 >= 2, "shared-scene pair must clear the 2-frame vote")
+    // q1 appears whole in video 2 and only as a 100-byte partial in video 4
+    // → different frame content → no (2,4) pair; the image row never joins
+    assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+    // frameHashes: frame count and determinism
+    val fh = Multimodal.frameHashes(media).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(fh(1L) == 3 && fh(5L) == 2 && !fh.contains(7L) && !fh.contains(6L))
+    // partial trailing frame hashes too
+    assert(fh(4L) == 2)
+  }
+
   test("edit-distance confirm: distances exact within prefix, threshold kills far pairs") {
     import spark.implicits._
     val docsDf = Seq(
