@@ -398,6 +398,32 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    // audio near-dup by OVERLAPPING-window vote — the offset-robustness
+    // case the video (disjoint-frame) contract cannot pass: each audio row
+    // (doc_id%3==1) gets a 6×-repeated payload and a clone with 512 pad
+    // bytes INSERTED AT THE FRONT (one hop). Disjoint frames would lose
+    // all alignment; the 1024/512 sliding windows re-align one hop later,
+    // so every full window of the original matches and the vote fires.
+    // Window slicing, per-window dHash, banded pairs, and the rollup are
+    // all hash-checked.
+    "m_audio_dups" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d)
+        .filter(col("doc_id") % 3 === 1 && col("text").isNotNull)
+      def asMedia(id: Column, content: Column) =
+        base.select(id.as("media_id"), lit("audio").as("media_type"),
+          content.as("content"),
+          typedLit(Map.empty[String, String]).as("meta"))
+      val clips = asMedia(col("doc_id"), encode(repeat(col("text"), 6), "UTF-8"))
+      val shifted = asMedia(-(col("doc_id") + lit(1L)),
+        encode(concat(lit("~" * 512), repeat(col("text"), 6)), "UTF-8"))
+      Multimodal.audioPairs(
+          clips.unionByName(shifted).as[graft.multimodal.MediaRecord],
+          windowBytes = 1024, hopBytes = 512, maxHamming = 3,
+          minMatchedWindows = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // xxhash64 itself is not reproducible in DuckDB SQL, but the
     // fingerprint's CONTRACT is: equal normalized token streams ⟺ equal
     // fingerprints. The corpus has no full-text dups, so each doc is unioned
@@ -1975,6 +2001,43 @@ object QueriesData {
         |         count(DISTINCT CASE WHEN ma < mb THEN fb ELSE fa END) AS n_matched_b
         |  FROM fp GROUP BY 1, 2)
         |SELECT id_a, id_b, n_frame_pairs, n_matched_a, n_matched_b
+        |FROM agg WHERE least(n_matched_a, n_matched_b) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // sliding 1024-byte windows at 512-byte hop (only full windows; a
+    // sub-window payload gets one truncated window), the shared dHash
+    // fragment per window, brute-force cross-media window pairs, and the
+    // same vote rollup — audioPairs mirrored end to end, including the
+    // one-hop front-pad clone that proves offset robustness
+    "m_audio_dups" ->
+      s"""WITH a0 AS (
+        |  SELECT doc_id AS media_id, hex(encode(repeat(text, 6))) AS hx
+        |  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), hex(encode(repeat('~', 512) || repeat(text, 6)))
+        |  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+        |wins AS (
+        |  SELECT media_id, CAST(w AS INT) AS win_idx,
+        |         substring(hx, CAST(2*w*512 + 1 AS INT),
+        |           CAST(least(2048, length(hx) - 2*w*512) AS INT)) AS hx
+        |  FROM a0, unnest(range(0,
+        |    CASE WHEN length(hx) = 0 THEN 0
+        |         WHEN length(hx) // 2 < 1024 THEN 1
+        |         ELSE 1 + (length(hx) // 2 - 1024) // 512 END)) AS t(w)),
+        |${dhashSqlCtes(src = "wins", keys = "media_id, win_idx")},
+        |fid AS (
+        |  SELECT media_id, media_id * 1048576 + win_idx AS fid, sig FROM sig),
+        |fp AS (
+        |  SELECT a.media_id AS ma, b.media_id AS mb, a.fid AS fa, b.fid AS fb
+        |  FROM fid a JOIN fid b
+        |    ON a.fid < b.fid AND a.media_id <> b.media_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+        |agg AS (
+        |  SELECT least(ma, mb) AS id_a, greatest(ma, mb) AS id_b,
+        |         count(*) AS n_window_pairs,
+        |         count(DISTINCT CASE WHEN ma < mb THEN fa ELSE fb END) AS n_matched_a,
+        |         count(DISTINCT CASE WHEN ma < mb THEN fb ELSE fa END) AS n_matched_b
+        |  FROM fp GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_window_pairs, n_matched_a, n_matched_b
         |FROM agg WHERE least(n_matched_a, n_matched_b) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
     // rebuilds the fingerprint groups from the normalized token stream

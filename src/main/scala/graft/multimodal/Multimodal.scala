@@ -309,13 +309,25 @@ object Multimodal {
   def videoPairs(media: Dataset[MediaRecord],
                  frameBytes: Int = FakeCodec.VideoBytesPerFrame,
                  maxHamming: Int = 3,
-                 minMatchedFrames: Int = 2): DataFrame = {
-    require(minMatchedFrames >= 1, "minMatchedFrames must be >= 1")
-    val MaxFrames = 1L << 20
-    val fh = frameHashes(media, frameBytes)
-      .withColumn("fid", col("media_id") * lit(MaxFrames) + col("frame_idx"))
+                 minMatchedFrames: Int = 2): DataFrame =
+    hashVotePairs(frameHashes(media, frameBytes), "frame_idx", "fhash",
+      maxHamming, minMatchedFrames, pairsCol = "n_frame_pairs")
+
+  /** The media-pair vote shared by [[videoPairs]] and [[audioPairs]]:
+    * Hamming-banded pairs over per-segment hashes, mapped back to media
+    * pairs, rolled up as (pair count, distinct matched segments per side),
+    * kept when BOTH sides clear `minMatched`. `n_matched_a` counts the
+    * LOWER media id's distinct matched segments.
+    */
+  private def hashVotePairs(hashes: DataFrame, idxCol: String, sigCol: String,
+                            maxHamming: Int, minMatched: Int,
+                            pairsCol: String): DataFrame = {
+    require(minMatched >= 1, "minMatched must be >= 1")
+    val MaxSegs = 1L << 20
+    val fh = hashes
+      .withColumn("fid", col("media_id") * lit(MaxSegs) + col(idxCol))
     val fp = graft.dedup.Dedup.hammingPairs(
-      fh.select(col("fid").as("id"), col("fhash").as("sig")), maxHamming)
+      fh.select(col("fid").as("id"), col(sigCol).as("sig")), maxHamming)
     val m = fh.select(col("fid"), col("media_id"))
     val mapped = fp
       .join(m.select(col("fid").as("id_a"), col("media_id").as("ma")), Seq("id_a"))
@@ -327,11 +339,61 @@ object Multimodal {
         when(col("ma") < col("mb"), col("id_a")).otherwise(col("id_b")).as("f_lo"),
         when(col("ma") < col("mb"), col("id_b")).otherwise(col("id_a")).as("f_hi"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_frame_pairs"),
+      .agg(count(lit(1)).as(pairsCol),
         countDistinct(col("f_lo")).as("n_matched_a"),
         countDistinct(col("f_hi")).as("n_matched_b"))
-      .filter(least(col("n_matched_a"), col("n_matched_b")) >= minMatchedFrames)
+      .filter(least(col("n_matched_a"), col("n_matched_b")) >= minMatched)
   }
+
+  /** Sliding-window fingerprints for AUDIO rows: OVERLAPPING windows of
+    * `windowBytes` at `hopBytes` stride, each dHashed over its chunk grid
+    * (the stub decode contract — byte windows stand in for spectral
+    * frames; a real audio pipeline would land filterbank energies in the
+    * same shape). The overlap is the offset-robustness contract: a clip
+    * inserted or trimmed at any multiple of `hopBytes` leaves every full
+    * window of the common audio byte-identical, so the pair vote still
+    * fires — plain disjoint framing (the video contract) loses all
+    * alignment on a one-hop shift. Payloads shorter than one window get a
+    * single truncated window; only full windows are emitted otherwise
+    * (trailing partials carry no stable alignment). Output:
+    * `(media_id, win_idx, ahash)`.
+    */
+  def audioFingerprints(media: Dataset[MediaRecord],
+                        windowBytes: Int = 1024,
+                        hopBytes: Int = 512): DataFrame = {
+    require(hopBytes > 0 && windowBytes >= hopBytes,
+      s"need windowBytes >= hopBytes > 0, got $windowBytes/$hopBytes")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.media_type == "audio").flatMap { m =>
+        val content = if (m.content == null) Array.emptyByteArray else m.content
+        val len = content.length
+        val nWins =
+          if (len == 0) 0
+          else if (len < windowBytes) 1
+          else 1 + (len - windowBytes) / hopBytes
+        require(nWins < (1 << 20),
+          s"media ${m.media_id}: $nWins windows exceeds the 2^20 fid budget")
+        (0 until nWins).iterator.map { w =>
+          val frame = java.util.Arrays.copyOfRange(content, w * hopBytes,
+            math.min(w * hopBytes + windowBytes, len))
+          (m.media_id, w, dHash(FakeCodec.chunkGrid(frame)))
+        }
+      }
+    }.toDF("media_id", "win_idx", "ahash")
+  }
+
+  /** Audio near-dup pairs by window vote — [[audioFingerprints]] through
+    * the shared [[hashVotePairs]] machinery. Output:
+    * `(id_a, id_b, n_window_pairs, n_matched_a, n_matched_b)`.
+    */
+  def audioPairs(media: Dataset[MediaRecord],
+                 windowBytes: Int = 1024,
+                 hopBytes: Int = 512,
+                 maxHamming: Int = 3,
+                 minMatchedWindows: Int = 2): DataFrame =
+    hashVotePairs(audioFingerprints(media, windowBytes, hopBytes), "win_idx",
+      "ahash", maxHamming, minMatchedWindows, pairsCol = "n_window_pairs")
 
   /** A resized media row: re-encoded payload + the old and new geometry. */
   case class ResizedMedia(

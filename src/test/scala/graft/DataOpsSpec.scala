@@ -1060,6 +1060,52 @@ class DataOpsSpec extends SparkSpec {
     assert(fh(4L) == 2)
   }
 
+  test("audio window-vote dedup: hop-aligned shifts survive, non-aligned and disjoint framing don't") {
+    import spark.implicits._
+    import graft.multimodal.{MediaRecord, Multimodal}
+    def noise(seed: Int, n: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(n)(r.nextInt(256).toByte)
+    }
+    val a = noise(1, 2048) // windows at 1024/512: [0,1024) [512,1536) [1024,2048)
+    val pad = Array.fill(512)('~'.toByte)
+    val shifted = pad ++ a                  // one-hop front insertion
+    val off = noise(9, 256) ++ a            // NON-hop-aligned (quarter-window) shift
+    val unrelated = noise(2, 2048)
+    val media = Seq(
+      MediaRecord(1L, "audio", a, Map.empty),
+      MediaRecord(2L, "audio", shifted, Map.empty),
+      MediaRecord(3L, "audio", off, Map.empty),
+      MediaRecord(4L, "audio", unrelated, Map.empty),
+      MediaRecord(5L, "video", a, Map.empty)) // wrong type: ignored
+      .toDS()
+    def pairsOf(ds: org.apache.spark.sql.Dataset[MediaRecord]) =
+      Multimodal.audioPairs(ds, minMatchedWindows = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val pairs = pairsOf(media)
+    assert(pairs.keySet == Set((1L, 2L)), s"got $pairs")
+    assert(pairs((1L, 2L)) == 3L,
+      "every full window of the original must re-align one hop later")
+    // the same shifted pair through DISJOINT framing (the video contract)
+    // loses all alignment — this is exactly why audio gets sliding windows
+    val asVideo = Seq(
+      MediaRecord(1L, "video", a, Map.empty),
+      MediaRecord(2L, "video", shifted, Map.empty)).toDS()
+    assert(Multimodal.videoPairs(asVideo, frameBytes = 1024,
+      minMatchedFrames = 1).isEmpty,
+      "disjoint frames must NOT match a one-hop shift (contrast case)")
+    // a mid-window byte tweak drifts ≤ 2 bits per touched window: still pairs
+    val tweaked = a.clone(); tweaked(700) = (tweaked(700) ^ 0x10).toByte
+    val p2 = pairsOf(Seq(
+      MediaRecord(1L, "audio", a, Map.empty),
+      MediaRecord(6L, "audio", tweaked, Map.empty)).toDS())
+    assert(p2.keySet == Set((1L, 6L)) && p2((1L, 6L)) == 3L)
+    // sub-window payload: one truncated window, deterministic
+    val short = Multimodal.audioFingerprints(
+      Seq(MediaRecord(7L, "audio", noise(3, 300), Map.empty)).toDS()).collect()
+    assert(short.length == 1 && short.head.getInt(1) == 0)
+  }
+
   test("edit-distance confirm: distances exact within prefix, threshold kills far pairs") {
     import spark.implicits._
     val docsDf = Seq(
