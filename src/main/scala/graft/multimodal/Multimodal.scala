@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A decoded media batch row: typed metadata beside the opaque payload. */
@@ -230,32 +230,58 @@ object Multimodal {
     sig
   }
 
-  /** Per-row perceptual hash: `(media_id, phash)` with null for empty/null
-    * payloads (nothing to hash — mirrors simhash's null signature for empty
-    * docs, and keeps such rows out of the pair join). Image payloads hash
-    * the REAL decoded raster ([[ImageCodec.lumGrid]]); everything else
-    * hashes the deterministic fake grid ([[FakeCodec.chunkGrid]] — integer
-    * arithmetic, SQL-oracle-able). Same mapPartitions batch shape as
-    * [[extractFeatures]]; output is 16 bytes/row, so the downstream
-    * Hamming band join ([[graft.dedup.Dedup.hammingPairs]]) never moves
-    * payloads.
+  private val phashUdf = udf { (mediaType: String, content: Array[Byte]) =>
+    if (content == null || content.isEmpty) None
+    else {
+      val real =
+        if (mediaType == "image") ImageCodec.lumGrid(content) else None
+      Some(dHash(real.getOrElse(FakeCodec.chunkGrid(content))))
+    }
+  }
+
+  /** Perceptual hash as a Column — NULL for empty/null payloads (nothing
+    * to hash; mirrors simhash's null signature for empty docs and keeps
+    * such rows out of pair joins and dedup state). Image payloads hash the
+    * REAL decoded raster ([[ImageCodec.lumGrid]]); everything else hashes
+    * the deterministic fake grid ([[FakeCodec.chunkGrid]] — integer
+    * arithmetic, SQL-oracle-able). A Scala UDF on purpose: the hash is a
+    * JVM decode (javax.imageio), not expressible in built-ins, and its
+    * per-row cost dwarfs the UDF boundary — while the Column form composes
+    * with ANY schema, including streaming frames with extra columns.
     */
-  def perceptualHash(media: Dataset[MediaRecord]): DataFrame = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.map { m =>
-        val content =
-          if (m.content == null) Array.emptyByteArray else m.content
-        val sig: Option[Long] =
-          if (content.isEmpty) None
-          else {
-            val real =
-              if (m.media_type == "image") ImageCodec.lumGrid(content) else None
-            Some(dHash(real.getOrElse(FakeCodec.chunkGrid(content))))
-          }
-        (m.media_id, sig)
-      }
-    }.toDF("media_id", "phash")
+  def phash(mediaType: Column, content: Column): Column =
+    phashUdf(mediaType, content)
+
+  /** Per-row perceptual hash over the typed batch shape: `(media_id,
+    * phash)`, 16 bytes/row, so the downstream Hamming band join
+    * ([[graft.dedup.Dedup.hammingPairs]]) never moves payloads.
+    */
+  def perceptualHash(media: Dataset[MediaRecord]): DataFrame =
+    media.toDF().select(col("media_id"),
+      phash(col("media_type"), col("content")).as("phash"))
+
+  /** Watermarked streaming media dedup by EXACT perceptual hash: rows whose
+    * payloads hash identically (hamming 0 — losslessly re-encoded /
+    * re-containered copies) within `delay` of each other collapse to the
+    * first-seen row; rows with no hashable payload pass through untouched
+    * (the [[graft.streaming.StreamingText.dedupStream]] null rule — a
+    * shared null key would collapse unrelated rows). Radius-`k` near-dup
+    * dedup stays a BATCH concern ([[graft.dedup.Dedup.hammingPairs]]): a
+    * banded self-join has no bounded streaming-state shape, exact-signature
+    * equality does — state tracks the watermark window, not the corpus.
+    */
+  def dedupMediaStream(media: DataFrame, tsCol: String, delay: String,
+                       typeCol: String = "media_type",
+                       contentCol: String = "content"): DataFrame = {
+    require(!media.columns.contains("graft_phash"),
+      "input already has a graft_phash column — rename it first")
+    val watermarked = media.withWatermark(tsCol, delay)
+    val hashed = watermarked
+      .withColumn("graft_phash", phash(col(typeCol), col(contentCol)))
+    hashed.where(col("graft_phash").isNotNull)
+      .dropDuplicatesWithinWatermark("graft_phash")
+      .drop("graft_phash")
+      .unionByName(hashed.where(col("graft_phash").isNull).drop("graft_phash"))
   }
 
   /** Per-frame perceptual hashes for VIDEO rows: the payload split into

@@ -68,6 +68,55 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media dedup by perceptual hash: re-encoded copies collapse, unhashable rows pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    // golden 12x8 gradient PNG + a BMP transcode (identical pixels,
+    // different container bytes → identical phash), a distinct image, and
+    // an empty payload
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(12, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 12) {
+        val v = f(x, y) & 0xff; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = png((x, y) => x * 20 + y * 3)
+    val bmp = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    val other = png((x, y) => 255 - x * 20 - y)
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val input = MemoryStream[(Long, String, Array[Byte], Timestamp)]
+    val out = Multimodal.dedupMediaStream(
+      input.toDF().toDF("media_id", "media_type", "content", "ts"),
+      "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("media_dedup_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "image", base, ts(0)),
+        (2L, "image", bmp, ts(1)),   // same pixels → same phash → dup
+        (3L, "image", other, ts(2)),
+        (4L, "image", Array.emptyByteArray, ts(3))) // unhashable: passes
+      q.processAllAvailable()
+      input.addData((5L, "image", base, ts(4))) // cross-batch dup in window
+      q.processAllAvailable()
+      val ids = spark.table("media_dedup_out").collect()
+        .map(_.getLong(0)).toSet
+      assert((ids & Set(1L, 2L)).size == 1, s"transcode pair must collapse: $ids")
+      assert(ids.contains(3L) && ids.contains(4L))
+      assert(!ids.contains(5L), "cross-batch identical image must drop in-window")
+    } finally q.stop()
+  }
+
   test("stateless text ops (repetition signals, corpus filter, redaction) run on streams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
