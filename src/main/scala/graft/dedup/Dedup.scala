@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.text.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,34 @@ object Dedup {
       .option("path", dir)
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** Compact a live bucketed digest index plus a new batch of digests into
+    * a FRESH table + directory — the safe rotation that
+    * [[graft.streaming.StreamingText.incrementalDedupStream]]'s freshness
+    * note demands (rewriting the live directory under a running stream
+    * serves a stale file listing or fails on deleted files; a new location
+    * + reader swap + restart is the only safe order). `newIndex` is an
+    * [[exactIndex]] over the newly-ingested SURVIVORS (ids disjoint from
+    * the old index by construction — they passed the anti-join); its
+    * columns must match the old table's (same id column name). Null-digest
+    * rows are dropped — they index nothing and would bloat every future
+    * compaction. The merged rows are repartitioned to exactly the bucket
+    * count on `dup_key` before the bucketed write, so the compacted table
+    * lands as ONE file per bucket (the accumulated
+    * tasks×buckets small-file debt of incremental appends is the reason
+    * compactions run at all); the exchange moves only (id, 16-byte digest)
+    * rows. Swap order for callers: point readers at `newTable`, restart
+    * streams, then delete the old directory.
+    */
+  def compactExactIndex(spark: SparkSession, oldTable: String,
+                        newIndex: DataFrame, newTable: String, newDir: String,
+                        buckets: Int): Unit = {
+    val merged = spark.table(oldTable)
+      .unionByName(newIndex)
+      .filter(col("dup_key").isNotNull)
+      .repartition(buckets, col("dup_key"))
+    writeExactIndexBucketed(merged, newTable, newDir, buckets)
+  }
 
   /** Incremental exact dedup — the "ingest day N against days 1..N-1" op:
     * keeps rows of `batch` whose normalized digest appears neither in

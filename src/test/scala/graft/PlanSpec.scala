@@ -179,6 +179,53 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("index compaction: fresh table merges old + batch digests as one file per bucket, old untouched") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-cidx").toString
+    val (t1, t2) = ("graft_cidx_v1", "graft_cidx_v2")
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    try {
+      val old = corpus.filter(col("doc_id") % 2 === 0)
+      graft.dedup.Dedup.writeExactIndexBucketed(
+        graft.dedup.Dedup.exactIndex(old, "doc_id", "text"),
+        t1, s"$dir/v1", buckets = 4)
+      val v1Files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/v1"))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+      // day-2 survivors (null-text rows produce null digests — compaction
+      // must drop them rather than carry dead rows forever)
+      val batch = corpus.filter(col("doc_id") % 2 === 1)
+      graft.dedup.Dedup.compactExactIndex(spark, t1,
+        graft.dedup.Dedup.exactIndex(batch, "doc_id", "text"),
+        t2, s"$dir/v2", buckets = 4)
+      // contents: exactly old ∪ batch, minus null digests
+      val expect = graft.dedup.Dedup.exactIndex(corpus, "doc_id", "text")
+        .filter(col("dup_key").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = spark.table(t2)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expect, s"compacted contents drifted: ${(got diff expect).take(3)}")
+      // the compaction's point: exactly ONE data file per bucket (the
+      // repartition-to-bucket-count before the bucketed write)
+      val v2Files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/v2"))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      assert(v2Files.length == 4, s"expected 1 file/bucket, got ${v2Files.length}")
+      // the OLD generation is untouched (readers/streams may still be on it)
+      val v1After = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/v1"))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+      assert(v1After.sameElements(v1Files), "compaction must not rewrite the live v1 dir")
+      // and the compacted generation still serves the zero-exchange join
+      val plan = graft.dedup.Dedup.incrementalExact(
+          corpus.limit(10), "doc_id", "text", spark.table(t2))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(1500))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t1")
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("span dedup: no cartesian product, gram aggs partial-aggregate before exchange") {
     // the span family's whole scale story is "no pair expansion": any
     // nested-loop/cartesian appearing here means a join key was lost
