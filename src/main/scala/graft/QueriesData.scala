@@ -293,6 +293,25 @@ object QueriesData {
 
     // language ID rollup: the stopword-profile + CJK heuristic is pure
     // integer-count arithmetic, so DuckDB reproduces the argmax bit-exactly
+    // HTML extraction — deterministic tag-soup per doc: head noise (title,
+    // style, a script with a stray '<'), block structure, entity-encoded
+    // body (' and ' → ' &amp; '), a trailing comment. The extractor must
+    // drop the noise WHOLE, rebuild line structure from block closers,
+    // decode the entity subset (undecodables like &copy; pass through),
+    // and collapse whitespace; the rebuilt text itself is in the hash, so
+    // extraction is checked byte-for-byte in both engines.
+    "d_html_extract" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"),
+        graft.text.CorpusClean.extractHtmlText(concat(
+          lit("<html><head><title>T</title><style>p{color:red}</style>"),
+          lit("<script>var x = 1 < 2;</script></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"),
+          replace(col("text"), lit(" and "), lit(" &amp; ")),
+          lit("</p><div>footer&nbsp;&copy; 2020</div><!-- hidden --></body></html>")))
+          .as("text_clean"))
+      .orderBy("doc_id")),
+
     "d_langid" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
       .groupBy("pred_lang").agg(count(lit(1)).as("n"))
@@ -1403,6 +1422,38 @@ object QueriesData {
       """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    // the extractor's regex passes verbatim (RE2 side needs the 'g' flag —
+    // DuckDB replaces first-match by default; Spark is global by default)
+    "d_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T</title><style>p{color:red}</style>'
+        |    || '<script>var x = 1 < 2;</script></head><body><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1><p>'
+        |    || replace(text, ' and ', ' &amp; ')
+        |    || '</p><div>footer&nbsp;&copy; 2020</div><!-- hidden --></body></html>' AS t
+        |  FROM documents),
+        |e1 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |e2 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM e1),
+        |e3 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM e2),
+        |e4 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)[^>]*>', chr(10), 'g') AS t FROM e3),
+        |e5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM e4),
+        |e6 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t FROM e5),
+        |e7 AS (SELECT doc_id,
+        |  regexp_replace(t, '[ \t\r\f\x0B]+', ' ', 'g') AS t FROM e6),
+        |e8 AS (SELECT doc_id,
+        |  regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM e7)
+        |SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(t, '\n+', chr(10), 'g'),
+        |                           '^\n+|\n+$', '', 'g')) AS text_clean
+        |FROM e8 ORDER BY doc_id""".stripMargin,
     "d_langid" ->
       """WITH t AS (
         |  SELECT doc_id, text,

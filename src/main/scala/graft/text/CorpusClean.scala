@@ -93,6 +93,48 @@ object CorpusClean {
     graft.functions.KFunctions.nfc_normalize(
       regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
 
+  /** HTML → text extraction — the crawl-curation stage upstream of every
+    * line-level operator here (C4/RefinedWeb strip markup before line
+    * dedup), reduced to deterministic, dialect-neutral regex passes that
+    * run identically under Java regex (Spark) and RE2 (DuckDB and the
+    * linear-time engines a 100 TB extraction wants — no lookaround, no
+    * backreferences, so no catastrophic backtracking class):
+    *
+    *  1. `<script>`/`<style>` blocks and `<!-- comments -->` are removed
+    *     whole — their content is never prose (and may contain stray `<`
+    *     that would otherwise corrupt tag stripping);
+    *  2. block-level closers and `<br>` become newlines, so downstream
+    *     line-granular curation (lineDedup, filterCorpus) sees the page's
+    *     real line structure instead of one run-on line;
+    *  3. remaining tags strip to spaces;
+    *  4. the named entities that dominate real crawls decode
+    *     (`&nbsp; &lt; &gt; &quot; &#39; &apos;` and — LAST, so
+    *     `&amp;lt;` single-decodes — `&amp;`); rarer entities pass
+    *     through verbatim;
+    *  5. whitespace collapses (horizontal runs → one space, newline runs →
+    *     one newline), trimmed.
+    *
+    * A pure narrow map — zero shuffle. Documented limits of the regex
+    * grade: attribute values containing a raw `>` truncate that tag's
+    * strip, and CDATA is not special-cased; a DOM-grade extractor slots in
+    * at this same Column signature.
+    */
+  def extractHtmlText(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val withBreaks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)[^>]*>", "\n")
+    val noTags = regexp_replace(withBreaks, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    val hsp = regexp_replace(decoded, "[ \\t\\r\\f\\x0B]+", " ")
+    val nl = regexp_replace(hsp, " ?\\n ?", "\n")
+    // trim() strips spaces only — edge newlines need their own pass
+    trim(regexp_replace(regexp_replace(nl, "\\n+", "\n"), "^\\n+|\\n+$", ""))
+  }
+
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
   val UrlRe = "https?://[^ \\t\\n\\r]+"
   val DigitRunRe = "[0-9][0-9 ()+.-]{6,}[0-9]"

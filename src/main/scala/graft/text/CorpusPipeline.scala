@@ -56,7 +56,11 @@ object CorpusPipeline {
       // decontamination), right before splits — a quota taken earlier would
       // count docs that later stages delete.
       urlCol: Option[String] = None,
-      maxDocsPerDomain: Option[Int] = None)
+      maxDocsPerDomain: Option[Int] = None,
+      // raw crawl input: extract text from HTML markup BEFORE normalization
+      // (the C4/RefinedWeb stage order — every downstream line-granular
+      // rule assumes prose lines, not tag soup)
+      htmlInput: Boolean = false)
 
   /** Materialize a stage consumed by several downstream branches: local
     * checkpoint by default, a write-once/read-many parquet staging dir when
@@ -80,9 +84,11 @@ object CorpusPipeline {
               staging: Option[String] = None): DataFrame = {
     require(cfg.maxDocsPerDomain.isEmpty || cfg.urlCol.isDefined,
       "maxDocsPerDomain needs urlCol")
+    val textIn =
+      if (cfg.htmlInput) CorpusClean.extractHtmlText(col("text")) else col("text")
     val norm0 = materializeStage(
       raw.select(col("doc_id") +: col("source") +:
-        CorpusClean.normalizeText(col("text")).as("text") +:
+        CorpusClean.normalizeText(textIn).as("text") +:
         cfg.urlCol.toSeq.map(col): _*),
       staging, "normalized")
     // URL-level dedup first: length(text) is the winner criterion — the

@@ -1106,6 +1106,35 @@ class DataOpsSpec extends SparkSpec {
     assert(short.length == 1 && short.head.getInt(1) == 0)
   }
 
+  test("HTML extraction: noise blocks drop whole, structure becomes lines, entity subset decodes") {
+    import spark.implicits._
+    def extract(html: String): String =
+      Seq(html).toDF("h")
+        .select(graft.text.CorpusClean.extractHtmlText(col("h")))
+        .head().getString(0)
+    // script/style/comment content never leaks — including a stray '<'
+    // inside a script that would corrupt naive tag stripping
+    assert(extract("<p>keep</p><script>if (a < b) { evil(); }</script><p>also</p>")
+      == "keep\nalso")
+    assert(extract("<style>p > a {x:1}</style>real<!-- no --><b>bold</b>")
+      == "real bold")
+    // block closers and <br> make real lines; inline tags make spaces
+    assert(extract("<h1>Title</h1><p>one <em>two</em> three</p><ul><li>a</li><li>b</li></ul>")
+      == "Title\none two three\na\nb")
+    assert(extract("line1<br>line2<br/>line3") == "line1\nline2\nline3")
+    // entity subset decodes; &amp; decodes LAST so &amp;lt; single-decodes
+    assert(extract("<p>1 &lt; 2 &amp;&amp; 3 &gt; 2, &quot;q&quot;, it&#39;s</p>")
+      == "1 < 2 && 3 > 2, \"q\", it's")
+    assert(extract("<p>&amp;lt;</p>") == "&lt;")
+    // undecoded entities pass through verbatim; nbsp is whitespace
+    assert(extract("<p>a&nbsp;&nbsp;b &copy; c</p>") == "a b &copy; c")
+    // whitespace collapses; null propagates
+    assert(extract("<div>  spaced\t\tout  </div>\n\n<div>next</div>") == "spaced out\nnext")
+    val n = Seq((1L, null: String)).toDF("id", "h")
+      .select(graft.text.CorpusClean.extractHtmlText(col("h"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("edit-distance confirm: distances exact within prefix, threshold kills far pairs") {
     import spark.implicits._
     val docsDf = Seq(

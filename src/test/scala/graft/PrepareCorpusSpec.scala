@@ -85,6 +85,30 @@ class PrepareCorpusSpec extends SparkSpec {
     assert(overCap == 0L)
   }
 
+  test("prepare with htmlInput extracts markup first — equal to preparing pre-extracted text") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text")
+    // wrap every doc in deterministic tag soup (with script noise)
+    val asHtml = docs.withColumn("text", concat(
+      lit("<html><body><script>drop(me < now);</script><p>"),
+      col("text"), lit("</p></body></html>")))
+    val viaHtml = graft.text.CorpusPipeline.prepare(asHtml,
+        graft.text.CorpusPipeline.Config(htmlInput = true))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaText = graft.text.CorpusPipeline.prepare(
+        docs.withColumn("text",
+          graft.text.CorpusClean.extractHtmlText(concat(
+            lit("<html><body><script>drop(me < now);</script><p>"),
+            col("text"), lit("</p></body></html>")))),
+        graft.text.CorpusPipeline.Config())
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaHtml == viaText,
+      "htmlInput must equal manual pre-extraction stage for stage order")
+    assert(viaHtml.nonEmpty)
+  }
+
   test("prepare-corpus: parquet format and unknown format") {
     val out = Files.createTempDirectory("graft-prep-pq").toString
     try {
