@@ -275,7 +275,10 @@ object Cli {
       val format = rest.lift(1).filter(_ != "-").getOrElse("jsonl")
       val cfg = graft.text.CorpusPipeline.Config(
         urlCol = rest.lift(2).filter(_ != "-"),
-        maxDocsPerDomain = rest.lift(3).map(_.toInt))
+        maxDocsPerDomain = rest.lift(3).filter(_ != "-").map(_.toInt),
+        // 5th positional: "html" marks raw-crawl input (markup extraction
+        // runs before normalization)
+        htmlInput = rest.lift(4).contains("html"))
       val prepared = graft.text.CorpusPipeline.prepare(
         spark.read.parquet(docsPath), cfg, staging = staging)
       val back = format match {
