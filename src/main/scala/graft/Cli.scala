@@ -634,11 +634,16 @@ object Cli {
       // subcommands; key pair is ephemeral without a configured signer)
       val Array(_, root, id, evRoot, rest @ _*) = args: @unchecked
       val prefix = rest.headOption.getOrElse("evidence")
+      val retentionDays = rest.lift(1).map(_.toInt).getOrElse(2555)
       val m = Manifest.load(root, id)
       val digest = Validation.evidenceDigest(Manifest.toDF(spark, m))
+      val checks = Map("manifest_readable" -> "Passed")
       val report = graft.validation.EvidenceReport(id, System.currentTimeMillis(),
-        m.totalRecords, m.totalSegments.toLong, digest,
-        Map("manifest_readable" -> "Passed"))
+        m.totalRecords, m.totalSegments.toLong, digest, checks,
+        // audit-control block (report.rs build_compliance_mappings):
+        // satisfied_by honestly reflects which checks actually ran here
+        compliance = Some(graft.validation.Evidence.buildComplianceMappings(
+          checks.keys.toSeq.sorted, retentionDays)))
       val key = graft.validation.EvidenceStore.save(evRoot, prefix, report,
         graft.validation.Evidence.generateKeyPair())
       println(s"evidence saved: $key")

@@ -153,6 +153,44 @@ class ProduceEvidenceSpec extends SparkSpec {
       kp.getPublic))
   }
 
+  test("evidence compliance mappings: reference control semantics, canonical order, back-compat") {
+    import graft.validation.EvidenceStore
+    val checks = Map("MessageCountCheck" -> "Passed",
+      "OffsetRangeCheck" -> "Passed", "ConsumerGroupCheck" -> "Passed")
+    val c = Evidence.buildComplianceMappings(checks.keys.toSeq.sorted,
+      retentionDays = 2555, rtoSeconds = Some(42L))
+    // SOX/GDPR are satisfied only by the count/range checks; CMMC by all
+    assert(c.sox_itgc.get.satisfied_by == Seq("MessageCountCheck", "OffsetRangeCheck"))
+    assert(c.sox_itgc.get.evidence_retention_required_years == 7)
+    assert(c.cmmc_l2.get.satisfied_by.size == 3)
+    assert(c.gdpr_art32.get.rto_demonstrated_seconds.contains(42L))
+    val r = EvidenceReport("b1", 1L, 10, 1, "ab" * 32, checks,
+      compliance = Some(c))
+    val json = Evidence.canonicalJson(r)
+    // keys sorted at every level; compliance sits between checks/created_at
+    assert(json.contains(""""compliance":{"cmmc_l2":{"control":"RE.3.139""""), json)
+    assert(json.indexOf("\"checks\"") < json.indexOf("\"compliance\"") &&
+      json.indexOf("\"compliance\"") < json.indexOf("\"created_at\""))
+    assert(json.contains(""""rto_demonstrated_seconds":42"""))
+    // absent rto omits the key (the reference's skip_serializing_if)
+    val noRto = Evidence.canonicalJson(r.copy(compliance =
+      Some(Evidence.buildComplianceMappings(checks.keys.toSeq.sorted))))
+    assert(!noRto.contains("rto_demonstrated"))
+    // back-compat: a report without compliance serializes exactly as before,
+    // so historical signatures keep verifying
+    assert(!Evidence.canonicalJson(EvidenceReport("b1", 1L, 10, 1, "ab" * 32,
+      checks)).contains("compliance"))
+    // the block is inside the signed bytes; store round-trips it
+    val kp = Evidence.generateKeyPair()
+    val sig = Evidence.sign(r, kp)
+    assert(Evidence.verify(r, sig, kp.getPublic))
+    assert(!Evidence.verify(r.copy(compliance = None), sig, kp.getPublic))
+    val root = java.nio.file.Files.createTempDirectory("graft-evc").toString
+    val key = EvidenceStore.save(root, "evidence", r, kp, nowMs = 1726000000000L)
+    assert(EvidenceStore.load(root, key) == r)
+    assert(EvidenceStore.verify(root, key))
+  }
+
   test("evidence store: save/list/load/verify round-trip; tamper detected") {
     import graft.validation.{Evidence, EvidenceReport, EvidenceStore}
     val root = java.nio.file.Files.createTempDirectory("graft-ev").toString
