@@ -53,6 +53,31 @@ object EvidencePdf {
         Line("Validation Checks", 13, bold = true)) ++
         report.checks.toSeq.sortBy(_._1).map { case (name, outcome) =>
           Line(f"$name%-28s $outcome", 10, bold = false)
+        } ++
+        // compliance sections (pdf.rs:338-410), same order: SOX → CMMC →
+        // GDPR; '-' instead of the reference's em dash (outside latin1)
+        report.compliance.toSeq.flatMap { c =>
+          Seq(Line("", 10, bold = false, gapAfter = 4),
+            Line("Compliance Mappings", 13, bold = true)) ++
+          c.sox_itgc.toSeq.flatMap(m => Seq(
+            Line("SOX ITGC", 11, bold = true),
+            Line(s"Control: ${m.control}", 9, bold = false),
+            Line(s"Satisfied by: ${m.satisfied_by.mkString(", ")}", 9, bold = false),
+            Line(s"Retention: ${m.evidence_retention_configured_days} days " +
+              s"configured / ${m.evidence_retention_required_years} years required",
+              9, bold = false, gapAfter = 3))) ++
+          c.cmmc_l2.toSeq.flatMap(m => Seq(
+            Line("CMMC Level 2", 11, bold = true),
+            Line(s"Control: ${m.control} - ${m.description}", 9, bold = false),
+            Line(s"Satisfied by: ${m.satisfied_by.mkString(", ")}", 9,
+              bold = false, gapAfter = 3))) ++
+          c.gdpr_art32.toSeq.flatMap(m => Seq(
+            Line("GDPR Article 32", 11, bold = true),
+            Line(s"Control: ${m.control}", 9, bold = false),
+            Line(s"Satisfied by: ${m.satisfied_by.mkString(", ")}", 9, bold = false),
+            Line(s"Test frequency: ${m.test_frequency}" +
+              m.rto_demonstrated_seconds.map(s => s"; RTO demonstrated: ${s}s")
+                .getOrElse(""), 9, bold = false)))
         }
 
     val content = {

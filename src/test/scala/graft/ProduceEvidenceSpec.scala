@@ -189,6 +189,12 @@ class ProduceEvidenceSpec extends SparkSpec {
     val key = EvidenceStore.save(root, "evidence", r, kp, nowMs = 1726000000000L)
     assert(EvidenceStore.load(root, key) == r)
     assert(EvidenceStore.verify(root, key))
+    // the PDF renders the three sections (pdf.rs:338-410 layout)
+    val pdf = new String(graft.validation.EvidencePdf.render(r), "ISO-8859-1")
+    assert(pdf.contains("(Compliance Mappings) Tj"))
+    assert(pdf.contains("(SOX ITGC) Tj") && pdf.contains("(CMMC Level 2) Tj"))
+    assert(pdf.contains("RTO demonstrated: 42s"))
+    assert(pdf.contains("2555 days configured / 7 years required"))
   }
 
   test("evidence store: save/list/load/verify round-trip; tamper detected") {
