@@ -139,7 +139,7 @@ object Bench {
       jstr(k) + ":" + jstr(e.take(60)) }.take(5).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},""" +
       s""""unit":"sec","queries":$slowest,""" +
-      s""""note":"slowest 25 of ${results.size}; full map in $out",""" +
+      s""""note":${jstr(s"slowest 25 of ${results.size}; full map in $out")},""" +
       s""""errors":$errsShort,"n_errors":${results.count(_._3.isDefined)},""" +
       s""""sf":${jstr(sfDir)},"cpus":$cpus,"disk_write_mb_s":$diskMbS,""" +
       s""""timing":"best-of-2 over 1s"}""")

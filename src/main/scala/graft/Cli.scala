@@ -273,12 +273,16 @@ object Cli {
       val Array(_, docsPath, outDir, rest @ _*) = args: @unchecked
       val staging = rest.lift(0).filter(_ != "-")
       val format = rest.lift(1).filter(_ != "-").getOrElse("jsonl")
+      // 5th positional: "html" marks raw-crawl input (markup extraction
+      // runs before normalization); anything else must fail loudly, not
+      // silently curate raw tag soup
+      val inputMode = rest.lift(4).filter(_ != "-")
+      inputMode.foreach(m => require(m == "html",
+        s"unknown input mode '$m' (expected 'html' or '-')"))
       val cfg = graft.text.CorpusPipeline.Config(
         urlCol = rest.lift(2).filter(_ != "-"),
         maxDocsPerDomain = rest.lift(3).filter(_ != "-").map(_.toInt),
-        // 5th positional: "html" marks raw-crawl input (markup extraction
-        // runs before normalization)
-        htmlInput = rest.lift(4).contains("html"))
+        htmlInput = inputMode.isDefined)
       val prepared = graft.text.CorpusPipeline.prepare(
         spark.read.parquet(docsPath), cfg, staging = staging)
       val back = format match {
@@ -633,8 +637,9 @@ object Cli {
       // canonical JSON + detached Ed25519 sig + public key (main.rs evidence
       // subcommands; key pair is ephemeral without a configured signer)
       val Array(_, root, id, evRoot, rest @ _*) = args: @unchecked
-      val prefix = rest.headOption.getOrElse("evidence")
-      val retentionDays = rest.lift(1).map(_.toInt).getOrElse(2555)
+      val prefix = rest.headOption.filter(_ != "-").getOrElse("evidence")
+      val retentionDays =
+        rest.lift(1).filter(_ != "-").map(_.toInt).getOrElse(2555)
       val m = Manifest.load(root, id)
       val digest = Validation.evidenceDigest(Manifest.toDF(spark, m))
       val checks = Map("manifest_readable" -> "Passed")

@@ -386,7 +386,12 @@ object QueriesData {
           col("id_a") < col("id_b"))
         .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
         .select("id_a", "id_b")
-      withPairRecallGated(approx, exact, sigs.count(), maxAuditRows = 25000L)
+      // gate on the NON-NULL signature count — the quantity the oracle can
+      // re-derive (its sig CTE has exactly these rows), so the CASE-gated
+      // 1.0/NULL recall column stays hash-green at EVERY scale, not just
+      // below the gate
+      withPairRecallGated(approx, exact,
+          sigs.filter(col("sig").isNotNull).count(), maxAuditRows = 25000L)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1440,7 +1445,7 @@ object QueriesData {
         |e3 AS (SELECT doc_id,
         |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM e2),
         |e4 AS (SELECT doc_id, regexp_replace(t,
-        |  '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)[^>]*>', chr(10), 'g') AS t FROM e3),
+        |  '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)\b[^>]*>', chr(10), 'g') AS t FROM e3),
         |e5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM e4),
         |e6 AS (SELECT doc_id,
         |  replace(replace(replace(replace(replace(replace(replace(t,
@@ -2018,7 +2023,8 @@ object QueriesData {
         |${dhashSqlCtes(src = "b", keys = "media_id")}
         |SELECT a.media_id AS id_a, bb.media_id AS id_b,
         |       CAST(bit_count(xor(a.sig, bb.sig)) AS INT) AS hamming,
-        |       1.0 AS exact_pair_recall
+        |       CASE WHEN (SELECT count(*) FROM sig) <= 25000
+        |            THEN 1.0 ELSE CAST(NULL AS DOUBLE) END AS exact_pair_recall
         |FROM sig a JOIN sig bb ON a.media_id < bb.media_id
         |WHERE bit_count(xor(a.sig, bb.sig)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,

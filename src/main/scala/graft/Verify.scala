@@ -43,17 +43,25 @@ object Verify {
         val res = spark.read.parquet(s"$outDir/$name")
         res.columns.find(auditColumns).foreach { c =>
           // constant audit column: one cell decides; a NULL means the entry
-          // ran above its measured-count gate (operator-only timing regime)
-          val cell = res.select(c).head()
-          val (value, gated) =
-            if (cell.isNullAt(0)) ("null", true)
-            else (cell.getDouble(0).toString, false)
-          val floor = floors.get(name).map(_.toString).getOrElse("null")
-          val above = floors.get(name).forall(f =>
-            gated || cell.getDouble(0) >= f)
-          audits(name) =
-            s"""{"column":"$c","value":$value,"floor":$floor,""" +
-              s""""above_floor":$above,"gated":$gated}"""
+          // ran above its measured-count gate (operator-only timing regime).
+          // A zero-row result has no cell — record it rather than letting
+          // head() throw and misreport a successful dump as a failure
+          res.select(c).limit(1).collect().headOption match {
+            case Some(cell) =>
+              val (value, gated) =
+                if (cell.isNullAt(0)) ("null", true)
+                else (cell.getDouble(0).toString, false)
+              val floor = floors.get(name).map(_.toString).getOrElse("null")
+              val above = floors.get(name).forall(f =>
+                gated || cell.getDouble(0) >= f)
+              audits(name) =
+                s"""{"column":"$c","value":$value,"floor":$floor,""" +
+                  s""""above_floor":$above,"gated":$gated}"""
+            case None =>
+              audits(name) = s"""{"column":"$c","value":null,""" +
+                """"floor":null,"above_floor":true,"gated":false,""" +
+                """"empty_result":true}"""
+          }
         }
       }
       catch { case e: Throwable =>

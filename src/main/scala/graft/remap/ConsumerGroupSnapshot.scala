@@ -29,17 +29,26 @@ object ConsumerGroupSnapshot {
     * left empty — the snapshot-groups capture filter
     * (crates/kafka-backup-cli/src/commands/snapshot_groups.rs:108-125:
     * `backed_topics.contains(&co.topic) && co.offset >= 0`, then groups with
-    * no qualifying offsets are skipped). Group and topic order are preserved.
+    * no qualifying offsets are skipped). Group order follows the input
+    * list; topic and partition maps are rebuilt SORTED (topics
+    * lexicographic, partitions numeric) so the stored artifact is
+    * byte-deterministic — a plain immutable Map's iteration order is
+    * unspecified past 4 entries, which would make snapshot bytes differ
+    * across runs.
     */
   def restrictTo(snapshot: ConsumerGroupSnapshot,
                  topics: Set[String]): ConsumerGroupSnapshot =
     ConsumerGroupSnapshot(snapshot.snapshot_time,
       snapshot.groups.flatMap { g =>
-        val kept = g.offsets.collect {
+        val kept = g.offsets.toSeq.sortBy(_._1).collect {
           case (t, parts) if topics(t) =>
-            t -> parts.filter { case (_, off) => off >= 0 }
+            t -> scala.collection.immutable.ListMap(
+              parts.toSeq.filter(_._2 >= 0)
+                .sortBy { case (p, _) => (p.toIntOption.getOrElse(Int.MaxValue), p) }: _*)
         }.filter(_._2.nonEmpty)
-        if (kept.isEmpty) None else Some(GroupOffsets(g.group_id, kept))
+        if (kept.isEmpty) None
+        else Some(GroupOffsets(g.group_id,
+          scala.collection.immutable.ListMap(kept: _*)))
       })
 
   /** Flatten to committed-offset tuples, applying import rules and optional

@@ -166,10 +166,12 @@ final class InMemoryClusterAdmin(
 object ClusterAdmin {
 
   /** Capture a consumer-group snapshot from the live cluster (S6+S7 →
-    * backup/engine.rs:730-741's snapshot artifact).
+    * backup/engine.rs:730-741's snapshot artifact). Groups are sorted so
+    * the artifact is byte-deterministic regardless of the admin
+    * implementation's listing order.
     */
   def captureSnapshot(admin: ClusterAdmin, nowMs: Long): ConsumerGroupSnapshot =
-    ConsumerGroupSnapshot(nowMs, admin.listConsumerGroups().map { g =>
+    ConsumerGroupSnapshot(nowMs, admin.listConsumerGroups().sorted.map { g =>
       val byTopic = admin.committedOffsets(g).groupBy(_._1._1)
       GroupOffsets(g, byTopic.map { case (t, ps) =>
         t -> ps.map { case ((_, p), off) => p.toString -> off }

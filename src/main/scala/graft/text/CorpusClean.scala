@@ -123,8 +123,11 @@ object CorpusClean {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // \b keeps the match to the listed tag NAMES — without it '</pre>'
+    // prefix-matches '/p' and fabricates line breaks mid-sentence (\b is in
+    // the shared Java-regex/RE2 dialect)
     val withBreaks = regexp_replace(noComment,
-      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)[^>]*>", "\n")
+      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)\\b[^>]*>", "\n")
     val noTags = regexp_replace(withBreaks, "<[^>]*>", " ")
     val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
