@@ -226,6 +226,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("media vote pairs: no exchange ever carries payload bytes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.functions.{col, encode, lit, typedLit}
+    import spark.implicits._
+    // payloads leave the scan as 8-byte hashes; any BinaryType column in a
+    // shuffle would mean the content itself is moving — the scale leak the
+    // design forbids
+    val media = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").as("media_id"), lit("video").as("media_type"),
+        encode(col("text"), "UTF-8").as("content"),
+        typedLit(Map.empty[String, String]).as("meta"))
+      .as[graft.multimodal.MediaRecord]
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (plan <- Seq(
+        graft.multimodal.Multimodal.videoPairs(media, frameBytes = 256)
+          .queryExecution.executedPlan,
+        graft.multimodal.Multimodal.audioPairs(
+            media.map(m => m.copy(media_type = "audio")),
+            windowBytes = 256, hopBytes = 128)
+          .queryExecution.executedPlan)) {
+        val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(exchanges.nonEmpty)
+        exchanges.foreach { e =>
+          // the id-clique collect_list's partial-agg buffer serializes as a
+          // BinaryType attribute named "buf" — it holds fid LONGS, not
+          // payload; anything else binary (e.g. "content") is the leak
+          val binCols = e.output.filter(a =>
+            a.dataType == BinaryType && a.name != "buf")
+          assert(binCols.isEmpty,
+            s"exchange carries payload bytes: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("span dedup: no cartesian product, gram aggs partial-aggregate before exchange") {
     // the span family's whole scale story is "no pair expansion": any
     // nested-loop/cartesian appearing here means a join key was lost
