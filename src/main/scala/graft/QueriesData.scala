@@ -531,6 +531,13 @@ object QueriesData {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
         .orderBy("source", "shard_id")),
 
+    // sequence packing: GPT-style concat-and-chunk window map per source —
+    // per-doc (start_offset, seq_first, seq_last) over 512-token windows,
+    // all prefix-sum arithmetic, every cell hash-checked
+    "d_pack_sequences" -> ((s, d) =>
+      graft.text.CorpusClean.packSequences(docs(s, d), tokensPerSeq = 512)
+        .orderBy("source", "doc_id")),
+
     // composite keep/drop filter with first-failing-rule reasons (too_short →
     // dup_lines → repetitive_ngrams) — thresholds chosen to split this corpus
     "d_corpus_filter" -> ((s, d) =>
@@ -1581,6 +1588,27 @@ object QueriesData {
         |SELECT source, CAST(floor((cum - n_tokens) / 500.0) AS BIGINT) AS shard_id,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same prefix-sum arithmetic as d_pack_shards, at token-window
+    // granularity (documents flow across 512-token boundaries)
+    "d_pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+        |         AS BIGINT) AS start_offset
+        |  FROM t),
+        |s AS (SELECT source, doc_id, n_tokens, start_offset,
+        |    CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_first,
+        |    CASE WHEN n_tokens > 0
+        |         THEN CAST(floor((start_offset + n_tokens - 1) / 512.0) AS BIGINT)
+        |         ELSE CAST(floor(start_offset / 512.0) AS BIGINT) END AS seq_last
+        |  FROM c)
+        |SELECT source, doc_id, n_tokens, start_offset, seq_first, seq_last,
+        |       seq_last - seq_first + 1 AS n_seqs
+        |FROM s ORDER BY source, doc_id""".stripMargin,
     "d_corpus_filter" ->
       """WITH lines AS (
         |  SELECT doc_id, trim(l) AS ln

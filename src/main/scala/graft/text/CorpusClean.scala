@@ -89,6 +89,44 @@ object CorpusClean {
     * composition); NFC is the native [[graft.functions.NfcNormalize]] kernel
     * with an already-normalized fast path. Narrow map, zero shuffle.
     */
+  /** GPT-style sequence packing map: concatenate each group's documents in
+    * deterministic id order and chunk the token stream into fixed
+    * `tokensPerSeq` context windows. Emits per-document bookkeeping — the
+    * loader-side map of which training windows hold (parts of) which
+    * document: `(groupCols…, id, n_tokens, start_offset, seq_first,
+    * seq_last, n_seqs)`. Documents FLOW ACROSS window boundaries (that is
+    * the point: zero padding in every window except each group's last),
+    * which is exactly what [[packShards]] must never do — shards are
+    * document-granular, sequences are token-granular; the two compose
+    * (pack shards for storage, sequences for the training run).
+    *
+    * A zero-token document reports the window at its stream position
+    * (n_seqs 1), so every doc row stays joinable to a window; null-text
+    * rows carry null spans (they have no position in the stream — same
+    * null symmetry as the oracle's SQL arithmetic).
+    *
+    * Scale shape: identical to [[packShards]] — one window per group
+    * ordered by id, shuffle key `groupCols`, everything else a pure prefix
+    * sum; the same dominant-group caveat applies.
+    */
+  def packSequences(docs: DataFrame, tokensPerSeq: Long,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    groupCols: Seq[String] = Seq("source")): DataFrame = {
+    require(tokensPerSeq > 0, "tokensPerSeq must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select((groupCols :+ idCol).map(col) :+
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"): _*)
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_first", floor(col("start_offset") / tokensPerSeq))
+      .withColumn("seq_last", when(col("n_tokens") > 0,
+          floor((col("start_offset") + col("n_tokens") - 1) / tokensPerSeq))
+        .otherwise(col("seq_first")))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+
   def normalizeText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.KFunctions.nfc_normalize(
       regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))

@@ -1138,6 +1138,50 @@ class DataOpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("sequence packing: windows tile the token stream exactly; docs flow across boundaries") {
+    import spark.implicits._
+    // group g: token counts 3, 5, 4, 0, 7 over T=4 windows
+    //   stream offsets: d1 [0,3) d2 [3,8) d3 [8,12) d4 at 12 (empty) d5 [12,19)
+    val docsDf = Seq(
+      (1L, "g", "a b c"),             // [0,3)  → window 0
+      (2L, "g", "d e f g h"),         // [3,8)  → windows 0-1 (crosses)
+      (3L, "g", "i j k l"),           // [8,12) → windows 2
+      (4L, "g", ""),                  // zero tokens at offset 12 → window 3
+      (5L, "g", "m n o p q r s"),     // [12,19) → windows 3-4
+      (6L, "h", "x y"),               // second group: independent stream
+      (7L, "h", null: String))        // null text: null spans
+      .toDF("doc_id", "source", "text")
+    val out = graft.text.CorpusClean.packSequences(docsDf, tokensPerSeq = 4)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) null else (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out(1L) == ((0L, 0L, 0L, 1L)))
+    assert(out(2L) == ((3L, 0L, 1L, 2L)), s"doc 2 must cross the window boundary: ${out(2L)}")
+    assert(out(3L) == ((8L, 2L, 2L, 1L)))
+    assert(out(4L) == ((12L, 3L, 3L, 1L)), "zero-token doc lands at its position")
+    assert(out(5L) == ((12L, 3L, 4L, 2L)))
+    assert(out(6L) == ((0L, 0L, 0L, 1L)), "groups pack independent streams")
+    assert(out(7L) == null, "null text carries null spans")
+    // re-shard invariance: the map is pure id-order arithmetic
+    val reshard = graft.text.CorpusClean.packSequences(
+        docsDf.repartition(7), tokensPerSeq = 4)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) null else (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(reshard == out)
+    // tiling on the real corpus: within each source every window except the
+    // last holds exactly T tokens — the zero-padding property
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val packed = graft.text.CorpusClean.packSequences(corpus, tokensPerSeq = 128)
+      .collect().filter(!_.isNullAt(3))
+    for ((src, rows) <- packed.groupBy(_.getString(0))) {
+      val total = rows.map(_.getLong(2)).sum
+      val lastSeq = rows.map(_.getLong(5)).max
+      assert(lastSeq == (total - 1).max(0L) / 128,
+        s"$src: window count must equal ceil(total/T)")
+    }
+  }
+
   test("edit-distance confirm: distances exact within prefix, threshold kills far pairs") {
     import spark.implicits._
     val docsDf = Seq(
