@@ -649,6 +649,19 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    // contamination PROVENANCE: per (corpus doc, benchmark doc) pair, the
+    // count of distinct shared 13-grams — the "which benchmark item
+    // leaked" report; the two-stage shape (flag first, gram join at
+    // contamination scale) is hash-checked against a straight inverted
+    // join in SQL
+    "d_decontaminate_report" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.text.Sampling.decontaminateReport(
+          all.filter(col("doc_id") % 20 =!= 7),
+          all.filter(col("doc_id") % 20 === 7), shingleN = 13)
+        .orderBy("doc_id", "benchmark_id")
+    }),
+
     // the SAME decontamination through the bloom-pruned scale path (the
     // 100 TB shape: map-side bloom prune → exact confirm join). The bloom
     // only prunes — the output is exact, so this entry shares the exact
@@ -1874,6 +1887,20 @@ object QueriesData {
         |SELECT s.doc_id, count(*) AS n_matched
         |FROM sh s JOIN bench USING (g) WHERE s.doc_id % 20 <> 7
         |GROUP BY 1 HAVING count(*) >= 1 ORDER BY doc_id""".stripMargin,
+    "d_decontaminate_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 11),
+        |    i -> array_to_string(list_slice(t, i, i + 12), ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 13)
+        |SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
+        |       count(*) AS n_shared_grams
+        |FROM sh c JOIN sh b USING (g)
+        |WHERE c.doc_id % 20 <> 7 AND b.doc_id % 20 = 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d_decontaminate_bloom" ->
       // identical oracle as d_decontaminate: the bloom path is exact
       """WITH toks AS (

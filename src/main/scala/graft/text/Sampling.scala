@@ -226,6 +226,44 @@ object Sampling {
       .where(col("n_matched") >= minMatches)
   }
 
+  /** Contamination PROVENANCE: which benchmark documents leak into which
+    * corpus documents, and by how many distinct shared shingles —
+    * `(idCol, benchmark_id, n_shared_grams)`, one row per contaminated
+    * (corpus doc, benchmark doc) pair. [[decontaminate]] answers "is this
+    * doc contaminated"; this answers the follow-up every eval owner asks —
+    * "by WHICH benchmark item" — which decides whether to drop the doc or
+    * retire the leaked item.
+    *
+    * Two-stage scale shape: [[decontaminate]]'s gated annotate narrows the
+    * corpus to FLAGGED docs first (at 100 TB contamination is a tiny
+    * fraction by construction), so the gram-granular inverted join — the
+    * only stage paying per-(doc, gram) pair rows — runs at contamination
+    * scale, never corpus scale. Both sides dedup shingles per doc, so
+    * `n_shared_grams` counts DISTINCT shared shingles; a gram appearing in
+    * several benchmark docs yields one row per benchmark doc (that is the
+    * provenance).
+    */
+  def decontaminateReport(corpus: DataFrame, benchmark: DataFrame,
+                          shingleN: Int = 13, minMatches: Int = 1,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          benchIdCol: String = "doc_id",
+                          broadcastMaxGrams: Long = 20000000L): DataFrame = {
+    require(idCol != "benchmark_id",
+      "idCol 'benchmark_id' collides with the output's benchmark side")
+    val flaggedIds = decontaminate(corpus, benchmark, shingleN, minMatches,
+      idCol, textCol, broadcastMaxGrams).select(idCol)
+    val flagged = corpus.join(flaggedIds, Seq(idCol), "left_semi")
+    val corpusGrams = flagged.select(col(idCol),
+      explode(array_distinct(
+        TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
+    val benchGrams = benchmark.select(col(benchIdCol).as("benchmark_id"),
+      explode(array_distinct(
+        TextFunctions.shingles(col(textCol), shingleN))).as("gram"))
+    corpusGrams.join(benchGrams, Seq("gram"))
+      .groupBy(col(idCol), col("benchmark_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+  }
+
   /** Bloom-pruned decontamination — the 100 TB shape for a benchmark gram
     * set too large to broadcast. [[decontaminate]]'s fallback above shuffles
     * EVERY corpus gram into a sort-merge join when the gram set exceeds the

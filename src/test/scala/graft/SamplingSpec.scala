@@ -96,6 +96,33 @@ class SamplingSpec extends SparkSpec {
     assert(unbroadcast === out)
   }
 
+  test("decontaminateReport: provenance pairs per benchmark item, flagged-set consistent") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta"),
+      (200L, "gamma delta epsilon zeta"),
+      (300L, "totally unrelated benchmark item")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x alpha beta gamma delta epsilon y"), // overlaps BOTH 100 and 200
+      (11L, "x gamma delta epsilon z"),            // overlaps 200 (and 100? no 3-gram)
+      (12L, "nothing in common here at all")).toDF("doc_id", "text")
+    val rows = Sampling.decontaminateReport(corpus, bench, shingleN = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 10 shares "alpha beta gamma"+"beta gamma delta" with 100 and
+    // "gamma delta epsilon" with 200; doc 11 only "gamma delta epsilon"
+    assert(rows.keySet == Set((10L, 100L), (10L, 200L), (11L, 200L)),
+      s"provenance pairs wrong: ${rows.keySet}")
+    assert(rows((10L, 100L)) == 2L)
+    assert(rows((10L, 200L)) == 1L)
+    assert(rows((11L, 200L)) == 1L)
+    // the reported corpus docs are exactly decontaminate's flagged set
+    val flagged = Sampling.decontaminate(corpus, bench, shingleN = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.keySet.map(_._1) == flagged)
+    // a benchmark with no leaks contributes no rows
+    assert(!rows.keySet.exists(_._2 == 300L))
+  }
+
   test("decontaminateBloom: exact result (bloom only prunes), native probe in plan") {
     val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq(
