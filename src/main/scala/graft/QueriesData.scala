@@ -353,6 +353,17 @@ object QueriesData {
         .orderBy("media_id")
     }),
 
+    // media quality gate (LAION-style curation filter) — integer-exact
+    // rules (min edge, aspect permille bound, flat-histogram detector), so
+    // keep/reason verdicts hash-check bit-for-bit: fake dims via the
+    // Arrays.hashCode fold (m_resize), concentration over 16 contiguous
+    // byte-chunk sums (the chunkGrid arithmetic). Real-image histogram
+    // path is golden-image-tested (solid image → 'flat').
+    "m_media_filter" -> ((s, d) =>
+      Multimodal.filterMedia(Multimodal.syntheticMedia(s, d),
+          minEdge = 128, maxAspectPermille = 3000, maxBinPermille = 900)
+        .orderBy("media_id")),
+
     // image near-dup dedup via perceptual hash (dHash) + the Hamming band
     // machinery shared with d_simhash_pairs. Payloads here never decode as
     // images, so every row takes the FAKE grid (contiguous byte-chunk sums
@@ -2061,6 +2072,57 @@ object QueriesData {
         |  round(CAST(CAST(acc0 AS REAL) /
         |    (CAST(255 AS REAL) * CAST(greatest(len // 16, 1) AS REAL)) AS DOUBLE), 6) AS f0
         |FROM d ORDER BY media_id""".stripMargin,
+    // dims via the Arrays.hashCode fold (m_resize verbatim), concentration
+    // over 16 contiguous chunk sums, then the integer rule chain
+    "m_media_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |         hex(encode(coalesce(text, ''))) AS hx
+        |  FROM documents),
+        |hh AS (
+        |  SELECT media_id, media_type, hx,
+        |         list_reduce(
+        |           list_prepend(CAST(1 AS BIGINT),
+        |             list_transform(range(0, length(hx) // 2),
+        |               i -> CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT)
+        |                    - CASE WHEN CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT) > 127
+        |                           THEN 256 ELSE 0 END)),
+        |           (acc, x) -> ((31*acc + x) % 4294967296 + 4294967296) % 4294967296) AS hu
+        |  FROM b),
+        |dims AS (
+        |  SELECT media_id, media_type, hx,
+        |         CAST(64 + ((CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END
+        |                     % 512) + 512) % 512 AS INT) AS width,
+        |         CAST(64 + ((CAST(floor((CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END)
+        |                     / 512.0) AS BIGINT) % 512) + 512) % 512 AS INT) AS height
+        |  FROM hh),
+        |m AS (
+        |  SELECT media_id, media_type, width, height,
+        |         CAST(CASE WHEN coalesce(list_sum(cl), 0) = 0 THEN 0
+        |              ELSE list_max(cl) * 1000 // list_sum(cl) END AS BIGINT)
+        |           AS max_bin_permille
+        |  FROM (
+        |    SELECT media_id, media_type, width, height,
+        |           list_transform(range(0, 16), l ->
+        |             coalesce(list_sum(list_slice(
+        |               list_transform(range(0, length(hx) // 2),
+        |                 i -> CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT)),
+        |               CAST(l*(length(hx) // 2)//16 + 1 AS INT),
+        |               CAST((l+1)*(length(hx) // 2)//16 AS INT))), 0)) AS cl
+        |    FROM dims)),
+        |r AS (
+        |  SELECT media_id, media_type, width, height, max_bin_permille,
+        |         CASE WHEN least(width, height) < 128 THEN 'too_small'
+        |              WHEN CAST(greatest(width, height) AS BIGINT) * 1000
+        |                   // greatest(least(width, height), 1) > 3000 THEN 'bad_aspect'
+        |              WHEN max_bin_permille >= 900 THEN 'flat'
+        |              ELSE NULL END AS reason
+        |  FROM m)
+        |SELECT media_id, media_type, width, height, max_bin_permille,
+        |       reason IS NULL AS keep, reason
+        |FROM r ORDER BY media_id""".stripMargin,
     // the dHash fold from hex bytes (shared dhashSqlCtes fragment): clone
     // rows re-derive the last-byte swap on the hex string; pairs are
     // BRUTE-FORCE Hamming ≤ 3 (the banded plan is exact by pigeonhole,

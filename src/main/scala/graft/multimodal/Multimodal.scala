@@ -96,6 +96,37 @@ object Multimodal {
       Some(cells)
     }
 
+    /** Decode to (width, height, 16-bin luminance COUNT histogram) — the
+      * integer form [[Multimodal.filterMedia]]'s bit-exact rules need
+      * (the normalized [[decode]] floats would reintroduce last-ulp
+      * engine drift). Same bounded sample grid as [[decode]].
+      */
+    def lumHistCounts(content: Array[Byte],
+                      bins: Int = 16): Option[(Int, Int, Array[Long])] = {
+      if (!looksLikeImage(content)) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val stepX = math.max(1, w / 256)
+      val stepY = math.max(1, h / 256)
+      val hist = new Array[Long](bins)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(math.min(bins - 1, lum * bins / 256)) += 1
+          x += stepX
+        }
+        y += stepY
+      }
+      Some((w, h, hist))
+    }
+
     /** Decode to (width, height, 16-bin luminance histogram); None when the
       * payload is not a readable image.
       */
@@ -208,6 +239,56 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Media quality filtering — the LAION-style image curation gate
+    * (min-resolution, aspect-ratio bound, solid/flat-image detector), with
+    * [[graft.text.CorpusClean.filterCorpus]]'s contract: every row
+    * annotated `(media_id, media_type, width, height, max_bin_permille,
+    * keep, reason)` with the FIRST failing rule as the reason
+    * (`too_small` → `bad_aspect` → `flat` → null).
+    *
+    * Every signal is INTEGER arithmetic, so verdicts are bit-identical in
+    * any engine (no float-entropy last-ulp straddle): dims come from the
+    * real decode for images ([[ImageCodec]]) or the deterministic fake
+    * ([[FakeCodec.decodeDims]]); `max_bin_permille` = 1000·max/sum over a
+    * 16-bin LUMINANCE histogram (real images — a near-solid image
+    * concentrates into one bin) or 16 contiguous byte-chunk sums (fake
+    * path — mirrors [[FakeCodec.chunkGrid]], SQL-oracle-able). Pure narrow
+    * map; payloads never leave the scan.
+    */
+  def filterMedia(media: Dataset[MediaRecord],
+                  minEdge: Int = 64,
+                  maxAspectPermille: Int = 3000,
+                  maxBinPermille: Int = 900): DataFrame = {
+    require(minEdge >= 1 && maxAspectPermille >= 1000 && maxBinPermille >= 63,
+      "need minEdge >= 1, maxAspectPermille >= 1000, maxBinPermille >= 63")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val content = if (m.content == null) Array.emptyByteArray else m.content
+        val real =
+          if (m.media_type == "image") ImageCodec.lumHistCounts(content)
+          else None
+        val (w, h, bins) = real match {
+          case Some((rw, rh, counts)) => (rw, rh, counts)
+          case None =>
+            val (fw, fh) = FakeCodec.decodeDims(content)
+            (fw, fh, FakeCodec.chunkGrid(content, 16))
+        }
+        val total = bins.sum
+        val permille =
+          if (total == 0) 0L else bins.max * 1000L / total
+        val reason =
+          if (math.min(w, h) < minEdge) "too_small"
+          else if (math.max(w, h).toLong * 1000L / math.min(w, h).max(1) >
+            maxAspectPermille) "bad_aspect"
+          else if (permille >= maxBinPermille) "flat"
+          else null
+        (m.media_id, m.media_type, w, h, permille, reason == null, reason)
+      }
+    }.toDF("media_id", "media_type", "width", "height", "max_bin_permille",
+      "keep", "reason")
   }
 
   /** Difference hash (dHash, Krawetz 2013 — the public "kind of like that"

@@ -1182,6 +1182,39 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("media filter: real-image gates — size, aspect, solid-color flatness; first-reason wins") {
+    import spark.implicits._
+    import graft.multimodal.{MediaRecord, Multimodal}
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "image", png(200, 150, (x, y) => x + y), Map.empty),      // keeps
+      MediaRecord(2L, "image", png(40, 150, (x, y) => x + y), Map.empty),       // too_small
+      MediaRecord(3L, "image", png(800, 100, (x, y) => x + y), Map.empty),      // 8:1 aspect
+      MediaRecord(4L, "image", png(200, 150, (_, _) => 140), Map.empty),        // solid → flat
+      MediaRecord(5L, "image", png(40, 400, (_, _) => 0), Map.empty))           // small AND flat → first reason
+      .toDS()
+    val out = Multimodal.filterMedia(media, minEdge = 64,
+        maxAspectPermille = 3000, maxBinPermille = 900)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getBoolean(5), r.getString(6))).toMap
+    assert(out(1L) == ((200, 150, true, null)))
+    assert(out(2L)._4 == "too_small")
+    assert(out(3L)._4 == "bad_aspect")
+    assert(out(4L)._4 == "flat", s"solid image must concentrate one bin: ${out(4L)}")
+    assert(out(5L)._4 == "too_small", "rule order: size fires before flatness")
+    // real dims came from the decode, not the fake fold
+    assert(out(3L)._1 == 800 && out(3L)._2 == 100)
+  }
+
   test("edit-distance confirm: distances exact within prefix, threshold kills far pairs") {
     import spark.implicits._
     val docsDf = Seq(
