@@ -364,6 +364,33 @@ object QueriesData {
           minEdge = 128, maxAspectPermille = 3000, maxBinPermille = 900)
         .orderBy("media_id")),
 
+    // the MEDIA capstone: quality filter → exact-phash dedup (min-id
+    // winner per signature, unhashable rows keep) → per-type rollup, every
+    // stage one of the oracled operators above, the whole chain mirrored
+    // in one DuckDB WITH — a semantic drift anywhere flips the hash
+    "m_media_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(s, d).toDF()
+      val kept = Multimodal.filterMedia(
+          media.as[graft.multimodal.MediaRecord],
+          minEdge = 128, maxAspectPermille = 3000, maxBinPermille = 900)
+        .where(col("keep")).select("media_id")
+      val survivors = media.join(kept, Seq("media_id"), "left_semi")
+      val sigs = Multimodal.perceptualHash(
+        survivors.as[graft.multimodal.MediaRecord])
+      val winners = sigs.where(col("phash").isNotNull)
+        .groupBy("phash").agg(min("media_id").as("media_id"))
+        .select("media_id")
+        .unionByName(sigs.where(col("phash").isNull).select("media_id"))
+      val deduped = survivors.join(winners, Seq("media_id"), "left_semi")
+      media.groupBy("media_type").agg(count(lit(1)).as("n_raw"))
+        .join(survivors.groupBy("media_type")
+          .agg(count(lit(1)).as("n_kept")), Seq("media_type"), "left")
+        .join(deduped.groupBy("media_type")
+          .agg(count(lit(1)).as("n_final")), Seq("media_type"), "left")
+        .orderBy("media_type")
+    }),
+
     // image near-dup dedup via perceptual hash (dHash) + the Hamming band
     // machinery shared with d_simhash_pairs. Payloads here never decode as
     // images, so every row takes the FAKE grid (contiguous byte-chunk sums
@@ -1004,6 +1031,60 @@ object QueriesData {
        |                     ELSE CAST(1 AS BIGINT) << CAST(k AS INT) END
        |                ELSE 0 END)) AS BIGINT) AS sig
        |  FROM cells)""".stripMargin
+
+  /** Shared DuckDB fragment for [[graft.multimodal.Multimodal.filterMedia]]
+    * over the synthetic media fixture: hashCode-fold dims + 16-chunk
+    * concentration + the integer rule chain. Emits CTEs `b`, `hh`, `dims`,
+    * `fm`, `rr` — `rr` carries (media_id, media_type, width, height,
+    * max_bin_permille, reason, hx); `hx` survives so downstream fragments
+    * (the media-capstone dHash) can chain on the SURVIVOR payloads.
+    */
+  private def mediaFilterSqlCtes: String =
+    """b AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |         hex(encode(coalesce(text, ''))) AS hx
+      |  FROM documents),
+      |hh AS (
+      |  SELECT media_id, media_type, hx,
+      |         list_reduce(
+      |           list_prepend(CAST(1 AS BIGINT),
+      |             list_transform(range(0, length(hx) // 2),
+      |               i -> CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT)
+      |                    - CASE WHEN CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT) > 127
+      |                           THEN 256 ELSE 0 END)),
+      |           (acc, x) -> ((31*acc + x) % 4294967296 + 4294967296) % 4294967296) AS hu
+      |  FROM b),
+      |dims AS (
+      |  SELECT media_id, media_type, hx,
+      |         CAST(64 + ((CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END
+      |                     % 512) + 512) % 512 AS INT) AS width,
+      |         CAST(64 + ((CAST(floor((CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END)
+      |                     / 512.0) AS BIGINT) % 512) + 512) % 512 AS INT) AS height
+      |  FROM hh),
+      |fm AS (
+      |  SELECT media_id, media_type, hx, width, height,
+      |         CAST(CASE WHEN coalesce(list_sum(cl), 0) = 0 THEN 0
+      |              ELSE list_max(cl) * 1000 // list_sum(cl) END AS BIGINT)
+      |           AS max_bin_permille
+      |  FROM (
+      |    SELECT media_id, media_type, hx, width, height,
+      |           list_transform(range(0, 16), l ->
+      |             coalesce(list_sum(list_slice(
+      |               list_transform(range(0, length(hx) // 2),
+      |                 i -> CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT)),
+      |               CAST(l*(length(hx) // 2)//16 + 1 AS INT),
+      |               CAST((l+1)*(length(hx) // 2)//16 AS INT))), 0)) AS cl
+      |    FROM dims)),
+      |rr AS (
+      |  SELECT media_id, media_type, hx, width, height, max_bin_permille,
+      |         CASE WHEN least(width, height) < 128 THEN 'too_small'
+      |              WHEN CAST(greatest(width, height) AS BIGINT) * 1000
+      |                   // greatest(least(width, height), 1) > 3000 THEN 'bad_aspect'
+      |              WHEN max_bin_permille >= 900 THEN 'flat'
+      |              ELSE NULL END AS reason
+      |  FROM fm)""".stripMargin
 
   /** Shared stupid-backoff scoring CTE chain (tokenize, 19/20-slice model
     * counts, per-position backoff log-probs in `lp`): the d_lm_score oracle
@@ -2073,56 +2154,36 @@ object QueriesData {
         |    (CAST(255 AS REAL) * CAST(greatest(len // 16, 1) AS REAL)) AS DOUBLE), 6) AS f0
         |FROM d ORDER BY media_id""".stripMargin,
     // dims via the Arrays.hashCode fold (m_resize verbatim), concentration
-    // over 16 contiguous chunk sums, then the integer rule chain
+    // over 16 contiguous chunk sums, then the integer rule chain (shared
+    // mediaFilterSqlCtes fragment — the media capstone reuses it)
     "m_media_filter" ->
-      """WITH b AS (
-        |  SELECT doc_id AS media_id,
-        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-        |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |         hex(encode(coalesce(text, ''))) AS hx
-        |  FROM documents),
-        |hh AS (
-        |  SELECT media_id, media_type, hx,
-        |         list_reduce(
-        |           list_prepend(CAST(1 AS BIGINT),
-        |             list_transform(range(0, length(hx) // 2),
-        |               i -> CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT)
-        |                    - CASE WHEN CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT) > 127
-        |                           THEN 256 ELSE 0 END)),
-        |           (acc, x) -> ((31*acc + x) % 4294967296 + 4294967296) % 4294967296) AS hu
-        |  FROM b),
-        |dims AS (
-        |  SELECT media_id, media_type, hx,
-        |         CAST(64 + ((CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END
-        |                     % 512) + 512) % 512 AS INT) AS width,
-        |         CAST(64 + ((CAST(floor((CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END)
-        |                     / 512.0) AS BIGINT) % 512) + 512) % 512 AS INT) AS height
-        |  FROM hh),
-        |m AS (
-        |  SELECT media_id, media_type, width, height,
-        |         CAST(CASE WHEN coalesce(list_sum(cl), 0) = 0 THEN 0
-        |              ELSE list_max(cl) * 1000 // list_sum(cl) END AS BIGINT)
-        |           AS max_bin_permille
-        |  FROM (
-        |    SELECT media_id, media_type, width, height,
-        |           list_transform(range(0, 16), l ->
-        |             coalesce(list_sum(list_slice(
-        |               list_transform(range(0, length(hx) // 2),
-        |                 i -> CAST('0x' || substring(hx, CAST(2*i+1 AS INT), 2) AS BIGINT)),
-        |               CAST(l*(length(hx) // 2)//16 + 1 AS INT),
-        |               CAST((l+1)*(length(hx) // 2)//16 AS INT))), 0)) AS cl
-        |    FROM dims)),
-        |r AS (
-        |  SELECT media_id, media_type, width, height, max_bin_permille,
-        |         CASE WHEN least(width, height) < 128 THEN 'too_small'
-        |              WHEN CAST(greatest(width, height) AS BIGINT) * 1000
-        |                   // greatest(least(width, height), 1) > 3000 THEN 'bad_aspect'
-        |              WHEN max_bin_permille >= 900 THEN 'flat'
-        |              ELSE NULL END AS reason
-        |  FROM m)
+      s"""WITH $mediaFilterSqlCtes
         |SELECT media_id, media_type, width, height, max_bin_permille,
         |       reason IS NULL AS keep, reason
-        |FROM r ORDER BY media_id""".stripMargin,
+        |FROM rr ORDER BY media_id""".stripMargin,
+    // filter fragment → survivors (hx carried through) → the shared dHash
+    // fragment → min-id winners per signature (unhashable rows keep) →
+    // per-type rollup: the media capstone chain in one WITH
+    "m_media_pipeline" ->
+      s"""WITH $mediaFilterSqlCtes,
+        |survivors AS (
+        |  SELECT media_id, media_type, hx FROM rr WHERE reason IS NULL),
+        |${dhashSqlCtes(src = "survivors", keys = "media_id")},
+        |winners AS (
+        |  SELECT min(media_id) AS media_id FROM sig GROUP BY sig
+        |  UNION ALL
+        |  SELECT media_id FROM survivors WHERE length(hx) = 0),
+        |dedup AS (
+        |  SELECT s.media_id, s.media_type
+        |  FROM survivors s JOIN winners w USING (media_id)),
+        |raw AS (SELECT media_type, count(*) AS n_raw FROM b GROUP BY 1),
+        |keptc AS (SELECT media_type, count(*) AS n_kept FROM survivors GROUP BY 1),
+        |fin AS (SELECT media_type, count(*) AS n_final FROM dedup GROUP BY 1)
+        |SELECT r0.media_type, r0.n_raw, keptc.n_kept, fin.n_final
+        |FROM raw r0
+        |LEFT JOIN keptc USING (media_type)
+        |LEFT JOIN fin USING (media_type)
+        |ORDER BY media_type""".stripMargin,
     // the dHash fold from hex bytes (shared dhashSqlCtes fragment): clone
     // rows re-derive the last-byte swap on the hex string; pairs are
     // BRUTE-FORCE Hamming ≤ 3 (the banded plan is exact by pigeonhole,
