@@ -117,5 +117,7 @@ object GraftExtensions {
     f1("graft_repetition_signals")(TextFunctions.repetitionSignals),
     f1("graft_normalize_url")(graft.text.CorpusClean.normalizeUrl),
     f1("graft_url_domain")(graft.text.CorpusClean.urlDomain),
-    f1("graft_extract_urls")(graft.text.CorpusClean.extractUrls))
+    f1("graft_extract_urls")(graft.text.CorpusClean.extractUrls),
+    f1("graft_html_text")(graft.text.CorpusClean.extractHtmlText),
+    f2("graft_phash")(graft.multimodal.Multimodal.phash))
 }

@@ -57,6 +57,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](2) == Seq("http://a.io/x"))
   }
 
+  test("HTML extraction and phash in SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_html_text('<p>a</p><script>x<1</script><p>b &amp; c</p>') AS t,
+        |       graft_phash('audio', encode('some payload bytes', 'UTF-8')) AS h,
+        |       graft_phash('audio', CAST(NULL AS BINARY)) AS hn""".stripMargin).head()
+    assert(r.getString(0) == "a\nb & c")
+    // SQL answer equals the Column-API answer (one definition)
+    import spark.implicits._
+    val viaCol = Seq(("audio", "some payload bytes".getBytes("UTF-8")))
+      .toDF("mt", "content")
+      .select(graft.multimodal.Multimodal.phash(col("mt"), col("content")))
+      .head().getLong(0)
+    assert(r.getLong(1) == viaCol)
+    assert(r.isNullAt(2), "null payload hashes to NULL")
+  }
+
   test("kernel shape arguments must be constant-foldable") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {
