@@ -97,6 +97,41 @@ class ChaosSpec extends SparkSpec {
     assert(spark.sparkContext.getCheckpointDir.forall(!_.contains(dir)))
   }
 
+  test("task death during index compaction: retried bucketed write lands the identical generation") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cchaos").toString
+    val (t1, t2) = ("graft_cchaos_v1", "graft_cchaos_v2")
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    try {
+      graft.dedup.Dedup.writeExactIndexBucketed(
+        graft.dedup.Dedup.exactIndex(corpus.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"), t1, s"chaos:$dir/v1", buckets = 4)
+      // kill one write-task attempt of the compacted generation mid-write;
+      // the commit protocol + task retry must land v2 complete and exact
+      ChaosFileSystem.armPathCreateFailure("/v2/", startAt = 2, times = 1)
+      try graft.dedup.Dedup.compactExactIndex(spark, t1,
+        graft.dedup.Dedup.exactIndex(corpus.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text"), t2, s"chaos:$dir/v2", buckets = 4)
+      finally ChaosFileSystem.disarm()
+      assert(ChaosFileSystem.failureFired, "the injected write failure must fire")
+      val expect = graft.dedup.Dedup.exactIndex(corpus, "doc_id", "text")
+        .filter(col("dup_key").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = spark.table(t2)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == expect, "compacted generation must be exact after retry")
+      // no partial/duplicate files beyond the bucket layout
+      val files = Files.list(java.nio.file.Paths.get(s"$dir/v2"))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      assert(files.length == 4, s"expected 1 file/bucket after retry, got ${files.length}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t1")
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("task death inside a streaming incremental-dedup micro-batch: retry keeps exactly-once survivors") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1215,6 +1215,32 @@ class DataOpsSpec extends SparkSpec {
     assert(out(3L)._1 == 800 && out(3L)._2 == 100)
   }
 
+  test("hammingPairs equals brute force over random signature sets (pigeonhole exactness fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for ((maxHam, round) <- Seq(1, 3, 5).zipWithIndex) {
+      // random base sigs + planted neighbors at 0..maxHam+1 bit flips
+      // (some inside the radius, some just past it) + exact clones
+      val base = (1L to 150L).map(i => i -> rnd.nextLong())
+      val planted = (1 to 40).map { j =>
+        val (_, sig) = base(rnd.nextInt(base.size))
+        var s = sig
+        (1 to rnd.nextInt(maxHam + 2)).foreach(_ => s ^= (1L << rnd.nextInt(64)))
+        (1000L * (round + 1) + j) -> s
+      }
+      val all = base ++ planted
+      val got = Dedup.hammingPairs(all.toDF("id", "sig"), maxHamming = maxHam)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (a, sa) <- all; (b, sb) <- all if a < b
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxHam
+      } yield (a, b, h)).toSet
+      assert(got == want,
+        s"maxHam=$maxHam: extra=${(got diff want).take(3)} missing=${(want diff got).take(3)}")
+      assert(want.nonEmpty, s"maxHam=$maxHam fixture must plant pairs")
+    }
+  }
+
   test("edit-distance confirm: distances exact within prefix, threshold kills far pairs") {
     import spark.implicits._
     val docsDf = Seq(
