@@ -405,18 +405,7 @@ object QueriesData {
     // (vs gated brute-force Hamming) must measure 1.0 — and the oracle
     // pins that constant.
     "m_phash_dups" -> ((s, d) => {
-      val media = Multimodal.syntheticMedia(s, d).toDF()
-      val clones = media
-        .filter(col("content").isNotNull)
-        .withColumn("media_id", -(col("media_id") + lit(1L)))
-        .withColumn("content", concat(
-          expr("substring(content, 1, greatest(length(content) - 1, 0))"),
-          lit(Array[Byte](0x7e))))
-      import s.implicits._
-      val sigs = Multimodal.perceptualHash(
-          media.unionByName(clones).as[graft.multimodal.MediaRecord])
-        .select(col("media_id").as("id"), col("phash").as("sig"))
-        .localCheckpoint(true) // approx + brute-force audit + gate count
+      val sigs = phashFixtureSigs(s, d)
       val approx = Dedup.hammingPairs(sigs, maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       def exact = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
@@ -431,6 +420,19 @@ object QueriesData {
       withPairRecallGated(approx, exact,
           sigs.filter(col("sig").isNotNull).count(), maxAuditRows = 25000L)
         .orderBy("id_a", "id_b")
+    }),
+
+    // media dedup clustering: the phash pair set through the SAME
+    // large-star/small-star components + canonical rollup the text dedup
+    // family uses — component = min reachable id, hash-checked against a
+    // recursive-CTE transitive closure over brute-force Hamming pairs
+    "m_phash_clusters" -> ((s, d) => {
+      val pairs = Dedup.hammingPairs(phashFixtureSigs(s, d), maxHamming = 3)
+        .select("id_a", "id_b")
+      graft.dedup.Clusters.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_member"))
+        .orderBy("component")
     }),
 
     // video near-dup by FRAME VOTE over a multi-frame synthetic corpus:
@@ -1031,6 +1033,40 @@ object QueriesData {
        |                     ELSE CAST(1 AS BIGINT) << CAST(k AS INT) END
        |                ELSE 0 END)) AS BIGINT) AS sig
        |  FROM cells)""".stripMargin
+
+  /** Shared m_phash_* fixture: synthetic media plus the same-length
+    * last-byte clones (id −(doc_id+1)), hashed — checkpointed (id, sig)
+    * serving the pair entry (approx + audit + gate count) and the
+    * clustering entry.
+    */
+  private def phashFixtureSigs(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, d).toDF()
+    val clones = media
+      .filter(col("content").isNotNull)
+      .withColumn("media_id", -(col("media_id") + lit(1L)))
+      .withColumn("content", concat(
+        expr("substring(content, 1, greatest(length(content) - 1, 0))"),
+        lit(Array[Byte](0x7e))))
+    import s.implicits._
+    Multimodal.perceptualHash(
+        media.unionByName(clones).as[graft.multimodal.MediaRecord])
+      .select(col("media_id").as("id"), col("phash").as("sig"))
+      .localCheckpoint(true)
+  }
+
+  /** The [[phashFixtureSigs]] fixture's DuckDB side: originals + the
+    * last-byte-swap clones as hex payloads in CTE `b(media_id, hx)`.
+    */
+  private def phashFixtureSqlCte: String =
+    """b AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx
+      |  FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT -(doc_id + 1),
+      |         substring(hex(encode(text)), 1,
+      |           CAST(greatest(2 * (octet_length(encode(text)) - 1), 0) AS INT)) ||
+      |         '7E'
+      |  FROM documents WHERE text IS NOT NULL)""".stripMargin
 
   /** Shared DuckDB fragment for [[graft.multimodal.Multimodal.filterMedia]]
     * over the synthetic media fixture: hashCode-fold dims + 16-chunk
@@ -2189,15 +2225,7 @@ object QueriesData {
     // BRUTE-FORCE Hamming ≤ 3 (the banded plan is exact by pigeonhole,
     // hence also the literal 1.0 recall)
     "m_phash_dups" ->
-      s"""WITH b AS (
-        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx
-        |  FROM documents WHERE text IS NOT NULL
-        |  UNION ALL
-        |  SELECT -(doc_id + 1),
-        |         substring(hex(encode(text)), 1,
-        |           CAST(greatest(2 * (octet_length(encode(text)) - 1), 0) AS INT))
-        |           || '7E'
-        |  FROM documents WHERE text IS NOT NULL),
+      s"""WITH $phashFixtureSqlCte,
         |${dhashSqlCtes(src = "b", keys = "media_id")}
         |SELECT a.media_id AS id_a, bb.media_id AS id_b,
         |       CAST(bit_count(xor(a.sig, bb.sig)) AS INT) AS hamming,
@@ -2206,6 +2234,24 @@ object QueriesData {
         |FROM sig a JOIN sig bb ON a.media_id < bb.media_id
         |WHERE bit_count(xor(a.sig, bb.sig)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // brute-force Hamming pairs → symmetric edges → recursive-CTE closure
+    // (the d_dedup_clusters recipe over the phash fixture)
+    "m_phash_clusters" ->
+      s"""WITH RECURSIVE $phashFixtureSqlCte,
+        |${dhashSqlCtes(src = "b", keys = "media_id")},
+        |p AS (
+        |  SELECT a.media_id AS id_a, bb.media_id AS id_b
+        |  FROM sig a JOIN sig bb ON a.media_id < bb.media_id
+        |  WHERE bit_count(xor(a.sig, bb.sig)) <= 3),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY 1)
+        |SELECT component, count(*) AS n_members, max(id) AS max_member
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
     // frame-level dHash (the same shared fragment over hex FRAME slices),
     // then brute-force frame pairs across distinct videos and the
     // least/greatest frame-vote rollup — videoPairs mirrored end to end
