@@ -262,13 +262,15 @@ object Cli {
       }
 
     // prepare-corpus <docs.parquet> <outDir> [stagingDir|-] [format]
-    //                [urlCol|-] [maxDocsPerDomain]
+    //                [urlCol|-] [maxDocsPerDomain|-] [html|-]
     // The training-data prep chain (normalize → quality filter → exact dedup
     // → decontaminate → split) shipped as released JSONL (default) or
     // parquet shards partitioned by split, plus a per-split JSON report
     // computed from what was WRITTEN (read-back is the proof, not the plan).
     // With urlCol set, URL-level dedup runs first and (optionally) the
     // per-domain quota caps the final corpus — the RefinedWeb curation legs.
+    // "html" marks raw-crawl input: markup extraction runs before
+    // normalization.
     case "prepare-corpus" =>
       val Array(_, docsPath, outDir, rest @ _*) = args: @unchecked
       val staging = rest.lift(0).filter(_ != "-")

@@ -375,9 +375,14 @@ object QueriesData {
           media.as[graft.multimodal.MediaRecord],
           minEdge = 128, maxAspectPermille = 3000, maxBinPermille = 900)
         .where(col("keep")).select("media_id")
+      // checkpoint the branch points: survivors feeds three consumers and
+      // sigs two — without these the benched entry re-runs the per-row
+      // decode-attempt lineage ~4× (measuring redundancy, not the operator)
       val survivors = media.join(kept, Seq("media_id"), "left_semi")
+        .localCheckpoint(true)
       val sigs = Multimodal.perceptualHash(
-        survivors.as[graft.multimodal.MediaRecord])
+          survivors.as[graft.multimodal.MediaRecord])
+        .localCheckpoint(true)
       val winners = sigs.where(col("phash").isNotNull)
         .groupBy("phash").agg(min("media_id").as("media_id"))
         .select("media_id")
@@ -1593,7 +1598,7 @@ object QueriesData {
         |e3 AS (SELECT doc_id,
         |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM e2),
         |e4 AS (SELECT doc_id, regexp_replace(t,
-        |  '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)\b[^>]*>', chr(10), 'g') AS t FROM e3),
+        |  '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)(>|[ \t/][^>]*>)', chr(10), 'g') AS t FROM e3),
         |e5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM e4),
         |e6 AS (SELECT doc_id,
         |  replace(replace(replace(replace(replace(replace(replace(t,

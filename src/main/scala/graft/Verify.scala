@@ -58,8 +58,13 @@ object Verify {
                 s"""{"column":"$c","value":$value,"floor":$floor,""" +
                   s""""above_floor":$above,"gated":$gated}"""
             case None =>
+              // an empty result with a configured floor is NOT a pass — the
+              // floor cannot be demonstrated, and greening it would mask a
+              // regression that zeroed the operator's output
+              val floor = floors.get(name)
               audits(name) = s"""{"column":"$c","value":null,""" +
-                """"floor":null,"above_floor":true,"gated":false,""" +
+                s""""floor":${floor.map(_.toString).getOrElse("null")},""" +
+                s""""above_floor":${floor.isEmpty},"gated":false,""" +
                 """"empty_result":true}"""
           }
         }

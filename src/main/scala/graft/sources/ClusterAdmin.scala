@@ -166,16 +166,21 @@ final class InMemoryClusterAdmin(
 object ClusterAdmin {
 
   /** Capture a consumer-group snapshot from the live cluster (S6+S7 →
-    * backup/engine.rs:730-741's snapshot artifact). Groups are sorted so
-    * the artifact is byte-deterministic regardless of the admin
-    * implementation's listing order.
+    * backup/engine.rs:730-741's snapshot artifact). Groups, topics, and
+    * partitions are all SORTED (groups/topics lexicographic, partitions
+    * numeric) so the artifact is byte-deterministic regardless of the
+    * admin implementation's listing order — an unsorted small Map would
+    * serialize in insertion order and make snapshot bytes run-dependent.
     */
   def captureSnapshot(admin: ClusterAdmin, nowMs: Long): ConsumerGroupSnapshot =
     ConsumerGroupSnapshot(nowMs, admin.listConsumerGroups().sorted.map { g =>
       val byTopic = admin.committedOffsets(g).groupBy(_._1._1)
-      GroupOffsets(g, byTopic.map { case (t, ps) =>
-        t -> ps.map { case ((_, p), off) => p.toString -> off }
-      })
+      GroupOffsets(g, scala.collection.immutable.ListMap(
+        byTopic.toSeq.sortBy(_._1).map { case (t, ps) =>
+          t -> scala.collection.immutable.ListMap(
+            ps.toSeq.sortBy(_._1._2)
+              .map { case ((_, p), off) => p.toString -> off }: _*)
+        }: _*))
     }.toList)
 
   /** Snapshot-mode Spark source options from live latest offsets (St3/F10):

@@ -82,13 +82,6 @@ object CorpusClean {
       .select(idCol, "keep", "reason")
   }
 
-  /** Text normalization: strip C0 control characters (except \t \n \r) and
-    * canonically compose to Unicode NFC (decomposed e + U+0301 → é) — the
-    * usual first cleaning pass over scraped text. Control-strip runs first
-    * (a control char between base and combining mark would block
-    * composition); NFC is the native [[graft.functions.NfcNormalize]] kernel
-    * with an already-normalized fast path. Narrow map, zero shuffle.
-    */
   /** GPT-style sequence packing map: concatenate each group's documents in
     * deterministic id order and chunk the token stream into fixed
     * `tokensPerSeq` context windows. Emits per-document bookkeeping — the
@@ -127,6 +120,13 @@ object CorpusClean {
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
   }
 
+  /** Text normalization: strip C0 control characters (except \t \n \r) and
+    * canonically compose to Unicode NFC (decomposed e + U+0301 → é) — the
+    * usual first cleaning pass over scraped text. Control-strip runs first
+    * (a control char between base and combining mark would block
+    * composition); NFC is the native [[graft.functions.NfcNormalize]] kernel
+    * with an already-normalized fast path. Narrow map, zero shuffle.
+    */
   def normalizeText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.KFunctions.nfc_normalize(
       regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
@@ -161,11 +161,13 @@ object CorpusClean {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    // \b keeps the match to the listed tag NAMES — without it '</pre>'
-    // prefix-matches '/p' and fabricates line breaks mid-sentence (\b is in
-    // the shared Java-regex/RE2 dialect)
+    // the name must end at '>', whitespace, or '/' — an explicit
+    // alternation rather than \b, because '-' is a non-word char: \b after
+    // 'p' would let '</p-card>'-style hyphenated custom elements
+    // prefix-match and fabricate line breaks (and RE2 has no lookahead to
+    // express "not followed by [\w-]")
     val withBreaks = regexp_replace(noComment,
-      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)\\b[^>]*>", "\n")
+      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)(>|[ \\t/][^>]*>)", "\n")
     val noTags = regexp_replace(withBreaks, "<[^>]*>", " ")
     val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")

@@ -1122,9 +1122,13 @@ class DataOpsSpec extends SparkSpec {
     assert(extract("<h1>Title</h1><p>one <em>two</em> three</p><ul><li>a</li><li>b</li></ul>")
       == "Title\none two three\na\nb")
     assert(extract("line1<br>line2<br/>line3") == "line1\nline2\nline3")
-    // tag-NAME boundary: </pre> must not prefix-match /p, <bright> not br
+    // tag-NAME boundary: </pre> must not prefix-match /p, <bright> not br,
+    // and HYPHENATED custom elements (</p-card>) are generic tags too —
+    // '-' is a non-word char, so a \b guard would wrongly fire there
     assert(extract("<pre>code here</pre> tail") == "code here tail")
     assert(extract("a<bright-banner>b</bright-banner>c") == "a b c")
+    assert(extract("a<p-card>b</p-card>c") == "a b c")
+    assert(extract("x<br-banner>y") == "x y")
     // entity subset decodes; &amp; decodes LAST so &amp;lt; single-decodes
     assert(extract("<p>1 &lt; 2 &amp;&amp; 3 &gt; 2, &quot;q&quot;, it&#39;s</p>")
       == "1 < 2 && 3 > 2, \"q\", it's")
