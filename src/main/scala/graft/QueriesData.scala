@@ -427,18 +427,21 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
-    // media dedup clustering: the phash pair set through the SAME
-    // large-star/small-star components + canonical rollup the text dedup
-    // family uses — component = min reachable id, hash-checked against a
-    // recursive-CTE transitive closure over brute-force Hamming pairs
-    "m_phash_clusters" -> ((s, d) => {
-      val pairs = Dedup.hammingPairs(phashFixtureSigs(s, d), maxHamming = 3)
-        .select("id_a", "id_b")
-      graft.dedup.Clusters.connectedComponents(pairs)
+    // media dedup clustering via hammingClusters — distinct-signature
+    // collapse BEFORE the components loop (feeding hammingPairs' cliques
+    // to the loop was 21× on 10× replicated data; the collapse makes the
+    // edge set distinct-sig-sized). Rollup = component, members, max id —
+    // hash-checked against a recursive-CTE transitive closure over
+    // brute-force Hamming pairs (which expands the cliques, proving the
+    // collapsed plan's labels identical)
+    "m_phash_clusters" -> ((s, d) =>
+      Dedup.hammingClusters(phashFixtureSigs(s, d), maxHamming = 3)
         .groupBy("component")
         .agg(count(lit(1)).as("n_members"), max("id").as("max_member"))
-        .orderBy("component")
-    }),
+        // hammingClusters labels EVERY id (singletons = own component); the
+        // closure oracle only sees ids with an edge, i.e. groups of ≥ 2
+        .where(col("n_members") > 1)
+        .orderBy("component")),
 
     // video near-dup by FRAME VOTE over a multi-frame synthetic corpus:
     // each video row (doc_id%3==2 convention) gets an 8×-repeated payload

@@ -1219,6 +1219,40 @@ class DataOpsSpec extends SparkSpec {
     assert(out(3L)._1 == 800 && out(3L)._2 == 100)
   }
 
+  test("hammingClusters equals clique-expanded components; big duplicate groups stay cheap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // random sigs + planted near-sig chains + a LARGE duplicate group (the
+    // clique-expansion killer: 300 members = 45k edges the collapsed plan
+    // never materializes)
+    val base = (1L to 120L).map(i => i -> rnd.nextLong())
+    val chain = (0 until 6).scanLeft(500L -> rnd.nextLong()) { case ((id, s), j) =>
+      (id + 1) -> (s ^ (1L << (j * 7)))
+    }
+    val bigGroup = (1000L to 1299L).map(i => i -> base.head._2)
+    val all = base ++ chain ++ bigGroup
+    val df = all.toDF("id", "sig")
+    val collapsed = Dedup.hammingClusters(df, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: components over the full clique-expanded pair set, with
+    // singletons labeled as themselves
+    val pairs = Dedup.hammingPairs(df, maxHamming = 3).select("id_a", "id_b")
+    val viaCliques = graft.dedup.Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = all.map { case (id, _) =>
+      id -> viaCliques.getOrElse(id, id)
+    }.toMap
+    assert(collapsed == expected,
+      s"label drift: ${(collapsed.toSet diff expected.toSet).take(5)}")
+    // the big duplicate group collapsed onto id 1 (shares base.head's sig)
+    assert(collapsed(1299L) == collapsed(1L))
+    // null sigs are excluded entirely
+    val withNull = df.unionByName(
+      Seq((9999L, null.asInstanceOf[java.lang.Long])).toDF("id", "sig"))
+    assert(!Dedup.hammingClusters(withNull, maxHamming = 3)
+      .collect().exists(_.getLong(0) == 9999L))
+  }
+
   test("hammingPairs equals brute force over random signature sets (pigeonhole exactness fuzz)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
