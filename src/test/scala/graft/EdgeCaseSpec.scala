@@ -12,6 +12,42 @@ import org.apache.spark.sql.functions._
 class EdgeCaseSpec extends SparkSpec {
   import spark.implicits._
 
+  test("round-12 operators on degenerate inputs: empty corpora, all-null media, no benchmark") {
+    import graft.multimodal.{MediaRecord, Multimodal}
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    // sequence packing of nothing: empty map, no window crash
+    assert(graft.text.CorpusClean.packSequences(emptyDocs, 512).count() == 0)
+    // HTML extraction of empty/whitespace/non-HTML strings
+    val h = Seq((1L, ""), (2L, "   "), (3L, "plain text, no tags"))
+      .toDF("id", "t")
+      .select(graft.text.CorpusClean.extractHtmlText(col("t")).as("c"))
+      .collect().map(_.getString(0))
+    assert(h.toSeq == Seq("", "", "plain text, no tags"))
+    // provenance with an EMPTY benchmark: nothing flags, no crash
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(graft.text.Sampling.decontaminateReport(corpus,
+      emptyDocs.select("doc_id", "text"), shingleN = 3).count() == 0)
+    // media ops over empty / all-null-payload sets
+    val emptyMedia = Seq.empty[MediaRecord].toDS()
+    assert(Multimodal.filterMedia(emptyMedia).count() == 0)
+    assert(Multimodal.videoPairs(emptyMedia).count() == 0)
+    assert(Multimodal.audioPairs(emptyMedia).count() == 0)
+    val nullMedia = Seq(
+      MediaRecord(1L, "video", null, Map.empty),
+      MediaRecord(2L, "audio", null, Map.empty),
+      MediaRecord(3L, "image", null, Map.empty)).toDS()
+    assert(Multimodal.videoPairs(nullMedia).count() == 0)
+    assert(Multimodal.audioPairs(nullMedia).count() == 0)
+    assert(Dedup.hammingClusters(
+      Multimodal.perceptualHash(nullMedia)
+        .select(col("media_id").as("id"), col("phash").as("sig"))).count() == 0)
+    // null payloads still pass the filter annotate (empty-payload dims)
+    assert(Multimodal.filterMedia(nullMedia).count() == 3)
+    // empty-corpus tercile fit: None cuts (covered in LmScoreSpec) and the
+    // pack/capstone rollups stay empty rather than throwing
+    assert(graft.text.CorpusClean.packShards(emptyDocs, 100).count() == 0)
+  }
+
   test("zero embedding vectors don't crash cosine paths (ANSI ÷0)") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)), (3L, Array(0.5f, 0.5f)))
