@@ -928,6 +928,25 @@ object QueriesData {
         .orderBy("source")
     }),
 
+    // WARC interchange round-trip: corpus → resource records (gzipped,
+    // member-per-partition archives) → binaryFile parse → rollup equal to
+    // the source-of-truth rollup straight off documents — the crawl-format
+    // analog of d_jsonl_roundtrip (parse, HTTP/record framing, gzip, and
+    // provenance counting all inside the hash)
+    "d_warc_roundtrip" -> ((s, d) => {
+      val tmp = graft.util.TempDirs.create("graft-warc")
+      val src = docs(s, d).select(
+        concat(lit("http://ex.com/doc/"), col("doc_id")).as("url"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("content"))
+      graft.sources.WarcIO.writeWarc(src, tmp, "url", "content", gzip = true)
+      graft.sources.WarcIO.readWarc(s, tmp)
+        .groupBy()
+        .agg(count(lit(1)).as("n_records"),
+          countDistinct("target_uri").as("n_urls"),
+          sum(length(decode(col("content"), "UTF-8"))).as("total_chars"),
+          sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupt"))
+    }),
+
     // profiling: the per-source corpus report (counts, duplicate surface,
     // exact length percentiles, token volume) — exact form as the oracle
     // gate; Profile.approx is the sketch-based 100 TB form, spec-pinned
@@ -2384,6 +2403,13 @@ object QueriesData {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  CAST(0 AS BIGINT) AS n_corrupt
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "d_warc_roundtrip" ->
+      // lossless means: every doc back as one record, one distinct URI per
+      // doc, the original character volume, zero corrupt
+      """SELECT count(*) AS n_records, count(DISTINCT doc_id) AS n_urls,
+        |  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM documents""".stripMargin,
     "d_corpus_profile" ->
       // same digest as d_exact_dedup, same tokenization as d_token_count;
       // percentile_cont mirrors Spark's exact `percentile` interpolation
