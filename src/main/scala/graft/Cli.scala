@@ -39,7 +39,7 @@ object Cli {
 
   private def usage(): Unit = System.err.println(
     "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
-      "prepare-corpus corpus-diff datasheet " +
+      "import-warc prepare-corpus corpus-diff datasheet " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-groups snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -260,6 +260,40 @@ object Cli {
             println(s"offset state: $t/$p last_offset=$off")
           }
       }
+
+    // import-warc <warcDir> <out.parquet> [html|-]
+    // Crawl archives → the documents shape the whole curation battery
+    // runs on: doc_id = xxhash64 of the (archive, record) provenance
+    // (deterministic and shuffle-free — a global row_number would
+    // single-partition 100 TB), url = WARC-Target-URI, text = the payload
+    // decoded (optionally HTML-extracted with "html"), source = archive
+    // file name. Corrupt markers are excluded from the corpus and counted
+    // in the report line.
+    case "import-warc" =>
+      val Array(_, warcDir, outPath, rest @ _*) = args: @unchecked
+      val mode = rest.headOption.filter(_ != "-")
+      mode.foreach(m => require(m == "html",
+        s"unknown input mode '$m' (expected 'html' or '-')"))
+      val recs = graft.sources.WarcIO.readWarc(spark, warcDir)
+        .localCheckpoint(true) // corpus write + corrupt count, one parse
+      val raw = decode(col("content"), "UTF-8")
+      val text =
+        if (mode.isDefined) graft.text.CorpusClean.extractHtmlText(raw) else raw
+      recs.filter(!col("corrupt"))
+        .select(
+          xxhash64(col("warc_file"), col("rec_idx")).as("doc_id"),
+          col("target_uri").as("url"),
+          text.as("text"),
+          regexp_extract(col("warc_file"), "([^/]+)$", 1).as("source"),
+          col("warc_file"), col("rec_idx"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(outPath)
+      val written = spark.read.parquet(outPath)
+      val nCorrupt = recs.filter(col("corrupt")).count()
+      println(s"""{"out":${graft.util.Json.escape(outPath)},""" +
+        s""""n_docs":${written.count()},""" +
+        s""""n_files":${written.select("warc_file").distinct().count()},""" +
+        s""""n_corrupt":$nCorrupt}""")
 
     // prepare-corpus <docs.parquet> <outDir> [stagingDir|-] [format]
     //                [urlCol|-] [maxDocsPerDomain|-] [html|-]
