@@ -45,77 +45,102 @@ object WarcIO {
       content: Array[Byte],
       corrupt: Boolean)
 
-  /** Parse one archive's bytes (gzip-sniffed) into payload records. */
+  /** Parse one archive's bytes into payload records — gzip-sniffed, then
+    * STREAMED record-by-record over the (possibly decompressing) input:
+    * only one record's payload is ever materialized, never the whole
+    * decompressed archive (a ~1 GB Common Crawl .warc.gz decompresses
+    * 3-5×, past any single-array buffer). Malformed input of ANY kind —
+    * garbage headers, negative/overflowing Content-Length, truncated
+    * payloads, a gzip stream cut off mid-member — surfaces as ONE counted
+    * corrupt marker for the file's tail instead of a task-fatal exception
+    * (prior records stand).
+    */
   def parse(fileName: String, raw: Array[Byte]): Iterator[WarcRecord] = {
-    val bytes = if (isGzip(raw)) gunzipAll(raw) else raw
+    val bin = new java.io.ByteArrayInputStream(raw)
+    val in: java.io.InputStream =
+      if (isGzip(raw))
+        // multi-member stream (the Common Crawl member-per-record layout):
+        // JDK GZIPInputStream reads concatenated members natively
+        new java.util.zip.GZIPInputStream(bin)
+      else bin
     new Iterator[WarcRecord] {
-      private var pos = 0
       private var idx = 0
-      private var done = bytes.isEmpty
+      private var done = raw.isEmpty
       private var pending: WarcRecord = null
       advance()
+
+      private def corruptTail(): WarcRecord = {
+        done = true
+        WarcRecord(fileName, idx, "corrupt", null, Array.emptyByteArray,
+          corrupt = true)
+      }
 
       private def advance(): Unit = {
         pending = null
         while (pending == null && !done) {
-          skipPadding()
-          if (pos >= bytes.length) { done = true; return }
-          parseOne() match {
-            case Some(r) => pending = r
-            case None if pos >= bytes.length => done = true
-            case None =>
-              // malformed from here on: surface one corrupt marker, stop
-              pending = WarcRecord(fileName, idx, "corrupt", null,
-                Array.emptyByteArray, corrupt = true)
-              done = true
-          }
+          // any decode failure from here on (incl. ZipException/EOF from a
+          // truncated gzip member) is the file's malformed tail
+          try parseOne() match {
+            case Right(Some(r)) => pending = r
+            case Right(None) => // non-payload record type: keep scanning
+            case Left(true) => done = true // clean EOF
+            case Left(false) => pending = corruptTail()
+          } catch { case _: java.io.IOException => pending = corruptTail() }
         }
       }
 
-      // inter-record padding (the record separator and any stray CRLFs) —
-      // runs before EVERY header parse, including the tail-skip recursion
-      // over non-payload record types
-      private def skipPadding(): Unit =
-        while (pos < bytes.length &&
-          (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-
-      private def parseOne(): Option[WarcRecord] = {
-        skipPadding()
-        if (pos >= bytes.length) return None
-        val headerEnd = indexOfDoubleCrlf(bytes, pos)
-        if (headerEnd < 0) return None
-        val header = new String(bytes, pos, headerEnd - pos,
-          StandardCharsets.UTF_8)
-        val lines = header.split("\r\n")
-        if (!lines.headOption.exists(_.startsWith("WARC/"))) return None
-        val fields = lines.tail.flatMap { l =>
-          val i = l.indexOf(':')
-          if (i < 0) None else Some(l.take(i).trim.toLowerCase -> l.drop(i + 1).trim)
-        }.toMap
-        val len = fields.get("content-length").flatMap(_.toLongOption)
-          .getOrElse(return None)
-        val bodyStart = headerEnd + 4
-        if (bodyStart + len > bytes.length) return None
-        val wtype = fields.getOrElse("warc-type", "")
-        val payload0 = java.util.Arrays.copyOfRange(bytes, bodyStart,
-          (bodyStart + len).toInt)
-        pos = (bodyStart + len).toInt
-        val rec = wtype match {
-          case "resource" =>
-            Some(WarcRecord(fileName, idx, wtype,
-              fields.get("warc-target-uri").orNull, payload0, corrupt = false))
-          case "response" =>
-            // strip the HTTP header block; a body-less response is empty
-            val h = indexOfDoubleCrlf(payload0, 0)
-            val body =
-              if (h < 0) Array.emptyByteArray
-              else java.util.Arrays.copyOfRange(payload0, h + 4, payload0.length)
-            Some(WarcRecord(fileName, idx, wtype,
-              fields.get("warc-target-uri").orNull, body, corrupt = false))
-          case _ => None // warcinfo/request/metadata: skipped, not counted
+      /** Right(rec-or-skip) on a parsed record, Left(true) on clean EOF,
+        * Left(false) on malformed bytes.
+        */
+      private def parseOne(): Either[Boolean, Option[WarcRecord]] = {
+        // skip inter-record padding (the CRLF CRLF separator, stray CRLFs)
+        var first = readLine(in)
+        while (first.exists(_.isEmpty)) first = readLine(in)
+        first match {
+          case None => Left(true)
+          case Some(v) if !v.startsWith("WARC/") => Left(false)
+          case Some(_) =>
+            var fields = Map.empty[String, String]
+            var line = readLine(in)
+            while (line.exists(_.nonEmpty)) {
+              val l = line.get
+              val i = l.indexOf(':')
+              if (i > 0)
+                fields += l.take(i).trim.toLowerCase(java.util.Locale.ROOT) ->
+                  l.drop(i + 1).trim
+              line = readLine(in)
+            }
+            if (line.isEmpty) return Left(false) // EOF inside the header block
+            val len = fields.get("content-length").flatMap(_.toLongOption)
+              .getOrElse(-1L)
+            // negative, absent, or single-array-impossible lengths are
+            // malformed — never fed to an allocator
+            if (len < 0 || len > Int.MaxValue - 16) return Left(false)
+            val payload = in.readNBytes(len.toInt)
+            if (payload.length < len) return Left(false) // truncated payload
+            val wtype = fields.getOrElse("warc-type", "")
+            val uri = fields.get("warc-target-uri").orNull
+            idx += 1
+            wtype match {
+              case "resource" =>
+                Right(Some(WarcRecord(fileName, idx - 1, wtype, uri, payload,
+                  corrupt = false)))
+              case "response" =>
+                // strip the HTTP header block — CRLF CRLF per spec, with a
+                // bare-LF fallback (non-compliant servers exist in real
+                // crawls); NO terminator at all means the capture is
+                // headers-only/truncated → counted corrupt, not a silent
+                // empty document
+                val h = indexOfBlankLine(payload)
+                if (h < 0)
+                  Right(Some(WarcRecord(fileName, idx - 1, wtype, uri,
+                    Array.emptyByteArray, corrupt = true)))
+                else Right(Some(WarcRecord(fileName, idx - 1, wtype, uri,
+                  java.util.Arrays.copyOfRange(payload, h, payload.length),
+                  corrupt = false)))
+              case _ => Right(None) // warcinfo/request/metadata: skipped
+            }
         }
-        idx += 1
-        rec.orElse { parseOne() } // tail-skip non-payload record types
       }
 
       override def hasNext: Boolean = pending != null
@@ -125,11 +150,30 @@ object WarcIO {
     }
   }
 
-  private def indexOfDoubleCrlf(b: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i + 3 < b.length) {
-      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
-        return i
+  /** Read one header line (terminated by \n, \r stripped); None at EOF
+    * with nothing read.
+    */
+  private def readLine(in: java.io.InputStream): Option[String] = {
+    val buf = new java.io.ByteArrayOutputStream(80)
+    var c = in.read()
+    if (c < 0) return None
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') buf.write(c)
+      c = in.read()
+    }
+    Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
+  }
+
+  /** Index just PAST the first blank line (CRLF CRLF or bare LF LF) — the
+    * HTTP header/body boundary; -1 when absent.
+    */
+  private def indexOfBlankLine(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 1 < b.length) {
+      if (b(i) == '\n') {
+        if (b(i + 1) == '\n') return i + 2
+        if (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n') return i + 3
+      }
       i += 1
     }
     -1
@@ -137,22 +181,6 @@ object WarcIO {
 
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
-
-  /** Decompress a concatenated-member gzip stream (the Common Crawl
-    * member-per-record layout) — JDK GZIPInputStream reads multi-member
-    * streams natively.
-    */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
-    val buf = new Array[Byte](64 << 10)
-    try {
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally in.close()
-    out.toByteArray
-  }
 
   /** Read a directory of `.warc`/`.warc.gz` archives into
     * `(warc_file, rec_idx, warc_type, target_uri, content, corrupt)` —
@@ -199,17 +227,26 @@ object WarcIO {
           val raw = fs.create(path, true)
           val out =
             if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+          // one digest per partition — getInstance walks the JCA provider
+          // list per call, pure overhead on the write hot path; digest()
+          // resets the instance so reuse is safe
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          var seq = 0
           try {
             it.foreach { case (url, content0) =>
               val content =
                 if (content0 == null) Array.emptyByteArray else content0
-              val digest = java.security.MessageDigest.getInstance("SHA-256")
-                .digest(content)
-              val id = digest.take(16).map("%02x".format(_)).mkString
+              // record ids must be UNIQUE (the WARC contract — CDX
+              // indexers dedup by id, and duplicate payloads are this
+              // project's normal corpus shape): file name + in-file
+              // sequence make the id unique, the content digest keeps it
+              // reproducible
+              val id = md.digest(content).take(16)
+                .map("%02x".format(_)).mkString
               val header =
                 s"WARC/1.1\r\n" +
                   s"WARC-Type: resource\r\n" +
-                  s"WARC-Record-ID: <urn:sha256:$id>\r\n" +
+                  s"WARC-Record-ID: <urn:graft:$name:$seq:sha256:$id>\r\n" +
                   s"WARC-Date: $dateIso\r\n" +
                   (if (url != null) s"WARC-Target-URI: $url\r\n" else "") +
                   s"Content-Type: application/octet-stream\r\n" +
@@ -217,6 +254,7 @@ object WarcIO {
               out.write(header.getBytes(StandardCharsets.UTF_8))
               out.write(content)
               out.write(Crlf); out.write(Crlf)
+              seq += 1
             }
           } finally out.close()
           Iterator.single(name)

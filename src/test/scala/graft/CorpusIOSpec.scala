@@ -92,6 +92,35 @@ class CorpusIOSpec extends SparkSpec {
     assert(mr.forall(!_.corrupt))
     // empty file: no records, no crash
     assert(graft.sources.WarcIO.parse("e.warc", Array.emptyByteArray).isEmpty)
+    // negative Content-Length: counted corrupt, never an allocator crash
+    val neg = ("WARC/1.1\r\nWARC-Type: resource\r\n" +
+      "Content-Length: -1\r\n\r\n").getBytes("UTF-8")
+    val nr = graft.sources.WarcIO.parse("n.warc", neg).toSeq
+    assert(nr.map(_.corrupt) == Seq(true))
+    // truncated gzip member (crawler died mid-write): corrupt, not fatal
+    val cut = gz(rec("resource", "http://t/1", "payload".getBytes))
+    val tr = graft.sources.WarcIO.parse("t.warc.gz",
+      cut.take(cut.length / 2)).toSeq
+    assert(tr.nonEmpty && tr.last.corrupt)
+    // thousands of consecutive non-payload records: iterative skip, no
+    // stack overflow
+    val junk = Array.fill(20000)(
+      rec("metadata", null, "k: v\r\n".getBytes("UTF-8"))).flatten ++
+      rec("resource", "http://j/1", "end".getBytes)
+    val jr = graft.sources.WarcIO.parse("j.warc", junk).toSeq
+    assert(jr.map(_.target_uri) == Seq("http://j/1"))
+    // bare-LF HTTP header separators (non-compliant servers): body parsed
+    val lfBody = "lf body".getBytes("UTF-8")
+    val lfResp = rec("response", "http://lf/1",
+      "HTTP/1.1 200 OK\nContent-Type: text/plain\n\n".getBytes("UTF-8") ++ lfBody)
+    val lr = graft.sources.WarcIO.parse("lf.warc", lfResp).toSeq
+    assert(lr.head.content.sameElements(lfBody) && !lr.head.corrupt)
+    // a response with NO header/body boundary at all: counted corrupt, not
+    // a silent empty document
+    val noB = rec("response", "http://nb/1",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain".getBytes("UTF-8"))
+    val nb = graft.sources.WarcIO.parse("nb.warc", noB).toSeq
+    assert(nb.head.corrupt && nb.head.content.isEmpty)
   }
 
   test("WARC round-trip through Spark: write archives, read back byte-identical payloads") {
