@@ -117,6 +117,68 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous crawl ingest: WARC archives stream in, parse + HTML-extract incrementally") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, decode}
+    // the crawl chain under Structured Streaming: a directory of arriving
+    // archives (the binaryFile FILE source) → streamed record parse →
+    // HTML extraction — all narrow ops, so the batch operators run
+    // unchanged; each new archive lands exactly once
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-warc-ckpt")
+    def archive(n: Int, docs: Seq[(String, String)]): Unit = {
+      val recs = docs.map { case (uri, html) =>
+        val p = html.getBytes("UTF-8")
+        (s"WARC/1.1\r\nWARC-Type: resource\r\nWARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${p.length}\r\n\r\n").getBytes("UTF-8") ++
+          p ++ "\r\n\r\n".getBytes("UTF-8")
+      }
+      java.nio.file.Files.write(dir.resolve(f"crawl-$n%03d.warc"),
+        recs.flatten.toArray)
+    }
+    archive(1, Seq("http://w/1" -> "<p>first doc</p>",
+      "http://w/2" -> "<p>second</p><script>x<1</script>"))
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binarySchema) // streaming file sources require one explicitly
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir.toString)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, raw) => graft.sources.WarcIO.parse(p, raw) }
+      .where(!col("corrupt"))
+      .select(col("target_uri"),
+        graft.text.CorpusClean.extractHtmlText(
+          decode(col("content"), "UTF-8")).as("text"))
+    val q = stream.writeStream.format("memory").queryName("warc_stream_out")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val batch1 = spark.table("warc_stream_out").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(batch1 == Map("http://w/1" -> "first doc", "http://w/2" -> "second"))
+      archive(2, Seq("http://w/3" -> "<h1>late arrival</h1>"))
+      q.processAllAvailable()
+      val all = spark.table("warc_stream_out").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(all.size == 3 && all("http://w/3") == "late arrival",
+        "a newly arriving archive must land exactly once")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+
   test("stateless text ops (repetition signals, corpus filter, redaction) run on streams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
