@@ -453,22 +453,25 @@ object QueriesData {
     // docs too short for two full frames stay unpaired (deterministic,
     // oracle mirrors). Frame slicing, per-frame dHash, the banded frame
     // join, and the least/greatest vote rollup are all hash-checked.
-    "m_video_dups" -> ((s, d) => {
-      import s.implicits._
-      val base = docs(s, d)
-        .filter(col("doc_id") % 3 === 2 && col("text").isNotNull)
-      def asMedia(id: Column, content: Column) =
-        base.select(id.as("media_id"), lit("video").as("media_type"),
-          content.as("content"),
-          typedLit(Map.empty[String, String]).as("meta"))
-      val vids = asMedia(col("doc_id"), encode(repeat(col("text"), 8), "UTF-8"))
-      val exts = asMedia(-(col("doc_id") + lit(1L)),
-        encode(concat(repeat(col("text"), 8), col("text")), "UTF-8"))
-      Multimodal.videoPairs(
-          vids.unionByName(exts).as[graft.multimodal.MediaRecord],
+    "m_video_dups" -> ((s, d) =>
+      Multimodal.videoPairs(videoFixtureMedia(s, d),
           frameBytes = 1024, maxHamming = 3, minMatchedFrames = 2)
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
+
+    // video dedup clustering via videoClusters — identical frame-hash
+    // SEQUENCES collapse to one representative before the pair vote (the
+    // hammingClusters discipline one level up: replicated dup groups make
+    // pair output quadratic, clusters need only the group). Hash-checked
+    // against a recursive-CTE closure over the brute-force VOTED pairs,
+    // which does expand the cliques — proving the collapsed labels equal
+    "m_video_clusters" -> ((s, d) =>
+      Multimodal.videoClusters(videoFixtureMedia(s, d),
+          frameBytes = 1024, maxHamming = 3, minMatchedFrames = 2)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_member"))
+        // the closure oracle only sees voted pairs → groups of ≥ 2
+        .where(col("n_members") > 1)
+        .orderBy("component")),
 
     // audio near-dup by OVERLAPPING-window vote — the offset-robustness
     // case the video (disjoint-frame) contract cannot pass: each audio row
@@ -1080,6 +1083,41 @@ object QueriesData {
       .select(col("media_id").as("id"), col("phash").as("sig"))
       .localCheckpoint(true)
   }
+
+  /** Shared m_video_* fixture: 8×-repeated payloads per video doc
+    * (doc_id%3==2) plus EXTENDED clones (same payload + one more copy —
+    * every full frame shared, trailing partial differs).
+    */
+  private def videoFixtureMedia(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord] = {
+    import s.implicits._
+    val base = docs(s, d)
+      .filter(col("doc_id") % 3 === 2 && col("text").isNotNull)
+    def asMedia(id: Column, content: Column) =
+      base.select(id.as("media_id"), lit("video").as("media_type"),
+        content.as("content"),
+        typedLit(Map.empty[String, String]).as("meta"))
+    asMedia(col("doc_id"), encode(repeat(col("text"), 8), "UTF-8"))
+      .unionByName(asMedia(-(col("doc_id") + lit(1L)),
+        encode(concat(repeat(col("text"), 8), col("text")), "UTF-8")))
+      .as[graft.multimodal.MediaRecord]
+  }
+
+  /** The [[videoFixtureMedia]] fixture's DuckDB side: hex payloads (CTE
+    * `v`) sliced into 1 KiB frames (CTE `fr(media_id, frame_idx, hx)`).
+    */
+  private def videoFixtureSqlCtes: String =
+    """v AS (
+      |  SELECT doc_id AS media_id, hex(encode(repeat(text, 8))) AS hx
+      |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
+      |  UNION ALL
+      |  SELECT -(doc_id + 1), hex(encode(repeat(text, 8) || text))
+      |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
+      |fr AS (
+      |  SELECT media_id, CAST(f AS INT) AS frame_idx,
+      |         substring(hx, CAST(2*f*1024 + 1 AS INT),
+      |           CAST(least(2048, length(hx) - 2*f*1024) AS INT)) AS hx
+      |  FROM v, unnest(range(0, (length(hx) // 2 + 1023) // 1024)) AS t(f))""".stripMargin
 
   /** The [[phashFixtureSigs]] fixture's DuckDB side: originals + the
     * last-byte-swap clones as hex payloads in CTE `b(media_id, hx)`.
@@ -2283,17 +2321,7 @@ object QueriesData {
     // then brute-force frame pairs across distinct videos and the
     // least/greatest frame-vote rollup — videoPairs mirrored end to end
     "m_video_dups" ->
-      s"""WITH v AS (
-        |  SELECT doc_id AS media_id, hex(encode(repeat(text, 8))) AS hx
-        |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
-        |  UNION ALL
-        |  SELECT -(doc_id + 1), hex(encode(repeat(text, 8) || text))
-        |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
-        |fr AS (
-        |  SELECT media_id, CAST(f AS INT) AS frame_idx,
-        |         substring(hx, CAST(2*f*1024 + 1 AS INT),
-        |           CAST(least(2048, length(hx) - 2*f*1024) AS INT)) AS hx
-        |  FROM v, unnest(range(0, (length(hx) // 2 + 1023) // 1024)) AS t(f)),
+      s"""WITH $videoFixtureSqlCtes,
         |${dhashSqlCtes(src = "fr", keys = "media_id, frame_idx")},
         |fid AS (
         |  SELECT media_id, media_id * 1048576 + frame_idx AS fid, sig FROM sig),
@@ -2311,6 +2339,35 @@ object QueriesData {
         |SELECT id_a, id_b, n_frame_pairs, n_matched_a, n_matched_b
         |FROM agg WHERE least(n_matched_a, n_matched_b) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // the same brute-force vote chain, then symmetric edges over the
+    // VOTED pairs and the recursive-CTE closure — clique-expanded, so a
+    // collapsed-plan label drift flips the hash
+    "m_video_clusters" ->
+      s"""WITH RECURSIVE $videoFixtureSqlCtes,
+        |${dhashSqlCtes(src = "fr", keys = "media_id, frame_idx")},
+        |fid AS (
+        |  SELECT media_id, media_id * 1048576 + frame_idx AS fid, sig FROM sig),
+        |fp AS (
+        |  SELECT a.media_id AS ma, b.media_id AS mb, a.fid AS fa, b.fid AS fb
+        |  FROM fid a JOIN fid b
+        |    ON a.fid < b.fid AND a.media_id <> b.media_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+        |agg AS (
+        |  SELECT least(ma, mb) AS id_a, greatest(ma, mb) AS id_b,
+        |         count(DISTINCT CASE WHEN ma < mb THEN fa ELSE fb END) AS n_matched_a,
+        |         count(DISTINCT CASE WHEN ma < mb THEN fb ELSE fa END) AS n_matched_b
+        |  FROM fp GROUP BY 1, 2),
+        |p2 AS (SELECT id_a, id_b FROM agg
+        |       WHERE least(n_matched_a, n_matched_b) >= 2),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p2
+        |          UNION SELECT id_b, id_a FROM p2),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY 1)
+        |SELECT component, count(*) AS n_members, max(id) AS max_member
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
     // sliding 1024-byte windows at 512-byte hop (only full windows; a
     // sub-window payload gets one truncated window), the shared dHash
     // fragment per window, brute-force cross-media window pairs, and the

@@ -452,6 +452,57 @@ object Multimodal {
       .filter(least(col("n_matched_a"), col("n_matched_b")) >= minMatched)
   }
 
+  /** Connected components over the video frame-vote graph WITHOUT clique
+    * expansion — the clustering-shaped consumer of [[videoPairs]], built
+    * on the same collapse-then-rejoin discipline as
+    * [[graft.dedup.Dedup.hammingClusters]] one level up: videos with
+    * IDENTICAL frame-hash sequences collapse to their min-id
+    * representative first (the replicated-corpus dup groups that make
+    * pair output quadratic), the pair vote runs between representatives
+    * only, and membership re-enters by one sequence join. `(id,
+    * component)` with component = the group's minimum id; videos with no
+    * frames are absent (nothing to match on — [[videoPairs]]' own rule).
+    *
+    * Exactness vs the clique-expanded reference (components over
+    * [[videoPairs]]' output; spec-pinned equal): identical sequences with
+    * ≥ `minMatchedFrames` frames always vote-pair (every frame matches at
+    * Hamming 0), so collapsing them is sound; sequences BELOW the
+    * threshold can never vote-pair — not even with their own duplicates —
+    * so they stay singleton representatives (own component), never
+    * collapsed.
+    */
+  def videoClusters(media: Dataset[MediaRecord],
+                    frameBytes: Int = FakeCodec.VideoBytesPerFrame,
+                    maxHamming: Int = 3,
+                    minMatchedFrames: Int = 2,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(minMatchedFrames >= 1, "minMatchedFrames must be >= 1")
+    val fh = frameHashes(media, frameBytes)
+    // ordered frame-hash sequence as the GROUP KEY itself (an array column
+    // — collision-free, unlike hashing the sequence)
+    val seqs = fh.groupBy("media_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("fhash")))),
+        s => s.getField("fhash")).as("vseq"))
+      .withColumn("nf", size(col("vseq")))
+    val big = seqs.where(col("nf") >= minMatchedFrames)
+    val reps = big.groupBy("vseq").agg(min("media_id").as("rep"))
+    val repFh = fh.join(reps.select(col("rep").as("media_id")),
+      Seq("media_id"), "left_semi")
+    val pairs = hashVotePairs(repFh, "frame_idx", "fhash", maxHamming,
+        minMatchedFrames, pairsCol = "n_frame_pairs")
+      .select("id_a", "id_b")
+    val comps = graft.dedup.Clusters.connectedComponents(pairs,
+        checkpointDir = checkpointDir)
+      .withColumnRenamed("id", "rep")
+    big.join(reps, Seq("vseq"))
+      .join(comps, Seq("rep"), "left")
+      .select(col("media_id").as("id"),
+        coalesce(col("component"), col("rep")).as("component"))
+      .unionByName(seqs.where(col("nf") < minMatchedFrames)
+        .select(col("media_id").as("id"), col("media_id").as("component")))
+  }
+
   /** Sliding-window fingerprints for AUDIO rows: OVERLAPPING windows of
     * `windowBytes` at `hopBytes` stride, each dHashed over its chunk grid
     * (the stub decode contract — byte windows stand in for spectral

@@ -1253,6 +1253,42 @@ class DataOpsSpec extends SparkSpec {
       .collect().exists(_.getLong(0) == 9999L))
   }
 
+  test("videoClusters equals pair-closure components; sub-threshold duplicates never merge") {
+    import spark.implicits._
+    import graft.multimodal.{MediaRecord, Multimodal}
+    def frame(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(4096)(r.nextInt(256).toByte)
+    }
+    val (p1, p2, p3, q1) = (frame(1), frame(2), frame(3), frame(4))
+    val media = Seq(
+      MediaRecord(1L, "video", p1 ++ p2 ++ p3, Map.empty),
+      MediaRecord(2L, "video", p1 ++ p2 ++ q1, Map.empty), // votes with 1
+      MediaRecord(3L, "video", p1 ++ p2 ++ p3, Map.empty), // exact re-upload
+      MediaRecord(4L, "video", p1 ++ p2 ++ p3, Map.empty), // 3-member group
+      MediaRecord(5L, "video", frame(9) ++ frame(10), Map.empty), // unrelated
+      MediaRecord(6L, "video", q1, Map.empty),  // 1 frame — below the vote
+      MediaRecord(7L, "video", q1, Map.empty),  // identical, but can't vote
+      MediaRecord(8L, "video", Array.emptyByteArray, Map.empty)) // no frames
+      .toDS()
+    val collapsed = Multimodal.videoClusters(media, minMatchedFrames = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: components over the clique-expanded pair output, with
+    // unpaired videos labeled as themselves
+    val pairs = Multimodal.videoPairs(media, minMatchedFrames = 2)
+      .select("id_a", "id_b")
+    val viaPairs = graft.dedup.Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 7L).map(id => id -> viaPairs.getOrElse(id, id)).toMap
+    assert(collapsed == expected, s"label drift: $collapsed vs $expected")
+    assert(Set(1L, 2L, 3L, 4L).map(collapsed) == Set(1L),
+      "the voted group and its exact re-uploads share one component")
+    // identical 1-frame videos can never clear the 2-frame vote — the
+    // collapse must NOT merge what the vote would not
+    assert(collapsed(6L) == 6L && collapsed(7L) == 7L)
+    assert(!collapsed.contains(8L), "no frames → absent, like videoPairs")
+  }
+
   test("hammingPairs equals brute force over random signature sets (pigeonhole exactness fuzz)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
