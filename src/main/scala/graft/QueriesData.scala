@@ -463,7 +463,8 @@ object QueriesData {
     // hammingClusters discipline one level up: replicated dup groups make
     // pair output quadratic, clusters need only the group). Hash-checked
     // against a recursive-CTE closure over the brute-force VOTED pairs,
-    // which does expand the cliques — proving the collapsed labels equal
+    // which DOES expand the cliques — so the hash proves the collapsed
+    // plan's labels equal the clique-expanded reference's
     "m_video_clusters" -> ((s, d) =>
       Multimodal.videoClusters(videoFixtureMedia(s, d),
           frameBytes = 1024, maxHamming = 3, minMatchedFrames = 2)

@@ -478,15 +478,23 @@ object Multimodal {
                     checkpointDir: Option[String] = None): DataFrame = {
     require(minMatchedFrames >= 1, "minMatchedFrames must be >= 1")
     val fh = frameHashes(media, frameBytes)
-    // ordered frame-hash sequence as the GROUP KEY itself (an array column
-    // — collision-free, unlike hashing the sequence)
-    val seqs = fh.groupBy("media_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("frame_idx"), col("fhash")))),
-        s => s.getField("fhash")).as("vseq"))
-      .withColumn("nf", size(col("vseq")))
+    // sequence identity as a CONSTANT-WIDTH key: two independent
+    // commutative XOR-folds of position-tagged hashes (frame order is
+    // encoded INSIDE each term, so the folds are order-sensitive; XOR —
+    // not sum — because ANSI mode throws on long overflow) plus the frame
+    // count. Partial-agg friendly with a fixed-size buffer — a collected
+    // frame-hash array would build an O(nFrames) agg buffer per video
+    // (~16 MB at the 2^20-frame cap) and then shuffle that array TWICE as
+    // the group and join key. Collision bound: two independent 64-bit
+    // folds + the count ≈ a 128-bit key — n²/2¹²⁹ for any realistic
+    // corpus (the risk class the repo already accepts for md5 digests).
+    val seqs = fh.groupBy("media_id").agg(
+      count(lit(1)).as("nf"),
+      bit_xor(xxhash64(col("frame_idx"), col("fhash"))).as("k1"),
+      bit_xor(xxhash64(lit("graft-vseq-2"), col("frame_idx"), col("fhash")))
+        .as("k2"))
     val big = seqs.where(col("nf") >= minMatchedFrames)
-    val reps = big.groupBy("vseq").agg(min("media_id").as("rep"))
+    val reps = big.groupBy("nf", "k1", "k2").agg(min("media_id").as("rep"))
     val repFh = fh.join(reps.select(col("rep").as("media_id")),
       Seq("media_id"), "left_semi")
     val pairs = hashVotePairs(repFh, "frame_idx", "fhash", maxHamming,
@@ -495,7 +503,7 @@ object Multimodal {
     val comps = graft.dedup.Clusters.connectedComponents(pairs,
         checkpointDir = checkpointDir)
       .withColumnRenamed("id", "rep")
-    big.join(reps, Seq("vseq"))
+    big.join(reps, Seq("nf", "k1", "k2"))
       .join(comps, Seq("rep"), "left")
       .select(col("media_id").as("id"),
         coalesce(col("component"), col("rep")).as("component"))

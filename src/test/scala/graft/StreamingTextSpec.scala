@@ -168,10 +168,13 @@ class StreamingTextSpec extends SparkSpec {
       assert(batch1 == Map("http://w/1" -> "first doc", "http://w/2" -> "second"))
       archive(2, Seq("http://w/3" -> "<h1>late arrival</h1>"))
       q.processAllAvailable()
-      val all = spark.table("warc_stream_out").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-      assert(all.size == 3 && all("http://w/3") == "late arrival",
-        "a newly arriving archive must land exactly once")
+      val rows = spark.table("warc_stream_out").collect()
+      // RAW row count — a toMap would silently dedup a reprocessed archive
+      // and green a broken exactly-once
+      assert(rows.length == 3,
+        s"a newly arriving archive must land exactly once, got ${rows.length} rows")
+      val all = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(all("http://w/3") == "late arrival")
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
