@@ -590,6 +590,14 @@ object QueriesData {
       graft.text.CorpusClean.packSequences(docs(s, d), tokensPerSeq = 512)
         .orderBy("source", "doc_id")),
 
+    // overlapping-window chunking: retrieval/embedding preprocessing —
+    // 200-char windows, 50-char overlap, closed-form starts; chunk TEXT is
+    // in the hash, so substring addressing is checked character-exact
+    "d_chunk_windows" -> ((s, d) =>
+      graft.text.CorpusClean.chunkDocuments(docs(s, d),
+          chunkChars = 200, overlapChars = 50)
+        .orderBy("doc_id", "chunk_idx")),
+
     // composite keep/drop filter with first-failing-rule reasons (too_short →
     // dup_lines → repetitive_ngrams) — thresholds chosen to split this corpus
     "d_corpus_filter" -> ((s, d) =>
@@ -1816,6 +1824,24 @@ object QueriesData {
         |SELECT source, doc_id, n_tokens, start_offset, seq_first, seq_last,
         |       seq_last - seq_first + 1 AS n_seqs
         |FROM s ORDER BY source, doc_id""".stripMargin,
+    // same closed-form start arithmetic; DuckDB range(n) is [0, n) like
+    // Spark sequence(0, n-1); null-text rows join back with null chunk fields
+    "d_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |n AS (SELECT doc_id, text,
+        |        CASE WHEN len <= 200 THEN CAST(1 AS BIGINT)
+        |             ELSE CAST(ceil((len - 200) / 150.0) AS BIGINT) + 1
+        |        END AS n_chunks
+        |      FROM d WHERE text IS NOT NULL),
+        |e AS (SELECT doc_id, n_chunks, text,
+        |             UNNEST(range(n_chunks)) AS chunk_idx FROM n)
+        |SELECT doc_id, n_chunks, chunk_idx,
+        |       chunk_idx * 150 AS chunk_start,
+        |       substr(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200) AS chunk
+        |FROM e
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL FROM d WHERE text IS NULL
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "d_corpus_filter" ->
       """WITH lines AS (
         |  SELECT doc_id, trim(l) AS ln

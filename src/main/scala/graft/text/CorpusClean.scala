@@ -120,6 +120,47 @@ object CorpusClean {
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
   }
 
+  /** Overlapping-window document chunking — the retrieval/embedding
+    * preprocessing map (each document split into fixed-size windows that
+    * overlap by `overlapChars`, so no boundary-straddling passage is lost
+    * to a hard cut). The counterpart of [[packSequences]]: packing fills
+    * training windows ACROSS documents; chunking splits WITHIN a document
+    * and never mixes two documents in one chunk.
+    *
+    * Character-addressed and closed-form: chunk `i` starts at
+    * `i * (chunkChars - overlapChars)`; a document of length `L` has
+    * `ceil((L - chunkChars) / stride) + 1` chunks (1 when `L <= chunkChars`,
+    * including `L == 0`), so the final chunk always reaches the document's
+    * last character and only the final chunk may be short. Null text emits
+    * one row with null chunk fields — the same null symmetry as
+    * [[packSequences]], keeping every doc joinable to its chunk set.
+    *
+    * Scale shape: `sequence` + `explode` on a narrow projection — zero
+    * shuffle, embarrassingly parallel, output bounded by
+    * `corpus_chars * chunkChars / stride`.
+    */
+  def chunkDocuments(docs: DataFrame, chunkChars: Int, overlapChars: Int = 0,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(chunkChars > 0, "chunkChars must be positive")
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      "overlapChars must be in [0, chunkChars)")
+    val stride = chunkChars - overlapChars
+    val len = length(col(textCol))
+    val nChunks = when(len <= chunkChars, lit(1L)).otherwise(
+      ceil((len - lit(chunkChars)).cast("double") / lit(stride.toDouble))
+        .cast("long") + 1L)
+    val start = col("chunk_idx") * stride
+    docs.select(col(idCol), col(textCol), nChunks.as("n_chunks"))
+      .withColumn("chunk_idx",
+        explode_outer(when(col("n_chunks").isNotNull,
+          sequence(lit(0L), col("n_chunks") - 1))))
+      .select(col(idCol), col("n_chunks"), col("chunk_idx"),
+        start.as("chunk_start"),
+        col(textCol).substr((start + 1).cast("int"), lit(chunkChars))
+          .as("chunk"))
+  }
+
   /** Text normalization: strip C0 control characters (except \t \n \r) and
     * canonically compose to Unicode NFC (decomposed e + U+0301 → é) — the
     * usual first cleaning pass over scraped text. Control-strip runs first

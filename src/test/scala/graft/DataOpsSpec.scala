@@ -1186,6 +1186,55 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking: overlapping windows cover every char; tail reaches the end; null symmetry") {
+    import spark.implicits._
+    // chunk=10, overlap=3 (stride 7): lengths straddle every formula branch
+    val docsDf = Seq(
+      (1L, "abcdefghij"),            // len 10 == chunk → 1 chunk
+      (2L, "abcdefghijk"),           // len 11 → 2 chunks, second is short
+      (3L, "abcdefghijklmnopq"),     // len 17 = chunk + stride → exactly 2
+      (4L, "abcdefghijklmnopqr"),    // len 18 → 3 chunks
+      (5L, ""),                      // empty → 1 empty chunk
+      (6L, null: String))            // null → one null-span row
+      .toDF("doc_id", "text")
+    val out = graft.text.CorpusClean.chunkDocuments(docsDf, 10, 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) null else (r.getLong(2), r.getLong(3), r.getString(4))))
+    val byDoc = out.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sortBy(t => if (t == null) -1L else t._1) }
+    assert(byDoc(1L).toSeq == Seq((0L, 0L, "abcdefghij")))
+    assert(byDoc(2L).toSeq == Seq((0L, 0L, "abcdefghij"), (1L, 7L, "hijk")))
+    assert(byDoc(3L).toSeq ==
+      Seq((0L, 0L, "abcdefghij"), (1L, 7L, "hijklmnopq")))
+    assert(byDoc(4L).toSeq == Seq((0L, 0L, "abcdefghij"),
+      (1L, 7L, "hijklmnopq"), (2L, 14L, "opqr")))
+    assert(byDoc(5L).toSeq == Seq((0L, 0L, "")))
+    assert(byDoc(6L).toSeq == Seq(null))
+    // coverage property on the real corpus: consecutive chunks overlap by
+    // exactly `overlap` chars (same text both sides), the first starts at 0,
+    // and the last chunk's end is the document's end — no char unreachable
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("text").isNotNull)
+    val chunks = graft.text.CorpusClean.chunkDocuments(corpus, 64, 16)
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    val lens = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((doc, rows0) <- chunks.groupBy(_._1)) {
+      val rows = rows0.sortBy(_._2)
+      assert(rows.head._3 == 0L)
+      for (Array(a, b) <- rows.sliding(2) if rows.length > 1) {
+        assert(b._3 == a._3 + 48, "starts advance by stride")
+        assert(a._4.takeRight(16) == b._4.take(16),
+          s"doc $doc: overlap text must match across the boundary")
+      }
+      val last = rows.last
+      assert(last._3 + last._4.length == lens(doc).length.toLong,
+        s"doc $doc: final chunk must reach the document end")
+      assert(rows.init.forall(_._4.length == 64), "only the tail may be short")
+    }
+  }
+
   test("media filter: real-image gates — size, aspect, solid-color flatness; first-reason wins") {
     import spark.implicits._
     import graft.multimodal.{MediaRecord, Multimodal}
