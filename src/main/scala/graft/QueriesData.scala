@@ -598,6 +598,14 @@ object QueriesData {
           chunkChars = 200, overlapChars = 50)
         .orderBy("doc_id", "chunk_idx")),
 
+    // token-addressed chunking: 32-token windows, 8-token overlap — the
+    // budget embedding models actually enforce; chunk text (space-rejoined
+    // token slice) in the hash checks the slicing token-exact
+    "d_chunk_tokens" -> ((s, d) =>
+      graft.text.CorpusClean.chunkByTokens(docs(s, d),
+          chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
     // composite keep/drop filter with first-failing-rule reasons (too_short →
     // dup_lines → repetitive_ngrams) — thresholds chosen to split this corpus
     "d_corpus_filter" -> ((s, d) =>
@@ -1841,6 +1849,29 @@ object QueriesData {
         |FROM e
         |UNION ALL
         |SELECT doc_id, NULL, NULL, NULL, NULL FROM d WHERE text IS NULL
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // token form: DuckDB list_slice is 1-based inclusive [a, b] =
+    // Spark slice(arr, a, len) with b = a + len - 1
+    "d_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                x -> x <> '') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+        |        CASE WHEN len(w) <= 32 THEN CAST(1 AS BIGINT)
+        |             ELSE CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) + 1
+        |        END AS n_chunks
+        |      FROM t),
+        |e AS (SELECT doc_id, n_tokens, n_chunks, w,
+        |             UNNEST(range(n_chunks)) AS chunk_idx FROM n)
+        |SELECT doc_id, n_tokens, n_chunks, chunk_idx,
+        |       chunk_idx * 24 AS chunk_start,
+        |       array_to_string(list_slice(w, chunk_idx * 24 + 1,
+        |                                  chunk_idx * 24 + 32), ' ') AS chunk
+        |FROM e
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM documents
+        |WHERE text IS NULL
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "d_corpus_filter" ->
       """WITH lines AS (

@@ -161,6 +161,39 @@ object CorpusClean {
           .as("chunk"))
   }
 
+  /** Token-addressed [[chunkDocuments]]: windows of `chunkTokens` whitespace
+    * tokens with `overlapTokens` overlap — the budget an embedding model
+    * actually enforces is tokens, not characters. Same closed-form start
+    * arithmetic and null symmetry; a zero-token document (empty or
+    * whitespace-only) emits one empty chunk. Chunk text re-serializes its
+    * token slice with single spaces (tokenizer-normalized — intra-document
+    * whitespace runs are NOT preserved; use [[chunkDocuments]] when exact
+    * byte spans matter). Offsets (`chunk_start`) are token offsets. Narrow
+    * map, zero shuffle, same scale shape as the character form.
+    */
+  def chunkByTokens(docs: DataFrame, chunkTokens: Int, overlapTokens: Int = 0,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlapTokens must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    val nToks = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val nChunks = when(nToks <= chunkTokens, lit(1L)).otherwise(
+      ceil((nToks - lit(chunkTokens)).cast("double") / lit(stride.toDouble))
+        .cast("long") + 1L)
+    val start = col("chunk_idx") * stride
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"),
+        nToks.as("n_tokens"), nChunks.as("n_chunks"))
+      .withColumn("chunk_idx",
+        explode_outer(when(col("n_chunks").isNotNull,
+          sequence(lit(0L), col("n_chunks") - 1))))
+      .select(col(idCol), col("n_tokens"), col("n_chunks"), col("chunk_idx"),
+        start.as("chunk_start"),
+        array_join(slice(col("toks"), (start + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk"))
+  }
+
   /** Text normalization: strip C0 control characters (except \t \n \r) and
     * canonically compose to Unicode NFC (decomposed e + U+0301 → é) — the
     * usual first cleaning pass over scraped text. Control-strip runs first

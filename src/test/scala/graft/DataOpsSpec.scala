@@ -1235,6 +1235,45 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("token chunking: windows slice the token stream; whitespace normalizes; null symmetry") {
+    import spark.implicits._
+    // chunk=4 tokens, overlap=1 (stride 3)
+    val docsDf = Seq(
+      (1L, "a b c d"),               // 4 tokens == chunk → 1 chunk
+      (2L, "a  b\tc\nd e"),          // 5 tokens → 2 chunks; runs normalize
+      (3L, "a b c d e f g"),         // 7 = chunk + stride → exactly 2
+      (4L, "   "),                   // whitespace-only → 1 empty chunk
+      (5L, null: String))            // null → one null-span row
+      .toDF("doc_id", "text")
+    val out = graft.text.CorpusClean.chunkByTokens(docsDf, 4, 1)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) null else (r.getLong(3), r.getLong(4), r.getString(5))))
+    val byDoc = out.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sortBy(t => if (t == null) -1L else t._1).toSeq }
+    assert(byDoc(1L) == Seq((0L, 0L, "a b c d")))
+    assert(byDoc(2L) == Seq((0L, 0L, "a b c d"), (1L, 3L, "d e")))
+    assert(byDoc(3L) == Seq((0L, 0L, "a b c d"), (1L, 3L, "d e f g")))
+    assert(byDoc(4L) == Seq((0L, 0L, "")))
+    assert(byDoc(5L) == Seq(null))
+    // corpus property: token coverage — per doc, the union of chunk token
+    // counts minus the overlaps equals the doc's token count
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("text").isNotNull)
+    val rows = graft.text.CorpusClean.chunkByTokens(corpus, 16, 4)
+      .select("doc_id", "n_tokens", "chunk_idx", "chunk")
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.getString(3).isEmpty) 0
+        else r.getString(3).split(" ").length))
+    for ((doc, rs0) <- rows.groupBy(_._1)) {
+      val rs = rs0.sortBy(_._3)
+      val covered = rs.map(_._4).sum - 4 * (rs.length - 1)
+      assert(covered == rs.head._2,
+        s"doc $doc: chunks minus overlaps must cover every token exactly")
+      assert(rs.init.forall(_._4 == 16), "only the tail chunk may be short")
+    }
+  }
+
   test("media filter: real-image gates — size, aspect, solid-color flatness; first-reason wins") {
     import spark.implicits._
     import graft.multimodal.{MediaRecord, Multimodal}
