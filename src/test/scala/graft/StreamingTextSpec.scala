@@ -215,6 +215,31 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunking runs on streams: both addressings emit batch-identical chunks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // chunking is a stateless sequence+explode map, so it must pass
+    // streaming analysis unchanged — pin both addressings end-to-end
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val byTok = graft.text.CorpusClean.chunkByTokens(docs, 4, 1)
+    val byChar = graft.text.CorpusClean.chunkDocuments(docs, 10, 3)
+    val q1 = byTok.writeStream.format("memory").queryName("chunk_tok")
+      .outputMode(OutputMode.Append()).start()
+    val q2 = byChar.writeStream.format("memory").queryName("chunk_char")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "a b c d e"), (2L, null: String))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val tok = spark.table("chunk_tok").collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) null else (r.getLong(3), r.getString(5)))).toSet
+      assert(tok == Set((1L, (0L, "a b c d")), (1L, (1L, "d e")), (2L, null)))
+      val ch = spark.table("chunk_char").collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) null else (r.getLong(2), r.getString(4)))).toSet
+      assert(ch == Set((1L, (0L, "a b c d e")), (2L, null)))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("stateless sampling ops (splits, weighted mixing) run on streams") {
     // the split/mix decisions are pure hash arithmetic per row, so the same
     // code path must work under readStream — and assign the SAME split a
