@@ -1851,7 +1851,10 @@ object QueriesData {
         |SELECT doc_id, NULL, NULL, NULL, NULL FROM d WHERE text IS NULL
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // token form: DuckDB list_slice is 1-based inclusive [a, b] =
-    // Spark slice(arr, a, len) with b = a + len - 1
+    // Spark slice(arr, a, len) with b = a + len - 1. Shares the battery-wide
+    // whitespace-token convention (Java \s vs RE2 \s differ on U+000B; no
+    // entry normalizes first, and the corpus carries none — normalizeText
+    // strips it for pipelines that do)
     "d_chunk_tokens" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -152,9 +152,10 @@ object CorpusClean {
         .cast("long") + 1L)
     val start = col("chunk_idx") * stride
     docs.select(col(idCol), col(textCol), nChunks.as("n_chunks"))
+      // sequence null-propagates, so a null n_chunks (null text) reaches
+      // explode_outer as a null array → one null-span row
       .withColumn("chunk_idx",
-        explode_outer(when(col("n_chunks").isNotNull,
-          sequence(lit(0L), col("n_chunks") - 1))))
+        explode_outer(sequence(lit(0L), col("n_chunks") - 1)))
       .select(col(idCol), col("n_chunks"), col("chunk_idx"),
         start.as("chunk_start"),
         col(textCol).substr((start + 1).cast("int"), lit(chunkChars))
@@ -178,16 +179,19 @@ object CorpusClean {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       "overlapTokens must be in [0, chunkTokens)")
     val stride = chunkTokens - overlapTokens
-    val nToks = TextFunctions.tokenCount(col(textCol)).cast("long")
+    // tokenize ONCE, then derive counts from the projected column — without
+    // the staging projection the tokenizer expression appears 4× and
+    // interpreted (non-codegen) evaluation re-splits the document each time
+    val nToks = size(col("toks")).cast("long")
     val nChunks = when(nToks <= chunkTokens, lit(1L)).otherwise(
       ceil((nToks - lit(chunkTokens)).cast("double") / lit(stride.toDouble))
         .cast("long") + 1L)
     val start = col("chunk_idx") * stride
-    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"),
-        nToks.as("n_tokens"), nChunks.as("n_chunks"))
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"), nToks.as("n_tokens"),
+        nChunks.as("n_chunks"))
       .withColumn("chunk_idx",
-        explode_outer(when(col("n_chunks").isNotNull,
-          sequence(lit(0L), col("n_chunks") - 1))))
+        explode_outer(sequence(lit(0L), col("n_chunks") - 1)))
       .select(col(idCol), col("n_tokens"), col("n_chunks"), col("chunk_idx"),
         start.as("chunk_start"),
         array_join(slice(col("toks"), (start + 1).cast("int"),
