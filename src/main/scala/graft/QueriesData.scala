@@ -482,23 +482,27 @@ object QueriesData {
     // so every full window of the original matches and the vote fires.
     // Window slicing, per-window dHash, banded pairs, and the rollup are
     // all hash-checked.
-    "m_audio_dups" -> ((s, d) => {
-      import s.implicits._
-      val base = docs(s, d)
-        .filter(col("doc_id") % 3 === 1 && col("text").isNotNull)
-      def asMedia(id: Column, content: Column) =
-        base.select(id.as("media_id"), lit("audio").as("media_type"),
-          content.as("content"),
-          typedLit(Map.empty[String, String]).as("meta"))
-      val clips = asMedia(col("doc_id"), encode(repeat(col("text"), 6), "UTF-8"))
-      val shifted = asMedia(-(col("doc_id") + lit(1L)),
-        encode(concat(lit("~" * 512), repeat(col("text"), 6)), "UTF-8"))
-      Multimodal.audioPairs(
-          clips.unionByName(shifted).as[graft.multimodal.MediaRecord],
+    "m_audio_dups" -> ((s, d) =>
+      Multimodal.audioPairs(audioFixtureMedia(s, d),
           windowBytes = 1024, hopBytes = 512, maxHamming = 3,
           minMatchedWindows = 2)
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
+
+    // audio dedup clustering via audioClusters — identical window-hash
+    // sequences collapse before the vote (videoClusters' discipline on
+    // the overlapping-window fingerprints); the offset-shifted clones do
+    // NOT collapse (different sequences) and must still land in their
+    // original's component through the representative vote. Hash-checked
+    // against the recursive-CTE closure over the brute-force VOTED pairs
+    "m_audio_clusters" -> ((s, d) =>
+      Multimodal.audioClusters(audioFixtureMedia(s, d),
+          windowBytes = 1024, hopBytes = 512, maxHamming = 3,
+          minMatchedWindows = 2)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("id").as("max_member"))
+        // the closure oracle only sees voted pairs → groups of ≥ 2
+        .where(col("n_members") > 1)
+        .orderBy("component")),
 
     // xxhash64 itself is not reproducible in DuckDB SQL, but the
     // fingerprint's CONTRACT is: equal normalized token streams ⟺ equal
@@ -1135,6 +1139,49 @@ object QueriesData {
       |         substring(hx, CAST(2*f*1024 + 1 AS INT),
       |           CAST(least(2048, length(hx) - 2*f*1024) AS INT)) AS hx
       |  FROM v, unnest(range(0, (length(hx) // 2 + 1023) // 1024)) AS t(f))""".stripMargin
+
+  /** Shared m_audio_* fixture: 6×-repeated payloads per audio doc
+    * (doc_id%3==1) plus one-hop FRONT-PADDED clones (512 `~` bytes
+    * prepended — the offset-robustness case: disjoint frames would lose
+    * all alignment, the 1024/512 sliding windows re-align one hop later).
+    */
+  private def audioFixtureMedia(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord] = {
+    import s.implicits._
+    val base = docs(s, d)
+      .filter(col("doc_id") % 3 === 1 && col("text").isNotNull)
+    def asMedia(id: Column, content: Column) =
+      base.select(id.as("media_id"), lit("audio").as("media_type"),
+        content.as("content"),
+        typedLit(Map.empty[String, String]).as("meta"))
+    asMedia(col("doc_id"), encode(repeat(col("text"), 6), "UTF-8"))
+      .unionByName(asMedia(-(col("doc_id") + lit(1L)),
+        encode(concat(lit("~" * 512), repeat(col("text"), 6)), "UTF-8")))
+      .as[graft.multimodal.MediaRecord]
+  }
+
+  /** The m_audio_* fixture's DuckDB side: 6×-repeated payloads plus the
+    * one-hop front-padded clones (CTE `a0`), sliced into overlapping
+    * 1024-byte windows at 512-byte hop — full windows only, except a
+    * single truncated window for sub-window payloads (CTE
+    * `wins(media_id, win_idx, hx)`). Mirrors
+    * [[graft.multimodal.Multimodal.audioFingerprints]] byte for byte.
+    */
+  private def audioWinsSqlCtes: String =
+    """a0 AS (
+      |  SELECT doc_id AS media_id, hex(encode(repeat(text, 6))) AS hx
+      |  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL
+      |  UNION ALL
+      |  SELECT -(doc_id + 1), hex(encode(repeat('~', 512) || repeat(text, 6)))
+      |  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL),
+      |wins AS (
+      |  SELECT media_id, CAST(w AS INT) AS win_idx,
+      |         substring(hx, CAST(2*w*512 + 1 AS INT),
+      |           CAST(least(2048, length(hx) - 2*w*512) AS INT)) AS hx
+      |  FROM a0, unnest(range(0,
+      |    CASE WHEN length(hx) = 0 THEN 0
+      |         WHEN length(hx) // 2 < 1024 THEN 1
+      |         ELSE 1 + (length(hx) // 2 - 1024) // 512 END)) AS t(w))""".stripMargin
 
   /** The [[phashFixtureSigs]] fixture's DuckDB side: originals + the
     * last-byte-swap clones as hex payloads in CTE `b(media_id, hx)`.
@@ -2435,20 +2482,7 @@ object QueriesData {
     // same vote rollup — audioPairs mirrored end to end, including the
     // one-hop front-pad clone that proves offset robustness
     "m_audio_dups" ->
-      s"""WITH a0 AS (
-        |  SELECT doc_id AS media_id, hex(encode(repeat(text, 6))) AS hx
-        |  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL
-        |  UNION ALL
-        |  SELECT -(doc_id + 1), hex(encode(repeat('~', 512) || repeat(text, 6)))
-        |  FROM documents WHERE doc_id % 3 = 1 AND text IS NOT NULL),
-        |wins AS (
-        |  SELECT media_id, CAST(w AS INT) AS win_idx,
-        |         substring(hx, CAST(2*w*512 + 1 AS INT),
-        |           CAST(least(2048, length(hx) - 2*w*512) AS INT)) AS hx
-        |  FROM a0, unnest(range(0,
-        |    CASE WHEN length(hx) = 0 THEN 0
-        |         WHEN length(hx) // 2 < 1024 THEN 1
-        |         ELSE 1 + (length(hx) // 2 - 1024) // 512 END)) AS t(w)),
+      s"""WITH $audioWinsSqlCtes,
         |${dhashSqlCtes(src = "wins", keys = "media_id, win_idx")},
         |fid AS (
         |  SELECT media_id, media_id * 1048576 + win_idx AS fid, sig FROM sig),
@@ -2466,6 +2500,34 @@ object QueriesData {
         |SELECT id_a, id_b, n_window_pairs, n_matched_a, n_matched_b
         |FROM agg WHERE least(n_matched_a, n_matched_b) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // the same voted pairs closed transitively (recursive CTE) — the
+    // clique-expanded reference the collapsed audioClusters plan must equal
+    "m_audio_clusters" ->
+      s"""WITH RECURSIVE $audioWinsSqlCtes,
+        |${dhashSqlCtes(src = "wins", keys = "media_id, win_idx")},
+        |fid AS (
+        |  SELECT media_id, media_id * 1048576 + win_idx AS fid, sig FROM sig),
+        |fp AS (
+        |  SELECT a.media_id AS ma, b.media_id AS mb, a.fid AS fa, b.fid AS fb
+        |  FROM fid a JOIN fid b
+        |    ON a.fid < b.fid AND a.media_id <> b.media_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+        |agg AS (
+        |  SELECT least(ma, mb) AS id_a, greatest(ma, mb) AS id_b,
+        |         count(DISTINCT CASE WHEN ma < mb THEN fa ELSE fb END) AS n_matched_a,
+        |         count(DISTINCT CASE WHEN ma < mb THEN fb ELSE fa END) AS n_matched_b
+        |  FROM fp GROUP BY 1, 2),
+        |p2 AS (SELECT id_a, id_b FROM agg
+        |       WHERE least(n_matched_a, n_matched_b) >= 2),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p2
+        |          UNION SELECT id_b, id_a FROM p2),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY 1)
+        |SELECT component, count(*) AS n_members, max(id) AS max_member
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
     // rebuilds the fingerprint groups from the normalized token stream
     // itself (lowercased whitespace tokens joined by ' '); the char class is
     // Java's \s spelled out because RE2's \s omits \x0B

@@ -475,30 +475,65 @@ object Multimodal {
                     frameBytes: Int = FakeCodec.VideoBytesPerFrame,
                     maxHamming: Int = 3,
                     minMatchedFrames: Int = 2,
-                    checkpointDir: Option[String] = None): DataFrame = {
-    require(minMatchedFrames >= 1, "minMatchedFrames must be >= 1")
-    val fh = frameHashes(media, frameBytes)
-    // sequence identity as a CONSTANT-WIDTH key: two independent
-    // commutative XOR-folds of position-tagged hashes (frame order is
-    // encoded INSIDE each term, so the folds are order-sensitive; XOR —
-    // not sum — because ANSI mode throws on long overflow) plus the frame
-    // count. Partial-agg friendly with a fixed-size buffer — a collected
-    // frame-hash array would build an O(nFrames) agg buffer per video
-    // (~16 MB at the 2^20-frame cap) and then shuffle that array TWICE as
-    // the group and join key. Collision bound: two independent 64-bit
-    // folds + the count ≈ a 128-bit key — n²/2¹²⁹ for any realistic
-    // corpus (the risk class the repo already accepts for md5 digests).
-    val seqs = fh.groupBy("media_id").agg(
+                    checkpointDir: Option[String] = None): DataFrame =
+    sequenceClusters(frameHashes(media, frameBytes), "frame_idx", "fhash",
+      maxHamming, minMatchedFrames, pairsCol = "n_frame_pairs",
+      salt = "graft-vseq-2", checkpointDir = checkpointDir)
+
+  /** Connected components over the audio window-vote graph — the audio
+    * analog of [[videoClusters]], same collapse discipline over
+    * [[audioFingerprints]]' overlapping windows. Exactness argument is
+    * identical: byte-identical clips share the whole window-hash sequence
+    * (count + order), so they always vote-pair when ≥ `minMatchedWindows`
+    * windows exist and can never when fewer do. OFFSET-SHIFTED clones
+    * (different sequences) do NOT collapse — both stay representatives and
+    * pair-vote normally, so labels still equal the clique-expanded
+    * reference closure (spec-pinned). `(id, component)`; zero-window
+    * (empty) clips are absent, as in [[audioPairs]].
+    */
+  def audioClusters(media: Dataset[MediaRecord],
+                    windowBytes: Int = 1024,
+                    hopBytes: Int = 512,
+                    maxHamming: Int = 3,
+                    minMatchedWindows: Int = 2,
+                    checkpointDir: Option[String] = None): DataFrame =
+    sequenceClusters(audioFingerprints(media, windowBytes, hopBytes),
+      "win_idx", "ahash", maxHamming, minMatchedWindows,
+      pairsCol = "n_window_pairs", salt = "graft-aseq-1",
+      checkpointDir = checkpointDir)
+
+  /** Collapse-then-vote components shared by [[videoClusters]] /
+    * [[audioClusters]]: media with IDENTICAL segment-hash sequences
+    * collapse to their min-id representative, the pair vote runs between
+    * representatives only, membership re-enters by one sequence-key join.
+    *
+    * Sequence identity as a CONSTANT-WIDTH key: two independent
+    * commutative XOR-folds of position-tagged hashes (segment order is
+    * encoded INSIDE each term, so the folds are order-sensitive; XOR —
+    * not sum — because ANSI mode throws on long overflow) plus the
+    * segment count. Partial-agg friendly with a fixed-size buffer — a
+    * collected hash array would build an O(nSegments) agg buffer per
+    * medium (~16 MB at the 2^20-segment cap) and then shuffle that array
+    * TWICE as the group and join key. Collision bound: two independent
+    * 64-bit folds + the count ≈ a 128-bit key — n²/2¹²⁹ for any realistic
+    * corpus (the risk class the repo already accepts for md5 digests).
+    */
+  private def sequenceClusters(hashes: DataFrame, idxCol: String,
+                               sigCol: String, maxHamming: Int,
+                               minMatched: Int, pairsCol: String,
+                               salt: String,
+                               checkpointDir: Option[String]): DataFrame = {
+    require(minMatched >= 1, "minMatched must be >= 1")
+    val seqs = hashes.groupBy("media_id").agg(
       count(lit(1)).as("nf"),
-      bit_xor(xxhash64(col("frame_idx"), col("fhash"))).as("k1"),
-      bit_xor(xxhash64(lit("graft-vseq-2"), col("frame_idx"), col("fhash")))
-        .as("k2"))
-    val big = seqs.where(col("nf") >= minMatchedFrames)
+      bit_xor(xxhash64(col(idxCol), col(sigCol))).as("k1"),
+      bit_xor(xxhash64(lit(salt), col(idxCol), col(sigCol))).as("k2"))
+    val big = seqs.where(col("nf") >= minMatched)
     val reps = big.groupBy("nf", "k1", "k2").agg(min("media_id").as("rep"))
-    val repFh = fh.join(reps.select(col("rep").as("media_id")),
+    val repFh = hashes.join(reps.select(col("rep").as("media_id")),
       Seq("media_id"), "left_semi")
-    val pairs = hashVotePairs(repFh, "frame_idx", "fhash", maxHamming,
-        minMatchedFrames, pairsCol = "n_frame_pairs")
+    val pairs = hashVotePairs(repFh, idxCol, sigCol, maxHamming,
+        minMatched, pairsCol = pairsCol)
       .select("id_a", "id_b")
     val comps = graft.dedup.Clusters.connectedComponents(pairs,
         checkpointDir = checkpointDir)
@@ -507,7 +542,7 @@ object Multimodal {
       .join(comps, Seq("rep"), "left")
       .select(col("media_id").as("id"),
         coalesce(col("component"), col("rep")).as("component"))
-      .unionByName(seqs.where(col("nf") < minMatchedFrames)
+      .unionByName(seqs.where(col("nf") < minMatched)
         .select(col("media_id").as("id"), col("media_id").as("component")))
   }
 

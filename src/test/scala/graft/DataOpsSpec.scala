@@ -1377,6 +1377,40 @@ class DataOpsSpec extends SparkSpec {
     assert(!collapsed.contains(8L), "no frames → absent, like videoPairs")
   }
 
+  test("audioClusters equals pair-closure components; shifted clones join without collapsing") {
+    import spark.implicits._
+    import graft.multimodal.{MediaRecord, Multimodal}
+    def bytes(seed: Int, n: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(n)(r.nextInt(256).toByte)
+    }
+    val clip = bytes(1, 2048)                       // 3 windows at 1024/512
+    val media = Seq(
+      MediaRecord(1L, "audio", clip, Map.empty),
+      MediaRecord(2L, "audio", clip, Map.empty),    // exact re-upload: collapses
+      // one-hop front pad: DIFFERENT window sequence (no collapse), but the
+      // shared full windows re-align one hop later and the vote fires
+      MediaRecord(3L, "audio", bytes(7, 512) ++ clip, Map.empty),
+      MediaRecord(4L, "audio", bytes(2, 2048), Map.empty), // unrelated
+      MediaRecord(5L, "audio", bytes(3, 600), Map.empty),  // 1 window — below vote
+      MediaRecord(6L, "audio", bytes(3, 600), Map.empty),  // identical, can't vote
+      MediaRecord(7L, "audio", Array.emptyByteArray, Map.empty)) // no windows
+      .toDS()
+    val collapsed = Multimodal.audioClusters(media, minMatchedWindows = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Multimodal.audioPairs(media, minMatchedWindows = 2)
+      .select("id_a", "id_b")
+    val viaPairs = graft.dedup.Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 6L).map(id => id -> viaPairs.getOrElse(id, id)).toMap
+    assert(collapsed == expected, s"label drift: $collapsed vs $expected")
+    assert(Set(1L, 2L, 3L).map(collapsed) == Set(1L),
+      "re-uploads AND the offset-shifted clone share the original's component")
+    assert(collapsed(5L) == 5L && collapsed(6L) == 6L,
+      "identical sub-threshold clips stay singletons — never merged by collapse")
+    assert(!collapsed.contains(7L), "no windows → absent, like audioPairs")
+  }
+
   test("hammingPairs equals brute force over random signature sets (pigeonhole exactness fuzz)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
