@@ -1235,6 +1235,40 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk arithmetic: coverage invariants hold across random (chunk, overlap) params") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docsDf = (1L to 50L).map(i => (i, "x" * rnd.nextInt(300)))
+      .toDF("doc_id", "text")
+    val lens = docsDf.collect().map(r => r.getLong(0) -> r.getString(1).length).toMap
+    for (_ <- 1 to 6) {
+      val chunk = 1 + rnd.nextInt(48)
+      val overlap = rnd.nextInt(chunk)
+      val stride = chunk - overlap
+      val byDoc = graft.text.CorpusClean.chunkDocuments(docsDf, chunk, overlap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+        .groupBy(_._1)
+      for ((doc, rows0) <- byDoc) {
+        val rows = rows0.sortBy(_._3)
+        val n = rows.head._2
+        assert(rows.length == n &&
+          rows.map(_._3).sameElements(0L until n),
+          s"chunk=$chunk ov=$overlap doc $doc: n_chunks rows, consecutive idx")
+        assert(rows.map(_._4).sameElements(
+          (0L until n).map(_ * stride)),
+          "starts advance by stride from 0")
+        val last = rows.last
+        assert(last._4 + last._5.length == lens(doc).toLong,
+          s"chunk=$chunk ov=$overlap doc $doc: tail must reach the end")
+        assert(rows.init.forall(_._5.length == chunk), "only the tail short")
+        if (n > 1) assert(rows(n.toInt - 1)._4 < lens(doc),
+          "no chunk may start at or past the end")
+      }
+    }
+  }
+
   test("token chunking: windows slice the token stream; whitespace normalizes; null symmetry") {
     import spark.implicits._
     // chunk=4 tokens, overlap=1 (stride 3)

@@ -269,6 +269,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("chunking: zero exchange in both addressings — a pure narrow map over the scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    for (df <- Seq(
+        graft.text.CorpusClean.chunkDocuments(docs, 200, 50),
+        graft.text.CorpusClean.chunkByTokens(docs, 32, 8))) {
+      val exchanges = df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"chunking must never shuffle — 100 TB chunking is a map: $exchanges")
+    }
+  }
+
   test("span dedup: no cartesian product, gram aggs partial-aggregate before exchange") {
     // the span family's whole scale story is "no pair expansion": any
     // nested-loop/cartesian appearing here means a join key was lost
