@@ -477,7 +477,7 @@ object Multimodal {
                     minMatchedFrames: Int = 2,
                     checkpointDir: Option[String] = None): DataFrame =
     sequenceClusters(frameHashes(media, frameBytes), "frame_idx", "fhash",
-      maxHamming, minMatchedFrames, pairsCol = "n_frame_pairs",
+      maxHamming, minMatchedFrames,
       salt = "graft-vseq-2", checkpointDir = checkpointDir)
 
   /** Connected components over the audio window-vote graph — the audio
@@ -499,8 +499,7 @@ object Multimodal {
                     checkpointDir: Option[String] = None): DataFrame =
     sequenceClusters(audioFingerprints(media, windowBytes, hopBytes),
       "win_idx", "ahash", maxHamming, minMatchedWindows,
-      pairsCol = "n_window_pairs", salt = "graft-aseq-1",
-      checkpointDir = checkpointDir)
+      salt = "graft-aseq-1", checkpointDir = checkpointDir)
 
   /** Collapse-then-vote components shared by [[videoClusters]] /
     * [[audioClusters]]: media with IDENTICAL segment-hash sequences
@@ -520,8 +519,7 @@ object Multimodal {
     */
   private def sequenceClusters(hashes: DataFrame, idxCol: String,
                                sigCol: String, maxHamming: Int,
-                               minMatched: Int, pairsCol: String,
-                               salt: String,
+                               minMatched: Int, salt: String,
                                checkpointDir: Option[String]): DataFrame = {
     require(minMatched >= 1, "minMatched must be >= 1")
     val seqs = hashes.groupBy("media_id").agg(
@@ -532,8 +530,9 @@ object Multimodal {
     val reps = big.groupBy("nf", "k1", "k2").agg(min("media_id").as("rep"))
     val repFh = hashes.join(reps.select(col("rep").as("media_id")),
       Seq("media_id"), "left_semi")
+    // the pair-count column is dropped immediately — only edges matter here
     val pairs = hashVotePairs(repFh, idxCol, sigCol, maxHamming,
-        minMatched, pairsCol = pairsCol)
+        minMatched, pairsCol = "n_pairs")
       .select("id_a", "id_b")
     val comps = graft.dedup.Clusters.connectedComponents(pairs,
         checkpointDir = checkpointDir)
