@@ -794,6 +794,27 @@ object QueriesData {
     // span-granular Lee-et-al. signal; the synthetic near-dup families
     // guarantee real covered spans at every sf). Interval-union coverage —
     // overlapping windows never double-count — is pinned by the oracle
+    // unigram-LM tokenizer seeding: substring-piece counts over the word
+    // histogram — the integer-exact stage of Kudo-2018 training, fully
+    // SQL-expressible (nested lateral enumeration), hash-checked
+    "d_unigram_seeds" -> ((s, d) =>
+      graft.text.UnigramTrainer.seedCounts(
+          graft.text.BpeTrainer.wordHistogram(docs(s, d), "text"),
+          maxPieceLen = 8)
+        .orderBy(col("count").desc, col("piece"))
+        .limit(50)),
+
+    // unigram-LM hard-EM training end to end (rows + piece-for-piece
+    // equality vs an independent reference implementation in
+    // UnigramTrainerSpec — EM/Viterbi has no faithful DuckDB form, the
+    // same basis as d_bpe_train)
+    "d_unigram_train" -> ((s, d) => {
+      import s.implicits._
+      graft.text.UnigramTrainer.train(docs(s, d), "text",
+          vocabSize = 300, seedSize = 1500, maxPieceLen = 6)
+        .pieces.toDF("piece", "count")
+    }),
+
     "d_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d), windowN = 13).orderBy("doc_id")),
 
@@ -2047,6 +2068,25 @@ object QueriesData {
         |       (d.doc_id = coalesce(cc.component, d.doc_id)) AS is_canonical
         |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // the same whitespace word histogram, then every substring of length
+    // 1..8 weighted by word frequency; DuckDB range(1, X+1) = [1, X] and
+    // the second unnest laterally references the first's position
+    "d_unigram_seeds" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(list_filter(
+        |          regexp_split_to_array(trim(lower(text)), '\s+'),
+        |          x -> x <> '')) AS word
+        |        FROM documents)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece, freq
+        |  FROM w,
+        |       unnest(range(1, length(word) + 1)) AS t1(s),
+        |       unnest(range(1, least(8, length(word) - s + 1) + 1)) AS t2(l))
+        |SELECT piece, CAST(sum(freq) AS BIGINT) AS count
+        |FROM p GROUP BY 1
+        |ORDER BY count DESC, piece LIMIT 50""".stripMargin,
     "d_vocab" ->
       """SELECT w AS word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
         |FROM (SELECT doc_id, unnest(list_filter(

@@ -88,13 +88,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // the three no-oracle entries with no in-result audit column are
-    // spec-verified; record the basis so the audits file covers every
-    // no-oracle row
+    // no-oracle entries with no in-result audit column are spec-verified;
+    // record the basis so the audits file covers every no-oracle row
     val specBasis = Map(
       "d_bpe_train" -> ("merge-for-merge equality vs an independent " +
         "reference implementation (BpeTrainerSpec); pair statistics " +
         "oracled by d_bpe_pairs"),
+      "d_unigram_train" -> ("piece-for-piece equality vs an independent " +
+        "reference implementation (UnigramTrainerSpec); seed substring " +
+        "statistics oracled by d_unigram_seeds"),
       "p_backup_throughput" -> ("end-to-end pipeline; counts oracled by " +
         "p_roundtrip_counts, MB/s recorded in the bench artifact"),
       "q_murmur2_partition" -> ("bit-exact golden vectors vs Kafka's " +
