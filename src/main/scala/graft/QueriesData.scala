@@ -789,11 +789,6 @@ object QueriesData {
         .orderBy(col("pair_freq").desc, col("a"), col("b"))
         .limit(50)),
 
-    // substring-level duplication surface: per-doc fraction of tokens
-    // covered by 13-token windows shared with >= 2 distinct docs (the
-    // span-granular Lee-et-al. signal; the synthetic near-dup families
-    // guarantee real covered spans at every sf). Interval-union coverage —
-    // overlapping windows never double-count — is pinned by the oracle
     // unigram-LM tokenizer seeding: substring-piece counts over the word
     // histogram — the integer-exact stage of Kudo-2018 training, fully
     // SQL-expressible (nested lateral enumeration), hash-checked
@@ -815,6 +810,11 @@ object QueriesData {
         .pieces.toDF("piece", "count")
     }),
 
+    // substring-level duplication surface: per-doc fraction of tokens
+    // covered by 13-token windows shared with >= 2 distinct docs (the
+    // span-granular Lee-et-al. signal; the synthetic near-dup families
+    // guarantee real covered spans at every sf). Interval-union coverage —
+    // overlapping windows never double-count — is pinned by the oracle
     "d_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d), windowN = 13).orderBy("doc_id")),
 

@@ -59,19 +59,40 @@ object UnigramTrainer {
       .groupBy("piece").agg(sum("freq").as("count"))
   }
 
+  /** Unicode code-point count — piece lengths are COUNTED IN CODE POINTS
+    * throughout (matching Spark/DuckDB `length`/`substr` semantics), so a
+    * supplementary character (emoji, rare CJK) is one "character"
+    * everywhere, never two UTF-16 units.
+    */
+  def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** Viterbi-best segmentation of one word under piece log-scores.
-    * Unknown single characters score `unkScore` (so coverage never fails
-    * mid-training when a char piece was floor-scored). Tie order per the
-    * object contract. Pure JVM — shared verbatim by train and apply.
+    * Unknown single CODE POINTS score `unkScore` (so coverage never fails
+    * mid-training when a char piece was floor-scored, and apply-time
+    * unseen characters segment rather than fail). Tie order per the
+    * object contract; piece lengths in code points, lexicographic ties by
+    * plain UTF-16 string order (both sides of the spec reference use the
+    * same rule). Pure JVM — shared verbatim by train and apply.
     */
   def viterbiPieces(word: String, scores: collection.Map[String, Double],
                     maxPieceLen: Int, unkScore: Double): List[String] = {
-    val n = word.length
+    // code-point boundaries: bounds(k) = UTF-16 offset of code point k
+    val bounds = {
+      val buf = new scala.collection.mutable.ArrayBuffer[Int](word.length + 1)
+      var o = 0
+      buf += 0
+      while (o < word.length) {
+        o += Character.charCount(word.codePointAt(o)); buf += o
+      }
+      buf.toArray
+    }
+    val n = bounds.length - 1 // length in code points
     if (n == 0) return Nil
-    // dp(i): best (score, pieces, lastPiece) for prefix word[0, i)
+    // dp(i): best (score, pieces, last piece) for the first i code points
     val dpScore = new Array[Double](n + 1)
     val dpCount = new Array[Int](n + 1)
     val dpLast = new Array[String](n + 1)
+    val dpLastLen = new Array[Int](n + 1) // code points, not UTF-16 units
     val dpPrev = new Array[Int](n + 1)
     java.util.Arrays.fill(dpScore, Double.NegativeInfinity)
     dpScore(0) = 0.0
@@ -82,7 +103,7 @@ object UnigramTrainer {
       while (l <= maxL) {
         val j = i - l
         if (dpScore(j) > Double.NegativeInfinity) {
-          val piece = word.substring(j, i)
+          val piece = word.substring(bounds(j), bounds(i))
           val s = scores.get(piece) match {
             case Some(v) => dpScore(j) + v
             case None if l == 1 => dpScore(j) + unkScore
@@ -94,12 +115,11 @@ object UnigramTrainer {
                 (s == dpScore(i) && (dpLast(i) == null ||
                   dpCount(j) + 1 < dpCount(i) ||
                   (dpCount(j) + 1 == dpCount(i) &&
-                    (piece.length > dpLast(i).length ||
-                      (piece.length == dpLast(i).length &&
-                        piece < dpLast(i))))))
+                    (l > dpLastLen(i) ||
+                      (l == dpLastLen(i) && piece < dpLast(i))))))
             if (better) {
               dpScore(i) = s; dpCount(i) = dpCount(j) + 1
-              dpLast(i) = piece; dpPrev(i) = j
+              dpLast(i) = piece; dpLastLen(i) = l; dpPrev(i) = j
             }
           }
         }
@@ -114,9 +134,12 @@ object UnigramTrainer {
   }
 
   /** Trained model: surviving pieces with their final hard-EM counts
-    * (integer, deterministic) in (count desc, piece asc) order.
+    * (integer, deterministic) in (count desc, piece asc) order, plus the
+    * `maxPieceLen` it was trained with — [[segmented]] reads it from here,
+    * so apply-time segmentation can never silently cap below a learned
+    * piece's length.
     */
-  case class UnigramResult(pieces: Seq[(String, Long)]) {
+  case class UnigramResult(pieces: Seq[(String, Long)], maxPieceLen: Int) {
     def scores: Map[String, Double] = {
       val total = math.max(pieces.map(_._2).sum, 1L).toDouble
       pieces.map { case (p, c) =>
@@ -151,12 +174,15 @@ object UnigramTrainer {
       .groupBy("piece").agg(sum("freq").as("count"))
   }
 
-  /** Learn a unigram piece vocabulary of (at most) `vocabSize` pieces.
+  /** Learn a unigram piece vocabulary of at most
+    * `max(vocabSize, alphabet size)` pieces — single CODE-POINT pieces are
+    * never pruned (total coverage), so an alphabet larger than `vocabSize`
+    * wins; multi-char pieces are budgeted to `vocabSize − |alphabet|`.
     *
     * Rounds: seed from [[seedCounts]] (top `seedSize` by count, all single
     * chars always included), then repeat { E-step counts → M-step scores →
     * prune multi-char pieces to `shrinkFactor` of the survivors } until at
-    * most `vocabSize` remain, then one final E/M pass so the reported
+    * most the budget remains, then one final E/M pass so the reported
     * counts describe the FINAL vocabulary. Pieces that win zero Viterbi
     * assignments are dropped at each prune (single chars instead floor to
     * [[FloorScore]] — retained for coverage, outscored by everything).
@@ -173,30 +199,27 @@ object UnigramTrainer {
       .orderBy(col("count").desc, col("piece"))
       .limit(math.max(seedSize, 1))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val chars = seeds.filter(_._1.length == 1).map(_._1).toSet
-    // single chars outside the top-N still enter (coverage) at count 0
+    val chars = seeds.filter(p => cpLen(p._1) == 1).map(_._1).toSet
+    // single chars outside the top-N still enter (coverage) at count 0;
+    // Spark's split("") yields code points, same unit as cpLen
     val missingChars = words.select(
         explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
       .distinct().collect().map(_.getString(0)).filterNot(chars)
       .sorted.map(c => (c, 0L))
     var vocab: Seq[(String, Long)] = (seeds ++ missingChars).toSeq
-    def toScores(v: Seq[(String, Long)]): Map[String, Double] = {
-      val total = math.max(v.map(_._2).sum, 1L).toDouble
-      v.map { case (p, c) =>
-        p -> (if (c > 0) math.log(c / total) else FloorScore)
-      }.toMap
-    }
+    def toScores(v: Seq[(String, Long)]): Map[String, Double] =
+      UnigramResult(v, maxPieceLen).scores
     def emRound(v: Seq[(String, Long)]): Map[String, Long] =
       emCounts(words, toScores(v), maxPieceLen)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     var guard = 0
-    while (vocab.count(_._1.length > 1) >
-        math.max(0, vocabSize - vocab.count(_._1.length == 1)) &&
+    while (vocab.count(p => cpLen(p._1) > 1) >
+        math.max(0, vocabSize - vocab.count(p => cpLen(p._1) == 1)) &&
         guard < 64) {
       val counts = emRound(vocab)
-      val singles = vocab.filter(_._1.length == 1)
+      val singles = vocab.filter(p => cpLen(p._1) == 1)
         .map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
-      val multis = vocab.filter(_._1.length > 1)
+      val multis = vocab.filter(p => cpLen(p._1) > 1)
         .map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
         .filter(_._2 > 0L)
         .sortBy { case (p, c) => (-c, p) }
@@ -208,7 +231,7 @@ object UnigramTrainer {
     val finalCounts = emRound(vocab)
     UnigramResult(vocab.map { case (p, _) =>
         (p, finalCounts.getOrElse(p, 0L)) }
-      .sortBy { case (p, c) => (-c, p) })
+      .sortBy { case (p, c) => (-c, p) }, maxPieceLen)
   }
 
   /** Apply a trained model to new text: one row per token occurrence with
@@ -216,8 +239,8 @@ object UnigramTrainer {
     * [[BpeTrainer.encodedSymbols]], same distinct-word discipline (segment
     * the vocabulary once, join occurrences back by word).
     */
-  def segmented(docs: DataFrame, textCol: String, model: UnigramResult,
-                maxPieceLen: Int = 8): DataFrame = {
+  def segmented(docs: DataFrame, textCol: String,
+                model: UnigramResult): DataFrame = {
     require(!docs.columns.contains("word") && !docs.columns.contains("pieces"),
       "input already has a word/pieces column — rename it first")
     val spark = docs.sparkSession
@@ -226,11 +249,12 @@ object UnigramTrainer {
       .select(col("*"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
     val bc = spark.sparkContext.broadcast(model.scores)
+    val maxLen = model.maxPieceLen // the TRAINED cap — never drifts
     val segWords = occurrences.select("word").distinct()
       .as[String]
       .mapPartitions { it =>
         val sc = bc.value
-        it.map(w => (w, viterbiPieces(w, sc, maxPieceLen, FloorScore)))
+        it.map(w => (w, viterbiPieces(w, sc, maxLen, FloorScore)))
       }
       .toDF("word", "pieces")
     occurrences.join(segWords, Seq("word"))

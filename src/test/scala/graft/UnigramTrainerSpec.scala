@@ -24,11 +24,23 @@ class UnigramTrainerSpec extends SparkSpec {
         .flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
 
+    /** Code-point split of a word — the reference's unit of "character"
+      * (mirroring Spark/DuckDB length/substr semantics). */
+    def cps(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var o = 0
+      while (o < w.length) {
+        val n = Character.charCount(w.codePointAt(o))
+        b += w.substring(o, o + n); o += n
+      }
+      b.result()
+    }
+
     def seeds(h: Map[String, Long], maxLen: Int): Map[String, Long] = {
       val acc = scala.collection.mutable.Map.empty[String, Long]
-      for ((w, f) <- h; s <- 0 until w.length;
-           l <- 1 to math.min(maxLen, w.length - s)) {
-        val p = w.substring(s, s + l)
+      for ((w, f) <- h; c = cps(w); s <- c.indices;
+           l <- 1 to math.min(maxLen, c.length - s)) {
+        val p = c.slice(s, s + l).mkString
         acc(p) = acc.getOrElse(p, 0L) + f
       }
       acc.toMap
@@ -47,13 +59,14 @@ class UnigramTrainerSpec extends SparkSpec {
     def viterbi(word: String, sc: Map[String, Double],
                 maxLen: Int): List[String] = {
       case class St(score: Double, n: Int, pieces: List[String])
+      val c = cps(word)
       val init = Map(0 -> St(0.0, 0, Nil))
-      val dp = (1 to word.length).foldLeft(init) { (dp, i) =>
+      val dp = (1 to c.length).foldLeft(init) { (dp, i) =>
         val cands = for {
           l <- 1 to math.min(maxLen, i)
           j = i - l
           prev <- dp.get(j).toList
-          p = word.substring(j, i)
+          p = c.slice(j, i).mkString
           s <- (sc.get(p) match {
             case Some(v) => Some(prev.score + v)
             case None if l == 1 => Some(prev.score + Floor)
@@ -66,12 +79,12 @@ class UnigramTrainerSpec extends SparkSpec {
           else if (b.score < a.score) a
           else if (b.n < a.n) b
           else if (b.n > a.n) a
-          else if (b.pieces.head.length > a.pieces.head.length) b
-          else if (b.pieces.head.length < a.pieces.head.length) a
+          else if (cps(b.pieces.head).length > cps(a.pieces.head).length) b
+          else if (cps(b.pieces.head).length < cps(a.pieces.head).length) a
           else if (b.pieces.head < a.pieces.head) b else a
         })
       }
-      dp(word.length).pieces.reverse
+      dp(c.length).pieces.reverse
     }
 
     def emCounts(h: Map[String, Long], sc: Map[String, Double],
@@ -87,18 +100,19 @@ class UnigramTrainerSpec extends SparkSpec {
       val h = hist(texts)
       val seeded = seeds(h, maxLen).toSeq
         .sortBy { case (p, c) => (-c, p) }.take(seedSize)
-      val have = seeded.collect { case (p, _) if p.length == 1 => p }.toSet
-      val missing = h.keys.flatMap(_.toSeq).map(_.toString).toSet
+      val have = seeded.collect {
+        case (p, _) if cps(p).length == 1 => p }.toSet
+      val missing = h.keys.flatMap(cps).toSet
         .diff(have).toSeq.sorted.map(c => (c, 0L))
       var vocab: Seq[(String, Long)] = seeded ++ missing
       var guard = 0
-      while (vocab.count(_._1.length > 1) >
-          math.max(0, vocabSize - vocab.count(_._1.length == 1)) &&
+      while (vocab.count(v => cps(v._1).length > 1) >
+          math.max(0, vocabSize - vocab.count(v => cps(v._1).length == 1)) &&
           guard < 64) {
         val counts = emCounts(h, scores(vocab), maxLen)
-        val singles = vocab.filter(_._1.length == 1)
+        val singles = vocab.filter(v => cps(v._1).length == 1)
           .map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
-        val multis = vocab.filter(_._1.length > 1)
+        val multis = vocab.filter(v => cps(v._1).length > 1)
           .map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
           .filter(_._2 > 0L).sortBy { case (p, c) => (-c, p) }
         val target = math.max(vocabSize - singles.size,
@@ -146,7 +160,7 @@ class UnigramTrainerSpec extends SparkSpec {
       vocabSize = 30, seedSize = 60, maxPieceLen = 5)
     val applied = Seq((100L, "the tokenizer trains qqq zzz"), (101L, null: String))
       .toDF("doc_id", "text")
-    val rows = UnigramTrainer.segmented(applied, "text", model, maxPieceLen = 5)
+    val rows = UnigramTrainer.segmented(applied, "text", model)
       .select("word", "pieces").collect()
       .map(r => r.getString(0) -> r.getSeq[String](1).toList)
     assert(rows.nonEmpty)
@@ -157,6 +171,34 @@ class UnigramTrainerSpec extends SparkSpec {
     assert(rows.toMap.apply("qqq") == List("q", "q", "q"))
     // null text contributes no occurrence rows
     assert(rows.forall(_._1.nonEmpty))
+  }
+
+  test("non-BMP corpus: supplementary chars are single pieces everywhere; reference agrees") {
+    import spark.implicits._
+    // U+1F600 (surrogate pair in UTF-16) must count as ONE character in
+    // seeding, the single-char coverage set, prune classification, and
+    // Viterbi addressing — the code-unit/code-point mix this pins down
+    val emoji = new String(Character.toChars(0x1F600))
+    val texts = Seq(s"$emoji$emoji ab$emoji ab", s"$emoji$emoji ab$emoji")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = UnigramTrainer.train(docs, "text",
+      vocabSize = 8, seedSize = 30, maxPieceLen = 3, shrinkFactor = 0.5)
+    val want = Ref.train(texts, vocabSize = 8, seedSize = 30,
+      maxLen = 3, shrink = 0.5)
+    assert(got.pieces == want,
+      s"non-BMP drift: got=${got.pieces} want=$want")
+    assert(got.pieces.exists(_._1 == emoji),
+      "the supplementary char must survive as a single piece")
+    val segs = UnigramTrainer.segmented(docs, "text", got)
+      .select("word", "pieces").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList)
+    segs.foreach { case (w, ps) =>
+      assert(ps.mkString == w, s"pieces must tile: $w -> $ps")
+      assert(ps.forall(p => !p.exists(Character.isSurrogate) ||
+        p.codePointCount(0, p.length) * 2 >= p.length),
+        s"no lone-surrogate piece may ever appear: $w -> $ps")
+    }
   }
 
   test("seedCounts known answer on a two-word histogram") {
