@@ -97,6 +97,33 @@ class ChaosSpec extends SparkSpec {
     assert(spark.sparkContext.getCheckpointDir.forall(!_.contains(dir)))
   }
 
+  test("task death inside a unigram EM round: retried stage trains the identical vocabulary") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(200)
+    val clean = graft.text.UnigramTrainer.train(docs, "text",
+      vocabSize = 60, seedSize = 240, maxPieceLen = 4).pieces
+    assert(clean.nonEmpty)
+    // one-shot task bomb on the corpus scan: the first task attempt that
+    // touches a row dies mid-histogram (executor-loss semantics — the
+    // trainer's only corpus pass); local[4,2] allows ONE retry, which must
+    // recompute the partition and train the bit-identical vocabulary
+    ChaosSpec.TaskBomb.armed.set(true)
+    ChaosSpec.TaskBomb.fired.set(false)
+    val bomb = udf(() => {
+      if (ChaosSpec.TaskBomb.armed.compareAndSet(true, false)) {
+        ChaosSpec.TaskBomb.fired.set(true)
+        throw new RuntimeException("chaos: task bomb (injected)")
+      }
+      true
+    })
+    val chaotic =
+      try graft.text.UnigramTrainer.train(docs.filter(bomb()), "text",
+        vocabSize = 60, seedSize = 240, maxPieceLen = 4).pieces
+      finally ChaosSpec.TaskBomb.armed.set(false)
+    assert(ChaosSpec.TaskBomb.fired.get, "the injected task death must fire")
+    assert(chaotic == clean,
+      "a task retry must not change the trained vocabulary")
+  }
+
   test("task death during index compaction: retried bucketed write lands the identical generation") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-cchaos").toString
@@ -271,5 +298,15 @@ class ChaosSpec extends SparkSpec {
     assert(failed(0).getAs[String]("segment_key") == victim)
     assert(failed(0).getAs[String]("decode_error").contains("CRC"))
     assert(res.count() == m.totalSegments)
+  }
+}
+
+object ChaosSpec {
+  /** One-shot task-death injector for lineage-embedded chaos (same-JVM
+    * local mode: the executor closure sees this object directly).
+    */
+  object TaskBomb {
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
   }
 }
