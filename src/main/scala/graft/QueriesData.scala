@@ -1027,6 +1027,29 @@ object QueriesData {
         .select("domain", "doc_id", "n_chars")
         .orderBy("domain", "doc_id")),
 
+    // curation gate: UT1/Dolma-style URL blocklist — two src domains blocked
+    // by suffix (one with a MORE-specific www. subdomain entry too, so
+    // longest-pattern-wins is in the hash), a non-matching decoy domain, and
+    // two exact canonical URLs that hit only the %3∈{1,2} cosmetic variants
+    // (the %3==0 variant keeps its ?ref param → different canonical form →
+    // not blocked): kind priority, label-aligned suffix matching, and the
+    // null blocked_by of every kept row are all hash-checked
+    "d_url_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val bl = Seq(
+        ("domain", "src3.example.com"),
+        ("domain", "www.src3.example.com"),
+        ("domain", "src7.example.com"),
+        ("domain", "ads.example.net"),
+        ("url", "https://www.src12.example.com/en/page2"),
+        ("url", "https://www.src14.example.com/en/page4")
+      ).toDF("kind", "pattern")
+      graft.text.CorpusClean.urlBlocklist(
+          docs(s, d).withColumn("url", messyUrl), "url", bl)
+        .select("doc_id", "url_norm", "blocked_kind", "blocked_by")
+        .orderBy("doc_id")
+    }),
+
     // release notes: snapshot diff — v1 drops doc_id%7==0, v2 drops %11==0
     // and edits %5==0 texts, so all four statuses occur at every sf; the
     // rollup counts per (source, status) hash-pin the digest compare and the
@@ -2684,6 +2707,46 @@ object QueriesData {
         |  FROM u)
         |SELECT domain, doc_id, n_chars FROM r WHERE rn <= 15
         |ORDER BY domain, doc_id""".stripMargin,
+    // suffix matching re-derived literally: every label-aligned suffix of
+    // the host vs the domain patterns, exact canonical URL vs the url
+    // patterns; winner = kind rank, then longest pattern, then lexicographic
+    "d_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://www.' || source || '.example.com/' || lang ||
+        |         '/page' || CAST(doc_id % 10 AS VARCHAR) ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+        |              ELSE '' END AS url_norm,
+        |         'www.' || source || '.example.com' AS host
+        |  FROM documents),
+        |bl(kind, pattern) AS (VALUES
+        |  ('domain', 'src3.example.com'),
+        |  ('domain', 'www.src3.example.com'),
+        |  ('domain', 'src7.example.com'),
+        |  ('domain', 'ads.example.net'),
+        |  ('url', 'https://www.src12.example.com/en/page2'),
+        |  ('url', 'https://www.src14.example.com/en/page4')),
+        |p AS (SELECT doc_id, string_split(host, '.') AS parts FROM u),
+        |sfx AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(parts, i, len(parts)), '.') AS sfx
+        |  FROM p, unnest(range(1, len(parts) + 1)) AS t(i)),
+        |hits AS (
+        |  SELECT u.doc_id, 0 AS rk, b.pattern, b.kind
+        |  FROM u JOIN bl b ON b.kind = 'url' AND u.url_norm = b.pattern
+        |  UNION ALL
+        |  SELECT s.doc_id, 1 AS rk, b.pattern, b.kind
+        |  FROM sfx s JOIN bl b ON b.kind = 'domain' AND s.sfx = b.pattern),
+        |w AS (
+        |  SELECT doc_id, kind, pattern,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY rk, length(pattern) DESC, pattern) AS rn
+        |  FROM hits)
+        |SELECT u.doc_id, u.url_norm, w.kind AS blocked_kind,
+        |       w.pattern AS blocked_by
+        |FROM u LEFT JOIN w ON u.doc_id = w.doc_id AND w.rn = 1
+        |ORDER BY u.doc_id""".stripMargin,
     // presence decided on the id (doc_id is never null in the fixture),
     // content equality on the dupKey digest, null-safe like the Spark side
     "d_corpus_diff" ->

@@ -443,4 +443,76 @@ object CorpusClean {
       .drop("__rn")
       .unionByName(noDomain)
   }
+
+  /** URL blocklist annotation — the UT1/Dolma-style curation gate that drops
+    * documents fetched from known-bad sites (adult/malware/spam domain lists
+    * plus hand-curated exact URLs; the reference pipelines apply these
+    * BEFORE any content-quality pass so blocked pages never cost downstream
+    * compute). The blocklist DataFrame carries `(kind, pattern)` rows:
+    *
+    *  - `kind = "domain"`: blocks the host itself AND every subdomain —
+    *    pattern `example.com` blocks `example.com`, `www.example.com`,
+    *    `a.b.example.com`. Matching is label-aligned (a suffix-CHAIN
+    *    equi-join, never a string `endsWith` — `notexample.com` does not
+    *    match `example.com`).
+    *  - `kind = "url"`: blocks the exact canonical URL ([[normalizeUrl]]
+    *    applied to both sides' conventions: patterns are expected already
+    *    canonical, the document side is normalized here).
+    *
+    * Output: input rows + `url_norm` + `blocked_kind`/`blocked_by` (the
+    * matched pattern; both NULL = kept). When a document matches several
+    * patterns the winner is deterministic: an exact-URL match beats any
+    * domain match, then the LONGEST (most specific) pattern, then
+    * lexicographically smallest. Rows whose URL is not URL-shaped or NULL
+    * have no host: only exact-URL patterns can block them.
+    *
+    * Scale shape: the corpus side ships only narrow keys — a per-doc host
+    * suffix chain (≤ label count, single digits) and the canonical URL —
+    * through two equi-joins against the blocklist, which is broadcast under
+    * the same measured-count gate as [[graft.text.Sampling.decontaminate]]
+    * (UT1-scale lists are a few million rows — tens of MB — but an
+    * unconditional hint on an unexpectedly huge list is a driver OOM, so
+    * gate on the measured count; above the gate both joins fall back to
+    * shuffles of key-sized rows). Winner selection is a partial-aggregating
+    * `groupBy(id).min(struct)` at matched-doc scale, attached back as an
+    * id-keyed left join — document text never shuffles.
+    */
+  def urlBlocklist(docs: DataFrame, urlCol: String, blocklist: DataFrame,
+                   idCol: String = "doc_id",
+                   broadcastMaxPatterns: Long = 20000000L): DataFrame = {
+    val keyed = docs.withColumn("url_norm", normalizeUrl(col(urlCol)))
+    val host = regexp_extract(col("url_norm"), "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    val bl = blocklist.select(col("kind").cast("string"),
+      col("pattern").cast("string")).where(col("pattern").isNotNull)
+    val gate = bl.count() <= broadcastMaxPatterns
+    def side(df: DataFrame) = if (gate) broadcast(df) else df
+    val blDomains = bl.where(col("kind") === "domain")
+      .select(col("pattern")).distinct()
+    val blUrls = bl.where(col("kind") === "url")
+      .select(col("pattern")).distinct()
+    // label-aligned suffix chain: host "a.b.c" → ["a.b.c", "b.c", "c"]
+    val labels = split(host, "\\.")
+    val suffixes = keyed
+      .where(host =!= "")
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(labels) - 1),
+          i => array_join(slice(labels, i + 1, size(labels) - i), "."))).as("sfx"))
+    val domainHits = suffixes
+      .join(side(blDomains), col("sfx") === col("pattern"))
+      .select(col(idCol), lit("domain").as("blocked_kind"), col("pattern"))
+    val urlHits = keyed
+      .select(col(idCol), col("url_norm"))
+      .join(side(blUrls), col("url_norm") === col("pattern"))
+      .select(col(idCol), lit("url").as("blocked_kind"), col("pattern"))
+    val winners = urlHits.unionByName(domainHits)
+      .groupBy(idCol)
+      .agg(min(struct(
+        when(col("blocked_kind") === "url", 0).otherwise(1).as("rank"),
+        (-length(col("pattern"))).as("neg_len"),
+        col("pattern").as("pattern"),
+        col("blocked_kind").as("kind"))).as("w"))
+      .select(col(idCol), col("w.kind").as("blocked_kind"),
+        col("w.pattern").as("blocked_by"))
+    keyed.join(winners, Seq(idCol), "left")
+  }
 }

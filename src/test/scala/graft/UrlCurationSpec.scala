@@ -241,4 +241,62 @@ class UrlCurationSpec extends SparkSpec {
     val d = CorpusDiff.diff(old, neu).select("status").as[String].collect()
     assert(d.toSeq == Seq("unchanged"))
   }
+
+  private def blFixture = Seq(
+    ("domain", "example.com"),
+    ("domain", "ads.example.com"), // more specific than example.com
+    ("domain", "bad.net"),
+    ("url", "https://ok.org/landing")
+  ).toDF("kind", "pattern")
+
+  test("urlBlocklist: suffix match blocks subdomains, longest pattern wins") {
+    val docs = Seq(
+      (1L, "https://www.Example.com:443/a"),   // example.com via suffix
+      (2L, "http://ads.example.com/b"),        // both match → longest wins
+      (3L, "http://deep.ads.example.com/c"),   // both via chain → longest
+      (4L, "https://notexample.com/d"),        // label-aligned: NOT blocked
+      (5L, "https://fine.org/e")               // kept
+    ).toDF("doc_id", "url")
+    val out = CorpusClean.urlBlocklist(docs, "url", blFixture)
+      .select("doc_id", "blocked_by").orderBy("doc_id")
+      .as[(Long, Option[String])].collect()
+    assert(out.toSeq == Seq(
+      1L -> Some("example.com"),
+      2L -> Some("ads.example.com"),
+      3L -> Some("ads.example.com"),
+      4L -> None,
+      5L -> None), out.mkString(", "))
+  }
+
+  test("urlBlocklist: exact-URL match beats any domain match; null and non-URL rows only match url patterns") {
+    val docs = Seq(
+      (1L, "https://ok.org/landing/"),          // canonicalizes to the url pattern
+      (2L, "https://ok.org/other"),             // no match (host not listed)
+      (3L, "not a url"),                        // no host → cannot domain-match
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "url")
+    // make doc 1 ALSO domain-blockable — url kind must still win
+    val bl = blFixture.union(Seq(("domain", "ok.org")).toDF("kind", "pattern"))
+    val out = CorpusClean.urlBlocklist(docs, "url", bl)
+      .select("doc_id", "blocked_kind", "blocked_by").orderBy("doc_id")
+      .as[(Long, Option[String], Option[String])].collect()
+    assert(out(0) == ((1L, Some("url"), Some("https://ok.org/landing"))))
+    assert(out(1) == ((2L, Some("domain"), Some("ok.org"))))
+    assert(out(2) == ((3L, None, None)))
+    assert(out(3) == ((4L, None, None)))
+  }
+
+  test("urlBlocklist: blocklist side broadcasts under the gate; corpus text never shuffles") {
+    val docs = Seq((1L, "https://a.example.com/x", "body text"))
+      .toDF("doc_id", "url", "text")
+    val out = CorpusClean.urlBlocklist(docs, "url", blFixture)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    // above the gate both joins fall back to shuffles — force it
+    val shuffled = CorpusClean.urlBlocklist(docs, "url", blFixture,
+      broadcastMaxPatterns = 0L)
+    assert(shuffled.select("blocked_by").as[Option[String]].collect().head
+      == Some("example.com"))
+  }
 }
