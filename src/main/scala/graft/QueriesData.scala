@@ -291,6 +291,20 @@ object QueriesData {
         "vec_id", "embedding", q, 10)
     }),
 
+    // retrieval capstone: chunk (32-token windows, stride 24) → hash-derived
+    // integer embeddings (engine-portable, so the inner products are EXACT)
+    // → top-5 chunks per query with (doc, chunk, token-offset) provenance.
+    // The queries are a deterministic eval-sized doc slice; the whole
+    // chunk→embed→score→rank chain is in one hash — chunking arithmetic,
+    // per-dimension md5 fold, MIPS ordering, and tie-breaks all checked
+    "a_retrieval_chunks" -> ((s, d) => {
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.ann.Retrieval.retrieveChunks(all, qs, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // language ID rollup: the stopword-profile + CJK heuristic is pure
     // integer-count arithmetic, so DuckDB reproduces the argmax bit-exactly
     // HTML extraction — deterministic tag-soup per doc: head noise (title,
@@ -2619,6 +2633,53 @@ object QueriesData {
         |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+    // the d_chunk_tokens CTE (non-null branch), then the per-dimension
+    // 4-nibble md5 fold mod 1000 and a relational dot product (join on the
+    // dimension index) — all integers, so the MIPS ranking is exact
+    "a_retrieval_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                x -> x <> '') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, w,
+        |        CASE WHEN len(w) <= 32 THEN CAST(1 AS BIGINT)
+        |             ELSE CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) + 1
+        |        END AS n_chunks
+        |      FROM t),
+        |e AS (SELECT doc_id, w, UNNEST(range(n_chunks)) AS chunk_idx FROM n),
+        |c AS (SELECT doc_id, chunk_idx, chunk_idx * 24 AS chunk_start,
+        |             array_to_string(list_slice(w, chunk_idx * 24 + 1,
+        |                                        chunk_idx * 24 + 32), ' ') AS chunk
+        |      FROM e),
+        |cd AS (SELECT doc_id, chunk_idx, chunk_start, i,
+        |              md5(chunk || ':emb:' || CAST(i AS VARCHAR)) AS m
+        |       FROM c, unnest(range(4)) AS ti(i)),
+        |cv AS (SELECT doc_id, chunk_idx, chunk_start, i,
+        |              ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 1000 AS v
+        |       FROM cd),
+        |qd AS (SELECT doc_id AS query_id, i,
+        |              md5(text || ':emb:' || CAST(i AS VARCHAR)) AS m
+        |       FROM documents, unnest(range(4)) AS ti(i)
+        |       WHERE doc_id % 101 = 7 AND text IS NOT NULL),
+        |qv AS (SELECT query_id, i,
+        |              ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+        |             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+        |             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 1000 AS v
+        |       FROM qd),
+        |s AS (SELECT q.query_id, c.doc_id, c.chunk_idx, c.chunk_start,
+        |             CAST(sum(c.v * q.v) AS BIGINT) AS score
+        |      FROM cv c JOIN qv q USING (i)
+        |      GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id, chunk_idx) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, chunk_idx,
+        |       chunk_start, score
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "a_ann_quantized" ->
       """WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |qq AS (SELECT list_transform(qv, x -> CAST(round(x *
