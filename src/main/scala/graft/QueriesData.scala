@@ -667,6 +667,20 @@ object QueriesData {
         .orderBy("doc_id")
     }),
 
+    // quality-priority canonical (FineWeb-style): same closure as
+    // d_dedup_canonical, but the survivor per duplicate group is the BEST
+    // doc by n_chars (desc, id tiebreak) instead of the arbitrary min id —
+    // winner ids, provenance (kept_id on every dropped member), and the
+    // is_kept flags are all in the hash
+    "d_dedup_keep_best" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.12, maxDocFreq = 50)
+      graft.dedup.Clusters.keepBestPerGroup(docs(s, d), "doc_id", pairs,
+          qualityCol = "n_chars")
+        .select("doc_id", "component", "kept_id", "is_kept")
+        .orderBy("doc_id")
+    }),
+
     // corpus vocabulary: the explode→aggregate word-count path every
     // tokenizer-training pipeline runs; map-side partial agg collapses
     // repeated words before the shuffle, top-k is a k-row final sort
@@ -2105,6 +2119,49 @@ object QueriesData {
         |       (d.doc_id = coalesce(cc.component, d.doc_id)) AS is_canonical
         |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // d_dedup_canonical's closure, then the quality-priority winner: best
+    // n_chars (desc, NULLS LAST), id asc tiebreak, one survivor per group
+    "d_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |freq AS (SELECT shingle, count(*) AS c FROM inv GROUP BY 1),
+        |kept AS (SELECT i.doc_id, i.shingle FROM inv i JOIN freq f USING (shingle)
+        |         WHERE f.c BETWEEN 2 AND 50),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sizes sa ON sa.doc_id = cand.id_a
+        |            JOIN sizes sb ON sb.doc_id = cand.id_b
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.12),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY 1),
+        |m AS (SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component,
+        |             d.n_chars
+        |      FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        |w AS (SELECT component, doc_id AS kept_id,
+        |             row_number() OVER (PARTITION BY component
+        |               ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+        |      FROM m)
+        |SELECT m.doc_id, m.component, w.kept_id,
+        |       (m.doc_id = w.kept_id) AS is_kept
+        |FROM m JOIN w ON m.component = w.component AND w.rn = 1
+        |ORDER BY m.doc_id""".stripMargin,
     // the same whitespace word histogram, then every substring of length
     // 1..8 weighted by word frequency; DuckDB range(1, X+1) = [1, X] and
     // the second unnest laterally references the first's position

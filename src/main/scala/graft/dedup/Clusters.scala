@@ -241,4 +241,38 @@ object Clusters {
     assignComponents(df, idCol, pairs, idA, idB)
       .where(col(idCol) === col("component"))
       .drop("component")
+
+  /** Quality-priority canonical selection (the FineWeb/RefinedWeb refinement
+    * of [[dropDuplicateGroups]]): one survivor per duplicate group, but the
+    * winner is the group's BEST document by `qualityCol` (descending; NULL
+    * quality ranks last), id ascending as the deterministic tiebreak —
+    * min-id keeps an arbitrary member, a curation pipeline wants to keep the
+    * highest-quality one and drop its lower-quality near-duplicates.
+    *
+    * Output: every input row + `component` + `kept_id` (the group winner)
+    * + `is_kept`; filter on `is_kept` for the survivor corpus (kept here so
+    * provenance reports can show what each dropped doc lost to).
+    *
+    * Scale shape: on top of [[assignComponents]]' closure, winner selection
+    * is one `groupBy(component).min(struct(-quality, id))` — partial
+    * aggregation collapses a mega-cluster map-side, the shuffle carries one
+    * metadata-sized row per component, and the winner attaches back as a
+    * component-keyed join (broadcast-eligible under AQE when the component
+    * table is small); document text never rides any of it.
+    */
+  def keepBestPerGroup(df: DataFrame, idCol: String, pairs: DataFrame,
+                       qualityCol: String,
+                       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val assigned = assignComponents(df, idCol, pairs, idA, idB)
+    // -quality ranks best-first under min(); NULL quality → MaxValue (last).
+    // Longs below 2^53 stay exact through the double cast.
+    val winners = assigned.groupBy("component")
+      .agg(min(struct(
+        coalesce(-col(qualityCol).cast("double"), lit(Double.MaxValue))
+          .as("neg_q"),
+        col(idCol).as("id"))).as("w"))
+      .select(col("component"), col("w.id").as("kept_id"))
+    assigned.join(winners, Seq("component"))
+      .withColumn("is_kept", col(idCol) === col("kept_id"))
+  }
 }

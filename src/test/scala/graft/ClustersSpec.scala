@@ -128,4 +128,32 @@ class ClustersSpec extends SparkSpec {
       pairsDF().limit(0))
     assert(kept.count() == 2)
   }
+
+  test("keepBestPerGroup: highest quality wins, null quality last, id tiebreak, singletons self-keep") {
+    val docs = Seq(
+      (1L, Some(10L)),  // group {1,2,3}: 2 has the best quality
+      (2L, Some(30L)),
+      (3L, None),       // null quality: never the winner while 1/2 exist
+      (7L, Some(5L)),   // singleton
+      (8L, None),       // singleton with null quality keeps itself
+      (10L, Some(4L)),  // group {10,11}: equal quality → lower id wins
+      (11L, Some(4L))
+    ).toDF("doc_id", "q")
+    val out = Clusters.keepBestPerGroup(docs, "doc_id",
+        pairsDF((1L, 2L), (2L, 3L), (10L, 11L)), "q")
+      .select("doc_id", "kept_id", "is_kept").orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq((1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
+      (7L, 7L, true), (8L, 8L, true), (10L, 10L, true), (11L, 10L, false)),
+      out.mkString(", "))
+  }
+
+  test("keepBestPerGroup: winner reduction is a partial aggregate, never a window") {
+    val docs = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "q")
+    val p = Clusters.keepBestPerGroup(docs, "doc_id", pairsDF((1L, 2L)), "q")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("WindowExec") && p.contains("partial_min"),
+      s"a mega-cluster must collapse map-side:\n$p")
+  }
 }
