@@ -294,12 +294,15 @@ object QueriesData {
     // retrieval capstone: chunk (32-token windows, stride 24) → hash-derived
     // integer embeddings (engine-portable, so the inner products are EXACT)
     // → top-5 chunks per query with (doc, chunk, token-offset) provenance.
-    // The queries are a deterministic eval-sized doc slice; the whole
+    // The query slice is BOUNDED-SIZE (≤25 at every sf — the id cap, not a
+    // corpus fraction: a %-only slice grows with the corpus and turns the
+    // brute-force scorer quadratic, the d_ccnet_buckets lesson); the whole
     // chunk→embed→score→rank chain is in one hash — chunking arithmetic,
     // per-dimension md5 fold, MIPS ordering, and tie-breaks all checked
     "a_retrieval_chunks" -> ((s, d) => {
       val all = docs(s, d)
-      val qs = all.filter(col("doc_id") % 101 === 7 && col("text").isNotNull)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
         .select(col("doc_id").as("query_id"), col("text"))
       graft.ann.Retrieval.retrieveChunks(all, qs, k = 5)
         .orderBy("query_id", "rank")
@@ -2720,7 +2723,8 @@ object QueriesData {
         |qd AS (SELECT doc_id AS query_id, i,
         |              md5(text || ':emb:' || CAST(i AS VARCHAR)) AS m
         |       FROM documents, unnest(range(4)) AS ti(i)
-        |       WHERE doc_id % 101 = 7 AND text IS NOT NULL),
+        |       WHERE doc_id % 101 = 7 AND doc_id < 2525
+        |         AND text IS NOT NULL),
         |qv AS (SELECT query_id, i,
         |              ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
         |             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
