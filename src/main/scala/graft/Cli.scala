@@ -296,7 +296,7 @@ object Cli {
         s""""n_corrupt":$nCorrupt}""")
 
     // prepare-corpus <docs.parquet> <outDir> [stagingDir|-] [format]
-    //                [urlCol|-] [maxDocsPerDomain|-] [html|-]
+    //                [urlCol|-] [maxDocsPerDomain|-] [html|-] [blocklistCsv|-]
     // The training-data prep chain (normalize → quality filter → exact dedup
     // → decontaminate → split) shipped as released JSONL (default) or
     // parquet shards partitioned by split, plus a per-split JSON report
@@ -304,7 +304,8 @@ object Cli {
     // With urlCol set, URL-level dedup runs first and (optionally) the
     // per-domain quota caps the final corpus — the RefinedWeb curation legs.
     // "html" marks raw-crawl input: markup extraction runs before
-    // normalization.
+    // normalization. blocklistCsv (kind,pattern header; needs urlCol) gates
+    // the raw input UT1-style before any text stage runs.
     case "prepare-corpus" =>
       val Array(_, docsPath, outDir, rest @ _*) = args: @unchecked
       val staging = rest.lift(0).filter(_ != "-")
@@ -315,10 +316,19 @@ object Cli {
       val inputMode = rest.lift(4).filter(_ != "-")
       inputMode.foreach(m => require(m == "html",
         s"unknown input mode '$m' (expected 'html' or '-')"))
+      // 6th positional: CSV blocklist with a (kind, pattern) header —
+      // kind ∈ {domain, url} per CorpusClean.urlBlocklist
+      val blocklist = rest.lift(5).filter(_ != "-").map { p =>
+        val df = spark.read.option("header", "true").csv(p)
+        require(Seq("kind", "pattern").forall(df.columns.contains),
+          s"blocklist CSV needs kind,pattern columns; got ${df.columns.mkString(",")}")
+        df
+      }
       val cfg = graft.text.CorpusPipeline.Config(
         urlCol = rest.lift(2).filter(_ != "-"),
         maxDocsPerDomain = rest.lift(3).filter(_ != "-").map(_.toInt),
-        htmlInput = inputMode.isDefined)
+        htmlInput = inputMode.isDefined,
+        blocklist = blocklist)
       val prepared = graft.text.CorpusPipeline.prepare(
         spark.read.parquet(docsPath), cfg, staging = staging)
       val back = format match {

@@ -60,7 +60,13 @@ object CorpusPipeline {
       // raw crawl input: extract text from HTML markup BEFORE normalization
       // (the C4/RefinedWeb stage order — every downstream line-granular
       // rule assumes prose lines, not tag soup)
-      htmlInput: Boolean = false)
+      htmlInput: Boolean = false,
+      // UT1/Dolma-style (kind, pattern) blocklist — needs urlCol; applied
+      // FIRST, on a narrow (id, url) projection of the raw input, so a
+      // blocked page never pays for extraction, normalization, or any
+      // text-level stage (the order real curation pipelines use: the list
+      // gates the crawl, not the cleaned corpus)
+      blocklist: Option[DataFrame] = None)
 
   /** Materialize a stage consumed by several downstream branches: local
     * checkpoint by default, a write-once/read-many parquet staging dir when
@@ -84,10 +90,23 @@ object CorpusPipeline {
               staging: Option[String] = None): DataFrame = {
     require(cfg.maxDocsPerDomain.isEmpty || cfg.urlCol.isDefined,
       "maxDocsPerDomain needs urlCol")
+    require(cfg.blocklist.isEmpty || cfg.urlCol.isDefined,
+      "blocklist needs urlCol")
+    // blocklist gate on (id, url) only — blocked ids anti-join the raw
+    // input before any text column is even read
+    val gated = (cfg.urlCol, cfg.blocklist) match {
+      case (Some(u), Some(bl)) =>
+        val blockedIds = CorpusClean.urlBlocklist(
+            raw.select(col("doc_id"), col(u)), u, bl)
+          .where(col("blocked_by").isNotNull)
+          .select("doc_id")
+        raw.join(blockedIds, Seq("doc_id"), "left_anti")
+      case _ => raw
+    }
     val textIn =
       if (cfg.htmlInput) CorpusClean.extractHtmlText(col("text")) else col("text")
     val norm0 = materializeStage(
-      raw.select(col("doc_id") +: col("source") +:
+      gated.select(col("doc_id") +: col("source") +:
         CorpusClean.normalizeText(textIn).as("text") +:
         cfg.urlCol.toSeq.map(col): _*),
       staging, "normalized")

@@ -123,4 +123,58 @@ class PrepareCorpusSpec extends SparkSpec {
       }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
+
+  test("prepare with blocklist gates the raw input before any text stage") {
+    import graft.text.CorpusPipeline
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("url", concat(lit("https://www."), col("source"),
+        lit(".site.org/p"), (col("doc_id") % 7).cast("string")))
+    val bl = Seq(("domain", "src1.site.org")).toDF("kind", "pattern")
+    val cfg = CorpusPipeline.Config(urlCol = Some("url"))
+    val got = CorpusPipeline.prepare(raw, cfg.copy(blocklist = Some(bl)))
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // equal to running the un-gated pipeline on the pre-filtered input
+    val want = CorpusPipeline.prepare(
+        raw.filter(col("source") =!= "src1"), cfg)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // the gate really removed that domain's docs
+    val srcs = CorpusPipeline.prepare(raw, cfg.copy(blocklist = Some(bl)))
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(!srcs.contains("src1"), srcs.mkString(","))
+    // contract: blocklist without urlCol fails loudly
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.prepare(raw, CorpusPipeline.Config(blocklist = Some(bl)))
+    }
+  }
+
+  test("prepare-corpus CLI: blocklist CSV leg; malformed CSV fails loudly") {
+    val out = Files.createTempDirectory("graft-prep-bl").toString
+    val in = Files.createTempDirectory("graft-prep-bl-in").toString
+    try {
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          lit(".site.org/p"), (col("doc_id") % 7).cast("string")))
+        .write.mode("overwrite").parquet(s"$in/docs")
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$in/bl.csv"),
+        "kind,pattern\ndomain,src1.site.org\n")
+      capture { Cli.run(spark, Array("prepare-corpus", s"$in/docs", out,
+        "-", "parquet", "url", "-", "-", s"$in/bl.csv")) }
+      val srcs = spark.read.parquet(out).select("source").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(srcs.nonEmpty && !srcs.contains("src1"), srcs.mkString(","))
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$in/bad.csv"),
+        "who,what\nx,y\n")
+      intercept[IllegalArgumentException] {
+        Cli.run(spark, Array("prepare-corpus", s"$in/docs", out,
+          "-", "parquet", "url", "-", "-", s"$in/bad.csv"))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(in))
+    }
+  }
 }
