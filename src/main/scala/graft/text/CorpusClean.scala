@@ -515,4 +515,49 @@ object CorpusClean {
         col("w.pattern").as("blocked_by"))
     keyed.join(winners, Seq(idCol), "left")
   }
+
+  /** Survivors-only form of [[urlBlocklist]]: drops blocked rows, keeps
+    * everything else unchanged (no `blocked_by` attribution). A PURE NARROW
+    * MAP — the patterns are collected once (under a measured-count gate
+    * that fails loudly, never silently truncates) and baked into the
+    * codegen'd [[graft.functions.StringInSetCount]] membership kernel, so
+    * there is no join and no aggregation at all. That makes it the
+    * ingest-time gate a STREAMING crawl pipeline wants: it runs under
+    * Structured Streaming as-is, spec-pinned batch≡stream. Matching
+    * semantics are identical to [[urlBlocklist]]'s keep/drop verdict
+    * (label-aligned domain suffixes + exact canonical URLs); rows without a
+    * host (null / non-URL strings) can only match url-kind patterns.
+    *
+    * The driver-side pattern set rides the serialized expression to every
+    * task (~tens of MB at the default cap) — for lists beyond the cap use
+    * the batch annotating form, whose blocklist side stays distributed.
+    */
+  def urlBlocklistFilter(docs: DataFrame, urlCol: String, blocklist: DataFrame,
+                         maxPatterns: Long = 1000000L): DataFrame = {
+    val bl = blocklist.select(col("kind").cast("string"),
+      col("pattern").cast("string")).where(col("pattern").isNotNull)
+    val n = bl.count()
+    require(n <= maxPatterns,
+      s"blocklist has $n rows > maxPatterns=$maxPatterns — an in-expression " +
+        "set of that size belongs in the distributed-join form (urlBlocklist)")
+    val collected = bl.distinct().collect()
+    val domains = collected.filter(_.getString(0) == "domain").map(_.getString(1)).toSeq
+    val urls = collected.filter(_.getString(0) == "url").map(_.getString(1)).toSeq
+    val urlNorm = normalizeUrl(col(urlCol))
+    val host = regexp_extract(urlNorm, "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    val labels = split(host, "\\.")
+    val sfxs = when(host =!= "",
+      transform(sequence(lit(0), size(labels) - 1),
+        i => array_join(slice(labels, i + 1, size(labels) - i), ".")))
+      .otherwise(array().cast("array<string>"))
+    val domHit =
+      if (domains.isEmpty) lit(false)
+      else graft.functions.KFunctions.string_in_set_count(sfxs, domains) > 0
+    val urlHit =
+      if (urls.isEmpty) lit(false)
+      else graft.functions.KFunctions.string_in_set_count(
+        array(urlNorm), urls) > 0
+    // null url → both probes null/false → kept, matching the annotating form
+    docs.where(!(coalesce(domHit, lit(false)) || coalesce(urlHit, lit(false))))
+  }
 }

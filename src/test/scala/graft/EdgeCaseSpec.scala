@@ -207,6 +207,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(res(1) == "Failed", "missing partition must fail, not vanish")
   }
 
+  test("blocklist, retrieval, keep-best: empty inputs degrade to no-ops, not errors") {
+    import graft.text.CorpusClean
+    import graft.ann.Retrieval
+    import graft.dedup.Clusters
+    val docs = Seq((1L, "https://a.com/x", "alpha beta gamma"))
+      .toDF("doc_id", "url", "text")
+    val emptyBl = Seq.empty[(String, String)].toDF("kind", "pattern")
+    // empty blocklist: everything kept, in both forms
+    assert(CorpusClean.urlBlocklist(docs, "url", emptyBl)
+      .where(col("blocked_by").isNotNull).count() == 0L)
+    assert(CorpusClean.urlBlocklistFilter(docs, "url", emptyBl).count() == 1L)
+    // zero queries: empty retrieval result, no failure
+    val noQueries = Seq.empty[(Long, String)].toDF("query_id", "text")
+    assert(Retrieval.retrieveChunks(docs.drop("url"), noQueries, k = 3)
+      .count() == 0L)
+    // empty corpus: keep-best returns an empty frame with the full schema
+    val emptyDocs = Seq.empty[(Long, Long)].toDF("doc_id", "q")
+    val kb = Clusters.keepBestPerGroup(emptyDocs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "q")
+    assert(kb.count() == 0L &&
+      kb.columns.toSet == Set("doc_id", "q", "component", "kept_id", "is_kept"))
+  }
+
   test("deep validation reports a deleted segment object as Failed") {
     import graft.codec.CompressionCodec
     import graft.pipelines.{Backup, BackupConfig}

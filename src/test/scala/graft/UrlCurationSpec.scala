@@ -286,6 +286,52 @@ class UrlCurationSpec extends SparkSpec {
     assert(out(3) == ((4L, None, None)))
   }
 
+  test("urlBlocklistFilter: keep set identical to the annotating form; oversized list fails loudly") {
+    val docs = Seq(
+      (1L, "https://www.Example.com:443/a"),
+      (2L, "http://deep.ads.example.com/c"),
+      (3L, "https://notexample.com/d"),
+      (4L, "https://ok.org/landing/"),
+      (5L, "not a url"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "url")
+    val viaFilter = CorpusClean.urlBlocklistFilter(docs, "url", blFixture)
+      .select("doc_id").as[Long].collect().toSet
+    val viaAnnotate = CorpusClean.urlBlocklist(docs, "url", blFixture)
+      .where(col("blocked_by").isNull)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaFilter == viaAnnotate && viaFilter == Set(3L, 5L, 6L),
+      s"$viaFilter vs $viaAnnotate")
+    val e = intercept[IllegalArgumentException] {
+      CorpusClean.urlBlocklistFilter(docs, "url", blFixture, maxPatterns = 1L)
+    }
+    assert(e.getMessage.contains("urlBlocklist"), e.getMessage)
+  }
+
+  test("urlBlocklistFilter: runs under Structured Streaming, batch-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "https://spam.example.com/x"),
+      (2L, "https://fine.org/y"),
+      (3L, "https://ok.org/landing"))
+    val input = MemoryStream[(Long, String)]
+    val gated = CorpusClean.urlBlocklistFilter(
+      input.toDF().toDF("doc_id", "url"), "url", blFixture)
+    val q = gated.writeStream.format("memory").queryName("bl_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bl_out").select("doc_id")
+        .as[Long].collect().toSet
+      val batch = CorpusClean.urlBlocklistFilter(
+          rows.toDF("doc_id", "url"), "url", blFixture)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed == Set(2L))
+    } finally q.stop()
+  }
+
   test("urlBlocklist: blocklist side broadcasts under the gate; corpus text never shuffles") {
     val docs = Seq((1L, "https://a.example.com/x", "body text"))
       .toDF("doc_id", "url", "text")
