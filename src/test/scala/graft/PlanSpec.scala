@@ -282,6 +282,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("retrieval: chunk scan prunes to (doc_id, text); top-k collapses below the exchange") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 7)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("query_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val p = graft.ann.Retrieval.retrieveChunks(docs, qs, k = 5)
+      .queryExecution.explainString(FormattedMode)
+    // the corpus-side scan must never read source/lang/n_chars for a
+    // retrieval that only needs text + id
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"chunk scan must prune to (doc_id, text):\n${p.take(1500)}")
+    assert(p.contains("WindowGroupLimit"), "map-side top-k missing")
+  }
+
+  test("url blocklist: corpus scan prunes to id+url keys, winner agg partial-aggregates") {
+    val p = planOf("d_url_blocklist")
+    // suffix/url joins ship narrow keys; the winner reduction must collapse
+    // map-side (a mega-domain's hits never buffer in one task)
+    assert(p.contains("partial_min"), s"winner agg must partial-aggregate:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "blocklist matching must stay equi-join only")
+  }
+
   test("span dedup: no cartesian product, gram aggs partial-aggregate before exchange") {
     // the span family's whole scale story is "no pair expansion": any
     // nested-loop/cartesian appearing here means a join key was lost
