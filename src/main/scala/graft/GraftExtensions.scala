@@ -82,6 +82,9 @@ object GraftExtensions {
     fn -> { args => arity(fn, args, 2); x(b(c(args.head), intLit(fn, args(1)))) }
   private def fStr(fn: String)(b: (Column, String) => Column): (String, Builder) =
     fn -> { args => arity(fn, args, 2); x(b(c(args.head), strLit(fn, args(1)))) }
+  private def fIntStr(fn: String)(b: (Column, Int, String) => Column): (String, Builder) =
+    fn -> { args => arity(fn, args, 3);
+      x(b(c(args.head), intLit(fn, args(1)), strLit(fn, args(2)))) }
 
   private[graft] val all: Seq[(String, Builder)] = Seq(
     // native codegen kernels
@@ -119,5 +122,8 @@ object GraftExtensions {
     f1("graft_url_domain")(graft.text.CorpusClean.urlDomain),
     f1("graft_extract_urls")(graft.text.CorpusClean.extractUrls),
     f1("graft_html_text")(graft.text.CorpusClean.extractHtmlText),
-    f2("graft_phash")(graft.multimodal.Multimodal.phash))
+    f2("graft_phash")(graft.multimodal.Multimodal.phash),
+    fIntStr("graft_hash_embedding")((t, d, s) =>
+      graft.ann.Retrieval.hashEmbedding(t, d, s)),
+    f2("graft_inner_product")(graft.ann.Retrieval.innerProduct))
 }

@@ -74,6 +74,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(2), "null payload hashes to NULL")
   }
 
+  test("retrieval embedding + inner product in SQL, Column-API parity") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_hash_embedding('hello world', 4, 'emb') AS v,
+        |       graft_inner_product(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS ip
+        |""".stripMargin).head()
+    assert(r.getLong(1) == 32L)
+    import spark.implicits._
+    val viaCol = Seq("hello world").toDF("t")
+      .select(graft.ann.Retrieval.hashEmbedding(col("t"), 4, "emb"))
+      .as[Seq[Long]].head()
+    assert(r.getSeq[Long](0) == viaCol)
+  }
+
   test("kernel shape arguments must be constant-foldable") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {
