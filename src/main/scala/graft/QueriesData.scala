@@ -308,6 +308,30 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // the indexed sibling: same corpus/query slice through the IVF-pruned
+    // path (k-means fit on a 1/4 hash sample of the chunks, 3 of 8 lists
+    // probed per query). Audit = recall@5 of (query, doc, chunk) tuples vs
+    // the exact brute-force top-5 — the k-means fit isn't oracle-portable,
+    // so the measured recall column IS this entry's correctness story
+    "a_retrieval_ivf" -> ((s, d) => {
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val approx = graft.ann.Retrieval.retrieveChunksIvf(all, qs, k = 5,
+        nLists = 8, nProbe = 3, fitSampleMod = 4)
+      val exact = graft.ann.Retrieval.retrieveChunks(all, qs, k = 5)
+        .select(col("query_id").as("eq"), col("doc_id").as("ed"),
+          col("chunk_idx").as("ec"))
+      val total = exact.count()
+      val hits = approx.join(broadcast(exact),
+        col("query_id") === col("eq") && col("doc_id") === col("ed") &&
+          col("chunk_idx") === col("ec"), "left_semi").count()
+      approx.withColumn("recall_at_k", lit(
+          math.rint(hits.toDouble / math.max(total, 1L) * 1e4) / 1e4))
+        .orderBy("query_id", "rank")
+    }),
+
     // language ID rollup: the stopword-profile + CJK heuristic is pure
     // integer-count arithmetic, so DuckDB reproduces the argmax bit-exactly
     // HTML extraction — deterministic tag-soup per doc: head noise (title,

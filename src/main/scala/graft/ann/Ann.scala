@@ -208,6 +208,28 @@ object Ann {
     (assigned, IvfModel(model.clusterCenters.map(_.toArray)))
   }
 
+  /** Assign every row to its nearest centroid's list WITHOUT re-fitting —
+    * the append path for an already-built index (and the full-table
+    * assignment when the fit ran on a sample). The centroid set is tiny, so
+    * each distance is a literal expression and the argmin is an `array_min`
+    * over `(dist, list)` structs (lexicographic struct ordering = min dist,
+    * ties to the lower list id): one codegen'd map over the corpus, zero
+    * shuffle, no ML transform in the path.
+    */
+  def assignWithModel(df: DataFrame, model: IvfModel,
+                      vecCol: String): DataFrame = {
+    require(model.nLists >= 1, "model must have at least one centroid")
+    val vd = col(vecCol).cast("array<double>")
+    val entries = model.centroids.toSeq.zipWithIndex.map { case (c, i) =>
+      val carr = array(c.toSeq.map(lit): _*)
+      struct(
+        aggregate(zip_with(vd, carr, (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x).as("dist"),
+        lit(i).as("list"))
+    }
+    df.withColumn("list", array_min(array(entries: _*)).getField("list"))
+  }
+
   /** IVF probe: scan only the nProbe nearest inverted lists, exact cosine
     * within. nProbe = nLists degrades to brute force (exact).
     */

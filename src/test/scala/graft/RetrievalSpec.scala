@@ -61,6 +61,77 @@ class RetrievalSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("assignWithModel: nearest centroid wins, distance ties go to the lower list") {
+    val model = graft.ann.Ann.IvfModel(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0), Array(0.0, 0.0)))
+    val out = Seq(
+      (1L, Seq(1L, 1L)),    // near centroid 0 (and 2 — tie, 0 wins)
+      (2L, Seq(9L, 9L)),    // near centroid 1
+      (3L, Seq(5L, 5L))     // equidistant 0/1/2 → sq dists 50 vs 50 → list 0
+    ).toDF("id", "vec")
+    val got = graft.ann.Ann.assignWithModel(out, model, "vec")
+      .select("id", "list").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0), got.toString)
+  }
+
+  test("topKChunksIvf: nProbe = nLists returns the exact result, row for row") {
+    val docs = (0L until 60L).map(i => (i, s"alpha w$i beta " * 20))
+      .toDF("doc_id", "text")
+    val qs = Seq((5L, "alpha w5 beta"), (9L, "alpha w9 beta"),
+      (41L, "alpha w41 beta")).toDF("query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val exact = rows(Retrieval.retrieveChunks(docs, qs, k = 4))
+    val full = rows(Retrieval.retrieveChunksIvf(docs, qs, k = 4,
+      nLists = 4, nProbe = 4))
+    assert(full == exact, s"full-probe IVF must be exact:\n$full\nvs\n$exact")
+    // sampled fit changes the centroids but never full-probe exactness
+    val sampled = rows(Retrieval.retrieveChunksIvf(docs, qs, k = 4,
+      nLists = 4, nProbe = 4, fitSampleMod = 3))
+    assert(sampled == exact)
+  }
+
+  test("topKChunksIvf: probe table broadcasts, corpus never shuffles, top-k map-side") {
+    val docs = (0L until 50L).map(i => (i, s"gamma w$i delta " * 20))
+      .toDF("doc_id", "text")
+    val qs = Seq((3L, "gamma w3 delta")).toDF("query_id", "text")
+    val out = Retrieval.retrieveChunksIvf(docs, qs, k = 3, nLists = 4,
+      nProbe = 2)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe table must broadcast-hash-join on list:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must push below the exchange:\n$p")
+    assert(out.count() === 3)
+    // pruned probing is a subset of lists, so every reported score must
+    // also appear in the exact result's score universe for that query
+    val exactTop = Retrieval.retrieveChunks(docs, qs, k = 3)
+      .select("score").as[Long].collect().toSet
+    val got = out.select("score").as[Long].collect()
+    assert(got.forall(s => s <= exactTop.max))
+  }
+
+  test("retrieveChunksIvf: pruned-probe recall@k holds the 0.5 audit floor") {
+    // the floor the battery audit (Verify.floors a_retrieval_ivf) mirrors;
+    // hash embeddings are adversarially unstructured for a coarse
+    // quantizer, so this is the operator's worst case, not a soft pitch
+    val docs = (0L until 80L).map(i => (i, s"w$i alpha beta gamma " * 15))
+      .toDF("doc_id", "text")
+    val qs = (0L until 8L).map(i => (i, s"w${i * 9} alpha beta gamma"))
+      .toDF("query_id", "text")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "chunk_idx")
+        .as[(Long, Long, Long)].collect().toSet
+    val exact = keyed(Retrieval.retrieveChunks(docs, qs, k = 5))
+    val approx = keyed(Retrieval.retrieveChunksIvf(docs, qs, k = 5,
+      nLists = 6, nProbe = 2))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 $recall below the 0.5 floor " +
+      s"(${(exact & approx).size}/${exact.size})")
+  }
+
   test("retrieveChunks: re-shard invariant; null-text docs contribute no chunks") {
     val docs = ((0L until 30L).map(i => (i, s"alpha beta w$i " * 20)) :+
       (99L, null.asInstanceOf[String])).toDF("doc_id", "text")
