@@ -332,6 +332,35 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // the serve-many shape: the index is BUILT ONCE (content-keyed atomic
+    // cache) and every run pays only the pruned probe — the probed-list
+    // union reaches the scan as a static PartitionFilter, so 3/8 of the
+    // index files are read and the corpus is never re-chunked. Audit =
+    // recall@5 vs the exact scorer, gated on the measured doc count so the
+    // sf10 rung records probe-only cost (the family's audit convention)
+    "a_retrieval_index" -> ((s, d) => {
+      val path = ensureChunkIndex(s, d)
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val approx = graft.ann.Retrieval.retrieveFromChunkIndex(s, path, qs,
+        k = 5, nProbe = 3)
+      val nDocs = all.count()
+      val audited = if (nDocs <= 200000L) {
+        val exact = graft.ann.Retrieval.retrieveChunks(all, qs, k = 5)
+          .select(col("query_id").as("eq"), col("doc_id").as("ed"),
+            col("chunk_idx").as("ec"))
+        val total = exact.count()
+        val hits = approx.join(broadcast(exact),
+          col("query_id") === col("eq") && col("doc_id") === col("ed") &&
+            col("chunk_idx") === col("ec"), "left_semi").count()
+        lit(math.rint(hits.toDouble / math.max(total, 1L) * 1e4) / 1e4)
+      } else lit(null).cast("double")
+      approx.withColumn("recall_at_k", audited)
+        .orderBy("query_id", "rank")
+    }),
+
     // language ID rollup: the stopword-profile + CJK heuristic is pure
     // integer-count arithmetic, so DuckDB reproduces the argmax bit-exactly
     // HTML extraction — deterministic tag-soup per doc: head noise (title,
@@ -2967,6 +2996,16 @@ object QueriesData {
       val (assigned, model) = Ann.ivfAssign(
         emb(s, dir).filter(col("vec_id") =!= 0), "embedding", nLists = 16)
       Ann.writeIvf(assigned, model, build.getAbsolutePath)
+    }
+
+  /** Build-or-reuse the persisted chunk-retrieval index (list-partitioned
+    * parquet + centroid/M² sidecars) — the serve-many layout; same knobs as
+    * the in-memory a_retrieval_ivf entry so the two paths share centroids.
+    */
+  def ensureChunkIndex(s: SparkSession, dir: String): String =
+    ensureCached("chunk_index", contentKey(s"$dir/documents.parquet")) { build =>
+      graft.ann.Retrieval.writeChunkIndex(docs(s, dir),
+        build.getAbsolutePath, nLists = 8, fitSampleMod = 4)
     }
 
   def ensureIvfPq(s: SparkSession, dir: String): String =

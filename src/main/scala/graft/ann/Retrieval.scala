@@ -194,6 +194,21 @@ object Retrieval {
                         dim: Int = 4, salt: String = "emb",
                         textCol: String = "text", seed: Long = 42L,
                         fitSampleMod: Int = 1): DataFrame = {
+    val (assigned, model, _) = buildIndex(docs, nLists, chunkTokens,
+      overlapTokens, dim, salt, textCol, seed, fitSampleMod)
+    topKChunksIvf(assigned, model, augmentedQueries(queries, dim, salt,
+      textCol), k, nProbe, probeCol = "vaug")
+  }
+
+  /** Chunk → embed → augment → fit (optionally on a hash sample) → assign.
+    * Returns the fully-assigned chunk table, the coarse model, and the MIP
+    * augmentation constant M² (persisted alongside a written index so a
+    * future append pass can augment new chunks consistently).
+    */
+  private def buildIndex(docs: DataFrame, nLists: Int, chunkTokens: Int,
+                         overlapTokens: Int, dim: Int, salt: String,
+                         textCol: String, seed: Long,
+                         fitSampleMod: Int): (DataFrame, Ann.IvfModel, Long) = {
     require(fitSampleMod >= 1, "fitSampleMod must be >= 1")
     val chunks = embeddedChunks(docs, chunkTokens, overlapTokens, dim, salt,
       textCol)
@@ -216,10 +231,57 @@ object Retrieval {
     // centroids — a pure map over broadcast-literal centroids, no re-fit
     val assigned = Ann.assignWithModel(augmented, model, "vaug")
       .select("doc_id", "chunk_idx", "chunk_start", "vec", "list")
-    val q = queries.select(col("query_id"),
+    (assigned, model, m2)
+  }
+
+  /** Embed a query set and append the MIP-augmentation `0` coordinate (a
+    * query augments with zero by construction, so no corpus constant is
+    * needed at query time).
+    */
+  private def augmentedQueries(queries: DataFrame, dim: Int, salt: String,
+                               textCol: String): DataFrame =
+    queries.select(col("query_id"),
         hashEmbedding(col(textCol), dim, salt).as("vec"))
       .withColumn("vaug", concat(col("vec").cast("array<double>"),
         array(lit(0.0d))))
-    topKChunksIvf(assigned, model, q, k, nProbe, probeCol = "vaug")
+
+  /** Persist the chunk index: list-partitioned parquet (so probes become
+    * partition pruning) + the centroid sidecar ([[Ann.writeIvf]]) + the
+    * MIP augmentation constant. Build once, serve many — the layout a
+    * retrieval index actually deploys as.
+    */
+  def writeChunkIndex(docs: DataFrame, path: String, nLists: Int = 16,
+                      chunkTokens: Int = 32, overlapTokens: Int = 8,
+                      dim: Int = 4, salt: String = "emb",
+                      textCol: String = "text", seed: Long = 42L,
+                      fitSampleMod: Int = 1): Unit = {
+    val (assigned, model, m2) = buildIndex(docs, nLists, chunkTokens,
+      overlapTokens, dim, salt, textCol, seed, fitSampleMod)
+    Ann.writeIvf(assigned, model, path)
+    graft.util.Sidecar.write(docs.sparkSession, path, "_mip_m2.json",
+      m2.toString)
+  }
+
+  /** Serve a persisted chunk index: the union of every query's probed
+    * lists is collected (≤ nLists ints — metadata-sized by construction)
+    * and applied as a STATIC partition filter, so only nProbe-ish of the
+    * index files are ever read; scoring and ranking are then exactly
+    * [[topKChunksIvf]]. Query text must use the same (chunkTokens, dim,
+    * salt) the index was built with.
+    */
+  def retrieveFromChunkIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame, k: Int,
+                             nProbe: Int, dim: Int = 4, salt: String = "emb",
+                             textCol: String = "text",
+                             maxQueries: Long = 1000000L): DataFrame = {
+    val model = Ann.IvfModel.fromJson(
+      graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
+    val q = augmentedQueries(queries, dim, salt, textCol)
+    val lists = probeTable(q, model, nProbe, "vec", "vaug")
+      .select("list").distinct().collect().map(_.getInt(0)).sorted
+    val scan = spark.read.parquet(path)
+      .where(col("list").isin(lists.map(Integer.valueOf).toSeq: _*))
+    topKChunksIvf(scan, model, q, k, nProbe, probeCol = "vaug",
+      maxQueries = maxQueries)
   }
 }

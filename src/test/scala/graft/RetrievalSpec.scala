@@ -132,6 +132,38 @@ class RetrievalSpec extends SparkSpec {
       s"(${(exact & approx).size}/${exact.size})")
   }
 
+  test("persisted chunk index: serve == in-memory path, probes are partition filters") {
+    val docs = (0L until 70L).map(i => (i, s"idx w$i theta " * 18))
+      .toDF("doc_id", "text")
+    val qs = Seq((2L, "idx w2 theta"), (6L, "idx w6 theta"))
+      .toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_idx")
+      .toFile
+    try {
+      Retrieval.writeChunkIndex(docs, dir.getAbsolutePath, nLists = 5,
+        fitSampleMod = 2)
+      val served = Retrieval.retrieveFromChunkIndex(spark,
+        dir.getAbsolutePath, qs, k = 4, nProbe = 2)
+      // same build knobs → same centroids → identical output
+      val inMem = Retrieval.retrieveChunksIvf(docs, qs, k = 4, nLists = 5,
+        nProbe = 2, fitSampleMod = 2)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(rows(served) == rows(inMem))
+      // the probed-list union must reach the scan as a PARTITION filter —
+      // only those lists' files are read, the rest of the index is skipped
+      val p = served.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("PartitionFilters") && p.contains("list"),
+        s"probe union must prune index partitions:\n$p")
+      // full probe through the persisted layout is exact
+      val full = Retrieval.retrieveFromChunkIndex(spark,
+        dir.getAbsolutePath, qs, k = 4, nProbe = 5)
+      assert(rows(full) == rows(Retrieval.retrieveChunks(docs, qs, k = 4)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("retrieveChunks: re-shard invariant; null-text docs contribute no chunks") {
     val docs = ((0L until 30L).map(i => (i, s"alpha beta w$i " * 20)) :+
       (99L, null.asInstanceOf[String])).toDF("doc_id", "text")
