@@ -319,7 +319,7 @@ object QueriesData {
           col("doc_id") < 2525 && col("text").isNotNull)
         .select(col("doc_id").as("query_id"), col("text"))
       val approx = graft.ann.Retrieval.retrieveChunksIvf(all, qs, k = 5,
-        nLists = 8, nProbe = 3, fitSampleMod = 4)
+        nLists = 8, nProbe = 3)
       val exact = graft.ann.Retrieval.retrieveChunks(all, qs, k = 5)
         .select(col("query_id").as("eq"), col("doc_id").as("ed"),
           col("chunk_idx").as("ec"))
@@ -3005,7 +3005,7 @@ object QueriesData {
   def ensureChunkIndex(s: SparkSession, dir: String): String =
     ensureCached("chunk_index", contentKey(s"$dir/documents.parquet")) { build =>
       graft.ann.Retrieval.writeChunkIndex(docs(s, dir),
-        build.getAbsolutePath, nLists = 8, fitSampleMod = 4)
+        build.getAbsolutePath, nLists = 8)
     }
 
   def ensureIvfPq(s: SparkSession, dir: String): String =

@@ -193,45 +193,138 @@ object Retrieval {
                         chunkTokens: Int = 32, overlapTokens: Int = 8,
                         dim: Int = 4, salt: String = "emb",
                         textCol: String = "text", seed: Long = 42L,
-                        fitSampleMod: Int = 1): DataFrame = {
+                        fitBudget: Int = 4096): DataFrame = {
     val (assigned, model, _) = buildIndex(docs, nLists, chunkTokens,
-      overlapTokens, dim, salt, textCol, seed, fitSampleMod)
+      overlapTokens, dim, salt, textCol, seed, fitBudget)
     topKChunksIvf(assigned, model, augmentedQueries(queries, dim, salt,
-      textCol), k, nProbe, probeCol = "vaug")
+      textCol), k, math.min(nProbe, model.nLists), probeCol = "vaug")
   }
 
-  /** Chunk → embed → augment → fit (optionally on a hash sample) → assign.
-    * Returns the fully-assigned chunk table, the coarse model, and the MIP
-    * augmentation constant M² (persisted alongside a written index so a
-    * future append pass can augment new chunks consistently).
+  /** Chunk → embed → (one fused pass: M² max-aggregate + bounded fit
+    * sample) → driver-side Lloyd's → assign. Returns the fully-assigned
+    * chunk table, the coarse model, and the MIP augmentation constant M²
+    * (persisted alongside a written index so a future append pass can
+    * augment new chunks consistently).
+    *
+    * The fit sample is BOUNDED-SIZE (`fitBudget` rows via a deterministic
+    * hash-ordered top-k — TakeOrdered, map-side k per partition), never a
+    * corpus fraction: a %-sample fit grows with the corpus and drags a
+    * 100 TB table through every k-means iteration. The `observe` hook rides
+    * the same scan to collect M², so the whole build reads the chunk table
+    * exactly twice: once here, once in the assign+score pass.
     */
   private def buildIndex(docs: DataFrame, nLists: Int, chunkTokens: Int,
                          overlapTokens: Int, dim: Int, salt: String,
                          textCol: String, seed: Long,
-                         fitSampleMod: Int): (DataFrame, Ann.IvfModel, Long) = {
-    require(fitSampleMod >= 1, "fitSampleMod must be >= 1")
+                         fitBudget: Int): (DataFrame, Ann.IvfModel, Long) = {
+    require(fitBudget >= 1, "fitBudget must be >= 1")
     val chunks = embeddedChunks(docs, chunkTokens, overlapTokens, dim, salt,
       textCol)
-    // norm-augmentation: one cheap max-aggregate (single driver row), then
-    // a pure map adds the sqrt(M² − |x|²) coordinate
     val nsq = innerProduct(col("vec"), col("vec"))
-    val m2 = chunks.agg(max(nsq).as("m2")).head() match {
-      case r if r.isNullAt(0) => 0L   // empty corpus: nothing to index
-      case r                  => r.getLong(0)
+    val obs = org.apache.spark.sql.Observation()
+    val sample = chunks
+      .observe(obs, max(nsq).as("m2"))
+      .select(col("vec"),
+        xxhash64(col("doc_id"), col("chunk_idx")).as("h"),
+        col("doc_id"), col("chunk_idx"))
+      .orderBy("h", "doc_id", "chunk_idx")   // total order → deterministic cut
+      .limit(fitBudget)
+      .select("vec")
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    val m2 = obs.get.get("m2") match {
+      case Some(v: Long) => v
+      case _             => 0L   // empty corpus: nothing to index
     }
+    val model = fitLloyd(sample, m2, nLists, seed)
     val augmented = chunks.withColumn("vaug",
       concat(col("vec").cast("array<double>"),
         array(sqrt(lit(m2) - nsq))))
-    val fitInput =
-      if (fitSampleMod == 1) augmented
-      else augmented.where(pmod(xxhash64(col("doc_id"), col("chunk_idx")),
-        lit(fitSampleMod.toLong)) === 0)
-    val (_, model) = Ann.ivfAssign(fitInput, "vaug", nLists, seed)
-    // assign the FULL chunk table against the (possibly sampled-fit)
-    // centroids — a pure map over broadcast-literal centroids, no re-fit
+    // assign the FULL chunk table against the sampled-fit centroids — a
+    // pure codegen map over broadcast-literal centroids, no ML transform
     val assigned = Ann.assignWithModel(augmented, model, "vaug")
       .select("doc_id", "chunk_idx", "chunk_start", "vec", "list")
     (assigned, model, m2)
+  }
+
+  /** Seeded kmeans++ init + Lloyd's iterations over the (augmented)
+    * fit sample — plain single-threaded driver math on a few thousand
+    * points, so the centroids are bit-deterministic across shard layouts
+    * and Spark versions (distributed k-means|| is neither). Nearest-center
+    * ties break to the lower index, matching [[Ann.assignWithModel]].
+    */
+  private[graft] def fitLloyd(sampleVecs: Array[Array[Long]], m2: Long,
+                              nLists: Int, seed: Long,
+                              maxIter: Int = 25): Ann.IvfModel = {
+    val pts = sampleVecs.map { v =>
+      val nsq = v.map(x => x * x).sum
+      v.map(_.toDouble) :+ math.sqrt(math.max(0L, m2 - nsq).toDouble)
+    }
+    if (pts.isEmpty)
+      return Ann.IvfModel(Array(Array.fill(1)(0.0)))
+    val k = math.min(nLists, pts.length)
+    val d = pts.head.length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // kmeans++ init
+    val rnd = new scala.util.Random(seed)
+    val centers = new Array[Array[Double]](k)
+    centers(0) = pts(rnd.nextInt(pts.length)).clone()
+    val minD = pts.map(p => sq(p, centers(0)))
+    for (c <- 1 until k) {
+      val totalW = minD.sum
+      val target = rnd.nextDouble() * totalW
+      var acc = 0.0; var pick = 0
+      var i = 0
+      while (i < pts.length && acc <= target) { acc += minD(i); pick = i; i += 1 }
+      centers(c) = pts(pick).clone()
+      var j = 0
+      while (j < pts.length) {
+        val dj = sq(pts(j), centers(c))
+        if (dj < minD(j)) minD(j) = dj
+        j += 1
+      }
+    }
+    // Lloyd's
+    val assign = new Array[Int](pts.length)
+    var moved = true; var iter = 0
+    while (moved && iter < maxIter) {
+      moved = false
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bd = sq(pts(i), centers(0))
+        var c = 1
+        while (c < k) {
+          val dc = sq(pts(i), centers(c))
+          if (dc < bd) { bd = dc; best = c }   // strict: ties keep lower c
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      var j = 0
+      while (j < pts.length) {
+        val c = assign(j); counts(c) += 1
+        var t = 0
+        while (t < d) { sums(c)(t) += pts(j)(t); t += 1 }
+        j += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var t = 0
+          while (t < d) { centers(c)(t) = sums(c)(t) / counts(c); t += 1 }
+        } // empty cluster: keep its previous center (deterministic)
+        c += 1
+      }
+      iter += 1
+    }
+    Ann.IvfModel(centers)
   }
 
   /** Embed a query set and append the MIP-augmentation `0` coordinate (a
@@ -254,9 +347,9 @@ object Retrieval {
                       chunkTokens: Int = 32, overlapTokens: Int = 8,
                       dim: Int = 4, salt: String = "emb",
                       textCol: String = "text", seed: Long = 42L,
-                      fitSampleMod: Int = 1): Unit = {
+                      fitBudget: Int = 4096): Unit = {
     val (assigned, model, m2) = buildIndex(docs, nLists, chunkTokens,
-      overlapTokens, dim, salt, textCol, seed, fitSampleMod)
+      overlapTokens, dim, salt, textCol, seed, fitBudget)
     Ann.writeIvf(assigned, model, path)
     graft.util.Sidecar.write(docs.sparkSession, path, "_mip_m2.json",
       m2.toString)
@@ -276,12 +369,13 @@ object Retrieval {
                              maxQueries: Long = 1000000L): DataFrame = {
     val model = Ann.IvfModel.fromJson(
       graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
+    val np = math.min(nProbe, model.nLists)
     val q = augmentedQueries(queries, dim, salt, textCol)
-    val lists = probeTable(q, model, nProbe, "vec", "vaug")
+    val lists = probeTable(q, model, np, "vec", "vaug")
       .select("list").distinct().collect().map(_.getInt(0)).sorted
     val scan = spark.read.parquet(path)
       .where(col("list").isin(lists.map(Integer.valueOf).toSeq: _*))
-    topKChunksIvf(scan, model, q, k, nProbe, probeCol = "vaug",
+    topKChunksIvf(scan, model, q, k, np, probeCol = "vaug",
       maxQueries = maxQueries)
   }
 }

@@ -88,7 +88,7 @@ class RetrievalSpec extends SparkSpec {
     assert(full == exact, s"full-probe IVF must be exact:\n$full\nvs\n$exact")
     // sampled fit changes the centroids but never full-probe exactness
     val sampled = rows(Retrieval.retrieveChunksIvf(docs, qs, k = 4,
-      nLists = 4, nProbe = 4, fitSampleMod = 3))
+      nLists = 4, nProbe = 4, fitBudget = 64))
     assert(sampled == exact)
   }
 
@@ -141,12 +141,12 @@ class RetrievalSpec extends SparkSpec {
       .toFile
     try {
       Retrieval.writeChunkIndex(docs, dir.getAbsolutePath, nLists = 5,
-        fitSampleMod = 2)
+        fitBudget = 48)
       val served = Retrieval.retrieveFromChunkIndex(spark,
         dir.getAbsolutePath, qs, k = 4, nProbe = 2)
       // same build knobs → same centroids → identical output
       val inMem = Retrieval.retrieveChunksIvf(docs, qs, k = 4, nLists = 5,
-        nProbe = 2, fitSampleMod = 2)
+        nProbe = 2, fitBudget = 48)
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.orderBy("query_id", "rank")
           .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
