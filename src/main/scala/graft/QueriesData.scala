@@ -90,6 +90,26 @@ object QueriesData {
       lit(math.rint(hits.toDouble / k * 1e4) / 1e4))
   }
 
+  /** recall@k of an approximate chunk-retrieval result against the exact
+    * brute-force scorer, on (query, doc, chunk) identity — gated on the
+    * MEASURED doc count (the family convention) so the sf10 rung records
+    * operator-only cost: the exact baseline is a full corpus chunk scan,
+    * which would otherwise dominate the indexed path's timing at scale.
+    */
+  private def retrievalRecall(s: SparkSession, d: String, approx: DataFrame,
+                              qs: DataFrame,
+                              maxAuditDocs: Long = 200000L): Column = {
+    if (docs(s, d).count() > maxAuditDocs) return lit(null).cast("double")
+    val exact = graft.ann.Retrieval.retrieveChunks(docs(s, d), qs, k = 5)
+      .select(col("query_id").as("eq"), col("doc_id").as("ed"),
+        col("chunk_idx").as("ec"))
+    val total = exact.count()
+    val hits = approx.join(broadcast(exact),
+      col("query_id") === col("eq") && col("doc_id") === col("ed") &&
+        col("chunk_idx") === col("ec"), "left_semi").count()
+    lit(math.rint(hits.toDouble / math.max(total, 1L) * 1e4) / 1e4)
+  }
+
   /** Brute-force cosine ground truth for the [[Dedup.embeddingPairs]] audit —
     * O(n²) by definition, so callers gate it on a MEASURED vector count (the
     * one sanctioned use of a non-equi nested-loop join in this repo). Same
@@ -320,15 +340,8 @@ object QueriesData {
         .select(col("doc_id").as("query_id"), col("text"))
       val approx = graft.ann.Retrieval.retrieveChunksIvf(all, qs, k = 5,
         nLists = 8, nProbe = 3)
-      val exact = graft.ann.Retrieval.retrieveChunks(all, qs, k = 5)
-        .select(col("query_id").as("eq"), col("doc_id").as("ed"),
-          col("chunk_idx").as("ec"))
-      val total = exact.count()
-      val hits = approx.join(broadcast(exact),
-        col("query_id") === col("eq") && col("doc_id") === col("ed") &&
-          col("chunk_idx") === col("ec"), "left_semi").count()
-      approx.withColumn("recall_at_k", lit(
-          math.rint(hits.toDouble / math.max(total, 1L) * 1e4) / 1e4))
+      approx.withColumn("recall_at_k",
+          retrievalRecall(s, d, approx, qs))
         .orderBy("query_id", "rank")
     }),
 
@@ -346,18 +359,8 @@ object QueriesData {
         .select(col("doc_id").as("query_id"), col("text"))
       val approx = graft.ann.Retrieval.retrieveFromChunkIndex(s, path, qs,
         k = 5, nProbe = 3)
-      val nDocs = all.count()
-      val audited = if (nDocs <= 200000L) {
-        val exact = graft.ann.Retrieval.retrieveChunks(all, qs, k = 5)
-          .select(col("query_id").as("eq"), col("doc_id").as("ed"),
-            col("chunk_idx").as("ec"))
-        val total = exact.count()
-        val hits = approx.join(broadcast(exact),
-          col("query_id") === col("eq") && col("doc_id") === col("ed") &&
-            col("chunk_idx") === col("ec"), "left_semi").count()
-        lit(math.rint(hits.toDouble / math.max(total, 1L) * 1e4) / 1e4)
-      } else lit(null).cast("double")
-      approx.withColumn("recall_at_k", audited)
+      approx.withColumn("recall_at_k",
+          retrievalRecall(s, d, approx, qs))
         .orderBy("query_id", "rank")
     }),
 

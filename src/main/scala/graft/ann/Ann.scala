@@ -221,14 +221,25 @@ object Ann {
     require(model.nLists >= 1, "model must have at least one centroid")
     val vd = col(vecCol).cast("array<double>")
     val entries = model.centroids.toSeq.zipWithIndex.map { case (c, i) =>
-      val carr = array(c.toSeq.map(lit): _*)
-      struct(
-        aggregate(zip_with(vd, carr, (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, x) => acc + x).as("dist"),
-        lit(i).as("list"))
+      struct(squaredDistance(vd, c).as("dist"), lit(i).as("list"))
     }
     df.withColumn("list", array_min(array(entries: _*)).getField("list"))
   }
+
+  /** Squared euclidean distance of an array<double> column to a
+    * driver-resident centroid, unrolled over the (small, plan-time
+    * constant) dimension into plain codegen arithmetic. The lambda-HOF
+    * formulation (`aggregate(zip_with(...))`) never reaches doGenCode —
+    * it ran interpreted, allocating per row per centroid, and dominated
+    * the assignment scan. `get()` (0-based, NULL out of bounds) keeps the
+    * dimension-mismatch semantics ANSI-safe; summation order matches the
+    * left-fold of the HOF form bit for bit.
+    */
+  private[graft] def squaredDistance(vd: Column, c: Array[Double]): Column =
+    c.zipWithIndex.map { case (cj, j) =>
+      val d = get(vd, lit(j)) - lit(cj)
+      d * d
+    }.reduce(_ + _)
 
   /** IVF probe: scan only the nProbe nearest inverted lists, exact cosine
     * within. nProbe = nLists degrades to brute force (exact).

@@ -34,14 +34,23 @@ object Retrieval {
     */
   def hashEmbedding(text: Column, dim: Int, salt: String): Column = {
     require(dim >= 1, "dim must be >= 1")
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      conv(substring(md5(concat(text, lit(s":$salt:"), i.cast("string"))),
-        1, 4), 16, 10).cast("long") % 1000)
+    // native codegen kernel — one digest per dimension, one call site in
+    // generated code. The earlier transform(sequence(...)) lambda ran
+    // interpreted (HOFs never reach doGenCode) and re-ran the md5 chain
+    // once per downstream consumer; a literal-unrolled md5/conv form fixed
+    // the duplication but overflowed the 64 KB generated-method limit when
+    // fused into the probe stage. Values are bit-identical to the
+    // composable formula (HashEmbedSpec pins it); NULL text embeds NULL.
+    graft.functions.KFunctions.hash_embed(text, dim, salt)
   }
 
-  /** Exact integer inner product of two `array<long>` columns. */
+  /** Exact integer inner product of two `array<long>` columns — the native
+    * codegen kernel ([[graft.functions.LongArrayDot]]): the scorer runs
+    * once per (chunk × probing query) candidate, where the interpreted
+    * `aggregate(zip_with(...))` HOF form was the probe stage's hot spot.
+    */
   def innerProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.KFunctions.array_dot_long(a, b)
 
   /** Top-`k` chunks per query by inner product (maximum-inner-product
     * retrieval — the scoring real dense retrievers use pre-normalization).
@@ -112,23 +121,20 @@ object Retrieval {
                  vecCol: String = "vec", probeCol: String = ""): DataFrame = {
     require(nProbe >= 1 && nProbe <= model.nLists,
       s"nProbe must be in [1, ${model.nLists}], got $nProbe")
-    val spark = queries.sparkSession
-    import spark.implicits._
     val pc = if (probeCol.isEmpty) vecCol else probeCol
-    val cents = model.centroids.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("list", "centroid")
-    val dist = aggregate(
-      zip_with(col("pv"), col("centroid"), (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, x) => acc + x)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("dist").asc, col("list").asc)
+    // per query: sort the nLists (dist, list) structs — lexicographic
+    // struct order = min dist, ties to the lower list — keep nProbe,
+    // explode. Pure per-row expressions over broadcast-literal centroids:
+    // no join, no window, no shuffle.
+    val entries = model.centroids.toSeq.zipWithIndex.map { case (c, i) =>
+      struct(Ann.squaredDistance(col("pv"), c).as("dist"),
+        lit(i).as("list"))
+    }
     queries.select(col("query_id"), col(vecCol).as("qv"),
         col(pc).cast("array<double>").as("pv"))
-      .join(broadcast(cents))
-      .withColumn("dist", dist)
-      .withColumn("pr", row_number().over(w))
-      .where(col("pr") <= nProbe)
+      .withColumn("list", explode(transform(
+        slice(array_sort(array(entries: _*)), 1, nProbe),
+        s => s.getField("list"))))
       .select("query_id", "qv", "list")
   }
 
@@ -196,8 +202,21 @@ object Retrieval {
                         fitBudget: Int = 4096): DataFrame = {
     val (assigned, model, _) = buildIndex(docs, nLists, chunkTokens,
       overlapTokens, dim, salt, textCol, seed, fitBudget)
-    topKChunksIvf(assigned, model, augmentedQueries(queries, dim, salt,
-      textCol), k, math.min(nProbe, model.nLists), probeCol = "vaug")
+    val np = math.min(nProbe, model.nLists)
+    val q = augmentedQueries(queries, dim, salt, textCol)
+    // prune to the probed lists (driver union — ≤ nLists ints), then ONE
+    // narrow exchange (ids + dim longs + list ≈ 60 B/row over the probed
+    // subset) materializes the embed+assign projection exactly once.
+    // Without the barrier the multiplying probe join re-evaluates the md5
+    // embedding and the centroid argmin per MATCH, not per row — measured
+    // 34 s vs 6 s at sf10 for ~10 matches/chunk. The persisted path
+    // ([[writeChunkIndex]]) gets the same materialization from parquet.
+    val lists = probeTable(q, model, np, "vec", "vaug")
+      .select("list").distinct().collect().map(_.getInt(0)).sorted
+    val pruned = assigned
+      .where(col("list").isin(lists.map(Integer.valueOf).toSeq: _*))
+      .repartition(col("list"), col("doc_id"), col("chunk_idx"))
+    topKChunksIvf(pruned, model, q, k, np, probeCol = "vaug")
   }
 
   /** Chunk → embed → (one fused pass: M² max-aggregate + bounded fit

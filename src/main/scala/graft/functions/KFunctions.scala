@@ -137,6 +137,22 @@ object KFunctions {
   def array_dot(a: Column, b: Column): Column =
     exprCol(DoubleArrayDot(exprOf(a), exprOf(b)))
 
+  /** Exact integer dot of two array<bigint> columns — native codegen
+    * expression (see [[LongArrayDot]]); bit-identical to the interpreted
+    * aggregate(zip_with(...)) form it replaces on the retrieval scorer.
+    */
+  def array_dot_long(a: Column, b: Column): Column =
+    exprCol(LongArrayDot(exprOf(a), exprOf(b)))
+
+  /** Deterministic integer hash embedding of a string column — native
+    * codegen kernel (see [[HashEmbed]]); per dimension bit-identical to
+    * `conv(substring(md5(concat(text, ':salt:i')), 1, 4), 16, 10) % 1000`.
+    * NULL text embeds to a NULL array (the composed form produced an
+    * array of NULL elements; every consumer filters null text upstream).
+    */
+  def hash_embed(text: Column, dim: Int, salt: String): Column =
+    exprCol(HashEmbed(exprOf(text), dim, salt))
+
   /** Per-vector int8 quantization to a binary payload (see [[PackUnitInt8]]) —
     * the shuffle-compression form of a vector for pairwise candidate joins.
     */

@@ -22,6 +22,32 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2).nonEmpty)                // empty string still embeds
   }
 
+  test("hashEmbedding kernel is bit-compatible with the composed md5/conv formula") {
+    // the SQL-oracle formula the kernel must reproduce exactly, per dim:
+    // conv(substring(md5(text || ':salt:i'), 1, 4), 16, 10) % 1000
+    def composed(text: org.apache.spark.sql.Column, dim: Int, salt: String) =
+      array((0 until dim).map(i =>
+        conv(substring(md5(concat(text, lit(s":$salt:$i"))), 1, 4), 16, 10)
+          .cast("long") % 1000): _*)
+    val df = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("text").isNotNull).orderBy("doc_id").limit(60)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "héllo wörld 你好"),
+        (9003L, "a" * 5000)).toDF("doc_id", "text"))
+    val rows = df.select(col("doc_id"),
+        Retrieval.hashEmbedding(col("text"), 6, "emb").as("native"),
+        composed(col("text"), 6, "emb").as("legacy"))
+      .collect()
+    assert(rows.length == 63)
+    rows.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      s"embed mismatch for doc ${r.getLong(0)}"))
+    // NULL text embeds to a NULL array (kernel semantics; consumers filter
+    // null text upstream of every embed site)
+    val nul = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(Retrieval.hashEmbedding(col("text"), 3, "emb")).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("topKChunks: exact inner products, rank order, ties broken by (doc, chunk)") {
     val chunks = Seq(
       (1L, 0L, 0L, Seq(1L, 0L)),   // score vs q=(2,3): 2
