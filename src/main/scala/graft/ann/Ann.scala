@@ -74,12 +74,15 @@ object Ann {
     // math.round would differ on negative ties (-2.5 → -2, not -3)
     def r(x: Double): Int =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
-    val qInt = array(query.map(x => lit(r(x * qScale))): _*)
-    // integer dot / (|a| |b|) — scales cancel in cosine
-    val dot = aggregate(zip_with(col("q_vec"), qInt, (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
-    val nCorpus = sqrt(aggregate(col("q_vec"), lit(0L),
-      (acc, x) => acc + x * x).cast("double"))
+    val qInt = array(query.map(x => lit(r(x * qScale).toLong)): _*)
+    // integer dot / (|a| |b|) — scales cancel in cosine. Native codegen
+    // kernel: the interpreted aggregate(zip_with(...)) lambda ran per
+    // corpus vector (the whole scan) with per-row allocations; the values
+    // are identical (int8 products fit a long exactly)
+    val qlv = col("q_vec").cast("array<long>")
+    val dot = graft.functions.KFunctions.array_dot_long(qlv, qInt)
+    val nCorpus = sqrt(
+      graft.functions.KFunctions.array_dot_long(qlv, qlv).cast("double"))
     val nQuery = math.sqrt(query.map(x => { val q = r(x * qScale).toDouble; q * q }).sum)
     // zero-norm guard, same contract as Dedup.cosine: 0/0 would be NaN, and
     // Spark sorts NaN ABOVE every number under desc — zero vectors would
