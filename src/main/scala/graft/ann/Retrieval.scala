@@ -374,6 +374,35 @@ object Retrieval {
       m2.toString)
   }
 
+  /** Incremental ingest into a persisted chunk index: new documents are
+    * chunked, embedded, augmented with the INDEX'S stored M² (so old and
+    * new vectors live in the same augmented geometry), assigned against
+    * the stored centroids — a pure codegen map, no re-fit, no re-read of
+    * the existing data — and appended into the list-partitioned layout.
+    * A new chunk whose norm exceeds the stored M² clamps its augmentation
+    * coordinate to 0: scoring stays EXACT regardless (the augmented space
+    * only steers which lists are probed), the outlier just probes slightly
+    * worse until the next full rebuild refreshes M².
+    */
+  def appendToChunkIndex(docs: DataFrame, path: String,
+                         chunkTokens: Int = 32, overlapTokens: Int = 8,
+                         dim: Int = 4, salt: String = "emb",
+                         textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val model = Ann.IvfModel.fromJson(
+      graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
+    val m2 = graft.util.Sidecar.read(spark, path, "_mip_m2.json").trim.toLong
+    val chunks = embeddedChunks(docs, chunkTokens, overlapTokens, dim, salt,
+      textCol)
+    val nsq = innerProduct(col("vec"), col("vec"))
+    val augmented = chunks.withColumn("vaug",
+      concat(col("vec").cast("array<double>"),
+        array(sqrt(greatest(lit(0L), lit(m2) - nsq)))))
+    Ann.assignWithModel(augmented, model, "vaug")
+      .select("doc_id", "chunk_idx", "chunk_start", "vec", "list")
+      .write.mode("append").partitionBy("list").parquet(path)
+  }
+
   /** Serve a persisted chunk index: the union of every query's probed
     * lists is collected (≤ nLists ints — metadata-sized by construction)
     * and applied as a STATIC partition filter, so only nProbe-ish of the

@@ -126,6 +126,33 @@ object StreamingText {
     }
   }
 
+  /** Streaming retrieval serving: every micro-batch of query rows
+    * (`query_id`, `textCol`) probes a PERSISTED chunk index
+    * ([[graft.ann.Retrieval.writeChunkIndex]]) and hands the per-query
+    * top-k (with provenance) to `sink`. foreachBatch is the honest shape
+    * here: per-query top-k is a rank window, which streaming cannot
+    * express natively, and the per-batch function IS the batch serving
+    * API ([[graft.ann.Retrieval.retrieveFromChunkIndex]]) — so
+    * batch ≡ stream by construction, probed-list partition pruning and
+    * all. The index can keep growing between triggers via
+    * [[graft.ann.Retrieval.appendToChunkIndex]]: each batch re-reads the
+    * layout, so appended chunks are visible to the next trigger.
+    *
+    * Returns the configured writer; the caller picks trigger/checkpoint
+    * and calls `start()`.
+    */
+  def retrieveStream(queryStream: DataFrame, indexPath: String, k: Int,
+                     nProbe: Int, dim: Int = 4, salt: String = "emb",
+                     textCol: String = "text")
+                    (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(graft.ann.Retrieval.retrieveFromChunkIndex(
+          batch.sparkSession, indexPath, batch, k, nProbe, dim, salt,
+          textCol))
+    }
+
   /** Running per-source stats with explicit keyed state: document and token
     * totals plus an approximate duplicate count (fingerprints seen within the
     * state's bounded recent-set).

@@ -190,6 +190,39 @@ class RetrievalSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("appendToChunkIndex: append ∪ build serves exactly like a full corpus, outlier norms clamp") {
+    val oldDocs = (0L until 40L).map(i => (i, s"app w$i kappa " * 18))
+      .toDF("doc_id", "text")
+    // the appended half includes an outlier whose embedding norm can exceed
+    // the stored M² — the clamp must keep augmentation NaN-free
+    val newDocs = ((40L until 80L).map(i => (i, s"app w$i kappa " * 18)) :+
+      (999L, "zzz outlier qqq " * 30)).toDF("doc_id", "text")
+    val allDocs = oldDocs.unionByName(newDocs)
+    val qs = Seq((7L, "app w7 kappa"), (55L, "app w55 kappa"),
+      (999L, "zzz outlier qqq")).toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_app")
+      .toFile
+    try {
+      Retrieval.writeChunkIndex(oldDocs, dir.getAbsolutePath, nLists = 5,
+        fitBudget = 48)
+      Retrieval.appendToChunkIndex(newDocs, dir.getAbsolutePath)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      // full probe through the appended index == exact over the UNION
+      val full = rows(Retrieval.retrieveFromChunkIndex(spark,
+        dir.getAbsolutePath, qs, k = 4, nProbe = 5))
+      assert(full == rows(Retrieval.retrieveChunks(allDocs, qs, k = 4)))
+      // pruned probes still find the appended docs (incl. the outlier)
+      val pruned = Retrieval.retrieveFromChunkIndex(spark,
+        dir.getAbsolutePath, qs, k = 4, nProbe = 2)
+      val hitDocs = pruned.select("doc_id").as[Long].collect().toSet
+      assert(hitDocs.exists(_ >= 40L), s"appended docs never retrieved: $hitDocs")
+      assert(!pruned.select("score").as[Long].collect().exists(_ < 0),
+        "scores must stay exact non-negative integers")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("retrieveChunks: re-shard invariant; null-text docs contribute no chunks") {
     val docs = ((0L until 30L).map(i => (i, s"alpha beta w$i " * 20)) :+
       (99L, null.asInstanceOf[String])).toDF("doc_id", "text")

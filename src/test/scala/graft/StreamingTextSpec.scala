@@ -379,4 +379,54 @@ class StreamingTextSpec extends SparkSpec {
       assert(streamRows === batchRows)
     } finally q.stop()
   }
+
+  test("streaming retrieval serves the persisted chunk index; appends visible next trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 50L).map(i => (i, s"srv w$i omega " * 18))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv_idx").toFile
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Long, Long, Long)]]
+    try {
+      graft.ann.Retrieval.writeChunkIndex(docs, dir.getAbsolutePath,
+        nLists = 4, fitBudget = 48)
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingText.retrieveStream(
+          input.toDF().toDF("query_id", "text"), dir.getAbsolutePath,
+          k = 3, nProbe = 4) { out =>
+          got += out.select("query_id", "rank", "doc_id", "score")
+            .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+        }
+        .start()
+      try {
+        input.addData((5L, "srv w5 omega"))
+        q.processAllAvailable()
+        // batch result == the batch serving API on the same query set
+        def batch(qdf: org.apache.spark.sql.DataFrame) =
+          graft.ann.Retrieval.retrieveFromChunkIndex(spark,
+              dir.getAbsolutePath, qdf, k = 3, nProbe = 4)
+            .select("query_id", "rank", "doc_id", "score")
+            .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+        assert(got.size == 1 &&
+          got.head == batch(Seq((5L, "srv w5 omega")).toDF("query_id", "text")))
+        // append between triggers: the next micro-batch sees the new docs
+        graft.ann.Retrieval.appendToChunkIndex(
+          Seq((100L, "freshly appended srv doc " * 10)).toDF("doc_id", "text"),
+          dir.getAbsolutePath)
+        input.addData((6L, "freshly appended srv doc"))
+        q.processAllAvailable()
+        assert(got.size == 2)
+        // stream ≡ batch on the GROWN index (hash embeddings carry no
+        // text semantics, so the contract is equality with the batch API,
+        // not that the appended doc wins an arbitrary query)...
+        assert(got(1) ==
+          batch(Seq((6L, "freshly appended srv doc")).toDF("query_id", "text")))
+        // ...and the appended doc is physically in the served layout
+        val idxDocs = spark.read.parquet(dir.getAbsolutePath)
+          .where(org.apache.spark.sql.functions.col("doc_id") === 100L).count()
+        assert(idxDocs > 0, "appended doc missing from the index layout")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
