@@ -40,6 +40,7 @@ object Cli {
   private def usage(): Unit = System.err.println(
     "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
       "import-warc prepare-corpus corpus-diff datasheet " +
+      "build-chunk-index append-chunk-index retrieve " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-groups snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -294,6 +295,47 @@ object Cli {
         s""""n_docs":${written.count()},""" +
         s""""n_files":${written.select("warc_file").distinct().count()},""" +
         s""""n_corrupt":$nCorrupt}""")
+
+    // build-chunk-index <docs.parquet> <indexDir> [nLists] [chunkTokens]
+    // Chunk the corpus, embed, build the IVF retrieval index (list-
+    // partitioned parquet + centroid/M² sidecars) — build once, serve many.
+    case "build-chunk-index" =>
+      val Array(_, docsPath, indexDir, rest @ _*) = args: @unchecked
+      val nLists = rest.lift(0).filter(_ != "-").map(_.toInt).getOrElse(16)
+      val chunkTokens = rest.lift(1).filter(_ != "-").map(_.toInt).getOrElse(32)
+      graft.ann.Retrieval.writeChunkIndex(spark.read.parquet(docsPath),
+        indexDir, nLists = nLists, chunkTokens = chunkTokens)
+      val idx = spark.read.parquet(indexDir)
+      println(s"""{"index":${graft.util.Json.escape(indexDir)},""" +
+        s""""n_chunks":${idx.count()},""" +
+        s""""n_lists":${idx.select("list").distinct().count()}}""")
+
+    // append-chunk-index <docs.parquet> <indexDir>
+    // Incremental ingest: assign new docs' chunks against the stored
+    // centroids/M² (no re-fit) and append into the partitioned layout.
+    case "append-chunk-index" =>
+      val Array(_, docsPath, indexDir) = args: @unchecked
+      val before = spark.read.parquet(indexDir).count()
+      graft.ann.Retrieval.appendToChunkIndex(
+        spark.read.parquet(docsPath), indexDir)
+      val after = spark.read.parquet(indexDir).count()
+      println(s"""{"index":${graft.util.Json.escape(indexDir)},""" +
+        s""""appended_chunks":${after - before},"n_chunks":$after}""")
+
+    // retrieve <indexDir> <queries.parquet> <outPath> [k] [nProbe]
+    // Serve: per-query top-k chunks with (doc, chunk, offset) provenance;
+    // queries.parquet needs (query_id, text).
+    case "retrieve" =>
+      val Array(_, indexDir, queriesPath, outPath, rest @ _*) = args: @unchecked
+      val k = rest.lift(0).filter(_ != "-").map(_.toInt).getOrElse(5)
+      val nProbe = rest.lift(1).filter(_ != "-").map(_.toInt).getOrElse(4)
+      graft.ann.Retrieval.retrieveFromChunkIndex(spark, indexDir,
+          spark.read.parquet(queriesPath), k, nProbe)
+        .write.mode("overwrite").parquet(outPath)
+      val out = spark.read.parquet(outPath)
+      println(s"""{"out":${graft.util.Json.escape(outPath)},""" +
+        s""""n_results":${out.count()},""" +
+        s""""n_queries":${out.select("query_id").distinct().count()}}""")
 
     // prepare-corpus <docs.parquet> <outDir> [stagingDir|-] [format]
     //                [urlCol|-] [maxDocsPerDomain|-] [html|-] [blocklistCsv|-]

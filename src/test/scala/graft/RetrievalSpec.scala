@@ -223,6 +223,47 @@ class RetrievalSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("CLI build-chunk-index / append-chunk-index / retrieve drive the index end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_idx").toFile
+    try {
+      (0L until 30L).map(i => (i, s"cli w$i sigma " * 18))
+        .toDF("doc_id", "text")
+        .write.parquet(s"$dir/docs")
+      (30L until 40L).map(i => (i, s"cli w$i sigma " * 18))
+        .toDF("doc_id", "text")
+        .write.parquet(s"$dir/more")
+      Seq((3L, "cli w3 sigma"), (35L, "cli w35 sigma"))
+        .toDF("query_id", "text")
+        .write.parquet(s"$dir/queries")
+      def cli(a: String*): String = {
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos)) {
+          Cli.run(spark, a.toArray)
+        }
+        bos.toString("UTF-8").linesIterator
+          .filter(_.startsWith("{")).toSeq.last
+      }
+      val b = cli("build-chunk-index", s"$dir/docs", s"$dir/idx", "4")
+      assert(b.contains("\"n_lists\":") && b.contains("\"n_chunks\":"), b)
+      val a = cli("append-chunk-index", s"$dir/more", s"$dir/idx")
+      assert(a.contains("\"appended_chunks\":"), a)
+      assert(!a.contains("\"appended_chunks\":0,"), a)
+      val r = cli("retrieve", s"$dir/idx", s"$dir/queries", s"$dir/out",
+        "3", "4")
+      assert(r.contains("\"n_queries\":2") && r.contains("\"n_results\":6"), r)
+      // full probe (nProbe=4 of 4) through the CLI == the exact scorer on
+      // the union corpus
+      val exact = Retrieval.retrieveChunks(
+        spark.read.parquet(s"$dir/docs")
+          .unionByName(spark.read.parquet(s"$dir/more")),
+        spark.read.parquet(s"$dir/queries"), k = 3)
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "rank", "doc_id", "chunk_idx", "score")
+          .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(key(spark.read.parquet(s"$dir/out")) == key(exact))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("retrieveChunks: re-shard invariant; null-text docs contribute no chunks") {
     val docs = ((0L until 30L).map(i => (i, s"alpha beta w$i " * 20)) :+
       (99L, null.asInstanceOf[String])).toDF("doc_id", "text")
