@@ -159,6 +159,47 @@ class ChaosSpec extends SparkSpec {
     }
   }
 
+  test("task death during a chunk-index append: retried write lands every chunk exactly once") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-achaos").toString
+    val idx = s"chaos:$dir/idx"
+    val oldDocs = (0L until 30L).map(i => (i, s"ach w$i rho " * 18))
+      .toDF("doc_id", "text")
+    val newDocs = (30L until 60L).map(i => (i, s"ach w$i rho " * 18))
+      .toDF("doc_id", "text")
+    try {
+      graft.ann.Retrieval.writeChunkIndex(oldDocs, idx, nLists = 4,
+        fitBudget = 48)
+      val before = spark.read.parquet(idx).count()
+      // kill one write-task attempt of the APPEND job mid-write; the
+      // commit protocol + task retry must land the append complete, with
+      // no duplicate and no partial chunk rows
+      ChaosFileSystem.armPathCreateFailure("/idx/", startAt = 2, times = 1)
+      try graft.ann.Retrieval.appendToChunkIndex(newDocs, idx)
+      finally ChaosFileSystem.disarm()
+      assert(ChaosFileSystem.failureFired, "the injected write failure must fire")
+      val after = spark.read.parquet(idx)
+      // exactly-once: every (doc, chunk) appears once, old rows untouched
+      assert(after.count() == after.select("doc_id", "chunk_idx")
+        .distinct().count(), "duplicate chunk rows after retry")
+      assert(after.filter(col("doc_id") < 30L).count() == before,
+        "pre-append rows must be untouched")
+      // the appended index must serve exactly like the exact scorer on the
+      // union (full probe)
+      val qs = Seq((7L, "ach w7 rho"), (44L, "ach w44 rho"))
+        .toDF("query_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val served = rows(graft.ann.Retrieval.retrieveFromChunkIndex(spark,
+        idx, qs, k = 4, nProbe = 4))
+      assert(served == rows(graft.ann.Retrieval.retrieveChunks(
+        oldDocs.unionByName(newDocs), qs, k = 4)))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("task death inside a streaming incremental-dedup micro-batch: retry keeps exactly-once survivors") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
