@@ -222,11 +222,8 @@ object Ann {
   def assignWithModel(df: DataFrame, model: IvfModel,
                       vecCol: String): DataFrame = {
     require(model.nLists >= 1, "model must have at least one centroid")
-    val vd = col(vecCol).cast("array<double>")
-    val entries = model.centroids.toSeq.zipWithIndex.map { case (c, i) =>
-      struct(squaredDistance(vd, c).as("dist"), lit(i).as("list"))
-    }
-    df.withColumn("list", array_min(array(entries: _*)).getField("list"))
+    df.withColumn("list", graft.functions.KFunctions.nearest_centroid(
+      col(vecCol).cast("array<double>"), model.centroids))
   }
 
   /** Squared euclidean distance of an array<double> column to a

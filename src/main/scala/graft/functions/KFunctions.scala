@@ -153,6 +153,13 @@ object KFunctions {
   def hash_embed(text: Column, dim: Int, salt: String): Column =
     exprCol(HashEmbed(exprOf(text), dim, salt))
 
+  /** IVF list assignment: argmin squared-euclidean over a driver-resident
+    * centroid matrix — native codegen kernel (see [[NearestCentroid]]);
+    * ties to the lower list index, NULL on null vector / dim mismatch.
+    */
+  def nearest_centroid(v: Column, centroids: Array[Array[Double]]): Column =
+    exprCol(NearestCentroid(exprOf(v), centroids))
+
   /** Per-vector int8 quantization to a binary payload (see [[PackUnitInt8]]) —
     * the shuffle-compression form of a vector for pairwise candidate joins.
     */
