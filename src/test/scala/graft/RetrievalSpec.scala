@@ -48,6 +48,35 @@ class RetrievalSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("retrieval kernels: interpreted eval matches codegen (hash_embed, long dot, nearest_centroid)") {
+    import graft.functions.KFunctions.{array_dot_long, hash_embed, nearest_centroid}
+    val cents = Array(Array(10.0, 10.0), Array(500.0, 500.0), Array(10.0, 10.0))
+    def run(): Seq[(Seq[Long], Option[Long], Option[Int])] =
+      Seq(("hello world", Seq(11L, 12L)), ("", Seq(480L, 510L)),
+        ("x", Seq(3L, 4L)))
+        .toDF("t", "v")
+        .select(hash_embed(col("t"), 4, "emb").as("e"),
+          array_dot_long(col("v"), col("v")).as("d"),
+          nearest_centroid(col("v").cast("array<double>"), cents).as("n"))
+        .collect().map(r => (r.getSeq[Long](0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+    val gen = run()
+    // sanity on codegen results before comparing: dot exact, tie → list 0
+    assert(gen.map(_._2) == Seq(Some(265L), Some(490500L), Some(25L)))
+    assert(gen(0)._3 == Some(0) && gen(1)._3 == Some(1), gen.toString)
+    val conf = spark.conf
+    val prior = (conf.get("spark.sql.codegen.wholeStage"),
+      conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == gen, "retrieval kernels: interpreted != codegen")
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", prior._1)
+      conf.set("spark.sql.codegen.factoryMode", prior._2)
+    }
+  }
+
   test("topKChunks: exact inner products, rank order, ties broken by (doc, chunk)") {
     val chunks = Seq(
       (1L, 0L, 0L, Seq(1L, 0L)),   // score vs q=(2,3): 2
