@@ -345,6 +345,22 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // retrieval eval metrics (MRR, nDCG@5) over the exact top-5 — the
+    // metric ARITHMETIC is the operator under test, so relevance is a
+    // deterministic synthetic label (doc ≡ query mod 7) and the whole
+    // chain (chunk → score → rank → rel → discounted gains) is in one
+    // DuckDB hash at 6-dp rounding
+    "a_retrieval_eval" -> ((s, d) => {
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.ann.Retrieval.evalMetrics(
+          graft.ann.Retrieval.retrieveChunks(all, qs, k = 5),
+          col("doc_id") % 7 === col("query_id") % 7, k = 5)
+        .orderBy("query_id")
+    }),
+
     // the serve-many shape: the index is BUILT ONCE (content-keyed atomic
     // cache) and every run pays only the pruned probe — the probed-list
     // union reaches the scan as a static PartitionFilter, so 3/8 of the
@@ -1194,6 +1210,54 @@ object QueriesData {
     * carries (keys…, sig). Used by the m_phash_dups and m_video_dups
     * oracles.
     */
+  /** Shared DuckDB CTE chain for the chunk-retrieval oracles: tokenize →
+    * window chunks → per-dimension md5-fold embeddings (chunk + query
+    * sides) → exact integer scores → ranked `r`. Pre-stripped; callers
+    * interpolate it whole (never inside another stripMargin — the shared-
+    * fragment pipe gotcha).
+    */
+  private val retrievalTopkSqlCtes: String =
+    """t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                x -> x <> '') AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |n AS (SELECT doc_id, w,
+      |        CASE WHEN len(w) <= 32 THEN CAST(1 AS BIGINT)
+      |             ELSE CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) + 1
+      |        END AS n_chunks
+      |      FROM t),
+      |e AS (SELECT doc_id, w, UNNEST(range(n_chunks)) AS chunk_idx FROM n),
+      |c AS (SELECT doc_id, chunk_idx, chunk_idx * 24 AS chunk_start,
+      |             array_to_string(list_slice(w, chunk_idx * 24 + 1,
+      |                                        chunk_idx * 24 + 32), ' ') AS chunk
+      |      FROM e),
+      |cd AS (SELECT doc_id, chunk_idx, chunk_start, i,
+      |              md5(chunk || ':emb:' || CAST(i AS VARCHAR)) AS m
+      |       FROM c, unnest(range(4)) AS ti(i)),
+      |cv AS (SELECT doc_id, chunk_idx, chunk_start, i,
+      |              ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+      |             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+      |             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+      |             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 1000 AS v
+      |       FROM cd),
+      |qd AS (SELECT doc_id AS query_id, i,
+      |              md5(text || ':emb:' || CAST(i AS VARCHAR)) AS m
+      |       FROM documents, unnest(range(4)) AS ti(i)
+      |       WHERE doc_id % 101 = 7 AND doc_id < 2525
+      |         AND text IS NOT NULL),
+      |qv AS (SELECT query_id, i,
+      |              ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+      |             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+      |             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+      |             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 1000 AS v
+      |       FROM qd),
+      |s AS (SELECT q.query_id, c.doc_id, c.chunk_idx, c.chunk_start,
+      |             CAST(sum(c.v * q.v) AS BIGINT) AS score
+      |      FROM cv c JOIN qv q USING (i)
+      |      GROUP BY 1, 2, 3, 4),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id, chunk_idx) AS rank FROM s)""".stripMargin
+
   private def dhashSqlCtes(src: String, keys: String): String =
     s"""ub AS (
        |  SELECT $keys, length(hx) // 2 AS len,
@@ -2753,50 +2817,31 @@ object QueriesData {
     // 4-nibble md5 fold mod 1000 and a relational dot product (join on the
     // dimension index) — all integers, so the MIPS ranking is exact
     "a_retrieval_chunks" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                x -> x <> '') AS w
-        |  FROM documents WHERE text IS NOT NULL),
-        |n AS (SELECT doc_id, w,
-        |        CASE WHEN len(w) <= 32 THEN CAST(1 AS BIGINT)
-        |             ELSE CAST(ceil((len(w) - 32) / 24.0) AS BIGINT) + 1
-        |        END AS n_chunks
-        |      FROM t),
-        |e AS (SELECT doc_id, w, UNNEST(range(n_chunks)) AS chunk_idx FROM n),
-        |c AS (SELECT doc_id, chunk_idx, chunk_idx * 24 AS chunk_start,
-        |             array_to_string(list_slice(w, chunk_idx * 24 + 1,
-        |                                        chunk_idx * 24 + 32), ' ') AS chunk
-        |      FROM e),
-        |cd AS (SELECT doc_id, chunk_idx, chunk_start, i,
-        |              md5(chunk || ':emb:' || CAST(i AS VARCHAR)) AS m
-        |       FROM c, unnest(range(4)) AS ti(i)),
-        |cv AS (SELECT doc_id, chunk_idx, chunk_start, i,
-        |              ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
-        |             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
-        |             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
-        |             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 1000 AS v
-        |       FROM cd),
-        |qd AS (SELECT doc_id AS query_id, i,
-        |              md5(text || ':emb:' || CAST(i AS VARCHAR)) AS m
-        |       FROM documents, unnest(range(4)) AS ti(i)
-        |       WHERE doc_id % 101 = 7 AND doc_id < 2525
-        |         AND text IS NOT NULL),
-        |qv AS (SELECT query_id, i,
-        |              ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
-        |             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
-        |             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
-        |             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 1000 AS v
-        |       FROM qd),
-        |s AS (SELECT q.query_id, c.doc_id, c.chunk_idx, c.chunk_start,
-        |             CAST(sum(c.v * q.v) AS BIGINT) AS score
-        |      FROM cv c JOIN qv q USING (i)
-        |      GROUP BY 1, 2, 3, 4),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY score DESC, doc_id, chunk_idx) AS rank FROM s)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, chunk_idx,
+      (s"WITH $retrievalTopkSqlCtes\n" +
+      """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, chunk_idx,
         |       chunk_start, score
         |FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
+    // retrieval eval metrics over the exact top-5 with deterministic
+    // synthetic relevance (doc ≡ query mod 7): MRR = max(rel/rank), nDCG@5
+    // normalized by the ideal ordering of the hits the list contains —
+    // both rounded to 6 dp so the doubles hash identically cross-engine
+    "a_retrieval_eval" ->
+      (s"WITH $retrievalTopkSqlCtes,\n" +
+      """r5 AS (SELECT query_id, rank,
+        |         CASE WHEN doc_id % 7 = query_id % 7 THEN 1 ELSE 0 END AS rel
+        |       FROM r WHERE rank <= 5),
+        |agg AS (SELECT query_id,
+        |          CAST(sum(rel) AS BIGINT) AS n_rel,
+        |          round(coalesce(max(rel / CAST(rank AS DOUBLE)), 0), 6) AS mrr,
+        |          sum(rel / log2(CAST(rank AS DOUBLE) + 1)) AS dcg
+        |        FROM r5 GROUP BY 1)
+        |SELECT query_id, n_rel, mrr,
+        |  CASE WHEN n_rel = 0 THEN 0.0
+        |       ELSE round(dcg / list_sum(list_transform(range(1, n_rel + 1),
+        |              i -> 1 / log2(CAST(i + 1 AS DOUBLE)))), 6)
+        |  END AS ndcg_at_5
+        |FROM agg ORDER BY query_id""".stripMargin),
     "a_ann_quantized" ->
       """WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |qq AS (SELECT list_transform(qv, x -> CAST(round(x *

@@ -374,6 +374,35 @@ object Retrieval {
       m2.toString)
   }
 
+  /** Per-query retrieval-quality metrics over a ranked result — the eval
+    * leg every retrieval index needs: MRR (reciprocal rank of the first
+    * relevant hit, 0 if none in the list) and nDCG@k (DCG with 1/log2(r+1)
+    * discounting, normalized by the ideal ordering of the hits the list
+    * actually contains). `results` is `topKChunks`-shaped (`query_id`,
+    * `rank`, ...); `rel` is any 0/1 relevance expression over its columns
+    * (typically a join flag against a labeled qrels table). Pure two-level
+    * aggregate — one shuffle on query_id, metric-sized output. Doubles are
+    * rounded to 6 dp so the numbers are engine-portable.
+    */
+  def evalMetrics(results: DataFrame, rel: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val g = results.where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), rel.cast("int").as("rel"))
+    val idcg = aggregate(sequence(lit(1), col("n_rel")),
+      lit(0.0d), (acc, i) => acc + lit(1.0d) / log2(i.cast("double") + 1))
+    g.groupBy("query_id")
+      .agg(
+        sum("rel").cast("long").as("n_rel"),
+        round(coalesce(max(col("rel").cast("double") /
+          col("rank").cast("double")), lit(0.0d)), 6).as("mrr"),
+        sum(col("rel").cast("double") /
+          log2(col("rank").cast("double") + 1)).as("dcg"))
+      .withColumn(s"ndcg_at_$k",
+        when(col("n_rel") === 0L, lit(0.0d))
+          .otherwise(round(col("dcg") / idcg, 6)))
+      .drop("dcg")
+  }
+
   /** Incremental ingest into a persisted chunk index: new documents are
     * chunked, embedded, augmented with the INDEX'S stored M² (so old and
     * new vectors live in the same augmented geometry), assigned against

@@ -293,6 +293,31 @@ class RetrievalSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("evalMetrics: MRR and nDCG@k against hand-computed fixtures") {
+    // q1: hits at ranks 2 and 4 → MRR 1/2; DCG = 1/log2(3) + 1/log2(5);
+    //     IDCG (2 hits ideal at ranks 1,2) = 1 + 1/log2(3)
+    // q2: no hits → both 0.  q3: hit at rank 1 only → both 1
+    val results = Seq(
+      (1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 0), (1L, 4L, 1), (1L, 5L, 0),
+      (2L, 1L, 0), (2L, 2L, 0),
+      (3L, 1L, 1), (3L, 2L, 0)
+    ).toDF("query_id", "rank", "is_rel")
+    val out = Retrieval.evalMetrics(results, col("is_rel") === 1, k = 5)
+      .orderBy("query_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val dcg1 = 1.0 / (math.log(3) / math.log(2)) + 1.0 / (math.log(5) / math.log(2))
+    val idcg1 = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(out == Seq(
+      (1L, 2L, 0.5, r6(dcg1 / idcg1)),
+      (2L, 0L, 0.0, 0.0),
+      (3L, 1L, 1.0, 1.0)), out.toString)
+    // rows beyond k are ignored
+    val outK1 = Retrieval.evalMetrics(results, col("is_rel") === 1, k = 1)
+      .orderBy("query_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(outK1.map(t => (t._1, t._2)) == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+  }
+
   test("retrieveChunks: re-shard invariant; null-text docs contribute no chunks") {
     val docs = ((0L until 30L).map(i => (i, s"alpha beta w$i " * 20)) :+
       (99L, null.asInstanceOf[String])).toDF("doc_id", "text")
