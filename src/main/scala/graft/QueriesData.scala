@@ -380,6 +380,50 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // sparse lexical retrieval: BM25 top-5 per query over the whole-doc
+    // inverted index, same bounded query slice as the dense family.
+    // Scoring is integer-exact (idf rounded to 9 dp, contributions in
+    // micro-units, exact long sums) so ranking and scores hash
+    // bit-for-bit cross-engine — the full tokenize → postings → df →
+    // score → rank chain is in the oracle
+    "a_bm25_topk" -> ((s, d) => {
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.ann.Bm25.topK(all, qs, k = 5).orderBy("query_id", "rank")
+    }),
+
+    // the index-served sibling: postings persisted once as term-bucketed
+    // parquet (content-keyed atomic cache), each run reads ONLY the query
+    // terms' buckets (static partition pruning). Output is row-identical
+    // to the direct path by construction, so it shares the full oracle
+    "a_bm25_index" -> ((s, d) => {
+      val path = ensureBm25Index(s, d)
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.ann.Bm25.retrieveFromIndex(s, path, qs, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of the dense chunk top-5
+    // (collapsed to doc level) and the BM25 top-5 — integer nano-unit
+    // rank arithmetic, exact sums, 0 as the explicit absent-rank
+    // sentinel; both input rankings AND the fusion are in one oracle
+    "a_hybrid_rrf" -> ((s, d) => {
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val dense = graft.ann.Retrieval.docLevelRanks(
+        graft.ann.Retrieval.retrieveChunks(all, qs, k = 5))
+      val sparse = graft.ann.Bm25.topK(all, qs, k = 5)
+      graft.ann.Bm25.fuseRrf(dense, sparse, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // language ID rollup: the stopword-profile + CJK heuristic is pure
     // integer-count arithmetic, so DuckDB reproduces the argmax bit-exactly
     // HTML extraction — deterministic tag-soup per doc: head noise (title,
@@ -1257,6 +1301,43 @@ object QueriesData {
       |      GROUP BY 1, 2, 3, 4),
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       |        ORDER BY score DESC, doc_id, chunk_idx) AS rank FROM s)""".stripMargin
+
+  // BM25 mirror of Bm25.topK: lowercase whitespace terms → postings with
+  // dl riding along → df restricted to the query vocabulary → integer
+  // micro-unit contributions (idf rounded to 9 dp — the only
+  // transcendental — then ×1e6, round, BIGINT) → exact long sums → rank.
+  // Every float literal is e-notation so DuckDB types it DOUBLE (a bare
+  // 2.5 is DECIMAL and would switch the arithmetic off IEEE); k1 = 1.5
+  // and b = 0.75 are exactly representable so neither engine can
+  // constant-fold a diverging ulp. CTE names are b-prefixed so the chain
+  // composes with retrievalTopkSqlCtes in the hybrid-fusion oracle.
+  private val bm25SqlCtes: String =
+    """btok AS (SELECT doc_id,
+      |    list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> x <> ''), x -> lower(x)) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |bst AS (SELECT count(*) AS n_docs,
+      |               CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS total_tokens
+      |        FROM btok),
+      |bp AS (SELECT doc_id, len(w) AS dl, t AS term, count(*) AS tf
+      |       FROM btok, unnest(w) AS u(t) GROUP BY 1, 2, 3),
+      |bqt AS (SELECT DISTINCT doc_id AS query_id, t AS term
+      |        FROM btok, unnest(w) AS u(t)
+      |        WHERE doc_id % 101 = 7 AND doc_id < 2525),
+      |bdf AS (SELECT term, count(*) AS df FROM bp
+      |        WHERE term IN (SELECT DISTINCT term FROM bqt) GROUP BY 1),
+      |bsc AS (SELECT q.query_id, p.doc_id,
+      |          CAST(sum(CAST(round(
+      |            round(ln(1e0 + (st.n_docs - f.df + 0.5e0) / (f.df + 0.5e0)), 9)
+      |            * (p.tf * 2.5e0 / (p.tf + 1.5e0 * (0.25e0 + 0.75e0 * p.dl
+      |                 / (st.total_tokens / CAST(st.n_docs AS DOUBLE)))))
+      |            * 1000000e0) AS BIGINT)) AS BIGINT) AS score_micro
+      |        FROM bp p JOIN bqt q USING (term) JOIN bdf f USING (term), bst st
+      |        GROUP BY 1, 2),
+      |br AS (SELECT query_id, doc_id, score_micro,
+      |              row_number() OVER (PARTITION BY query_id
+      |                ORDER BY score_micro DESC, doc_id) AS rank
+      |       FROM bsc)""".stripMargin
 
   private def dhashSqlCtes(src: String, keys: String): String =
     s"""ub AS (
@@ -2842,6 +2923,47 @@ object QueriesData {
         |              i -> 1 / log2(CAST(i + 1 AS DOUBLE)))), 6)
         |  END AS ndcg_at_5
         |FROM agg ORDER BY query_id""".stripMargin),
+    // the direct and index-served BM25 paths are row-identical by
+    // construction (the index only changes which files are READ), so both
+    // entries share the one full oracle
+    "a_bm25_topk" ->
+      (s"WITH $bm25SqlCtes\n" +
+      """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
+        |       score_micro / 1000000e0 AS score
+        |FROM br WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "a_bm25_index" ->
+      (s"WITH $bm25SqlCtes\n" +
+      """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
+        |       score_micro / 1000000e0 AS score
+        |FROM br WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // hybrid fusion: dense chunk top-5 collapsed to doc level (best chunk
+    // rank, then re-ranked), BM25 doc top-5, RRF in integer nano-units
+    // with 0 as the absent-rank sentinel — both rankings and the fusion
+    // arithmetic live in one WITH chain
+    "a_hybrid_rrf" ->
+      (s"WITH $retrievalTopkSqlCtes,\n$bm25SqlCtes,\n" +
+      """da AS (SELECT query_id, doc_id, min(rank) AS best
+        |       FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |dr AS (SELECT query_id, doc_id,
+        |              row_number() OVER (PARTITION BY query_id
+        |                ORDER BY best, doc_id) AS rank_a
+        |       FROM da),
+        |sr AS (SELECT query_id, doc_id, rank AS rank_b
+        |       FROM br WHERE rank <= 5),
+        |fz AS (SELECT query_id, doc_id,
+        |         coalesce(CAST(round(1000000000e0 / (60 + rank_a)) AS BIGINT), 0)
+        |         + coalesce(CAST(round(1000000000e0 / (60 + rank_b)) AS BIGINT), 0)
+        |           AS rrf_micro,
+        |         coalesce(rank_a, 0) AS ra, coalesce(rank_b, 0) AS rb
+        |       FROM dr FULL JOIN sr USING (query_id, doc_id)),
+        |fr AS (SELECT query_id, doc_id, rrf_micro, ra, rb,
+        |              row_number() OVER (PARTITION BY query_id
+        |                ORDER BY rrf_micro DESC, doc_id) AS rank
+        |       FROM fz)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |       CAST(rrf_micro AS BIGINT) AS rrf_micro,
+        |       CAST(ra AS BIGINT) AS rank_a, CAST(rb AS BIGINT) AS rank_b
+        |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "a_ann_quantized" ->
       """WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |qq AS (SELECT list_transform(qv, x -> CAST(round(x *
@@ -3054,6 +3176,15 @@ object QueriesData {
     ensureCached("chunk_index", contentKey(s"$dir/documents.parquet")) { build =>
       graft.ann.Retrieval.writeChunkIndex(docs(s, dir),
         build.getAbsolutePath, nLists = 8)
+    }
+
+  /** Build-or-reuse the persisted BM25 inverted index (term-bucketed
+    * postings parquet + stats sidecar) — the lexical serve-many layout.
+    */
+  def ensureBm25Index(s: SparkSession, dir: String): String =
+    ensureCached("bm25_index", contentKey(s"$dir/documents.parquet")) { build =>
+      graft.ann.Bm25.writeIndex(docs(s, dir), build.getAbsolutePath,
+        nBuckets = 16)
     }
 
   def ensureIvfPq(s: SparkSession, dir: String): String =

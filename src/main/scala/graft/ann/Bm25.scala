@@ -1,0 +1,216 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval — BM25 (Robertson/Spärck Jones probabilistic
+  * ranking) over an inverted-index shape, the lexical sibling of the dense
+  * chunk-retrieval capstone in [[Retrieval]]. The reference engine has no
+  * search surface at all; this family exists for the training-data side of
+  * the brief (corpus-scale retrieval, decontamination-by-retrieval, hybrid
+  * RAG serving), so the design goal is the Spark-native inverted-index
+  * pipeline, not a port of any search engine.
+  *
+  * Scoring is INTEGER-EXACT end to end, the house discipline for
+  * cross-engine oracles: the only transcendental (the idf log) is rounded
+  * to 9 dp immediately, each (term, doc) contribution is then scaled to
+  * integer micro-units (×1e6, round, cast long) and the per-(query, doc)
+  * score is an exact 64-bit SUM of those — order-insensitive, so Spark's
+  * unordered partial aggregation and a SQL oracle's scan order cannot
+  * diverge in the last ulp the way a double sum can. Default k1 = 1.5 and
+  * b = 0.75 are chosen inside the standard BM25 ranges AND exactly
+  * representable in binary floating point (as are k1+1 = 2.5 and
+  * 1−b = 0.25), so no engine ever constant-folds a tie-breaking ulp.
+  *
+  * Scale design (100 TB): the corpus is touched by ONE explode +
+  * partial-agg shuffle (the inverted-index build — or zero shuffles when
+  * served from the persisted term-bucketed index, [[writeIndex]]). The
+  * query side is eval-sized by contract (enforced on the measured count,
+  * like [[Retrieval.topKChunks]]); its term set broadcasts onto the
+  * postings scan, so only query-vocabulary postings survive into the df
+  * window and the scoring join. Document frequencies come from a window
+  * over that MATCHED subset (all postings of a term land in its partition,
+  * so the count is the true df) — never a second corpus scan. The final
+  * per-query top-k is a row_number window bounded by k, which Spark
+  * collapses map-side (WindowGroupLimit), so the last exchange carries
+  * ≤ k × partitions rows per query.
+  */
+object Bm25 {
+
+  /** BM25 terms: lowercase whitespace tokens (the corpus-wide tokenizer
+    * contract shared with [[graft.text.TextFunctions.tokens]]).
+    */
+  def terms(text: Column): Column =
+    transform(graft.text.TextFunctions.tokens(text), t => lower(t))
+
+  /** Inverted-index postings: one row per (doc, term) with the term
+    * frequency and the document length (token count) riding along —
+    * `(doc_id, dl, term, tf)`. One explode + one partial-agg shuffle; NULL
+    * text contributes nothing.
+    */
+  def buildPostings(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col("doc_id"), terms(col(textCol)).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** (nDocs, totalTokens) over the non-null-text corpus — the two scalars
+    * BM25 needs (avgdl = totalTokens / nDocs). Metadata-sized collect.
+    */
+  def corpusStats(docs: DataFrame, textCol: String = "text"): (Long, Long) = {
+    val r = docs.where(col(textCol).isNotNull)
+      .agg(count(lit(1)),
+        coalesce(sum(size(terms(col(textCol))).cast("long")), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Score + rank from a postings table (the shared back half of the
+    * direct and index-served paths). Output: one row per (query, rank ≤ k):
+    * `(query_id, rank, doc_id, score_micro, score)` — `score_micro` is the
+    * exact integer sum (micro-units), `score` its double view; ties broken
+    * by doc_id. Queries with no matching term produce no rows.
+    */
+  def topKFromPostings(postings: DataFrame, nDocs: Long, totalTokens: Long,
+                       queries: DataFrame, k: Int,
+                       k1: Double = 1.5, b: Double = 0.75,
+                       textCol: String = "text",
+                       maxQueries: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nDocs > 0, "corpus must have at least one non-null-text doc")
+    val nq = queries.count()
+    require(nq <= maxQueries,
+      s"query set has $nq rows > maxQueries=$maxQueries — a broadcast " +
+        "term-probe scan is the wrong plan at that size; materialize " +
+        "query postings and run a term-partitioned join instead")
+    // distinct query terms: classic BM25 sums over the query's term SET
+    // (query-side tf is deliberately ignored — the k3 component of the
+    // original formula is dropped, the common modern simplification)
+    val q = queries.where(col(textCol).isNotNull)
+      .select(col("query_id"), explode(terms(col(textCol))).as("term"))
+      .distinct()
+    val avgdl = totalTokens.toDouble / nDocs
+    // query vocabulary broadcasts onto the postings scan: everything past
+    // this semi-join is query-vocab-sized, never corpus-sized
+    val matched = postings.join(broadcast(q.select("term").distinct()), "term")
+    // true df per term: ALL postings of a term are in its window partition
+    val withDf = matched.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
+    // idf pinned to 9 dp right after the log — the one transcendental
+    val idf9 = round(
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))), 9)
+    val tfD = col("tf").cast("double")
+    val tfnorm = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    val contrib = round(idf9 * tfnorm * lit(1000000.0)).cast("long")
+    val cand = withDf.join(broadcast(q), "term")
+      .select(col("query_id"), col("doc_id"), contrib.as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c").as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"),
+        (col("score_micro") / lit(1000000.0)).as("score"))
+  }
+
+  /** The one-shot form: build postings + stats from the corpus and rank.
+    * Two corpus passes (one narrow stats agg, one postings build); the
+    * serve-many shape is [[writeIndex]] + [[retrieveFromIndex]].
+    */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int,
+           k1: Double = 1.5, b: Double = 0.75, textCol: String = "text",
+           maxQueries: Long = 1000000L): DataFrame = {
+    val (nDocs, totalTokens) = corpusStats(docs, textCol)
+    topKFromPostings(buildPostings(docs, textCol), nDocs, totalTokens,
+      queries, k, k1, b, textCol, maxQueries)
+  }
+
+  /** Persist the inverted index as term-bucketed parquet: postings
+    * partitioned by `bucket = pmod(xxhash64(term), nBuckets)` plus a stats
+    * sidecar. All postings of a term live in exactly one bucket, so a
+    * query probes only its terms' buckets (static partition pruning) and
+    * still sees every posting — and the true df — for those terms.
+    */
+  def writeIndex(docs: DataFrame, path: String, nBuckets: Int = 16,
+                 textCol: String = "text"): Unit = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val (nDocs, totalTokens) = corpusStats(docs, textCol)
+    buildPostings(docs, textCol)
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    graft.util.Sidecar.write(docs.sparkSession, path, "_bm25_stats.json",
+      s"""{"n_docs":$nDocs,"total_tokens":$totalTokens,""" +
+        s""""n_buckets":$nBuckets}""")
+  }
+
+  /** Serve a persisted index: the query terms' bucket set is collected
+    * (≤ nBuckets ints — metadata-sized by construction) and applied as a
+    * STATIC partition filter, so only those bucket directories are read;
+    * scoring and ranking are then exactly [[topKFromPostings]] — the
+    * served result is row-identical to the direct path by construction.
+    */
+  def retrieveFromIndex(spark: SparkSession, path: String,
+                        queries: DataFrame, k: Int,
+                        k1: Double = 1.5, b: Double = 0.75,
+                        textCol: String = "text",
+                        maxQueries: Long = 1000000L): DataFrame = {
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val stats = org.json4s.jackson.JsonMethods
+      .parse(graft.util.Sidecar.read(spark, path, "_bm25_stats.json"))
+    val nDocs = (stats \ "n_docs").extract[Long]
+    val totalTokens = (stats \ "total_tokens").extract[Long]
+    val nBuckets = (stats \ "n_buckets").extract[Int]
+    val buckets = queries.where(col(textCol).isNotNull)
+      .select(explode(terms(col(textCol))).as("term"))
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+        .as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(path)
+      .where(col("bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
+      .select("doc_id", "dl", "term", "tf")
+    topKFromPostings(postings, nDocs, totalTokens, queries, k, k1, b,
+      textCol, maxQueries)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher RRF) of two ranked
+    * lists — the standard hybrid-retrieval combiner for a dense and a
+    * sparse ranking. Inputs are `(query_id, rank, doc_id, ...)`-shaped;
+    * each side contributes round(1e9 / (rrfK + rank)) integer nano-units
+    * (0 for a doc the side didn't rank — `rank_a`/`rank_b` carry 0 as the
+    * explicit absent sentinel, ranks are 1-based so 0 is unambiguous), and
+    * the fused ordering is the exact integer sum, ties by doc_id. Pure
+    * rank arithmetic on two already-k-bounded inputs — result-sized, no
+    * corpus access.
+    */
+  def fuseRrf(a: DataFrame, b: DataFrame, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rrfK >= 0, "rrfK must be >= 0")
+    def side(df: DataFrame, rn: String) =
+      df.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as(rn))
+    val j = side(a, "rank_a")
+      .join(side(b, "rank_b"), Seq("query_id", "doc_id"), "full_outer")
+    def c(r: Column) =
+      coalesce(round(lit(1.0e9) / (lit(rrfK) + r)).cast("long"), lit(0L))
+    val f = j
+      .withColumn("rrf_micro", c(col("rank_a")) + c(col("rank_b")))
+      .withColumn("rank_a", coalesce(col("rank_a"), lit(0L)))
+      .withColumn("rank_b", coalesce(col("rank_b"), lit(0L)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    f.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf_micro", "rank_a", "rank_b")
+  }
+}

@@ -374,6 +374,21 @@ object Retrieval {
       m2.toString)
   }
 
+  /** Collapse a chunk-level ranked result to a document-level ranking:
+    * each (query, doc) keeps its best chunk rank, then docs re-rank by
+    * that (ties by doc_id). The doc-granular view hybrid fusion
+    * ([[Bm25.fuseRrf]]) and doc-level eval need — result-sized, no corpus
+    * access.
+    */
+  def docLevelRanks(results: DataFrame): DataFrame = {
+    val best = results.groupBy("query_id", "doc_id")
+      .agg(min("rank").as("best_rank"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("best_rank"), col("doc_id"))
+    best.withColumn("rank", row_number().over(w).cast("long"))
+      .select("query_id", "rank", "doc_id")
+  }
+
   /** Per-query retrieval-quality metrics over a ranked result — the eval
     * leg every retrieval index needs: MRR (reciprocal rank of the first
     * relevant hit, 0 if none in the list) and nDCG@k (DCG with 1/log2(r+1)

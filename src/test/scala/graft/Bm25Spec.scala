@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+import graft.ann.Bm25
+
+/** BM25 sparse retrieval: hand-computed integer micro scores, the
+  * index-served ≡ direct contract, re-shard determinism, RRF fusion
+  * arithmetic, and the pruning/plan shapes.
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureDocs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry durian"),
+    (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+  test("bm25: hand-computed micro scores on a 3-doc corpus") {
+    // N = 3 (null-text doc excluded), total tokens = 9, avgdl = 3.
+    // df(apple) = 1, df(cherry) = 2; k1 = 1.5, b = 0.75.
+    //   doc1: idf9(ln(1 + 2.5/1.5)) * (2*2.5 / (2 + 1.5*(0.25 + 0.75*3/3)))
+    //   doc2: idf9(ln 1.6) * (2.5 / (1 + 1.5*(0.25 + 0.75*2/3)))
+    //   doc3: idf9(ln 1.6) * (7.5 / (3 + 1.5*(0.25 + 0.75*4/3)))
+    // micro-unit values computed by hand (Decimal HALF_UP at each round):
+    val qs = Seq((10L, "Apple cherry")).toDF("query_id", "text")
+    val out = Bm25.topK(fixtureDocs, qs, k = 5)
+      .orderBy("rank")
+      .select("rank", "doc_id", "score_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1401185L), (2L, 3L, 723083L),
+      (3L, 2L, 552945L)))
+  }
+
+  test("bm25: no-overlap query produces no rows; tokenization lowercases") {
+    val qs = Seq((10L, "zebra"), (11L, "DURIAN")).toDF("query_id", "text")
+    val out = Bm25.topK(fixtureDocs, qs, k = 5)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((11L, 3L))) // uppercase query matches lowercase term
+  }
+
+  test("bm25: index-served result is row-identical to the direct path") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") % 50 === 3 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toFile
+    try {
+      Bm25.writeIndex(docs, dir.getAbsolutePath, nBuckets = 8)
+      val direct = Bm25.topK(docs, qs, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      val served = Bm25.retrieveFromIndex(spark, dir.getAbsolutePath, qs,
+          k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(direct.nonEmpty && direct == served)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("bm25: result is invariant under corpus re-sharding") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") % 50 === 3 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val a = Bm25.topK(docs, qs, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Bm25.topK(docs.repartition(7, col("text")), qs, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("bm25: oversize query set fails loudly, never a silent scan") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.select(col("doc_id").as("query_id"), col("text"))
+    val e = intercept[IllegalArgumentException] {
+      Bm25.topK(docs, qs, k = 5, maxQueries = 3)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+  }
+
+  test("fuseRrf: integer nano-unit arithmetic and the 0 absent sentinel") {
+    val a = Seq((1L, 1L, 100L), (1L, 2L, 200L))
+      .toDF("query_id", "rank", "doc_id")
+    val b = Seq((1L, 1L, 200L), (1L, 2L, 300L))
+      .toDF("query_id", "rank", "doc_id")
+    val out = Bm25.fuseRrf(a, b, k = 5)
+      .orderBy("rank")
+      .select("rank", "doc_id", "rrf_micro", "rank_a", "rank_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // round(1e9/61) = 16393443, round(1e9/62) = 16129032
+    assert(out == Seq(
+      (1L, 200L, 32522475L, 2L, 1L),  // ranked by both sides
+      (2L, 100L, 16393443L, 1L, 0L),  // dense-only
+      (3L, 300L, 16129032L, 0L, 2L))) // sparse-only
+  }
+
+  test("bm25 plans: corpus scan prunes to (doc_id, text); top-k collapses " +
+    "map-side; index probe is a static partition filter") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") === 7)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val p = Bm25.topK(docs, qs, k = 5)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"postings scan must prune to (doc_id, text):\n${p.take(1500)}")
+    assert(p.contains("WindowGroupLimit"), "map-side top-k missing")
+
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toFile
+    try {
+      Bm25.writeIndex(docs, dir.getAbsolutePath, nBuckets = 8)
+      val ip = Bm25.retrieveFromIndex(spark, dir.getAbsolutePath, qs, k = 5)
+        .queryExecution.explainString(FormattedMode)
+      assert(ip.contains("PartitionFilters: [bucket"),
+        s"bucket probe must prune partitions, not post-filter:\n${ip.take(1500)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+}
