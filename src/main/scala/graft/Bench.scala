@@ -57,6 +57,8 @@ object Bench {
       QueriesData.ensureBucketedAnn(spark, sfDir)
       QueriesData.ensureIvf(spark, sfDir)
       QueriesData.ensureIvfPq(spark, sfDir)
+      QueriesData.ensureChunkIndex(spark, sfDir)
+      QueriesData.ensureBm25Index(spark, sfDir)
     } catch { case _: Throwable => }
 
     // post-query hygiene, shared by both timing passes: drop block-manager

@@ -35,6 +35,41 @@ object QueriesData {
         .when(col("doc_id") % 3 === 1, lit("/"))
         .otherwise(lit("#frag")))
 
+  /** docs + synthesized crawl page: the doc's text wrapped in HTML whose
+    * three anchor targets are OTHER source domains picked by deterministic
+    * id arithmetic against the sorted distinct-source table (tiny,
+    * broadcast). Anchor 1 carries mixed case / explicit default port /
+    * tracking param so the downstream domain step exercises normalizeUrl.
+    * Shared by d_link_extract and the d_domain_rank capstone; mirrored
+    * CTE-for-CTE in their oracles.
+    */
+  private def linkedHtml(s: SparkSession, d: String): DataFrame = {
+    val sid = docs(s, d).where(col("source").isNotNull)
+      .select("source").distinct()
+      .withColumn("k",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("source")).cast("long") - 1)
+    val n = sid.count()
+    def tgt(a: String) =
+      broadcast(sid.select(col("k").as(s"${a}_k"), col("source").as(a)))
+    docs(s, d).where(col("text").isNotNull && col("source").isNotNull)
+      .withColumn("k0", col("doc_id") % n)
+      .withColumn("k1", (col("doc_id") * 2 + 1) % n)
+      .withColumn("k2", (col("doc_id") * 3 + 2) % n)
+      .join(tgt("s0"), col("k0") === col("s0_k"))
+      .join(tgt("s1"), col("k1") === col("s1_k"))
+      .join(tgt("s2"), col("k2") === col("s2_k"))
+      .select(col("doc_id"), col("source"), concat(
+        lit("<html><body><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><a href=\"https://www."), col("s0"),
+        lit(".example.com/p0\">a</a>"),
+        lit("<a href=\"HTTP://"), col("s1"),
+        lit(".Example.com:80/p1?utm_source=z&x=1\">b</a>"),
+        lit("<a href=\"https://www."), col("s2"),
+        lit(".example.com/p2#f\">c</a></body></html>")).as("html"))
+  }
+
   // ──── measured-quality audits for the approximate (no-oracle) entries ────
   // The LSH/ANN families have no SQL oracle BY NATURE (hash signatures), so
   // each battery entry instead computes and CARRIES its own quality number
@@ -422,6 +457,39 @@ object QueriesData {
       val sparse = graft.ann.Bm25.topK(all, qs, k = 5)
       graft.ann.Bm25.fuseRrf(dense, sparse, k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // crawl-graph edge extraction: href targets out of synthesized page
+    // HTML (the raw attribute values, document order) — every extracted
+    // byte is in the hash
+    "d_link_extract" -> ((s, d) =>
+      linkedHtml(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.text.CorpusClean.extractHrefs(col("html")))
+            .as(Seq("link_idx", "href")))
+        .withColumn("link_idx", col("link_idx").cast("long"))
+        .orderBy("doc_id", "link_idx")),
+
+    // domain-authority capstone (Common-Crawl-style curation ranking):
+    // synthesized crawl pages → href extraction → per-link domain
+    // (normalizeUrl semantics: case, default port, www stripped) → weighted
+    // domain edge list → 10 integer-exact PageRank iterations. Every stage
+    // — html build, regex extraction, domain mapping, edge weights, and
+    // all ten rank vectors — is mirrored in one DuckDB WITH chain, so the
+    // final micro-unit ranks hash bit-for-bit
+    "d_domain_rank" -> ((s, d) => {
+      val links = linkedHtml(s, d)
+        .select(col("source"),
+          explode(graft.text.CorpusClean.extractHrefs(col("html")))
+            .as("href"))
+      val edges = links.select(
+          concat(col("source"), lit(".example.com")).as("src"),
+          graft.text.CorpusClean.urlDomain(col("href")).as("dst"))
+        .where(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.operators.PageRank.ranks(edges, iterations = 10)
+        .select(col("node").as("domain"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("domain"))
     }),
 
     // language ID rollup: the stopword-profile + CJK heuristic is pure
@@ -1338,6 +1406,67 @@ object QueriesData {
       |              row_number() OVER (PARTITION BY query_id
       |                ORDER BY score_micro DESC, doc_id) AS rank
       |       FROM bsc)""".stripMargin
+
+  // SQL mirror of QueriesData.linkedHtml: sorted distinct-source index →
+  // three id-arithmetic joins → the synthesized page string, byte-for-byte
+  private val linkedHtmlSqlCtes: String =
+    """ds AS MATERIALIZED (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL),
+      |sid AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS k
+      |        FROM ds),
+      |nn0 AS (SELECT count(*) AS n FROM ds),
+      |hb AS MATERIALIZED (SELECT d.doc_id, d.source,
+      |         '<html><body><h1>Doc ' || CAST(d.doc_id AS VARCHAR)
+      |         || '</h1><p>' || d.text
+      |         || '</p><a href="https://www.' || s0.source
+      |         || '.example.com/p0">a</a>'
+      |         || '<a href="HTTP://' || s1.source
+      |         || '.Example.com:80/p1?utm_source=z&x=1">b</a>'
+      |         || '<a href="https://www.' || s2.source
+      |         || '.example.com/p2#f">c</a></body></html>' AS html
+      |       FROM documents d CROSS JOIN nn0
+      |         JOIN sid s0 ON s0.k = d.doc_id % nn0.n
+      |         JOIN sid s1 ON s1.k = (d.doc_id * 2 + 1) % nn0.n
+      |         JOIN sid s2 ON s2.k = (d.doc_id * 3 + 2) % nn0.n
+      |       WHERE d.text IS NOT NULL AND d.source IS NOT NULL)""".stripMargin
+
+  // Integer-exact PageRank iterations over an `e(src, dst, w)` CTE —
+  // generated chain pr0..prN mirroring graft.operators.PageRank.ranks
+  // micro-unit for micro-unit. The teleport constant is spelled
+  // (1e0 - 0.85e0), NOT 0.15e0: the Scala side computes 1.0 - damping and
+  // IEEE's 1 - 0.85 is a DIFFERENT double than the literal 0.15.
+  // Every iterate is AS MATERIALIZED: each pr$i references pr${i-1} twice
+  // (dangling + contribution subqueries), and DuckDB inlines plain CTEs —
+  // the unmaterialized chain expands to 2^N copies of the corpus scan
+  // (observed as "Too many open files" at N = 10), the same doubling the
+  // Spark side cuts with per-iteration localCheckpoint/staging.
+  private def pageRankSqlCtes(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    CAST(round((1e0 - 0.85e0) * 1000000000e0 / nn.n) AS BIGINT)
+         |    + CAST(round(0.85e0 * dg$i.dm / nn.n) AS BIGINT)
+         |    + coalesce(cb$i.cin, 0) AS rank_micro
+         |  FROM nodes nd CROSS JOIN nn CROSS JOIN
+         |    (SELECT coalesce(sum(p.rank_micro), 0) AS dm
+         |     FROM $prev p LEFT JOIN ow ON p.node = ow.src
+         |     WHERE ow.src IS NULL) dg$i
+         |  LEFT JOIN
+         |    (SELECT e.dst AS node,
+         |            CAST(sum(CAST(round(0.85e0 * p.rank_micro * e.w
+         |                                / ow.outw) AS BIGINT)) AS BIGINT)
+         |              AS cin
+         |     FROM e JOIN ow ON e.src = ow.src JOIN $prev p ON p.node = e.src
+         |     GROUP BY 1) cb$i ON cb$i.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1),
+       |pr0 AS MATERIALIZED (SELECT node, CAST(round(1000000000e0 / nn.n) AS BIGINT)
+       |          AS rank_micro FROM nodes CROSS JOIN nn),
+       |$iters""".stripMargin
+  }
 
   private def dhashSqlCtes(src: String, keys: String): String =
     s"""ub AS (
@@ -2964,6 +3093,31 @@ object QueriesData {
         |       CAST(rrf_micro AS BIGINT) AS rrf_micro,
         |       CAST(ra AS BIGINT) AS rank_a, CAST(rb AS BIGINT) AS rank_b
         |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "d_link_extract" ->
+      (s"WITH $linkedHtmlSqlCtes,\n" +
+      """le AS (SELECT doc_id,
+        |         regexp_extract_all(html, 'href="([^"]*)"', 1) AS l
+        |       FROM hb)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS link_idx, l[i] AS href
+        |FROM le, unnest(range(1, len(l) + 1)) AS t(i)
+        |ORDER BY doc_id, link_idx""".stripMargin),
+    // domain mapping mirror: for scheme-ful URLs urlDomain reduces to
+    // lower(host-before-port) with a leading www. stripped — the [^/:?#]
+    // class stops at the port colon, so no separate port handling needed
+    "d_domain_rank" ->
+      (s"WITH $linkedHtmlSqlCtes,\n" +
+      """lx AS (SELECT source,
+        |         UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+        |       FROM hb),
+        |e AS MATERIALIZED (SELECT source || '.example.com' AS src,
+        |             regexp_replace(lower(regexp_extract(href,
+        |               '://([^/:?#]*)', 1)), '^www\.', '') AS dst,
+        |             count(*) AS w
+        |      FROM lx GROUP BY 1, 2),
+        |""".stripMargin +
+      pageRankSqlCtes(10) + "\n" +
+      """SELECT node AS domain, rank_micro FROM pr10
+        |ORDER BY rank_micro DESC, domain""".stripMargin),
     "a_ann_quantized" ->
       """WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |qq AS (SELECT list_transform(qv, x -> CAST(round(x *

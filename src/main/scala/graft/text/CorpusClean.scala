@@ -292,6 +292,17 @@ object CorpusClean {
   def extractUrls(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_extract_all(text, lit(UrlRe), lit(0))
 
+  /** All `href="..."` targets of an HTML column, in document order —
+    * the crawl-graph edge extractor ([[graft.operators.PageRank]] ranks
+    * the domain graph built from these). Raw attribute values (no
+    * normalization — that's [[normalizeUrl]] / [[urlDomain]]'s job);
+    * `array<string>`, empty when none. The character-class pattern is
+    * dialect-neutral and backtracking-free (RE2-safe, like the
+    * [[extractHtmlText]] family).
+    */
+  def extractHrefs(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
+
   /** Canonical form of a URL column for dedup/grouping (Common-Crawl-style
     * curation keys on the normalized URL, per-domain caps on its host):
     * scheme and host lowercased, default ports stripped, fragment dropped,

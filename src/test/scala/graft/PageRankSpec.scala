@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** Integer-exact PageRank: hand-computed fixtures (symmetric, dangling,
+  * weighted), mass conservation, re-shard determinism, and the
+  * staging ≡ localCheckpoint contract.
+  */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(String, String, Long)],
+                      staging: Option[String] = None): Map[String, Long] =
+    PageRank.ranks(edges.toDF("src", "dst", "w"), iterations = 10,
+        stagingDir = staging)
+      .as[(String, Long)].collect().toMap
+
+  test("pagerank: symmetric 2-cycle holds exactly half the mass each") {
+    assert(ranksOf(Seq(("a", "b", 1L), ("b", "a", 1L))) ==
+      Map("a" -> 500000000L, "b" -> 500000000L))
+  }
+
+  test("pagerank: dangling node returns its mass through the teleport") {
+    // a → b, b has no out-edges; fixture iterated by hand with the same
+    // round-at-every-step micro-unit arithmetic (10 iterations)
+    assert(ranksOf(Seq(("a", "b", 1L))) ==
+      Map("a" -> 350905864L, "b" -> 649094138L))
+  }
+
+  test("pagerank: weighted out-edges split contributions 3:1") {
+    assert(ranksOf(Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L))) ==
+      Map("a" -> 456334551L, "b" -> 382749088L, "c" -> 160916363L))
+  }
+
+  test("pagerank: mass conserved within per-node rounding slack") {
+    val edges = (0 until 40).flatMap { i =>
+      Seq((s"n$i", s"n${(i * 3 + 1) % 17}", 1L + i % 3),
+        (s"n$i", s"n${(i * 5 + 2) % 23}", 1L))
+    }
+    val r = ranksOf(edges)
+    val total = r.values.sum
+    assert(math.abs(total - 1000000000L) <= r.size,
+      s"mass drifted: $total over ${r.size} nodes")
+  }
+
+  test("pagerank: invariant under edge re-sharding; staging path identical") {
+    val edges = (0 until 30).map { i =>
+      (s"d${i % 7}", s"d${(i * 2 + 1) % 7}", 1L + i % 4)
+    }
+    val base = ranksOf(edges)
+    val reshard = PageRank.ranks(
+        edges.toDF("src", "dst", "w").repartition(5, col("dst")),
+        iterations = 10)
+      .as[(String, Long)].collect().toMap
+    assert(base == reshard)
+    val dir = java.nio.file.Files.createTempDirectory("prstage").toFile
+    try {
+      val staged = ranksOf(edges, staging = Some(dir.getAbsolutePath))
+      assert(base == staged)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+}
