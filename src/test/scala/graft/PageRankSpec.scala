@@ -11,9 +11,10 @@ class PageRankSpec extends SparkSpec {
   import spark.implicits._
 
   private def ranksOf(edges: Seq[(String, String, Long)],
-                      staging: Option[String] = None): Map[String, Long] =
+                      staging: Option[String] = None,
+                      gate: Long = 1000000L): Map[String, Long] =
     PageRank.ranks(edges.toDF("src", "dst", "w"), iterations = 10,
-        stagingDir = staging)
+        stagingDir = staging, driverGateEdges = gate)
       .as[(String, Long)].collect().toMap
 
   test("pagerank: symmetric 2-cycle holds exactly half the mass each") {
@@ -45,19 +46,23 @@ class PageRankSpec extends SparkSpec {
       s"mass drifted: $total over ${r.size} nodes")
   }
 
-  test("pagerank: invariant under edge re-sharding; staging path identical") {
+  test("pagerank: driver gate path ≡ distributed path ≡ staged path, " +
+    "invariant under edge re-sharding") {
     val edges = (0 until 30).map { i =>
       (s"d${i % 7}", s"d${(i * 2 + 1) % 7}", 1L + i % 4)
-    }
-    val base = ranksOf(edges)
+    } ++ Seq(("dangle_src", "d0", 2L), ("d1", "sink", 1L)) // sink dangles
+    val base = ranksOf(edges) // driver path (under the gate)
+    val dist = ranksOf(edges, gate = 0L) // forced distributed loop
+    assert(base == dist, "driver and distributed iterates must be bit-identical")
     val reshard = PageRank.ranks(
         edges.toDF("src", "dst", "w").repartition(5, col("dst")),
-        iterations = 10)
+        iterations = 10, driverGateEdges = 0L)
       .as[(String, Long)].collect().toMap
     assert(base == reshard)
     val dir = java.nio.file.Files.createTempDirectory("prstage").toFile
     try {
-      val staged = ranksOf(edges, staging = Some(dir.getAbsolutePath))
+      val staged = ranksOf(edges, staging = Some(dir.getAbsolutePath),
+        gate = 0L)
       assert(base == staged)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
