@@ -41,6 +41,7 @@ object Cli {
     "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
       "import-warc prepare-corpus corpus-diff datasheet " +
       "build-chunk-index append-chunk-index retrieve " +
+      "build-bm25-index append-bm25-index bm25-search " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-groups snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -331,6 +332,45 @@ object Cli {
       val nProbe = rest.lift(1).filter(_ != "-").map(_.toInt).getOrElse(4)
       graft.ann.Retrieval.retrieveFromChunkIndex(spark, indexDir,
           spark.read.parquet(queriesPath), k, nProbe)
+        .write.mode("overwrite").parquet(outPath)
+      val out = spark.read.parquet(outPath)
+      println(s"""{"out":${graft.util.Json.escape(outPath)},""" +
+        s""""n_results":${out.count()},""" +
+        s""""n_queries":${out.select("query_id").distinct().count()}}""")
+
+    // build-bm25-index <docs.parquet> <indexDir> [nBuckets]
+    // Build the persisted lexical index: term-bucketed postings parquet +
+    // corpus-stats sidecar — build once, serve many.
+    case "build-bm25-index" =>
+      val Array(_, docsPath, indexDir, rest @ _*) = args: @unchecked
+      val nBuckets = rest.lift(0).filter(_ != "-").map(_.toInt).getOrElse(16)
+      graft.ann.Bm25.writeIndex(spark.read.parquet(docsPath), indexDir,
+        nBuckets = nBuckets)
+      val idx = spark.read.parquet(indexDir)
+      println(s"""{"index":${graft.util.Json.escape(indexDir)},""" +
+        s""""n_postings":${idx.count()},""" +
+        s""""n_buckets":${idx.select("bucket").distinct().count()}}""")
+
+    // append-bm25-index <docs.parquet> <indexDir>
+    // Incremental ingest: new docs' postings land in the stored buckets,
+    // stats sidecar advances by the exact deltas — the appended index
+    // serves identically to a full rebuild over the union.
+    case "append-bm25-index" =>
+      val Array(_, docsPath, indexDir) = args: @unchecked
+      val before = spark.read.parquet(indexDir).count()
+      graft.ann.Bm25.appendToIndex(spark.read.parquet(docsPath), indexDir)
+      val after = spark.read.parquet(indexDir).count()
+      println(s"""{"index":${graft.util.Json.escape(indexDir)},""" +
+        s""""appended_postings":${after - before},"n_postings":$after}""")
+
+    // bm25-search <indexDir> <queries.parquet> <outPath> [k]
+    // Serve: per-query BM25 top-k docs (integer-exact micro scores);
+    // queries.parquet needs (query_id, text).
+    case "bm25-search" =>
+      val Array(_, indexDir, queriesPath, outPath, rest @ _*) = args: @unchecked
+      val k = rest.lift(0).filter(_ != "-").map(_.toInt).getOrElse(5)
+      graft.ann.Bm25.retrieveFromIndex(spark, indexDir,
+          spark.read.parquet(queriesPath), k)
         .write.mode("overwrite").parquet(outPath)
       val out = spark.read.parquet(outPath)
       println(s"""{"out":${graft.util.Json.escape(outPath)},""" +

@@ -152,6 +152,39 @@ object Bm25 {
         s""""n_buckets":$nBuckets}""")
   }
 
+  /** Incremental ingest into a persisted index: new documents' postings
+    * are bucketed with the STORED nBuckets (so every term's postings stay
+    * in one bucket) and appended into the partitioned layout; the stats
+    * sidecar advances by the appended corpus's exact (nDocs, totalTokens)
+    * deltas. Because df is derived from the postings at query time and
+    * the stats are plain sums, the appended index serves ROW-IDENTICAL
+    * results to a full rebuild over the union corpus (spec-pinned) — no
+    * staleness window, unlike the dense index's fit-frozen centroids.
+    * Same contract as the chunk-index append: the caller appends NEW
+    * docs (re-appending a doc double-counts it), and the sidecar is
+    * written after the data lands, so a crash between the two leaves the
+    * stats one append behind — re-run the append's sidecar half or
+    * rebuild.
+    */
+  def appendToIndex(docs: DataFrame, path: String,
+                    textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val body = graft.util.Sidecar.read(spark, path, "_bm25_stats.json")
+    val nDocs0 = graft.util.Sidecar.requiredLong(body, "n_docs", path)
+    val totalTokens0 =
+      graft.util.Sidecar.requiredLong(body, "total_tokens", path)
+    val nBuckets =
+      graft.util.Sidecar.requiredLong(body, "n_buckets", path).toInt
+    val (dn, dt) = corpusStats(docs, textCol)
+    buildPostings(docs, textCol)
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+    graft.util.Sidecar.write(spark, path, "_bm25_stats.json",
+      s"""{"n_docs":${nDocs0 + dn},"total_tokens":${totalTokens0 + dt},""" +
+        s""""n_buckets":$nBuckets}""")
+  }
+
   /** Serve a persisted index: the query terms' bucket set is collected
     * (≤ nBuckets ints — metadata-sized by construction) and applied as a
     * STATIC partition filter, so only those bucket directories are read;

@@ -153,6 +153,25 @@ object StreamingText {
           textCol))
     }
 
+  /** Streaming lexical search against a persisted BM25 index — the sparse
+    * sibling of [[retrieveStream]], same shape for the same reason:
+    * per-query top-k is a rank window, which streaming can't express
+    * natively, and the batch function IS [[graft.ann.Bm25
+    * .retrieveFromIndex]], so batch ≡ stream by construction. Index
+    * appends between triggers are visible to the next micro-batch (each
+    * batch re-reads the layout and its stats sidecar).
+    */
+  def searchStream(queryStream: DataFrame, indexPath: String, k: Int,
+                   k1: Double = 1.5, b: Double = 0.75,
+                   textCol: String = "text")
+                  (sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        sink(graft.ann.Bm25.retrieveFromIndex(
+          batch.sparkSession, indexPath, batch, k, k1, b, textCol))
+    }
+
   /** Running per-source stats with explicit keyed state: document and token
     * totals plus an approximate duplicate count (fingerprints seen within the
     * state's bounded recent-set).

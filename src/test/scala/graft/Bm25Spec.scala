@@ -92,6 +92,66 @@ class Bm25Spec extends SparkSpec {
       (3L, 300L, 16129032L, 0L, 2L))) // sparse-only
   }
 
+  test("appendToIndex: appended index serves exactly like a full rebuild " +
+    "over the union (df and stats advance, no staleness window)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val qs = docs.filter(col("doc_id") % 50 === 3 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25app").toFile
+    try {
+      Bm25.writeIndex(half1, dir.getAbsolutePath, nBuckets = 8)
+      Bm25.appendToIndex(half2, dir.getAbsolutePath)
+      val served = Bm25.retrieveFromIndex(spark, dir.getAbsolutePath, qs,
+          k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      val full = Bm25.topK(docs, qs, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(served.nonEmpty && served == full)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("CLI build-bm25-index / append-bm25-index / bm25-search drive the " +
+    "lexical index end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_bm25").toFile
+    try {
+      (0L until 30L).map(i => (i, s"cli w$i sigma " * 18))
+        .toDF("doc_id", "text")
+        .write.parquet(s"$dir/docs")
+      (30L until 40L).map(i => (i, s"cli w$i sigma " * 18))
+        .toDF("doc_id", "text")
+        .write.parquet(s"$dir/more")
+      Seq((3L, "cli w3 sigma"), (35L, "cli w35 sigma"))
+        .toDF("query_id", "text")
+        .write.parquet(s"$dir/queries")
+      def cli(a: String*): String = {
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos)) {
+          Cli.run(spark, a.toArray)
+        }
+        bos.toString("UTF-8").linesIterator
+          .filter(_.startsWith("{")).toSeq.last
+      }
+      val b = cli("build-bm25-index", s"$dir/docs", s"$dir/idx", "4")
+      assert(b.contains("\"n_buckets\":4") && b.contains("\"n_postings\":"), b)
+      val a = cli("append-bm25-index", s"$dir/more", s"$dir/idx")
+      assert(a.contains("\"appended_postings\":"), a)
+      assert(!a.contains("\"appended_postings\":0,"), a)
+      val r = cli("bm25-search", s"$dir/idx", s"$dir/queries", s"$dir/out",
+        "3")
+      assert(r.contains("\"n_queries\":2"), r)
+      val exact = Bm25.topK(
+        spark.read.parquet(s"$dir/docs")
+          .unionByName(spark.read.parquet(s"$dir/more")),
+        spark.read.parquet(s"$dir/queries"), k = 3)
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "rank", "doc_id", "score_micro")
+          .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(key(spark.read.parquet(s"$dir/out")) == key(exact))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("bm25 plans: corpus scan prunes to (doc_id, text); top-k collapses " +
     "map-side; index probe is a static partition filter") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

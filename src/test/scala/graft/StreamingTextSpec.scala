@@ -429,4 +429,54 @@ class StreamingTextSpec extends SparkSpec {
       } finally q.stop()
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("streaming BM25 search serves the lexical index; appends visible next trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 50L).map(i => (i, s"lex w$i kappa " * 18))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv_bm25").toFile
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Long, Long, Long)]]
+    try {
+      graft.ann.Bm25.writeIndex(docs, dir.getAbsolutePath, nBuckets = 4)
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingText.searchStream(
+          input.toDF().toDF("query_id", "text"), dir.getAbsolutePath,
+          k = 3) { out =>
+          got += out.select("query_id", "rank", "doc_id", "score_micro")
+            .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+        }
+        .start()
+      try {
+        input.addData((5L, "lex w5 kappa"))
+        q.processAllAvailable()
+        def batch(qdf: org.apache.spark.sql.DataFrame) =
+          graft.ann.Bm25.retrieveFromIndex(spark, dir.getAbsolutePath,
+              qdf, k = 3)
+            .select("query_id", "rank", "doc_id", "score_micro")
+            .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+        assert(got.size == 1 &&
+          got.head == batch(Seq((5L, "lex w5 kappa")).toDF("query_id", "text")))
+        // the term "w5" is unique to doc 5: lexical relevance must put
+        // doc 5 at rank 1 (BM25 semantics, not just plumbing)
+        assert(got.head.exists { case (qid, rank, doc, _) =>
+          qid == 5L && rank == 1L && doc == 5L })
+        // append between triggers: next micro-batch retrieves the new doc
+        graft.ann.Bm25.appendToIndex(
+          Seq((100L, "freshly appended lex doc " * 10))
+            .toDF("doc_id", "text"),
+          dir.getAbsolutePath)
+        input.addData((6L, "freshly appended lex doc"))
+        q.processAllAvailable()
+        assert(got.size == 2)
+        assert(got(1) == batch(
+          Seq((6L, "freshly appended lex doc")).toDF("query_id", "text")))
+        // the appended doc is the only one containing the query terms:
+        // it must be rank 1 for query 6
+        assert(got(1).exists { case (qid, rank, doc, _) =>
+          qid == 6L && rank == 1L && doc == 100L })
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
