@@ -492,6 +492,34 @@ object QueriesData {
         .orderBy(col("rank_micro").desc, col("domain"))
     }),
 
+    // per-doc TF-IDF keyword tagging: smoothed idf pinned to 9 dp, scores
+    // in integer micro-units, per-doc top-3 (ties by term) — the corpus-
+    // wide labeling pass, every score in the hash
+    "d_tfidf_keywords" -> ((s, d) =>
+      graft.ann.Bm25.tfidfKeywords(docs(s, d), topK = 3)
+        .orderBy("doc_id", "rank")),
+
+    // PMI collocations: most-associated adjacent word pairs over exact
+    // integer counts (min pair count 5, top-50 by 9-dp-pinned micro PMI)
+    "d_collocations" -> ((s, d) =>
+      graft.ann.Bm25.collocations(docs(s, d), minCount = 5, topK = 50)),
+
+    // hard-negative mining for retriever training: top-ranked NON-relevant
+    // docs per query out of the dense doc-level ranking (same synthetic
+    // relevance as a_retrieval_eval), densely re-ranked — the contrastive
+    // negatives a retriever trains on
+    "a_hard_negatives" -> ((s, d) => {
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val ranked = graft.ann.Retrieval.docLevelRanks(
+        graft.ann.Retrieval.retrieveChunks(all, qs, k = 5))
+      graft.ann.Retrieval.hardNegatives(ranked,
+          col("doc_id") % 7 === col("query_id") % 7, nNeg = 3)
+        .orderBy("query_id", "neg_rank")
+    }),
+
     // language ID rollup: the stopword-profile + CJK heuristic is pure
     // integer-count arithmetic, so DuckDB reproduces the argmax bit-exactly
     // HTML extraction — deterministic tag-soup per doc: head noise (title,
@@ -3093,6 +3121,63 @@ object QueriesData {
         |       CAST(rrf_micro AS BIGINT) AS rrf_micro,
         |       CAST(ra AS BIGINT) AS rank_a, CAST(rb AS BIGINT) AS rank_b
         |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "d_tfidf_keywords" ->
+      """WITH ktok AS (SELECT doc_id,
+        |    list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> ''), x -> lower(x)) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |kst AS (SELECT count(*) AS n FROM ktok),
+        |kp AS (SELECT doc_id, t AS term, count(*) AS tf
+        |       FROM ktok, unnest(w) AS u(t) GROUP BY 1, 2),
+        |kdf AS (SELECT term, count(*) AS df FROM kp GROUP BY 1),
+        |ksc AS (SELECT kp.doc_id, kp.term,
+        |          CAST(round(kp.tf * round(ln((kst.n + 1e0) / (kdf.df + 1e0)),
+        |            9) * 1000000e0) AS BIGINT) AS score_micro
+        |        FROM kp JOIN kdf USING (term), kst),
+        |kr AS (SELECT doc_id, term, score_micro,
+        |              row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY score_micro DESC, term) AS rank
+        |       FROM ksc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_micro
+        |FROM kr WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "d_collocations" ->
+      """WITH ctok AS (SELECT doc_id,
+        |    list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> ''), x -> lower(x)) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |ctot AS (SELECT CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS t1,
+        |                CAST(coalesce(sum(CASE WHEN len(w) >= 2
+        |                  THEN len(w) - 1 ELSE 0 END), 0) AS BIGINT) AS t2
+        |         FROM ctok),
+        |cbg AS (SELECT w[i] AS a, w[i + 1] AS b
+        |        FROM ctok, unnest(range(1, len(w))) AS r(i)
+        |        WHERE len(w) >= 2),
+        |cp AS (SELECT a, b, count(*) AS n_pair FROM cbg GROUP BY 1, 2
+        |       HAVING count(*) >= 5),
+        |cu AS (SELECT t AS term, count(*) AS c
+        |       FROM ctok, unnest(w) AS u(t) GROUP BY 1)
+        |SELECT cp.a, cp.b, cp.n_pair,
+        |  CAST(round(round(ln((cp.n_pair / ctot.t2)
+        |    / ((ca.c / ctot.t1) * (cb.c / ctot.t1))), 9) * 1000000e0)
+        |    AS BIGINT) AS pmi_micro
+        |FROM cp JOIN cu ca ON ca.term = cp.a JOIN cu cb ON cb.term = cp.b,
+        |  ctot
+        |ORDER BY pmi_micro DESC, a, b LIMIT 50""".stripMargin,
+    "a_hard_negatives" ->
+      (s"WITH $retrievalTopkSqlCtes,\n" +
+      """da AS (SELECT query_id, doc_id, min(rank) AS best
+        |       FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |dr AS (SELECT query_id, doc_id,
+        |              row_number() OVER (PARTITION BY query_id
+        |                ORDER BY best, doc_id) AS rank
+        |       FROM da),
+        |hn AS (SELECT query_id, doc_id, rank,
+        |              row_number() OVER (PARTITION BY query_id
+        |                ORDER BY rank) AS neg_rank
+        |       FROM dr WHERE NOT (doc_id % 7 = query_id % 7))
+        |SELECT query_id, CAST(neg_rank AS BIGINT) AS neg_rank, doc_id,
+        |       CAST(rank AS BIGINT) AS orig_rank
+        |FROM hn WHERE neg_rank <= 3 ORDER BY query_id, neg_rank""".stripMargin),
     "d_link_extract" ->
       (s"WITH $linkedHtmlSqlCtes,\n" +
       """le AS (SELECT doc_id,

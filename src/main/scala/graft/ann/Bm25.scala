@@ -215,6 +215,79 @@ object Bm25 {
       textCol, maxQueries)
   }
 
+  /** TF-IDF keyword extraction — per-document top-`topK` terms by
+    * tf·idf (smoothed idf = ln((N+1)/(df+1)), pinned to 9 dp; scores in
+    * integer micro-units, ties by term) — the doc-tagging/labeling pass a
+    * curation pipeline runs over the whole corpus. Shares the
+    * inverted-index machinery: one postings build, a vocab-sized df
+    * aggregate joined back on term (both partial-aggregate map-side), and
+    * a per-doc rank window bounded by `topK` (map-side WindowGroupLimit).
+    * Output: `(doc_id, rank, term, score_micro)`.
+    */
+  def tfidfKeywords(docs: DataFrame, topK: Int = 3,
+                    textCol: String = "text"): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val (nDocs, _) = corpusStats(docs, textCol)
+    require(nDocs > 0, "corpus must have at least one non-null-text doc")
+    val postings = buildPostings(docs, textCol)
+    val dfByTerm = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf9 = round(
+      log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0))), 9)
+    val scored = postings.join(dfByTerm, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") * idf9 * lit(1000000.0))
+          .cast("long").as("score_micro"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select("doc_id", "rank", "term", "score_micro")
+  }
+
+  /** Pointwise-mutual-information collocations — the corpus's most
+    * associated adjacent word pairs (phrase mining / tokenizer-merge
+    * candidates). PMI = ln((c_ab/T₂) / ((c_a/T₁)·(c_b/T₁))) over exact
+    * integer counts, pinned to 9 dp then micro-units, so the score — and
+    * therefore the top-k — is engine-exact; `minCount` keeps rare-pair
+    * noise (and the output size) bounded before any scoring. One token
+    * explode feeds both the unigram and bigram counts (all
+    * partial-aggregated); totals are a narrow scalar agg; the final
+    * top-`topK` is a TakeOrdered, never a global sort.
+    * Output: `(a, b, n_pair, pmi_micro)`.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be >= 1")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(terms(col(textCol)).as("w"))
+    val tot = toks.agg(
+      coalesce(sum(size(col("w")).cast("long")), lit(0L)),
+      coalesce(sum(when(size(col("w")) >= 2, size(col("w")) - 1)
+        .otherwise(0).cast("long")), lit(0L))).head()
+    val (t1, t2) = (tot.getLong(0), tot.getLong(1))
+    require(t2 > 0, "corpus has no adjacent token pairs")
+    val pairs = toks.where(size(col("w")) >= 2)
+      .select(explode(sequence(lit(1), size(col("w")) - 1)).as("i"),
+        col("w"))
+      .select(element_at(col("w"), col("i")).as("a"),
+        element_at(col("w"), col("i") + 1).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val uni = toks
+      .select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val pmi9 = round(log(
+      (col("n_pair") / lit(t2)) /
+        ((col("ca") / lit(t1)) * (col("cb") / lit(t1)))), 9)
+    pairs
+      .join(uni.select(col("term").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("term").as("b"), col("c").as("cb")), "b")
+      .select(col("a"), col("b"), col("n_pair"),
+        round(pmi9 * lit(1000000.0)).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher RRF) of two ranked
     * lists — the standard hybrid-retrieval combiner for a dense and a
     * sparse ranking. Inputs are `(query_id, rank, doc_id, ...)`-shaped;

@@ -389,6 +389,25 @@ object Retrieval {
       .select("query_id", "rank", "doc_id")
   }
 
+  /** Hard-negative mining for retriever training — the top-ranked
+    * NON-relevant documents per query (the strongest confusions, the
+    * negatives contrastive embedding training wants). `ranked` is a
+    * `(query_id, rank, doc_id, ...)` result (doc level — see
+    * [[docLevelRanks]]); `rel` is any boolean relevance expression over
+    * its columns. Negatives re-rank densely 1..nNeg in original rank
+    * order. Result-sized rank arithmetic — no corpus access.
+    * Output: `(query_id, neg_rank, doc_id, orig_rank)`.
+    */
+  def hardNegatives(ranked: DataFrame, rel: Column, nNeg: Int): DataFrame = {
+    require(nNeg >= 1, "nNeg must be >= 1")
+    val w = Window.partitionBy("query_id").orderBy(col("rank"))
+    ranked.where(!rel)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .where(col("neg_rank") <= nNeg)
+      .select(col("query_id"), col("neg_rank"), col("doc_id"),
+        col("rank").as("orig_rank"))
+  }
+
   /** Per-query retrieval-quality metrics over a ranked result — the eval
     * leg every retrieval index needs: MRR (reciprocal rank of the first
     * relevant hit, 0 if none in the list) and nDCG@k (DCG with 1/log2(r+1)

@@ -92,6 +92,51 @@ class Bm25Spec extends SparkSpec {
       (3L, 300L, 16129032L, 0L, 2L))) // sparse-only
   }
 
+  test("tfidfKeywords: hand-computed micro scores, per-doc top-k, term ties") {
+    // N = 3; df(apple)=1 → idf9 = 0.693147181, df(banana/cherry)=2 →
+    // idf9 = 0.287682072, df(durian)=1. Micro scores = tf·idf9·1e6.
+    val out = Bm25.tfidfKeywords(fixtureDocs, topK = 3)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term", "score_micro")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, "apple", 1386294L), (1L, 2L, "banana", 287682L),
+      (2L, 1L, "banana", 287682L), (2L, 2L, "cherry", 287682L), // tie → term
+      (3L, 1L, "cherry", 863046L), (3L, 2L, "durian", 693147L)))
+  }
+
+  test("collocations: hand-computed PMI micros, deterministic tie order") {
+    // T1 = 9 tokens, T2 = 6 bigrams; three pairs tie at ln 3.375 and two
+    // at ln 1.6875 — order is (pmi desc, a, b)
+    val out = Bm25.collocations(fixtureDocs, minCount = 1, topK = 10)
+      .select("a", "b", "n_pair", "pmi_micro")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("apple", "banana", 1L, 1216395L),
+      ("banana", "apple", 1L, 1216395L),
+      ("cherry", "durian", 1L, 1216395L),
+      ("banana", "cherry", 1L, 523248L),
+      ("cherry", "cherry", 2L, 523248L)))
+    // minCount prunes before scoring
+    val capped = Bm25.collocations(fixtureDocs, minCount = 2, topK = 10)
+      .select("a", "b").as[(String, String)].collect().toSeq
+    assert(capped == Seq(("cherry", "cherry")))
+  }
+
+  test("hardNegatives: non-relevant docs re-rank densely in rank order") {
+    val ranked = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+        (2L, 1L, 20L))
+      .toDF("query_id", "rank", "doc_id")
+    val out = graft.ann.Retrieval.hardNegatives(ranked,
+        col("doc_id") === 20L, nNeg = 2)
+      .orderBy("query_id", "neg_rank")
+      .select("query_id", "neg_rank", "doc_id", "orig_rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // query 1: doc 20 is relevant → negatives are 10 (orig 1), 30 (orig 3)
+    // query 2: its only ranked doc is relevant → no negatives
+    assert(out == Seq((1L, 1L, 10L, 1L), (1L, 2L, 30L, 3L)))
+  }
+
   test("appendToIndex: appended index serves exactly like a full rebuild " +
     "over the union (df and stats advance, no staleness window)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
