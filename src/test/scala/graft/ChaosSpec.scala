@@ -200,6 +200,46 @@ class ChaosSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("task death during a BM25 index append: retried write lands every posting exactly once") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bchaos").toString
+    val idx = s"chaos:$dir/idx"
+    val oldDocs = (0L until 30L).map(i => (i, s"bch w$i tau " * 18))
+      .toDF("doc_id", "text")
+    val newDocs = (30L until 60L).map(i => (i, s"bch w$i tau " * 18))
+      .toDF("doc_id", "text")
+    try {
+      graft.ann.Bm25.writeIndex(oldDocs, idx, nBuckets = 4)
+      val before = spark.read.parquet(idx).count()
+      // kill one write-task attempt of the APPEND job mid-write; commit
+      // protocol + task retry must land the append complete — no
+      // duplicate postings, pre-append rows untouched, stats advanced
+      ChaosFileSystem.armPathCreateFailure("/idx/", startAt = 2, times = 1)
+      try graft.ann.Bm25.appendToIndex(newDocs, idx)
+      finally ChaosFileSystem.disarm()
+      assert(ChaosFileSystem.failureFired, "the injected write failure must fire")
+      val after = spark.read.parquet(idx)
+      assert(after.count() == after.select("doc_id", "term")
+        .distinct().count(), "duplicate postings after retry")
+      assert(after.filter(col("doc_id") < 30L).count() == before,
+        "pre-append rows must be untouched")
+      // the survived index serves exactly like the direct scorer on the
+      // union — df AND the stats sidecar must both have landed
+      val qs = Seq((7L, "bch w7 tau"), (44L, "bch w44 tau"))
+        .toDF("query_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank")
+          .select("query_id", "rank", "doc_id", "score_micro")
+          .as[(Long, Long, Long, Long)].collect().toSeq
+      val served = rows(graft.ann.Bm25.retrieveFromIndex(spark, idx, qs,
+        k = 4))
+      assert(served == rows(graft.ann.Bm25.topK(
+        oldDocs.unionByName(newDocs), qs, k = 4)))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("task death inside a streaming incremental-dedup micro-batch: retry keeps exactly-once survivors") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -381,4 +381,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must plan as TakeOrderedAndProject:\n${p.take(1200)}")
   }
+
+  test("bm25: query vocabulary broadcasts onto the postings scan, top-k map-side") {
+    val p = planOf("a_bm25_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"query term set + query fan-out must broadcast:\n${p.take(1500)}")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must collapse map-side")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "postings/score aggs must partial-aggregate")
+  }
+
+  test("tfidf keywords: per-doc top-k collapses map-side, aggs partial") {
+    val p = planOf("d_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"), "per-doc top-k must collapse map-side")
+    assert(p.contains("partial_count"), "tf/df aggs must partial-aggregate")
+  }
+
+  test("collocations: final top-k is a TakeOrdered, never a global sort") {
+    val p = planOf("d_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n${p.take(1200)}")
+    assert(p.contains("partial_count"), "pair/unigram counts must partial-aggregate")
+  }
 }
