@@ -70,6 +70,58 @@ object QueriesData {
         lit(".example.com/p2#f\">c</a></body></html>")).as("html"))
   }
 
+  /** The crawl-domain edge list both graph entries rank: synthesized
+    * pages → href extraction → normalizeUrl-semantics domains → weighted
+    * (src domain → dst domain) edges.
+    */
+  private def domainEdges(s: SparkSession, d: String): DataFrame =
+    linkedHtml(s, d)
+      .select(col("source"),
+        explode(graft.text.CorpusClean.extractHrefs(col("html")))
+          .as("href"))
+      .select(concat(col("source"), lit(".example.com")).as("src"),
+        graft.text.CorpusClean.urlDomain(col("href")).as("dst"))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  // Integer-exact HITS iterations over an `e(src, dst, w)` CTE —
+  // generated chain mirroring graft.operators.Hits.ranks: exact long
+  // matrix-vector half-steps, L1 re-normalization via the one
+  // identically-ordered double division, AS MATERIALIZED on every iterate
+  // (same CTE-inlining blowup PageRank hit).
+  private def hitsSqlCtes(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      val prev = s"hh${i - 1}"
+      s"""ra$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(e.w * h.hub) AS BIGINT) AS raw
+         |  FROM e JOIN $prev h ON h.node = e.src GROUP BY 1),
+         |ta$i AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS t
+         |                      FROM ra$i),
+         |aa$i AS MATERIALIZED (
+         |  SELECT n.node, coalesce(CAST(round(r.raw * 1000000000e0 / ta.t)
+         |    AS BIGINT), 0) AS auth
+         |  FROM nodes n CROSS JOIN ta$i ta
+         |    LEFT JOIN ra$i r ON r.node = n.node),
+         |rh$i AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(sum(e.w * a.auth) AS BIGINT) AS raw
+         |  FROM e JOIN aa$i a ON a.node = e.dst GROUP BY 1),
+         |th$i AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS t
+         |                      FROM rh$i),
+         |hh$i AS MATERIALIZED (
+         |  SELECT n.node, coalesce(CAST(round(r.raw * 1000000000e0 / th.t)
+         |    AS BIGINT), 0) AS hub
+         |  FROM nodes n CROSS JOIN th$i th
+         |    LEFT JOIN rh$i r ON r.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |hh0 AS MATERIALIZED (SELECT node,
+       |  CAST(round(1000000000e0 / nn.n) AS BIGINT) AS hub
+       |  FROM nodes CROSS JOIN nn),
+       |$iters""".stripMargin
+  }
+
   // ──── measured-quality audits for the approximate (no-oracle) entries ────
   // The LSH/ANN families have no SQL oracle BY NATURE (hash signatures), so
   // each battery entry instead computes and CARRIES its own quality number
@@ -477,20 +529,22 @@ object QueriesData {
     // — html build, regex extraction, domain mapping, edge weights, and
     // all ten rank vectors — is mirrored in one DuckDB WITH chain, so the
     // final micro-unit ranks hash bit-for-bit
-    "d_domain_rank" -> ((s, d) => {
-      val links = linkedHtml(s, d)
-        .select(col("source"),
-          explode(graft.text.CorpusClean.extractHrefs(col("html")))
-            .as("href"))
-      val edges = links.select(
-          concat(col("source"), lit(".example.com")).as("src"),
-          graft.text.CorpusClean.urlDomain(col("href")).as("dst"))
-        .where(col("dst").isNotNull)
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      graft.operators.PageRank.ranks(edges, iterations = 10)
+    "d_domain_rank" -> ((s, d) =>
+      graft.operators.PageRank.ranks(domainEdges(s, d), iterations = 10)
         .select(col("node").as("domain"), col("rank_micro"))
-        .orderBy(col("rank_micro").desc, col("domain"))
-    }),
+        .orderBy(col("rank_micro").desc, col("domain"))),
+
+    // the HITS complement on the same crawl graph: authorities = the
+    // domains quality pages point AT, hubs = the aggregators pointing at
+    // them — 5 integer-exact iterations (exact long matrix-vector
+    // half-steps, L1 re-normalization with one identically-ordered double
+    // division), both vectors mirrored iteration-for-iteration in the
+    // generated oracle
+    "d_hits_rank" -> ((s, d) =>
+      graft.operators.Hits.ranks(domainEdges(s, d), iterations = 5)
+        .select(col("node").as("domain"), col("hub_micro"),
+          col("auth_micro"))
+        .orderBy(col("auth_micro").desc, col("domain"))),
 
     // per-doc TF-IDF keyword tagging: smoothed idf pinned to 9 dp, scores
     // in integer micro-units, per-doc top-3 (ties by term) — the corpus-
@@ -1456,6 +1510,17 @@ object QueriesData {
       |         JOIN sid s1 ON s1.k = (d.doc_id * 2 + 1) % nn0.n
       |         JOIN sid s2 ON s2.k = (d.doc_id * 3 + 2) % nn0.n
       |       WHERE d.text IS NOT NULL AND d.source IS NOT NULL)""".stripMargin
+
+  // SQL mirror of QueriesData.domainEdges — shared by both graph oracles
+  private val domainEdgesSqlCtes: String =
+    """lx AS (SELECT source,
+      |         UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+      |       FROM hb),
+      |e AS MATERIALIZED (SELECT source || '.example.com' AS src,
+      |             regexp_replace(lower(regexp_extract(href,
+      |               '://([^/:?#]*)', 1)), '^www\.', '') AS dst,
+      |             count(*) AS w
+      |      FROM lx GROUP BY 1, 2)""".stripMargin
 
   // Integer-exact PageRank iterations over an `e(src, dst, w)` CTE —
   // generated chain pr0..prN mirroring graft.operators.PageRank.ranks
@@ -3190,19 +3255,17 @@ object QueriesData {
     // lower(host-before-port) with a leading www. stripped — the [^/:?#]
     // class stops at the port colon, so no separate port handling needed
     "d_domain_rank" ->
-      (s"WITH $linkedHtmlSqlCtes,\n" +
-      """lx AS (SELECT source,
-        |         UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
-        |       FROM hb),
-        |e AS MATERIALIZED (SELECT source || '.example.com' AS src,
-        |             regexp_replace(lower(regexp_extract(href,
-        |               '://([^/:?#]*)', 1)), '^www\.', '') AS dst,
-        |             count(*) AS w
-        |      FROM lx GROUP BY 1, 2),
-        |""".stripMargin +
+      (s"WITH $linkedHtmlSqlCtes,\n$domainEdgesSqlCtes,\n" +
       pageRankSqlCtes(10) + "\n" +
       """SELECT node AS domain, rank_micro FROM pr10
         |ORDER BY rank_micro DESC, domain""".stripMargin),
+    "d_hits_rank" ->
+      (s"WITH $linkedHtmlSqlCtes,\n$domainEdgesSqlCtes,\n" +
+      hitsSqlCtes(5) + "\n" +
+      """SELECT n.node AS domain, h.hub AS hub_micro, a.auth AS auth_micro
+        |FROM nodes n JOIN hh5 h ON h.node = n.node
+        |  JOIN aa5 a ON a.node = n.node
+        |ORDER BY auth_micro DESC, domain""".stripMargin),
     "a_ann_quantized" ->
       """WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |qq AS (SELECT list_transform(qv, x -> CAST(round(x *
