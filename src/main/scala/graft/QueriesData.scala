@@ -534,6 +534,23 @@ object QueriesData {
         .select(col("node").as("domain"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("domain"))),
 
+    // personalized PageRank on the same crawl graph: teleport mass goes
+    // only to a deterministic seed third of the domains — the
+    // crawl-frontier scoring form (rank the web around known-good seeds;
+    // domains unreachable from the seed set hold exactly 0). Seeds,
+    // every iterate, and the final ranks all mirror in the oracle
+    "d_personalized_rank" -> ((s, d) => {
+      val srcs = docs(s, d).where(col("source").isNotNull)
+        .select("source").distinct().collect().map(_.getString(0)).sorted
+      val seeds = srcs.zipWithIndex.collect {
+        case (src, k) if k % 3 == 0 => s"$src.example.com"
+      }.toSeq
+      graft.operators.PageRank.ranks(domainEdges(s, d), iterations = 10,
+          seeds = Some(seeds))
+        .select(col("node").as("domain"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("domain"))
+    }),
+
     // the HITS complement on the same crawl graph: authorities = the
     // domains quality pages point AT, hubs = the aggregators pointing at
     // them — 5 integer-exact iterations (exact long matrix-vector
@@ -1510,6 +1527,47 @@ object QueriesData {
       |         JOIN sid s1 ON s1.k = (d.doc_id * 2 + 1) % nn0.n
       |         JOIN sid s2 ON s2.k = (d.doc_id * 3 + 2) % nn0.n
       |       WHERE d.text IS NOT NULL AND d.source IS NOT NULL)""".stripMargin
+
+  // Personalized-PageRank iterations: same integer-exact chain, but the
+  // teleport and dangling shares go ONLY to rows of an upstream
+  // `seeds(node)` CTE (denominator `ns.c` = |seeds|); non-seed rows get 0
+  // plus their in-contributions. Mirrors PageRank.ranks(seeds = Some(...)).
+  private def personalizedPageRankSqlCtes(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      val prev = s"pr${i - 1}"
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    CASE WHEN sd.node IS NOT NULL THEN
+         |      CAST(round((1e0 - 0.85e0) * 1000000000e0 / ns.c) AS BIGINT)
+         |      + CAST(round(0.85e0 * dg$i.dm / ns.c) AS BIGINT)
+         |    ELSE 0 END
+         |    + coalesce(cb$i.cin, 0) AS rank_micro
+         |  FROM nodes nd CROSS JOIN ns CROSS JOIN
+         |    (SELECT coalesce(sum(p.rank_micro), 0) AS dm
+         |     FROM $prev p LEFT JOIN ow ON p.node = ow.src
+         |     WHERE ow.src IS NULL) dg$i
+         |  LEFT JOIN seeds sd ON sd.node = nd.node
+         |  LEFT JOIN
+         |    (SELECT e.dst AS node,
+         |            CAST(sum(CAST(round(0.85e0 * p.rank_micro * e.w
+         |                                / ow.outw) AS BIGINT)) AS BIGINT)
+         |              AS cin
+         |     FROM e JOIN ow ON e.src = ow.src JOIN $prev p ON p.node = e.src
+         |     GROUP BY 1) cb$i ON cb$i.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+       |   UNION ALL SELECT node FROM seeds)),
+       |ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+       |                    FROM e GROUP BY 1),
+       |pr0 AS MATERIALIZED (SELECT nd.node,
+       |  CASE WHEN sd.node IS NOT NULL
+       |    THEN CAST(round(1000000000e0 / ns.c) AS BIGINT)
+       |    ELSE 0 END AS rank_micro
+       |  FROM nodes nd CROSS JOIN ns
+       |    LEFT JOIN seeds sd ON sd.node = nd.node),
+       |$iters""".stripMargin
+  }
 
   // SQL mirror of QueriesData.domainEdges — shared by both graph oracles
   private val domainEdgesSqlCtes: String =
@@ -3257,6 +3315,15 @@ object QueriesData {
     "d_domain_rank" ->
       (s"WITH $linkedHtmlSqlCtes,\n$domainEdgesSqlCtes,\n" +
       pageRankSqlCtes(10) + "\n" +
+      """SELECT node AS domain, rank_micro FROM pr10
+        |ORDER BY rank_micro DESC, domain""".stripMargin),
+    "d_personalized_rank" ->
+      (s"WITH $linkedHtmlSqlCtes,\n$domainEdgesSqlCtes,\n" +
+      """seeds AS MATERIALIZED (SELECT source || '.example.com' AS node
+        |                       FROM sid WHERE k % 3 = 0),
+        |ns AS MATERIALIZED (SELECT count(*) AS c FROM seeds),
+        |""".stripMargin +
+      personalizedPageRankSqlCtes(10) + "\n" +
       """SELECT node AS domain, rank_micro FROM pr10
         |ORDER BY rank_micro DESC, domain""".stripMargin),
     "d_hits_rank" ->

@@ -54,12 +54,14 @@ object PageRank {
     */
   def ranks(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
             stagingDir: Option[String] = None,
-            driverGateEdges: Long = 1000000L): DataFrame = {
+            driverGateEdges: Long = 1000000L,
+            seeds: Option[Seq[String]] = None): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(seeds.forall(_.nonEmpty), "seeds must be non-empty when given")
     val nEdges = edges.count()
     if (nEdges <= driverGateEdges)
-      return ranksDriver(edges, iterations, damping)
+      return ranksDriver(edges, iterations, damping, seeds)
     // Each iteration references the previous rank vector twice
     // (contribution join + dangling anti-join), so an unbroken lineage
     // DOUBLES the logical plan per iteration — 2^T copies of the upstream
@@ -71,17 +73,36 @@ object PageRank {
     // otherwise (exact longs, so the pinned result is deterministic).
     // The iteration-invariant edge/out-weight/node tables are persisted —
     // they are re-read every iteration, never re-derived.
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val edgeNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // Personalization: the teleport (and dangling) mass goes ONLY to the
+    // seed set — the crawl-frontier scoring form (rank the graph around
+    // known-good seed domains; nodes unreachable from the seeds hold
+    // exactly 0). Standard PageRank IS the seeds-everywhere special case,
+    // so one arithmetic path serves both: seed rows get the teleport and
+    // dangling shares (denominator = |seeds|), non-seed rows get 0. The
+    // seed list is caller-provided metadata (a seed table, not a corpus).
+    val nodes = (seeds match {
+      case Some(ss) => edgeNodes.union(ss.distinct.toDF("node")).distinct()
+      case None => edgeNodes
+    }).persist()
     val n = nodes.count()
     require(n > 0, "edge list is empty")
+    val isSeed = seeds match {
+      case Some(ss) => col("node").isInCollection(ss.distinct)
+      case None => lit(true)
+    }
+    val denom = seeds.map(_.distinct.size.toLong).getOrElse(n)
     val outw = e.groupBy("src").agg(sum("w").as("outw")).persist()
     // driver-side scalars: same IEEE ops the SQL oracle spells out
-    val r0 = math.round(1.0e9 / n)
-    val teleport = math.round((1.0 - damping) * 1.0e9 / n)
-    var r = nodes.withColumn("rank_micro", lit(r0))
+    val r0 = math.round(1.0e9 / denom)
+    val teleport = math.round((1.0 - damping) * 1.0e9 / denom)
+    var r = nodes.withColumn("rank_micro",
+      when(isSeed, lit(r0)).otherwise(lit(0L)))
     for (it <- 1 to iterations) {
       val contribs = e.join(outw, "src")
         .join(r.withColumnRenamed("node", "src")
@@ -96,8 +117,10 @@ object PageRank {
       val next = nodes.join(contribs, Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"),
-          (lit(teleport) +
-            round(lit(damping) * col("dm") / lit(n.toDouble)).cast("long") +
+          (when(isSeed, lit(teleport) +
+              round(lit(damping) * col("dm") / lit(denom.toDouble))
+                .cast("long"))
+            .otherwise(lit(0L)) +
             coalesce(col("cin"), lit(0L))).as("rank_micro"))
       r = stagingDir match {
         case Some(dir) =>
@@ -114,28 +137,34 @@ object PageRank {
     * the driver over the collected (metadata-sized) edge list.
     */
   private def ranksDriver(edges: DataFrame, iterations: Int,
-                          damping: Double): DataFrame = {
+                          damping: Double,
+                          seeds: Option[Seq[String]]): DataFrame = {
     val spark = edges.sparkSession
     val es = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val nodes = (es.map(_._1) ++ es.map(_._2) ++ seeds.getOrElse(Nil))
+      .distinct.sorted
     val n = nodes.length.toLong
     require(n > 0, "edge list is empty")
+    val seedSet: Set[String] = seeds.map(_.toSet).getOrElse(nodes.toSet)
+    val denom = seedSet.size.toLong
     val outw = es.groupBy(_._1).map { case (s, g) => (s, g.map(_._3).sum) }
-    val r0 = math.round(1.0e9 / n)
-    val teleport = math.round((1.0 - damping) * 1.0e9 / n)
-    var r: Map[String, Long] = nodes.map(_ -> r0).toMap
+    val r0 = math.round(1.0e9 / denom)
+    val teleport = math.round((1.0 - damping) * 1.0e9 / denom)
+    var r: Map[String, Long] =
+      nodes.map(v => v -> (if (seedSet(v)) r0 else 0L)).toMap
     for (_ <- 1 to iterations) {
       val dm = nodes.iterator
         .filterNot(outw.contains).map(r).sum
-      val dShare = math.round(damping * dm / n.toDouble)
+      val dShare = math.round(damping * dm / denom.toDouble)
       val cin = new scala.collection.mutable.HashMap[String, Long]()
       es.foreach { case (s, d, w) =>
         val c = math.round(damping * r(s) * w / outw(s))
         cin.update(d, cin.getOrElse(d, 0L) + c)
       }
       r = nodes.map(v =>
-        v -> (teleport + dShare + cin.getOrElse(v, 0L))).toMap
+        v -> ((if (seedSet(v)) teleport + dShare else 0L) +
+          cin.getOrElse(v, 0L))).toMap
     }
     import spark.implicits._
     nodes.map(v => (v, r(v))).toSeq.toDF("node", "rank_micro")

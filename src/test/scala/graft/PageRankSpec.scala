@@ -46,6 +46,34 @@ class PageRankSpec extends SparkSpec {
       s"mass drifted: $total over ${r.size} nodes")
   }
 
+  test("personalized: teleport mass stays on the seeds, unreachable " +
+    "components hold exactly 0, hand-iterated fixture") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("c", "d", 1L))
+    val out = PageRank.ranks(edges.toDF("src", "dst", "w"),
+        iterations = 10, seeds = Some(Seq("a")))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 630996348L, "b" -> 369003652L,
+      "c" -> 0L, "d" -> 0L))
+    assert(math.abs(out.values.sum - 1000000000L) <= out.size)
+  }
+
+  test("personalized: driver path ≡ distributed path; seed outside the " +
+    "edge set joins the node set as a dangling seed") {
+    val edges = (0 until 30).map { i =>
+      (s"d${i % 7}", s"d${(i * 2 + 1) % 7}", 1L + i % 4)
+    }
+    val seeds = Some(Seq("d0", "d3", "island"))
+    val base = PageRank.ranks(edges.toDF("src", "dst", "w"),
+        iterations = 10, seeds = seeds)
+      .as[(String, Long)].collect().toMap
+    val dist = PageRank.ranks(edges.toDF("src", "dst", "w"),
+        iterations = 10, seeds = seeds, driverGateEdges = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(base == dist, "driver and distributed personalized iterates must match")
+    assert(base.contains("island"), "off-graph seed must join the node set")
+    assert(math.abs(base.values.sum - 1000000000L) <= base.size)
+  }
+
   test("pagerank: driver gate path ≡ distributed path ≡ staged path, " +
     "invariant under edge re-sharding") {
     val edges = (0 until 30).map { i =>
