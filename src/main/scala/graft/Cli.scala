@@ -41,7 +41,7 @@ object Cli {
     "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
       "import-warc prepare-corpus corpus-diff datasheet " +
       "build-chunk-index append-chunk-index retrieve " +
-      "build-bm25-index append-bm25-index bm25-search " +
+      "build-bm25-index append-bm25-index bm25-search rank-domains " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-groups snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -376,6 +376,47 @@ object Cli {
       println(s"""{"out":${graft.util.Json.escape(outPath)},""" +
         s""""n_results":${out.count()},""" +
         s""""n_queries":${out.select("query_id").distinct().count()}}""")
+
+    // rank-domains <docs.parquet> <outPath> [urlCol] [htmlCol] [algo] [iters]
+    // Crawl-graph authority over a landed corpus (e.g. import-warc output
+    // kept with raw HTML): per-doc domain from urlCol, href targets out of
+    // htmlCol, weighted domain edges, then integer-exact PageRank (default)
+    // or HITS. Writes (domain, rank...) parquet.
+    case "rank-domains" =>
+      val Array(_, docsPath, outPath, rest @ _*) = args: @unchecked
+      val urlCol = rest.lift(0).filter(_ != "-").getOrElse("url")
+      val htmlCol = rest.lift(1).filter(_ != "-").getOrElse("text")
+      val algo = rest.lift(2).filter(_ != "-").getOrElse("pagerank")
+      val iters = rest.lift(3).filter(_ != "-").map(_.toInt)
+        .getOrElse(if (algo == "hits") 5 else 10)
+      val docs = spark.read.parquet(docsPath)
+      val edges = docs
+        .select(graft.text.CorpusClean.urlDomain(col(urlCol)).as("src"),
+          explode(graft.text.CorpusClean.extractHrefs(col(htmlCol)))
+            .as("href"))
+        .select(col("src"),
+          graft.text.CorpusClean.urlDomain(col("href")).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val ranked = algo match {
+        case "pagerank" =>
+          graft.operators.PageRank.ranks(edges, iterations = iters)
+            .select(col("node").as("domain"), col("rank_micro"))
+            .orderBy(col("rank_micro").desc, col("domain"))
+        case "hits" =>
+          graft.operators.Hits.ranks(edges, iterations = iters)
+            .select(col("node").as("domain"), col("hub_micro"),
+              col("auth_micro"))
+            .orderBy(col("auth_micro").desc, col("domain"))
+        case other => throw new IllegalArgumentException(
+          s"unknown algo '$other' (pagerank|hits)")
+      }
+      ranked.write.mode("overwrite").parquet(outPath)
+      val out = spark.read.parquet(outPath)
+      println(s"""{"out":${graft.util.Json.escape(outPath)},""" +
+        s""""algo":${graft.util.Json.escape(algo)},""" +
+        s""""n_domains":${out.count()},""" +
+        s""""n_edges":${edges.count()}}""")
 
     // prepare-corpus <docs.parquet> <outDir> [stagingDir|-] [format]
     //                [urlCol|-] [maxDocsPerDomain|-] [html|-] [blocklistCsv|-]

@@ -74,6 +74,47 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(base.values.sum - 1000000000L) <= base.size)
   }
 
+  test("CLI rank-domains: url + html corpus → ranked domains, both algos") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_rd").toFile
+    try {
+      // three pages: a.example links to b, b links to a and c, c to a
+      Seq(
+        (1L, "https://www.a.example/p",
+          """<html><a href="https://b.example/x">b</a></html>"""),
+        (2L, "http://b.example:80/q",
+          """<a href="https://a.example/">a</a><a href="https://c.example/">c</a>"""),
+        (3L, "https://c.example/r",
+          """<p>text</p><a href="https://a.example/z">a</a>"""))
+        .toDF("doc_id", "url", "text")
+        .write.parquet(s"$dir/docs")
+      def cli(a: String*): String = {
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos)) {
+          Cli.run(spark, a.toArray)
+        }
+        bos.toString("UTF-8").linesIterator
+          .filter(_.startsWith("{")).toSeq.last
+      }
+      val pr = cli("rank-domains", s"$dir/docs", s"$dir/pr")
+      assert(pr.contains("\"n_domains\":3") && pr.contains("\"n_edges\":4"), pr)
+      val ranks = spark.read.parquet(s"$dir/pr")
+        .as[(String, Long)].collect().toMap
+      // a.example has two in-links (from b and c) — it must rank first
+      assert(ranks.keySet == Set("a.example", "b.example", "c.example"))
+      assert(ranks("a.example") > ranks("b.example") &&
+        ranks("b.example") > ranks("c.example"))
+      assert(math.abs(ranks.values.sum - 1000000000L) <= 3)
+      val h = cli("rank-domains", s"$dir/docs", s"$dir/hits", "-", "-",
+        "hits", "5")
+      assert(h.contains("\"algo\":\"hits\"") && h.contains("\"n_domains\":3"), h)
+      val hits = spark.read.parquet(s"$dir/hits")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(hits("a.example")._2 > hits("c.example")._2,
+        "a must out-rank c on authority")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("pagerank: driver gate path ≡ distributed path ≡ staged path, " +
     "invariant under edge re-sharding") {
     val edges = (0 until 30).map { i =>
