@@ -495,6 +495,21 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // the eval leg on the SPARSE ranking: same MRR/nDCG@5 arithmetic and
+    // synthetic relevance as a_retrieval_eval, over the BM25 doc ranking —
+    // any ranking this engine produces is measurable with the same metric
+    // operator, and both chains share their oracle fragments
+    "a_bm25_eval" -> ((s, d) => {
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.ann.Retrieval.evalMetrics(
+          graft.ann.Bm25.topK(all, qs, k = 5),
+          col("doc_id") % 7 === col("query_id") % 7, k = 5)
+        .orderBy("query_id")
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the dense chunk top-5
     // (collapsed to doc level) and the BM25 top-5 — integer nano-unit
     // rank arithmetic, exact sums, 0 as the explicit absent-rank
@@ -3216,6 +3231,22 @@ object QueriesData {
       """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
         |       score_micro / 1000000e0 AS score
         |FROM br WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "a_bm25_eval" ->
+      (s"WITH $bm25SqlCtes,\n" +
+      """r5 AS (SELECT query_id, rank,
+        |         CASE WHEN doc_id % 7 = query_id % 7 THEN 1 ELSE 0 END AS rel
+        |       FROM br WHERE rank <= 5),
+        |agg AS (SELECT query_id,
+        |          CAST(sum(rel) AS BIGINT) AS n_rel,
+        |          round(coalesce(max(rel / CAST(rank AS DOUBLE)), 0), 6) AS mrr,
+        |          sum(rel / log2(CAST(rank AS DOUBLE) + 1)) AS dcg
+        |        FROM r5 GROUP BY 1)
+        |SELECT query_id, n_rel, mrr,
+        |  CASE WHEN n_rel = 0 THEN 0.0
+        |       ELSE round(dcg / list_sum(list_transform(range(1, n_rel + 1),
+        |              i -> 1 / log2(CAST(i + 1 AS DOUBLE)))), 6)
+        |  END AS ndcg_at_5
+        |FROM agg ORDER BY query_id""".stripMargin),
     // hybrid fusion: dense chunk top-5 collapsed to doc level (best chunk
     // rank, then re-ranked), BM25 doc top-5, RRF in integer nano-units
     // with 0 as the absent-rank sentinel — both rankings and the fusion
