@@ -197,6 +197,30 @@ class Bm25Spec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("degenerate inputs fail loudly or return empty — never a wrong answer") {
+    val allNull = Seq((1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "anything")).toDF("query_id", "text")
+    // all-null corpus: BM25 has no statistics to score against
+    val e1 = intercept[IllegalArgumentException] { Bm25.topK(allNull, qs, 5) }
+    assert(e1.getMessage.contains("non-null-text"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25.tfidfKeywords(allNull)
+    }
+    assert(e2.getMessage.contains("non-null-text"))
+    // single-token docs: no adjacent pairs exist
+    val singles = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val e3 = intercept[IllegalArgumentException] { Bm25.collocations(singles) }
+    assert(e3.getMessage.contains("adjacent"))
+    // empty/whitespace text contributes stats but no postings or keywords
+    val mixed = fixtureDocs.unionByName(
+      Seq((5L, ""), (6L, "   ")).toDF("doc_id", "text"))
+    assert(Bm25.tfidfKeywords(mixed).where(col("doc_id") >= 5L).count() == 0)
+    val out = Bm25.topK(mixed, Seq((10L, "apple")).toDF("query_id", "text"),
+      k = 5).select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L), "blank docs must not match, stats must not NPE")
+  }
+
   test("bm25 plans: corpus scan prunes to (doc_id, text); top-k collapses " +
     "map-side; index probe is a static partition filter") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
