@@ -510,6 +510,19 @@ object QueriesData {
         .orderBy("query_id")
     }),
 
+    // serving: snippets for the BM25 top-3 — ±4 tokens around the first
+    // query-term match, matching and rendering on the shared term stream;
+    // every snippet string and match position in the hash
+    "a_bm25_snippets" -> ((s, d) => {
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.ann.Bm25.snippets(all, qs,
+          graft.ann.Bm25.topK(all, qs, k = 3), window = 4)
+        .orderBy("query_id", "doc_id")
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the dense chunk top-5
     // (collapsed to doc level) and the BM25 top-5 — integer nano-unit
     // rank arithmetic, exact sums, 0 as the explicit absent-rank
@@ -3231,6 +3244,23 @@ object QueriesData {
       """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
         |       score_micro / 1000000e0 AS score
         |FROM br WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "a_bm25_snippets" ->
+      (s"WITH $bm25SqlCtes,\n" +
+      """hq AS (SELECT query_id, doc_id FROM br WHERE rank <= 3),
+        |qt2 AS (SELECT doc_id AS query_id, w AS qt FROM btok
+        |        WHERE doc_id % 101 = 7 AND doc_id < 2525),
+        |sn AS (SELECT h.query_id, h.doc_id,
+        |         list_min(list_filter(range(1, len(d.w) + 1),
+        |           i -> list_contains(q.qt, d.w[i]))) AS match_pos,
+        |         d.w AS dw
+        |       FROM hq h JOIN btok d ON d.doc_id = h.doc_id
+        |         JOIN qt2 q ON q.query_id = h.query_id)
+        |SELECT query_id, doc_id, CAST(match_pos AS BIGINT) AS match_pos,
+        |  array_to_string(list_slice(dw,
+        |    greatest(1, match_pos - 4),
+        |    least(len(dw), match_pos + 4)), ' ') AS snippet
+        |FROM sn WHERE match_pos IS NOT NULL
+        |ORDER BY query_id, doc_id""".stripMargin),
     "a_bm25_eval" ->
       (s"WITH $bm25SqlCtes,\n" +
       """r5 AS (SELECT query_id, rank,

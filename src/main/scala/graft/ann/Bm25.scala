@@ -215,6 +215,40 @@ object Bm25 {
       textCol, maxQueries)
   }
 
+  /** Snippet generation for retrieval hits — the serving leg after
+    * ranking: for each (query, doc) hit, a ±`window`-token context around
+    * the FIRST document position matching any query term, plus that
+    * 1-based position. Tokens are the BM25 term stream (lowercased
+    * whitespace tokens), so matching and rendering share one
+    * tokenization and the output is engine-exact. `hits` is any
+    * `(query_id, doc_id, ...)` ranked result (result-sized — it
+    * broadcasts onto the doc scan); rows whose doc shares no term with
+    * the query (impossible for BM25 hits, possible for arbitrary hit
+    * lists) are dropped rather than given an arbitrary snippet.
+    * Output: `(query_id, doc_id, match_pos, snippet)`.
+    */
+  def snippets(docs: DataFrame, queries: DataFrame, hits: DataFrame,
+               window: Int = 4, textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val d = docs.where(col(textCol).isNotNull)
+      .select(col("doc_id"), terms(col(textCol)).as("dw"))
+    val q = queries.where(col(textCol).isNotNull)
+      .select(col("query_id"), terms(col(textCol)).as("qt"))
+    hits.select("query_id", "doc_id")
+      .join(d, "doc_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("match_pos",
+        array_min(filter(sequence(lit(1), size(col("dw"))),
+          i => array_contains(col("qt"), element_at(col("dw"), i)))))
+      .where(col("match_pos").isNotNull)
+      .withColumn("s", greatest(lit(1), col("match_pos") - window))
+      .withColumn("e", least(size(col("dw")), col("match_pos") + window))
+      .select(col("query_id"), col("doc_id"),
+        col("match_pos").cast("long").as("match_pos"),
+        array_join(slice(col("dw"), col("s"), col("e") - col("s") + lit(1)),
+          " ").as("snippet"))
+  }
+
   /** TF-IDF keyword extraction — per-document top-`topK` terms by
     * tf·idf (smoothed idf = ln((N+1)/(df+1)), pinned to 9 dp; scores in
     * integer micro-units, ties by term) — the doc-tagging/labeling pass a

@@ -197,6 +197,28 @@ class Bm25Spec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("snippets: first-match semantics, window clamps at both edges, " +
+    "no-overlap hits dropped") {
+    val d = Seq(
+      (1L, "x1 x2 Apple x3 x4 x5 x6 x7 x8 cherry x9"),
+      (2L, "a b target"),
+      (3L, "nothing shared here")).toDF("doc_id", "text")
+    val q = Seq((10L, "cherry apple"), (11L, "target"))
+      .toDF("query_id", "text")
+    val hits = Seq((10L, 1L), (11L, 2L), (10L, 3L))
+      .toDF("query_id", "doc_id")
+    val out = graft.ann.Bm25.snippets(d, q, hits, window = 2)
+      .orderBy("query_id", "doc_id")
+      .select("query_id", "doc_id", "match_pos", "snippet")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      // apple (pos 3, case-folded) beats cherry (pos 10): FIRST position
+      (10L, 1L, 3L, "x1 x2 apple x3 x4"),
+      // right edge clamps: pos 3 of a 3-token doc, window 2
+      (11L, 2L, 3L, "a b target")))
+    // the (10, 3) no-shared-term hit was dropped, not given a snippet
+  }
+
   test("degenerate inputs fail loudly or return empty — never a wrong answer") {
     val allNull = Seq((1L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
