@@ -579,6 +579,14 @@ object QueriesData {
         .orderBy(col("rank_micro").desc, col("domain"))
     }),
 
+    // link-structure profile of the crawl graph: exact degree/weight
+    // totals, reciprocity (mutual links — link-exchange detection), and
+    // once-per-triangle membership counts over the canonically-oriented
+    // undirected edge set — every count in the hash
+    "d_graph_stats" -> ((s, d) =>
+      graft.operators.GraphStats.profile(domainEdges(s, d))
+        .orderBy("node")),
+
     // the HITS complement on the same crawl graph: authorities = the
     // domains quality pages point AT, hubs = the aggregators pointing at
     // them — 5 integer-exact iterations (exact long matrix-vector
@@ -3387,6 +3395,45 @@ object QueriesData {
       personalizedPageRankSqlCtes(10) + "\n" +
       """SELECT node AS domain, rank_micro FROM pr10
         |ORDER BY rank_micro DESC, domain""".stripMargin),
+    "d_graph_stats" ->
+      (s"WITH $linkedHtmlSqlCtes,\n$domainEdgesSqlCtes,\n" +
+      """gp AS MATERIALIZED (SELECT DISTINCT src, dst FROM e
+        |                    WHERE src <> dst),
+        |gn AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM gp UNION ALL SELECT dst FROM gp)),
+        |go AS (SELECT src AS node, count(DISTINCT dst) AS out_deg,
+        |              CAST(sum(w) AS BIGINT) AS out_w
+        |       FROM e WHERE src <> dst GROUP BY 1),
+        |gi AS (SELECT dst AS node, count(DISTINCT src) AS in_deg,
+        |              CAST(sum(w) AS BIGINT) AS in_w
+        |       FROM e WHERE src <> dst GROUP BY 1),
+        |gr AS (SELECT p.src AS node, count(*) AS reciprocal
+        |       FROM gp p WHERE EXISTS (SELECT 1 FROM gp r
+        |         WHERE r.src = p.dst AND r.dst = p.src)
+        |       GROUP BY 1),
+        |gu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+        |                           greatest(src, dst) AS b
+        |                    FROM gp),
+        |gt AS (SELECT w1.a AS x1, w1.b AS x2, w2.b AS x3
+        |       FROM gu w1 JOIN gu w2 ON w2.a = w1.b
+        |       WHERE EXISTS (SELECT 1 FROM gu w3
+        |         WHERE w3.a = w1.a AND w3.b = w2.b)),
+        |gtc AS (SELECT node, count(*) AS triangles FROM
+        |          (SELECT x1 AS node FROM gt UNION ALL SELECT x2 FROM gt
+        |           UNION ALL SELECT x3 FROM gt)
+        |        GROUP BY 1)
+        |SELECT gn.node AS node,
+        |  coalesce(go.out_deg, 0) AS out_deg,
+        |  coalesce(gi.in_deg, 0) AS in_deg,
+        |  coalesce(go.out_w, 0) AS out_w,
+        |  coalesce(gi.in_w, 0) AS in_w,
+        |  coalesce(gr.reciprocal, 0) AS reciprocal,
+        |  coalesce(gtc.triangles, 0) AS triangles
+        |FROM gn LEFT JOIN go ON go.node = gn.node
+        |  LEFT JOIN gi ON gi.node = gn.node
+        |  LEFT JOIN gr ON gr.node = gn.node
+        |  LEFT JOIN gtc ON gtc.node = gn.node
+        |ORDER BY node""".stripMargin),
     "d_hits_rank" ->
       (s"WITH $linkedHtmlSqlCtes,\n$domainEdgesSqlCtes,\n" +
       hitsSqlCtes(5) + "\n" +
