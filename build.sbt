@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Benchmark-output contract: the driver tail-captures `sbt "runMain
+// graft.Bench"` stdout and parses the LAST line as JSON. sbt's
+// "[success] Total time: ..." trailer prints after the forked JVM's
+// output, displacing the JSON line — suppress it (and the matching
+// elapsed-time line) so Bench's compact summary stays last.
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// ...and pass the forked JVM's stdout through verbatim instead of
+// re-logging each line with an "[info] " prefix, so the JSON line is
+// bare and machine-parseable.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3832,8 +3832,13 @@ object QueriesData {
       // (near-orthogonal), where a single 5-bit table structurally recalls
       // ~p^5 ≈ 8% (measured 9.3%) — multi-table union is the honest
       // borderline-similarity configuration: 1-(1-p^5)^8 ≈ 0.47
+      // past ~1M vectors the one-shot 8-table band join's sort spill
+      // exhausts small scratch tiers (the r8 sf10 non-completion) — mine
+      // 2 tables per staged batch there instead; pair set identical
+      // (spec-pinned), peak spill ~1/4
       val approx = Dedup.embeddingPairs(e, "vec_id", "embedding", dim = 64,
-        bits = 5, threshold = 0.3, knownCount = Some(n), tables = 8)
+        bits = 5, threshold = 0.3, knownCount = Some(n), tables = 8,
+        stagedTableBatch = if (n > 1000000L) 2 else 0)
       // the brute-force ground truth is O(n²): audit only below a measured
       // count (sf<=0.1 batteries), carry an explicit null above it — a 100TB
       // corpus audits on a sampled slice instead, never all-pairs

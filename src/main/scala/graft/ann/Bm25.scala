@@ -26,15 +26,20 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): the corpus is touched by ONE explode +
   * partial-agg shuffle (the inverted-index build — or zero shuffles when
   * served from the persisted term-bucketed index, [[writeIndex]]). The
-  * query side is eval-sized by contract (enforced on the measured count,
-  * like [[Retrieval.topKChunks]]); its term set broadcasts onto the
-  * postings scan, so only query-vocabulary postings survive into the df
-  * window and the scoring join. Document frequencies come from a window
-  * over that MATCHED subset (all postings of a term land in its partition,
-  * so the count is the true df) — never a second corpus scan. The final
-  * per-query top-k is a row_number window bounded by k, which Spark
-  * collapses map-side (WindowGroupLimit), so the last exchange carries
-  * ≤ k × partitions rows per query.
+  * query side picks its join strategy on the MEASURED query count (the
+  * broadcast-join discipline): an eval-sized set broadcasts its term
+  * vocabulary onto the postings scan, so only query-vocabulary postings
+  * survive into scoring with zero postings shuffle; a corpus-sized set
+  * (decontamination-by-retrieval) switches every query-side join to a
+  * term-partitioned shuffle join — same operators, same rows
+  * (spec-pinned row-identical). Document frequencies come from a
+  * partial-aggregable `groupBy(term).count()` over the MATCHED subset
+  * joined back on term — never `count().over(Window.partitionBy(term))`,
+  * whose single WindowExec buffer sits exactly on the skew key (a
+  * stopword query term has df ≈ corpus size) — and never a second
+  * corpus scan. The final per-query top-k is a row_number window bounded
+  * by k, which Spark collapses map-side (WindowGroupLimit), so the last
+  * exchange carries ≤ k × partitions rows per query.
   */
 object Bm25 {
 
@@ -81,11 +86,14 @@ object Bm25 {
                        maxQueries: Long = 1000000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(nDocs > 0, "corpus must have at least one non-null-text doc")
+    // join-strategy switch on the MEASURED query count: at or under
+    // maxQueries the query side broadcasts (eval/serving shape); past it
+    // the query postings materialize and every query-side join becomes a
+    // term-partitioned shuffle join (corpus-scale decontamination shape).
+    // Identical rows either way — spec-pinned on the same fixture.
     val nq = queries.count()
-    require(nq <= maxQueries,
-      s"query set has $nq rows > maxQueries=$maxQueries — a broadcast " +
-        "term-probe scan is the wrong plan at that size; materialize " +
-        "query postings and run a term-partitioned join instead")
+    val bcastQ = nq <= maxQueries
+    def qSide(df: DataFrame): DataFrame = if (bcastQ) broadcast(df) else df
     // distinct query terms: classic BM25 sums over the query's term SET
     // (query-side tf is deliberately ignored — the k3 component of the
     // original formula is dropped, the common modern simplification)
@@ -93,12 +101,17 @@ object Bm25 {
       .select(col("query_id"), explode(terms(col(textCol))).as("term"))
       .distinct()
     val avgdl = totalTokens.toDouble / nDocs
-    // query vocabulary broadcasts onto the postings scan: everything past
-    // this semi-join is query-vocab-sized, never corpus-sized
-    val matched = postings.join(broadcast(q.select("term").distinct()), "term")
-    // true df per term: ALL postings of a term are in its window partition
-    val withDf = matched.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("term")))
+    // query vocabulary onto the postings scan: everything past this join
+    // is query-vocab postings, never whole-corpus postings
+    val matched = postings.join(qSide(q.select("term").distinct()), "term")
+    // true df per term over the matched subset: a partial-aggregable
+    // groupBy joined back — NEVER count().over(Window.partitionBy(term)),
+    // which would funnel every posting of a term through ONE WindowExec
+    // sort buffer on one reducer, and the skew key is exactly a stopword
+    // query term (df ≈ corpus size). The agg side map-side-combines down
+    // to one row per matched term before its exchange.
+    val dfByTerm = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val withDf = matched.join(qSide(dfByTerm), "term")
     // idf pinned to 9 dp right after the log — the one transcendental
     val idf9 = round(
       log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) /
@@ -108,7 +121,7 @@ object Bm25 {
       (tfD + lit(k1) *
         (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
     val contrib = round(idf9 * tfnorm * lit(1000000.0)).cast("long")
-    val cand = withDf.join(broadcast(q), "term")
+    val cand = withDf.join(qSide(q), "term")
       .select(col("query_id"), col("doc_id"), contrib.as("c"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c").as("score_micro"))
@@ -124,6 +137,13 @@ object Bm25 {
   /** The one-shot form: build postings + stats from the corpus and rank.
     * Two corpus passes (one narrow stats agg, one postings build); the
     * serve-many shape is [[writeIndex]] + [[retrieveFromIndex]].
+    *
+    * The df aggregate and the scoring join are two consumers of the
+    * postings subtree, so the one-shot form pays the postings build
+    * twice (kept lazy and plan-inspectable rather than persisting
+    * corpus-sized state into the block manager); the index-served path
+    * pays a second BUCKET-PRUNED parquet read instead — cheaper than
+    * any cache, and the 100 TB serve shape.
     */
   def topK(docs: DataFrame, queries: DataFrame, k: Int,
            k1: Double = 1.5, b: Double = 0.75, textCol: String = "text",

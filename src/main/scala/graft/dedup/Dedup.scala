@@ -519,6 +519,12 @@ object Dedup {
     *   over the FILTERED pair output (pairs found in several tables carry
     *   identical cosines). Default 1 = the historical single-table plan,
     *   shuffle-free through the signature stage.
+    * @param stagedTableBatch 0 (default) mines all tables in one band
+    *   join; N ≥ 1 mines N tables per EAGER batch job, distinct-unioning
+    *   survivors into a checkpointed accumulator — bounds peak
+    *   scratch-disk spill at N/tables of the one-shot plan for
+    *   spill-constrained tiers (pair set identical, spec-pinned). Only
+    *   meaningful with the payload-carrying quantized multi-table shape.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      bits: Int = 12, threshold: Double = 0.95,
@@ -527,8 +533,13 @@ object Dedup {
                      knownCount: Option[Long] = None,
                      tables: Int = 1,
                      quantizedPrefilter: Boolean = true,
-                     idOnlyBand: Boolean = false): DataFrame = {
+                     idOnlyBand: Boolean = false,
+                     stagedTableBatch: Int = 0): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
+    require(stagedTableBatch >= 0, "stagedTableBatch must be >= 0")
+    require(stagedTableBatch == 0 || (quantizedPrefilter && tables > 1 && !idOnlyBand),
+      "stagedTableBatch applies to the payload-carrying quantized " +
+        "multi-table shape only")
     val effBits = effectiveBits(knownCount.getOrElse(df.count()), bits, targetBucketSize)
     val probe = multiProbe || effBits > bits
     // pre-normalize ONCE per row: inside the bucket join each candidate pair
@@ -625,25 +636,53 @@ object Dedup {
             .select("id_a", "id_b")
           return finish(survivors)
         }
-        val sigs = baseQ.select(col("id"), col("qb"), col("qs"),
-          posexplode(array((0 until tables).map(t =>
-            hyperplaneSignature(col("vec"), dim, effBits, table = t)): _*))
-            .as(Seq("tbl", "bucket")))
-        val a =
-          if (!probe) sigs.select(col("tbl"), col("bucket"),
-            col("id").as("id_a"), col("qb").as("qb_a"), col("qs").as("qs_a"))
-          else sigs.select(col("tbl"),
-            probedBuckets(col("bucket")).as("bucket"),
-            col("id").as("id_a"), col("qb").as("qb_a"), col("qs").as("qs_a"))
-        val b = sigs.select(col("tbl"), col("bucket"),
-          col("id").as("id_b"), col("qb").as("qb_b"), col("qs").as("qs_b"))
-        val survivors = a.join(b, Seq("tbl", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .filter(graft.functions.KFunctions.binary_dot(col("qb_a"), col("qb_b"))
-            .cast("double") * col("qs_a") * col("qs_b") >= threshold - margin)
-          .select("id_a", "id_b")
-          .distinct()
-        return finish(survivors)
+        // distinct quantized-survivor id-pairs for a SUBSET of the table
+        // ids (the join key is the batch-local posexplode position — any
+        // key that separates the batch's plane families works)
+        def survivorsFor(ts: Seq[Int]): DataFrame = {
+          val sigs = baseQ.select(col("id"), col("qb"), col("qs"),
+            posexplode(array(ts.map(t =>
+              hyperplaneSignature(col("vec"), dim, effBits, table = t)): _*))
+              .as(Seq("tbl", "bucket")))
+          val a =
+            if (!probe) sigs.select(col("tbl"), col("bucket"),
+              col("id").as("id_a"), col("qb").as("qb_a"), col("qs").as("qs_a"))
+            else sigs.select(col("tbl"),
+              probedBuckets(col("bucket")).as("bucket"),
+              col("id").as("id_a"), col("qb").as("qb_a"), col("qs").as("qs_a"))
+          val b = sigs.select(col("tbl"), col("bucket"),
+            col("id").as("id_b"), col("qb").as("qb_b"), col("qs").as("qs_b"))
+          a.join(b, Seq("tbl", "bucket"))
+            .filter(col("id_a") < col("id_b"))
+            .filter(graft.functions.KFunctions.binary_dot(col("qb_a"), col("qb_b"))
+              .cast("double") * col("qs_a") * col("qs_b") >= threshold - margin)
+            .select("id_a", "id_b")
+            .distinct()
+        }
+        if (stagedTableBatch > 0 && stagedTableBatch < tables) {
+          // Staged mining (the bounded-spill configuration): run the band
+          // join over `stagedTableBatch` tables at a time, each batch its
+          // own EAGER job, distinct-unioning survivors into a checkpointed
+          // accumulator between batches. The candidate volume — and with
+          // it the band-join sort's scratch-disk spill, the resource that
+          // exhausted the 78 GB-tier at sf10 (SCALING.md) — peaks at
+          // batch/tables of the one-shot plan's; the price is
+          // tables/batch extra signature scans of the (row-sized, never
+          // pair-sized) corpus. The accumulator stays output-sized (true
+          // pairs survive the quantized threshold, not raw candidates).
+          // Pair set ≡ one-shot by construction (union-distinct over the
+          // same per-table survivor sets) — spec-pinned.
+          var acc: DataFrame = null
+          (0 until tables).grouped(stagedTableBatch).foreach { g =>
+            val s = survivorsFor(g)
+            val prev = acc
+            acc = (if (prev == null) s else prev.union(s).distinct())
+              .localCheckpoint(true)
+            if (prev != null) graft.util.Checkpoints.free(prev)
+          }
+          return finish(acc)
+        }
+        return finish(survivorsFor(0 until tables))
       }
       val sigs = base.select(col("id"), col("unit"),
         posexplode(array((0 until tables).map(t =>

@@ -48,33 +48,51 @@ object Hits {
       .persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes.count()
-    val h0 = math.round(1.0e9 / n)
-    var hub = nodes.withColumn("hub", lit(h0)).localCheckpoint()
+    // iteration-invariant tables released in finally; each superseded
+    // half-step checkpoint freed as soon as its successor materializes;
+    // the result is checkpointed eagerly so even the FINAL hub/auth
+    // vectors can be freed — a long-lived session accumulates only the
+    // node-sized result (free it with Checkpoints.free when done)
+    var hub: DataFrame = null
     var auth: DataFrame = null
-    for (_ <- 1 to iterations) {
-      val rawA = e.join(hub.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("w") * col("hub")).as("x"))
-        .groupBy("node").agg(sum("x").as("raw"))
-      val ta = rawA.agg(sum("raw").as("t"))
-      auth = nodes.join(rawA, Seq("node"), "left").crossJoin(ta)
-        .select(col("node"),
-          coalesce(round(col("raw") * lit(1.0e9) / col("t")).cast("long"),
-            lit(0L)).as("auth"))
-        .localCheckpoint()
-      val rawH = e.join(auth.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), (col("w") * col("auth")).as("x"))
-        .groupBy("node").agg(sum("x").as("raw"))
-      val th = rawH.agg(sum("raw").as("t"))
-      hub = nodes.join(rawH, Seq("node"), "left").crossJoin(th)
-        .select(col("node"),
-          coalesce(round(col("raw") * lit(1.0e9) / col("t")).cast("long"),
-            lit(0L)).as("hub"))
-        .localCheckpoint()
+    try {
+      val n = nodes.count()
+      val h0 = math.round(1.0e9 / n)
+      hub = nodes.withColumn("hub", lit(h0)).localCheckpoint()
+      for (_ <- 1 to iterations) {
+        val rawA = e.join(hub.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("w") * col("hub")).as("x"))
+          .groupBy("node").agg(sum("x").as("raw"))
+        val ta = rawA.agg(sum("raw").as("t"))
+        val prevA = auth
+        auth = nodes.join(rawA, Seq("node"), "left").crossJoin(ta)
+          .select(col("node"),
+            coalesce(round(col("raw") * lit(1.0e9) / col("t")).cast("long"),
+              lit(0L)).as("auth"))
+          .localCheckpoint()
+        if (prevA != null) graft.util.Checkpoints.free(prevA)
+        val rawH = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), (col("w") * col("auth")).as("x"))
+          .groupBy("node").agg(sum("x").as("raw"))
+        val th = rawH.agg(sum("raw").as("t"))
+        val prevH = hub
+        hub = nodes.join(rawH, Seq("node"), "left").crossJoin(th)
+          .select(col("node"),
+            coalesce(round(col("raw") * lit(1.0e9) / col("t")).cast("long"),
+              lit(0L)).as("hub"))
+          .localCheckpoint()
+        graft.util.Checkpoints.free(prevH)
+      }
+      nodes.join(hub, "node").join(auth, "node")
+        .select(col("node"), col("hub").as("hub_micro"),
+          col("auth").as("auth_micro"))
+        .localCheckpoint(true)
+    } finally {
+      if (hub != null) graft.util.Checkpoints.free(hub)
+      if (auth != null) graft.util.Checkpoints.free(auth)
+      nodes.unpersist(false)
+      e.unpersist(false)
     }
-    nodes.join(hub, "node").join(auth, "node")
-      .select(col("node"), col("hub").as("hub_micro"),
-        col("auth").as("auth_micro"))
   }
 
   /** The under-gate path: identical micro-unit arithmetic on the driver. */

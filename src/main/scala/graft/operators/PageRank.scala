@@ -103,34 +103,48 @@ object PageRank {
     val teleport = math.round((1.0 - damping) * 1.0e9 / denom)
     var r = nodes.withColumn("rank_micro",
       when(isSeed, lit(r0)).otherwise(lit(0L)))
-    for (it <- 1 to iterations) {
-      val contribs = e.join(outw, "src")
-        .join(r.withColumnRenamed("node", "src")
-          .withColumnRenamed("rank_micro", "r_src"), "src")
-        .select(col("dst").as("node"),
-          round(lit(damping) * col("r_src") * col("w") / col("outw"))
-            .cast("long").as("c"))
-        .groupBy("node").agg(sum("c").as("cin"))
-      val dangling = r
-        .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
-        .agg(coalesce(sum("rank_micro"), lit(0L)).as("dm"))
-      val next = nodes.join(contribs, Seq("node"), "left")
-        .crossJoin(dangling)
-        .select(col("node"),
-          (when(isSeed, lit(teleport) +
-              round(lit(damping) * col("dm") / lit(denom.toDouble))
-                .cast("long"))
-            .otherwise(lit(0L)) +
-            coalesce(col("cin"), lit(0L))).as("rank_micro"))
-      r = stagingDir match {
-        case Some(dir) =>
-          val p = s"$dir/pagerank_iter_$it"
-          next.write.mode("overwrite").parquet(p)
-          edges.sparkSession.read.parquet(p)
-        case None => next.localCheckpoint()
+    // the iteration-invariant tables are released in finally, and each
+    // superseded iterate's checkpoint is freed as soon as its successor
+    // materializes — a long-lived session accumulates only the final
+    // node-sized result (free it with Checkpoints.free when done; the
+    // stagingDir form leaves no block-manager state at all)
+    try {
+      for (it <- 1 to iterations) {
+        val contribs = e.join(outw, "src")
+          .join(r.withColumnRenamed("node", "src")
+            .withColumnRenamed("rank_micro", "r_src"), "src")
+          .select(col("dst").as("node"),
+            round(lit(damping) * col("r_src") * col("w") / col("outw"))
+              .cast("long").as("c"))
+          .groupBy("node").agg(sum("c").as("cin"))
+        val dangling = r
+          .join(outw.withColumnRenamed("src", "node"), Seq("node"),
+            "left_anti")
+          .agg(coalesce(sum("rank_micro"), lit(0L)).as("dm"))
+        val next = nodes.join(contribs, Seq("node"), "left")
+          .crossJoin(dangling)
+          .select(col("node"),
+            (when(isSeed, lit(teleport) +
+                round(lit(damping) * col("dm") / lit(denom.toDouble))
+                  .cast("long"))
+              .otherwise(lit(0L)) +
+              coalesce(col("cin"), lit(0L))).as("rank_micro"))
+        val prev = r
+        r = stagingDir match {
+          case Some(dir) =>
+            val p = s"$dir/pagerank_iter_$it"
+            next.write.mode("overwrite").parquet(p)
+            edges.sparkSession.read.parquet(p)
+          case None => next.localCheckpoint()
+        }
+        graft.util.Checkpoints.free(prev)
       }
+      r
+    } finally {
+      outw.unpersist(false)
+      nodes.unpersist(false)
+      e.unpersist(false)
     }
-    r
   }
 
   /** The under-gate path: identical micro-unit arithmetic, iterated on

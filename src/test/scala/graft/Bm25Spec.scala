@@ -67,13 +67,29 @@ class Bm25Spec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
-  test("bm25: oversize query set fails loudly, never a silent scan") {
+  test("bm25: over-gate query set falls back to term-partitioned shuffle " +
+    "joins, row-identical to the broadcast path") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
-    val qs = docs.select(col("doc_id").as("query_id"), col("text"))
-    val e = intercept[IllegalArgumentException] {
-      Bm25.topK(docs, qs, k = 5, maxQueries = 3)
-    }
-    assert(e.getMessage.contains("maxQueries"))
+    val qs = docs.filter(col("doc_id") % 50 === 3 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val bcast = Bm25.topK(docs, qs, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    // maxQueries = 1 forces the corpus-scale plan on the same fixture
+    val shuffled = Bm25.topK(docs, qs, k = 5, maxQueries = 1)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(bcast.nonEmpty && bcast == shuffled)
+    // the over-gate plan must WORK without broadcast: with auto-broadcast
+    // off and no hints, every query-side join degrades to a shuffle join
+    // (no BroadcastExchange anywhere), which is what survives a
+    // corpus-sized query set
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = Bm25.topK(docs, qs, k = 5, maxQueries = 1)
+        .queryExecution.explainString(FormattedMode)
+      assert(!p.contains("BroadcastExchange"),
+        s"over-gate path must not require a broadcast:\n${p.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
   test("fuseRrf: integer nano-unit arithmetic and the 0 absent sentinel") {
@@ -253,6 +269,13 @@ class Bm25Spec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"postings scan must prune to (doc_id, text):\n${p.take(1500)}")
     assert(p.contains("WindowGroupLimit"), "map-side top-k missing")
+    // df must come from a partial-aggregable groupBy joined back, never a
+    // window keyed on term: Window.partitionBy(term) buffers every posting
+    // of a term on ONE reducer, and the skew key is exactly a stopword
+    // query term (the r8 verdict's top finding). The only window in the
+    // plan is the per-query rank.
+    assert(!p.contains("windowspecdefinition(term"),
+      s"df via a window on term reintroduces the stopword skew:\n$p")
 
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toFile
     try {

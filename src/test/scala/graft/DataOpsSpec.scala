@@ -346,13 +346,23 @@ class DataOpsSpec extends SparkSpec {
     // widening, so without the explicit multiProbe case that leg would go
     // untested (advisor finding)
     for (thr <- Seq(0.3, 0.8); probe <- Seq(false, true)) {
-      def run(q: Boolean, idOnly: Boolean = false) =
+      def run(q: Boolean, idOnly: Boolean = false, staged: Int = 0) =
         Dedup.embeddingPairs(df, "vec_id", "embedding",
           dim = 16, bits = 5, threshold = thr, tables = 8,
-          multiProbe = probe, quantizedPrefilter = q, idOnlyBand = idOnly)
+          multiProbe = probe, quantizedPrefilter = q, idOnlyBand = idOnly,
+          stagedTableBatch = staged)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       val direct = run(false)
       val pre = run(true)
+      // the bounded-spill staged mining (2 and 3 tables per batch — 3
+      // leaves a ragged final batch) is pair-identical too
+      for (batch <- Seq(2, 3)) {
+        val st = run(true, staged = batch)
+        assert(st == direct,
+          s"thr=$thr probe=$probe batch=$batch: staged mining drifted; " +
+            s"missing=${(direct.keySet -- st.keySet).take(5)}, " +
+            s"extra=${(st.keySet -- direct.keySet).take(5)}")
+      }
       assert(pre == direct,
         s"thr=$thr probe=$probe: prefiltered=${pre.size} direct=${direct.size}; " +
           s"missing=${(direct.keySet -- pre.keySet).take(5)}, " +
