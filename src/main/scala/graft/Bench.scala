@@ -58,6 +58,7 @@ object Bench {
       QueriesData.ensureIvf(spark, sfDir)
       QueriesData.ensureIvfPq(spark, sfDir)
       QueriesData.ensureChunkIndex(spark, sfDir)
+      QueriesData.ensureChunkIndexPq(spark, sfDir)
       QueriesData.ensureBm25Index(spark, sfDir)
     } catch { case _: Throwable => }
 

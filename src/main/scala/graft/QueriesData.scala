@@ -467,6 +467,24 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // the IVF-PQ composition of the chunk index: the probed scan reads
+    // ids + 5-int PQ codes only (the index stores NO vectors — the 100 TB
+    // serve-path IO shape), ADC shortlists 10·k per query, the exact
+    // integer inner product re-ranks the shortlist against re-embedded
+    // source chunks. Audit = the same recall@5 as the IVF-flat siblings
+    "a_retrieval_ivfpq" -> ((s, d) => {
+      val path = ensureChunkIndexPq(s, d)
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val approx = graft.ann.Retrieval.retrieveFromChunkIndexPq(s, path,
+        all, qs, k = 5, nProbe = 3)
+      approx.withColumn("recall_at_k",
+          retrievalRecall(s, d, approx, qs))
+        .orderBy("query_id", "rank")
+    }),
+
     // sparse lexical retrieval: BM25 top-5 per query over the whole-doc
     // inverted index, same bounded query slice as the dense family.
     // Scoring is integer-exact (idf rounded to 9 dp, contributions in
@@ -3653,6 +3671,15 @@ object QueriesData {
     ensureCached("chunk_index", contentKey(s"$dir/documents.parquet")) { build =>
       graft.ann.Retrieval.writeChunkIndex(docs(s, dir),
         build.getAbsolutePath, nLists = 8)
+    }
+
+  /** Build-or-reuse the IVF-PQ chunk index (codes-only rows, list
+    * partitions, centroid + codebook + MIP sidecars).
+    */
+  def ensureChunkIndexPq(s: SparkSession, dir: String): String =
+    ensureCached("chunk_index_pq", contentKey(s"$dir/documents.parquet")) { build =>
+      graft.ann.Retrieval.writeChunkIndexPq(docs(s, dir),
+        build.getAbsolutePath, nLists = 8, m = 5, ksub = 32)
     }
 
   /** Build-or-reuse the persisted BM25 inverted index (term-bucketed

@@ -30,7 +30,8 @@ object Verify {
     val auditColumns = Set("exact_pair_recall", "recall_at_k", "holdout_acc")
     val floors = Map(
       "a_ann_lsh" -> 0.4, "a_ann_lsh_bucketed" -> 0.3, "a_ann_ivf" -> 0.5,
-      "a_ann_pq" -> 0.3, "a_ann_ivfpq" -> 0.3, "a_retrieval_ivf" -> 0.5, "a_retrieval_index" -> 0.5,
+      "a_ann_pq" -> 0.3, "a_ann_ivfpq" -> 0.3, "a_retrieval_ivf" -> 0.5,
+      "a_retrieval_index" -> 0.5, "a_retrieval_ivfpq" -> 0.5,
       "d_minhash_pairs" -> 0.9, "d_simhash_pairs" -> 0.5,
       "d_embedding_dups" -> 0.35, "d_quality_classifier" -> 0.8)
     val audits = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -200,7 +200,7 @@ object Retrieval {
                         dim: Int = 4, salt: String = "emb",
                         textCol: String = "text", seed: Long = 42L,
                         fitBudget: Int = 4096): DataFrame = {
-    val (assigned, model, _) = buildIndex(docs, nLists, chunkTokens,
+    val (assigned, model, _, _) = buildIndex(docs, nLists, chunkTokens,
       overlapTokens, dim, salt, textCol, seed, fitBudget)
     val np = math.min(nProbe, model.nLists)
     val q = augmentedQueries(queries, dim, salt, textCol)
@@ -234,8 +234,8 @@ object Retrieval {
     */
   private def buildIndex(docs: DataFrame, nLists: Int, chunkTokens: Int,
                          overlapTokens: Int, dim: Int, salt: String,
-                         textCol: String, seed: Long,
-                         fitBudget: Int): (DataFrame, Ann.IvfModel, Long) = {
+                         textCol: String, seed: Long, fitBudget: Int)
+      : (DataFrame, Ann.IvfModel, Long, Array[Array[Long]]) = {
     require(fitBudget >= 1, "fitBudget must be >= 1")
     val chunks = embeddedChunks(docs, chunkTokens, overlapTokens, dim, salt,
       textCol)
@@ -263,7 +263,7 @@ object Retrieval {
     // pure codegen map over broadcast-literal centroids, no ML transform
     val assigned = Ann.assignWithModel(augmented, model, "vaug")
       .select("doc_id", "chunk_idx", "chunk_start", "vec", "list")
-    (assigned, model, m2)
+    (assigned, model, m2, sample)
   }
 
   /** Seeded kmeans++ init + Lloyd's iterations over the (augmented)
@@ -281,7 +281,17 @@ object Retrieval {
     }
     if (pts.isEmpty)
       return Ann.IvfModel(Array(Array.fill(1)(0.0)))
-    val k = math.min(nLists, pts.length)
+    Ann.IvfModel(lloyd(pts, nLists, seed, maxIter))
+  }
+
+  /** The shared seeded kmeans++ + Lloyd's core over driver-resident
+    * points — used by the IVF coarse fit (augmented space) and the PQ
+    * per-subspace codebook fits, so both stay bit-deterministic across
+    * shard layouts.
+    */
+  private[graft] def lloyd(pts: Array[Array[Double]], k0: Int, seed: Long,
+                           maxIter: Int = 25): Array[Array[Double]] = {
+    val k = math.min(k0, pts.length)
     val d = pts.head.length
     def sq(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -343,7 +353,7 @@ object Retrieval {
       }
       iter += 1
     }
-    Ann.IvfModel(centers)
+    centers
   }
 
   /** Embed a query set and append the MIP-augmentation `0` coordinate (a
@@ -367,11 +377,162 @@ object Retrieval {
                       dim: Int = 4, salt: String = "emb",
                       textCol: String = "text", seed: Long = 42L,
                       fitBudget: Int = 4096): Unit = {
-    val (assigned, model, m2) = buildIndex(docs, nLists, chunkTokens,
+    val (assigned, model, m2, _) = buildIndex(docs, nLists, chunkTokens,
       overlapTokens, dim, salt, textCol, seed, fitBudget)
     Ann.writeIvf(assigned, model, path)
     graft.util.Sidecar.write(docs.sparkSession, path, "_mip_m2.json",
       m2.toString)
+  }
+
+  /** Per-subspace PQ codebooks fitted on the SAME bounded, deterministic
+    * sample as the coarse quantizer — driver-side seeded Lloyd's per
+    * subspace, never a corpus-sized distributed fit. Points are the
+    * unit-normalized augmented sample (every augmented corpus vector has
+    * norm exactly √M², so normalization is a constant rescale and ADC
+    * inner products preserve the MIP order).
+    */
+  private def pqFitFromSample(sample: Array[Array[Long]], m2: Long,
+                              m: Int, ksub: Int, seed: Long): Ann.PqModel = {
+    val mNorm = math.sqrt(math.max(1L, m2).toDouble)
+    val pts = sample.map { v =>
+      val nsq = v.map(x => x * x).sum
+      (v.map(_.toDouble) :+ math.sqrt(math.max(0L, m2 - nsq).toDouble))
+        .map(_ / mNorm)
+    }
+    val dAug = pts.headOption.map(_.length).getOrElse(m)
+    require(dAug % m == 0, s"m=$m must divide augmented dim=$dAug")
+    val dsub = dAug / m
+    val codebooks = (0 until m).map { i =>
+      val sub = pts.map(p => java.util.Arrays.copyOfRange(p, i * dsub,
+        (i + 1) * dsub))
+      if (sub.isEmpty) Array(Array.fill(dsub)(0.0))
+      else lloyd(sub, ksub, seed + i)
+    }.toArray
+    Ann.PqModel(m, codebooks)
+  }
+
+  /** Persist the IVF-PQ chunk index — the 100 TB serve layout whose scan
+    * reads CODES, not vectors: rows `(doc_id, chunk_idx, chunk_start,
+    * pq_code)` partitioned by IVF list, with the coarse centroids, PQ
+    * codebooks, and MIP constant as sidecars. Composition of the chunk
+    * family's bounded-fit IVF ([[writeChunkIndex]]) with the PQ
+    * machinery audited in [[Ann.writeIvfPq]]: PQ trains AND encodes in
+    * the augmented MIP space, where every corpus vector has norm exactly
+    * √M² — so the unit normalization PQ assumes is a constant rescale
+    * and ADC against a self-normalized query ranks by inner product.
+    * Full-precision vectors never enter the index; the re-rank stage
+    * ([[retrieveFromChunkIndexPq]]) fetches them from the source corpus
+    * for O(shortlist) rows only.
+    *
+    * `m` must divide the AUGMENTED dimension (dim + 1).
+    */
+  def writeChunkIndexPq(docs: DataFrame, path: String, nLists: Int = 16,
+                        m: Int = 5, ksub: Int = 32,
+                        chunkTokens: Int = 32, overlapTokens: Int = 8,
+                        dim: Int = 4, salt: String = "emb",
+                        textCol: String = "text", seed: Long = 42L,
+                        fitBudget: Int = 4096): Unit = {
+    require(m >= 1 && (dim + 1) % m == 0,
+      s"m=$m must divide the augmented dim ${dim + 1}")
+    require(ksub >= 1, "ksub must be >= 1")
+    val (assigned, model, m2, sample) = buildIndex(docs, nLists, chunkTokens,
+      overlapTokens, dim, salt, textCol, seed, fitBudget)
+    val pqModel = pqFitFromSample(sample, m2, m, ksub, seed)
+    val nsq = innerProduct(col("vec"), col("vec"))
+    val aug = assigned.withColumn("vaug",
+      concat(col("vec").cast("array<double>"),
+        array(sqrt(greatest(lit(0L), lit(m2) - nsq)))))
+    Ann.pqEncode(aug, "vaug", pqModel)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("list"), col("pq_code"))
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+    val spark = docs.sparkSession
+    graft.util.Sidecar.write(spark, path, "_ivf_centroids.json",
+      model.toJson)
+    graft.util.Sidecar.write(spark, path, "_pq_codebooks.json",
+      Ann.PqModel.toJson(pqModel))
+    graft.util.Sidecar.write(spark, path, "_mip_m2.json", m2.toString)
+  }
+
+  /** Serve a persisted IVF-PQ chunk index: probed lists prune to a
+    * static partition filter, the pruned scan reads ONLY ids + m-int
+    * codes (ReadSchema-locked — the index stores no vectors at all), ADC
+    * against each probing query's normalized augmented embedding selects
+    * a per-query `shortlist` (default 10·k), and the EXACT integer inner
+    * product re-ranks only the shortlisted (query, chunk) pairs — their
+    * full-precision vectors come from re-embedding the source corpus
+    * (`docs` must be the corpus the index was built from, same
+    * chunk/dim/salt parameters). ADC decode is m literal-codebook
+    * lookups fused into codegen; the approximation is WHICH chunks reach
+    * the shortlist, never the final scores.
+    */
+  def retrieveFromChunkIndexPq(spark: org.apache.spark.sql.SparkSession,
+                               path: String, docs: DataFrame,
+                               queries: DataFrame, k: Int, nProbe: Int,
+                               shortlist: Int = 0,
+                               chunkTokens: Int = 32, overlapTokens: Int = 8,
+                               dim: Int = 4, salt: String = "emb",
+                               textCol: String = "text",
+                               maxQueries: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sl = if (shortlist > 0) shortlist else 10 * k
+    require(sl >= k, s"shortlist=$sl must be >= k=$k")
+    val ivfModel = Ann.IvfModel.fromJson(
+      graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
+    val pqModel = Ann.PqModel.fromJson(
+      graft.util.Sidecar.read(spark, path, "_pq_codebooks.json"))
+    val np = math.min(nProbe, ivfModel.nLists)
+    val q = augmentedQueries(queries, dim, salt, textCol)
+    val nq = q.count()
+    require(nq <= maxQueries,
+      s"query set has $nq rows > maxQueries=$maxQueries — broadcast probe " +
+        "tables stop at eval scale; shard the query set instead")
+    // normalized augmented query for ADC (a query augments with 0, so its
+    // augmented norm is its own norm; zero vectors pass unnormalized —
+    // they inner-product to 0 against everything either way)
+    val qnorm = sqrt(graft.functions.KFunctions.array_dot(col("vaug"),
+      col("vaug")))
+    val qn = q.select(col("query_id"), col("vec").as("qvec"),
+      when(qnorm > 0d, transform(col("vaug"), x => x / qnorm))
+        .otherwise(col("vaug")).as("qn"))
+    val probes = probeTable(q, ivfModel, np, "vec", "vaug")
+      .select("query_id", "list")
+      .join(qn, "query_id")
+    val lists = probes.select("list").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val scan = spark.read.parquet(path)
+      .where(col("list").isin(lists.map(Integer.valueOf).toSeq: _*))
+      .select("doc_id", "chunk_idx", "chunk_start", "list", "pq_code")
+    // ADC decode: per subspace, one element_at into the (plan-time
+    // literal, constant-folded) codebook — reconstruction concatenates m
+    // codeword arrays, the dot runs in the native kernel
+    val recon = concat((0 until pqModel.m).map { i =>
+      val cb = array(pqModel.codebooks(i).map(w =>
+        array(w.map(lit): _*)): _*)
+      element_at(cb, element_at(col("pq_code"), i + 1) + 1)
+    }: _*)
+    val sw = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("doc_id"), col("chunk_idx"))
+    val short = scan.join(broadcast(probes), "list")
+      .withColumn("adc",
+        graft.functions.KFunctions.array_dot(recon, col("qn")))
+      .withColumn("srank", row_number().over(sw))
+      .where(col("srank") <= sl)
+      .select("query_id", "doc_id", "chunk_idx", "qvec")
+    // exact integer re-rank over the shortlist only: full-precision
+    // vectors come from the source corpus, never the index
+    val chunks = embeddedChunks(docs, chunkTokens, overlapTokens, dim, salt,
+      textCol)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+    chunks.join(broadcast(short), Seq("doc_id", "chunk_idx"))
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+        col("chunk_start"),
+        innerProduct(col("vec"), col("qvec")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_start",
+        "score")
   }
 
   /** Collapse a chunk-level ranked result to a document-level ranking:

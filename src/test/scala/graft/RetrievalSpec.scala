@@ -219,6 +219,57 @@ class RetrievalSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("IVF-PQ chunk index: codes-only layout, full probe + wide shortlist " +
+    "is exact, pruned probe prunes partitions and holds the 0.5 floor") {
+    val docs = (0L until 80L).map(i => (i, s"pq w$i alpha beta gamma " * 15))
+      .toDF("doc_id", "text")
+    val qs = (0L until 8L).map(i => (i, s"pq w${i * 9} alpha beta gamma"))
+      .toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_pq")
+      .toFile
+    try {
+      Retrieval.writeChunkIndexPq(docs, dir.getAbsolutePath, nLists = 5,
+        m = 5, ksub = 16, fitBudget = 48)
+      // the index stores codes, NEVER vectors — the 100 TB scan-IO claim
+      val idx = spark.read.parquet(dir.getAbsolutePath)
+      assert(idx.columns.toSet ==
+        Set("doc_id", "chunk_idx", "chunk_start", "list", "pq_code"),
+        idx.columns.mkString(","))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      // full probe + corpus-wide shortlist degrades to the exact scorer:
+      // every candidate reaches the exact integer re-rank, so the PQ
+      // approximation vanishes from the output entirely
+      val full = Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, docs, qs, k = 4, nProbe = 5,
+        shortlist = 100000)
+      assert(rows(full) == rows(Retrieval.retrieveChunks(docs, qs, k = 4)))
+      // pruned serve: the probed lists must prune partitions and the
+      // index scan must read ids + codes ONLY (no vector column exists to
+      // leak into ReadSchema — locked anyway against regressions)
+      val served = Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, docs, qs, k = 5, nProbe = 2)
+      val p = served.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("PartitionFilters") && p.contains("list"),
+        s"probe union must prune index partitions:\n$p")
+      val idxSchemas = p.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("pq_code")).toSeq
+      assert(idxSchemas.nonEmpty && idxSchemas.forall(!_.contains("vec")),
+        s"index scan must read ids + codes only:\n${idxSchemas.mkString("\n")}")
+      // pruned-probe recall vs the exact scorer — the battery audit floor
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "doc_id", "chunk_idx")
+          .as[(Long, Long, Long)].collect().toSet
+      val exact = keyed(Retrieval.retrieveChunks(docs, qs, k = 5))
+      val approx = keyed(served)
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall@5 $recall below the 0.5 floor " +
+        s"(${(exact & approx).size}/${exact.size})")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("appendToChunkIndex: append ∪ build serves exactly like a full corpus, outlier norms clamp") {
     val oldDocs = (0L until 40L).map(i => (i, s"app w$i kappa " * 18))
       .toDF("doc_id", "text")
