@@ -468,10 +468,13 @@ object QueriesData {
     }),
 
     // the IVF-PQ composition of the chunk index: the probed scan reads
-    // ids + 5-int PQ codes only (the index stores NO vectors — the 100 TB
-    // serve-path IO shape), ADC shortlists 10·k per query, the exact
-    // integer inner product re-ranks the shortlist against re-embedded
-    // source chunks. Audit = the same recall@5 as the IVF-flat siblings
+    // ids + 5-int PQ codes only (the codes layout stores NO vectors — the
+    // 100 TB serve-path IO shape), ADC shortlists 10·k per query, the
+    // exact integer inner product re-ranks the shortlist against the
+    // index's own (list, doc-hash)-partitioned vector side table — the
+    // serve call never touches the corpus (the round-9 rescan is gone; the
+    // API no longer even accepts a docs argument). Audit = the same
+    // recall@5 as the IVF-flat siblings
     "a_retrieval_ivfpq" -> ((s, d) => {
       val path = ensureChunkIndexPq(s, d)
       val all = docs(s, d)
@@ -479,7 +482,7 @@ object QueriesData {
           col("doc_id") < 2525 && col("text").isNotNull)
         .select(col("doc_id").as("query_id"), col("text"))
       val approx = graft.ann.Retrieval.retrieveFromChunkIndexPq(s, path,
-        all, qs, k = 5, nProbe = 3)
+        qs, k = 5, nProbe = 3)
       approx.withColumn("recall_at_k",
           retrievalRecall(s, d, approx, qs))
         .orderBy("query_id", "rank")
@@ -3677,7 +3680,9 @@ object QueriesData {
     * partitions, centroid + codebook + MIP sidecars).
     */
   def ensureChunkIndexPq(s: SparkSession, dir: String): String =
-    ensureCached("chunk_index_pq", contentKey(s"$dir/documents.parquet")) { build =>
+    // cache name carries a layout version: v2 added the _vecs side table
+    // the serve path's exact re-rank reads — a stale v1 dir must rebuild
+    ensureCached("chunk_index_pq_v2", contentKey(s"$dir/documents.parquet")) { build =>
       graft.ann.Retrieval.writeChunkIndexPq(docs(s, dir),
         build.getAbsolutePath, nLists = 8, m = 5, ksub = 32)
     }
@@ -3859,13 +3864,14 @@ object QueriesData {
       // (near-orthogonal), where a single 5-bit table structurally recalls
       // ~p^5 ≈ 8% (measured 9.3%) — multi-table union is the honest
       // borderline-similarity configuration: 1-(1-p^5)^8 ≈ 0.47
-      // past ~1M vectors the one-shot 8-table band join's sort spill
-      // exhausts small scratch tiers (the r8 sf10 non-completion) — mine
+      // past ~100k vectors the one-shot 8-table band join's sort spill
+      // exhausts small scratch tiers (the r13 sf10 non-completion measured
+      // SPILL_OUT_OF_MEMORY at 200k vectors on the 78 GB class) — mine
       // 2 tables per staged batch there instead; pair set identical
       // (spec-pinned), peak spill ~1/4
       val approx = Dedup.embeddingPairs(e, "vec_id", "embedding", dim = 64,
         bits = 5, threshold = 0.3, knownCount = Some(n), tables = 8,
-        stagedTableBatch = if (n > 1000000L) 2 else 0)
+        stagedTableBatch = if (n > 100000L) 2 else 0)
       // the brute-force ground truth is O(n²): audit only below a measured
       // count (sf<=0.1 batteries), carry an explicit null above it — a 100TB
       // corpus audits on a sampled slice instead, never all-pairs

@@ -28,12 +28,26 @@ object Verify {
     // the ScalaTest floors (DataOpsSpec/QualityClassifierSpec); entries
     // with no spec floor record null and above_floor is vacuous-true.
     val auditColumns = Set("exact_pair_recall", "recall_at_k", "holdout_acc")
+    // EVERY measured audit row carries an explicit floor (a null floor made
+    // above_floor vacuous-true — a silent recall regression would have been
+    // invisible in the round artifact). The four floors added in round 10
+    // derive from their round-9 measured values, set just under them:
+    //   d_semantic_prune   measured 0.3232 → 0.3  (clustering-miss recall of
+    //     the min-id prune over semanticPairs; tracks d_semantic_dedup)
+    //   d_semantic_dedup   measured 0.3899 → 0.35 (cross-cluster pair recall
+    //     of the occupancy-scaled SemDeDup; 0.3848–0.3899 across rounds)
+    //   m_phash_dups       measured 1.0    → 0.95 (banding is radius-complete
+    //     by construction; <1.0 would mean the band math itself broke)
+    //   d_incremental_minhash measured 1.0 → 0.9  (same MinHash family floor
+    //     as d_minhash_pairs — the incremental split must not cost recall)
     val floors = Map(
       "a_ann_lsh" -> 0.4, "a_ann_lsh_bucketed" -> 0.3, "a_ann_ivf" -> 0.5,
       "a_ann_pq" -> 0.3, "a_ann_ivfpq" -> 0.3, "a_retrieval_ivf" -> 0.5,
       "a_retrieval_index" -> 0.5, "a_retrieval_ivfpq" -> 0.5,
       "d_minhash_pairs" -> 0.9, "d_simhash_pairs" -> 0.5,
-      "d_embedding_dups" -> 0.35, "d_quality_classifier" -> 0.8)
+      "d_embedding_dups" -> 0.35, "d_quality_classifier" -> 0.8,
+      "d_semantic_prune" -> 0.3, "d_semantic_dedup" -> 0.35,
+      "m_phash_dups" -> 0.95, "d_incremental_minhash" -> 0.9)
     val audits = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -23,6 +23,73 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.ann.Retrieval")
+
+  /** Over-gate fallback shared by the dense retrieval family (the sparse
+    * sibling is BM25's shuffle-join switch): when the MEASURED query count
+    * exceeds `maxQueries`, the query set is split into hash shards small
+    * enough for the broadcast/probe plan and `serve` runs once per shard —
+    * per-query results are independent, so the union is row-identical to an
+    * (infeasible) single broadcast pass. Cost is linear in shards: each
+    * shard pays its own pruned probe, which is exactly what a corpus-sized
+    * query set costs at 100 TB no matter how it's orchestrated. 2× shard
+    * headroom absorbs hash unevenness; a pathologically skewed shard simply
+    * re-shards through the same gate on recursion.
+    *
+    * Returns None at or under the gate (caller runs the broadcast plan).
+    */
+  private def shardedByQueryCount(queries: DataFrame, maxQueries: Long,
+                                  what: String)
+      (serve: DataFrame => DataFrame): Option[DataFrame] = {
+    require(maxQueries >= 1, "maxQueries must be >= 1")
+    val nq = queries.count()
+    if (nq <= maxQueries) None
+    else {
+      val nShards = (2L * ((nq + maxQueries - 1) / maxQueries))
+        .min(Int.MaxValue.toLong).toInt
+      log.warn(s"$what: query set has $nq rows > maxQueries=$maxQueries — " +
+        s"switching to the sharded probe path ($nShards hash shards, " +
+        "row-identical, cost linear in shards)")
+      Some((0 until nShards).map { i =>
+        serve(queries.where(
+          pmod(xxhash64(col("query_id")), lit(nShards)) === i))
+      }.reduce(_ unionByName _))
+    }
+  }
+
+  /** Fixed read schemas for the persisted IVF-PQ layouts — supplied to the
+    * reader so an index built from an EMPTY corpus (a partitioned dir with
+    * sidecars but no data files) serves an empty result instead of dying in
+    * schema inference. Contract: `doc_id`/`chunk_idx`/`chunk_start` are
+    * BIGINT (the [[graft.text.CorpusClean.chunkByTokens]] output types).
+    */
+  private val pqCodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("chunk_idx",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("chunk_start",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pq_code",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("list",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private val pqVecsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("chunk_idx",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("list",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("vb",
+      org.apache.spark.sql.types.IntegerType)))
+
   /** Deterministic, engine-portable stand-in embedding: dimension `i` is a
     * 4-nibble fold of `md5(text || ':' || salt || ':' || i)` reduced mod
     * 1000 — integer-valued, so every downstream inner product is EXACT in
@@ -64,22 +131,25 @@ object Retrieval {
                  maxQueries: Long = 1000000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val q = queries.select(col("query_id"), col(vecCol).as("qv"))
-    val nq = q.count()
-    require(nq <= maxQueries,
-      s"query set has $nq rows > maxQueries=$maxQueries — a broadcast " +
-        "top-k scan is the wrong plan at that size; build an IVF/PQ index " +
-        "over the chunk table (graft.ann.Ann) instead")
-    val scored = chunks
-      .join(broadcast(q))
-      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
-        col("chunk_start"),
-        innerProduct(col(vecCol), col("qv")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_start",
-        "score")
+    // past the gate: hash-sharded serve (row-identical; each shard pays its
+    // own corpus scan — an IVF/PQ index over the chunk table is the cheaper
+    // plan at that size, but a corpus-sized query set must still complete)
+    shardedByQueryCount(q, maxQueries, "topKChunks") { shard =>
+      topKChunks(chunks, shard.withColumnRenamed("qv", vecCol), k, vecCol,
+        maxQueries)
+    }.getOrElse {
+      val scored = chunks
+        .join(broadcast(q))
+        .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+          col("chunk_start"),
+          innerProduct(col(vecCol), col("qv")).as("score"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_start",
+          "score")
+    }
   }
 
   /** Chunk the corpus into token windows and embed every chunk — the shared
@@ -153,22 +223,25 @@ object Retrieval {
                     vecCol: String = "vec", probeCol: String = "",
                     maxQueries: Long = 1000000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val nq = queries.count()
-    require(nq <= maxQueries,
-      s"query set has $nq rows > maxQueries=$maxQueries — broadcast probe " +
-        "tables stop at eval scale; shard the query set instead")
-    val probes = probeTable(queries, model, nProbe, vecCol, probeCol)
-    val scored = assigned
-      .join(broadcast(probes), "list")
-      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
-        col("chunk_start"),
-        innerProduct(col(vecCol), col("qv")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_start",
-        "score")
+    // past the gate: broadcast probe tables stop at eval scale, so the
+    // query set hash-shards and probes per shard (row-identical)
+    shardedByQueryCount(queries, maxQueries, "topKChunksIvf") { shard =>
+      topKChunksIvf(assigned, model, shard, k, nProbe, vecCol, probeCol,
+        maxQueries)
+    }.getOrElse {
+      val probes = probeTable(queries, model, nProbe, vecCol, probeCol)
+      val scored = assigned
+        .join(broadcast(probes), "list")
+        .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+          col("chunk_start"),
+          innerProduct(col(vecCol), col("qv")).as("score"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_start",
+          "score")
+    }
   }
 
   /** The indexed sibling of [[retrieveChunks]] — the scale path its
@@ -199,7 +272,8 @@ object Retrieval {
                         chunkTokens: Int = 32, overlapTokens: Int = 8,
                         dim: Int = 4, salt: String = "emb",
                         textCol: String = "text", seed: Long = 42L,
-                        fitBudget: Int = 4096): DataFrame = {
+                        fitBudget: Int = 4096,
+                        maxQueries: Long = 1000000L): DataFrame = {
     val (assigned, model, _, _) = buildIndex(docs, nLists, chunkTokens,
       overlapTokens, dim, salt, textCol, seed, fitBudget)
     val np = math.min(nProbe, model.nLists)
@@ -216,7 +290,8 @@ object Retrieval {
     val pruned = assigned
       .where(col("list").isin(lists.map(Integer.valueOf).toSeq: _*))
       .repartition(col("list"), col("doc_id"), col("chunk_idx"))
-    topKChunksIvf(pruned, model, q, k, np, probeCol = "vaug")
+    topKChunksIvf(pruned, model, q, k, np, probeCol = "vaug",
+      maxQueries = maxQueries)
   }
 
   /** Chunk → embed → (one fused pass: M² max-aggregate + bounded fit
@@ -420,9 +495,17 @@ object Retrieval {
     * the augmented MIP space, where every corpus vector has norm exactly
     * √M² — so the unit normalization PQ assumes is a constant rescale
     * and ADC against a self-normalized query ranks by inner product.
-    * Full-precision vectors never enter the index; the re-rank stage
-    * ([[retrieveFromChunkIndexPq]]) fetches them from the source corpus
-    * for O(shortlist) rows only.
+    *
+    * Full-precision vectors never enter the CODES layout; they persist
+    * once, beside it, as the `_vecs/` side table — `(doc_id, chunk_idx,
+    * vec)` partitioned by `(list, vb)` where `vb = hash(doc_id) mod
+    * nVecBuckets` — so the exact re-rank ([[retrieveFromChunkIndexPq]])
+    * fetches O(shortlist) vectors through TWO static partition filters
+    * (probed lists ∩ shortlist doc-hash buckets) instead of re-chunking
+    * and re-embedding the source corpus per serve call (the round-9 scan
+    * cost this layout exists to avoid). Build cost is two passes over the
+    * chunk projection (codes write + vecs write) — paid once; the serve
+    * path never touches the corpus again.
     *
     * `m` must divide the AUGMENTED dimension (dim + 1).
     */
@@ -431,10 +514,12 @@ object Retrieval {
                         chunkTokens: Int = 32, overlapTokens: Int = 8,
                         dim: Int = 4, salt: String = "emb",
                         textCol: String = "text", seed: Long = 42L,
-                        fitBudget: Int = 4096): Unit = {
+                        fitBudget: Int = 4096,
+                        nVecBuckets: Int = 16): Unit = {
     require(m >= 1 && (dim + 1) % m == 0,
       s"m=$m must divide the augmented dim ${dim + 1}")
     require(ksub >= 1, "ksub must be >= 1")
+    require(nVecBuckets >= 1, "nVecBuckets must be >= 1")
     val (assigned, model, m2, sample) = buildIndex(docs, nLists, chunkTokens,
       overlapTokens, dim, salt, textCol, seed, fitBudget)
     val pqModel = pqFitFromSample(sample, m2, m, ksub, seed)
@@ -446,93 +531,179 @@ object Retrieval {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
         col("list"), col("pq_code"))
       .write.mode("overwrite").partitionBy("list").parquet(path)
+    // the full-precision side table (underscore prefix keeps it invisible
+    // to the codes read's file discovery, like the sidecars)
+    assigned
+      .withColumn("vb",
+        pmod(xxhash64(col("doc_id")), lit(nVecBuckets.toLong)).cast("int"))
+      .select(col("doc_id"), col("chunk_idx"), col("vec"), col("list"),
+        col("vb"))
+      .write.mode("overwrite").partitionBy("list", "vb")
+      .parquet(s"$path/_vecs")
     val spark = docs.sparkSession
     graft.util.Sidecar.write(spark, path, "_ivf_centroids.json",
       model.toJson)
     graft.util.Sidecar.write(spark, path, "_pq_codebooks.json",
       Ann.PqModel.toJson(pqModel))
     graft.util.Sidecar.write(spark, path, "_mip_m2.json", m2.toString)
+    graft.util.Sidecar.write(spark, path, "_vecs_meta.json",
+      s"""{"nVecBuckets": $nVecBuckets}""")
   }
 
   /** Serve a persisted IVF-PQ chunk index: probed lists prune to a
     * static partition filter, the pruned scan reads ONLY ids + m-int
-    * codes (ReadSchema-locked — the index stores no vectors at all), ADC
+    * codes (ReadSchema-locked — the codes layout stores no vectors), ADC
     * against each probing query's normalized augmented embedding selects
     * a per-query `shortlist` (default 10·k), and the EXACT integer inner
     * product re-ranks only the shortlisted (query, chunk) pairs — their
-    * full-precision vectors come from re-embedding the source corpus
-    * (`docs` must be the corpus the index was built from, same
-    * chunk/dim/salt parameters). ADC decode is m literal-codebook
-    * lookups fused into codegen; the approximation is WHICH chunks reach
-    * the shortlist, never the final scores.
+    * full-precision vectors come from the index's own `_vecs/` side
+    * table through two static partition filters (probed lists + the
+    * shortlist's doc-hash buckets), so a serve call NEVER touches the
+    * source corpus: the whole read surface is index files. ADC decode is
+    * the [[graft.functions.PqDecode]] broadcast-codebook kernel (the
+    * model never enters the Catalyst plan, so realistic ksub/dim fit the
+    * 64 KB codegen budget); the approximation is WHICH chunks reach the
+    * shortlist, never the final scores. The bucket filter costs one
+    * extra run of the (cheap, codes-only) shortlist subplan to collect
+    * the bucket ids — at scale that trade buys skipping
+    * (nVecBuckets − hit)/nVecBuckets of the much wider vector files.
+    *
+    * `exactRerank = false` skips the vector fetch entirely and ranks by
+    * the ADC score itself (`score` becomes the 6-dp ADC double) — the
+    * zero-vector-IO serving mode for when shortlist-grade ordering is
+    * enough.
     */
   def retrieveFromChunkIndexPq(spark: org.apache.spark.sql.SparkSession,
-                               path: String, docs: DataFrame,
-                               queries: DataFrame, k: Int, nProbe: Int,
+                               path: String, queries: DataFrame,
+                               k: Int, nProbe: Int,
                                shortlist: Int = 0,
-                               chunkTokens: Int = 32, overlapTokens: Int = 8,
                                dim: Int = 4, salt: String = "emb",
                                textCol: String = "text",
+                               exactRerank: Boolean = true,
                                maxQueries: Long = 1000000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val sl = if (shortlist > 0) shortlist else 10 * k
     require(sl >= k, s"shortlist=$sl must be >= k=$k")
-    val ivfModel = Ann.IvfModel.fromJson(
+    shardedByQueryCount(queries, maxQueries, "retrieveFromChunkIndexPq") {
+      shard =>
+        retrieveFromChunkIndexPq(spark, path, shard, k, nProbe, shortlist,
+          dim, salt, textCol, exactRerank, maxQueries)
+    }.getOrElse {
+      val ivfModel = Ann.IvfModel.fromJson(
+        graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
+      val pqModel = Ann.PqModel.fromJson(
+        graft.util.Sidecar.read(spark, path, "_pq_codebooks.json"))
+      val np = math.min(nProbe, ivfModel.nLists)
+      val q = augmentedQueries(queries, dim, salt, textCol)
+      // normalized augmented query for ADC (a query augments with 0, so its
+      // augmented norm is its own norm; zero vectors pass unnormalized —
+      // they inner-product to 0 against everything either way)
+      val qnorm = sqrt(graft.functions.KFunctions.array_dot(col("vaug"),
+        col("vaug")))
+      val qn = q.select(col("query_id"), col("vec").as("qvec"),
+        when(qnorm > 0d, transform(col("vaug"), x => x / qnorm))
+          .otherwise(col("vaug")).as("qn"))
+      val probes = probeTable(q, ivfModel, np, "vec", "vaug")
+        .select("query_id", "list")
+        .join(qn, "query_id")
+      val lists = probes.select("list").distinct().collect()
+        .map(_.getInt(0)).sorted
+      def listFilter(c: Column): Column =
+        c.isin(lists.map(Integer.valueOf).toSeq: _*)
+      val scan = spark.read.schema(pqCodesSchema).parquet(path)
+        .where(listFilter(col("list")))
+        .select("doc_id", "chunk_idx", "chunk_start", "list", "pq_code")
+      // ADC decode via the broadcast-codebook kernel; summation order is
+      // identical to the per-subspace literal reconstruction it replaced
+      val cbBc = spark.sparkContext.broadcast(pqModel.codebooks)
+      val recon = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.PqDecode(
+          org.apache.spark.sql.graftbridge.ColumnBridge.resolvedExpression(
+            col("pq_code")), cbBc))
+      val sw = Window.partitionBy("query_id")
+        .orderBy(col("adc").desc, col("doc_id"), col("chunk_idx"))
+      val short = scan.join(broadcast(probes), "list")
+        .withColumn("adc",
+          graft.functions.KFunctions.array_dot(recon, col("qn")))
+        .withColumn("srank", row_number().over(sw))
+        .where(col("srank") <= sl)
+      if (!exactRerank) {
+        // ADC-only serving: the shortlist order IS the ranking — zero
+        // vector IO, one codes scan total
+        short.where(col("srank") <= k)
+          .select(col("query_id"), col("srank").cast("long").as("rank"),
+            col("doc_id"), col("chunk_idx"), col("chunk_start"),
+            round(col("adc"), 6).as("score"))
+      } else {
+        val shortS = short.select("query_id", "doc_id", "chunk_idx",
+          "chunk_start", "qvec")
+        val nVb = graft.util.Sidecar.requiredLong(
+          graft.util.Sidecar.read(spark, path, "_vecs_meta.json"),
+          "nVecBuckets", s"$path/_vecs_meta.json")
+        val vbs = shortS
+          .select(pmod(xxhash64(col("doc_id")), lit(nVb)).cast("int")
+            .as("vb"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        val side = spark.read.schema(pqVecsSchema).parquet(s"$path/_vecs")
+          .where(listFilter(col("list")) &&
+            col("vb").isin(vbs.map(Integer.valueOf).toSeq: _*))
+          .select("doc_id", "chunk_idx", "vec")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+        side.join(broadcast(shortS), Seq("doc_id", "chunk_idx"))
+          .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+            col("chunk_start"),
+            innerProduct(col("vec"), col("qvec")).as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= k)
+          .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_start",
+            "score")
+      }
+    }
+  }
+
+  /** Incremental ingest into a persisted IVF-PQ chunk index — the PQ
+    * sibling of [[appendToChunkIndex]]: new documents are chunked,
+    * embedded, augmented with the INDEX'S stored M², assigned against the
+    * stored coarse centroids, PQ-encoded against the stored codebooks (a
+    * pure codegen map — no re-fit, no re-read of existing data), and
+    * appended into BOTH layouts: codes rows into the list-partitioned
+    * index, full-precision vectors into the `(list, vb)`-partitioned
+    * `_vecs/` side table the exact re-rank serves from. The same
+    * outlier-norm clamp applies: a new chunk whose norm exceeds the
+    * stored M² augments with 0 — final scores stay exact regardless (the
+    * augmented space only steers probing and the ADC shortlist); the
+    * outlier probes slightly worse until a full rebuild refreshes M².
+    */
+  def appendToChunkIndexPq(docs: DataFrame, path: String,
+                           chunkTokens: Int = 32, overlapTokens: Int = 8,
+                           dim: Int = 4, salt: String = "emb",
+                           textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val model = Ann.IvfModel.fromJson(
       graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
     val pqModel = Ann.PqModel.fromJson(
       graft.util.Sidecar.read(spark, path, "_pq_codebooks.json"))
-    val np = math.min(nProbe, ivfModel.nLists)
-    val q = augmentedQueries(queries, dim, salt, textCol)
-    val nq = q.count()
-    require(nq <= maxQueries,
-      s"query set has $nq rows > maxQueries=$maxQueries — broadcast probe " +
-        "tables stop at eval scale; shard the query set instead")
-    // normalized augmented query for ADC (a query augments with 0, so its
-    // augmented norm is its own norm; zero vectors pass unnormalized —
-    // they inner-product to 0 against everything either way)
-    val qnorm = sqrt(graft.functions.KFunctions.array_dot(col("vaug"),
-      col("vaug")))
-    val qn = q.select(col("query_id"), col("vec").as("qvec"),
-      when(qnorm > 0d, transform(col("vaug"), x => x / qnorm))
-        .otherwise(col("vaug")).as("qn"))
-    val probes = probeTable(q, ivfModel, np, "vec", "vaug")
-      .select("query_id", "list")
-      .join(qn, "query_id")
-    val lists = probes.select("list").distinct().collect()
-      .map(_.getInt(0)).sorted
-    val scan = spark.read.parquet(path)
-      .where(col("list").isin(lists.map(Integer.valueOf).toSeq: _*))
-      .select("doc_id", "chunk_idx", "chunk_start", "list", "pq_code")
-    // ADC decode: per subspace, one element_at into the (plan-time
-    // literal, constant-folded) codebook — reconstruction concatenates m
-    // codeword arrays, the dot runs in the native kernel
-    val recon = concat((0 until pqModel.m).map { i =>
-      val cb = array(pqModel.codebooks(i).map(w =>
-        array(w.map(lit): _*)): _*)
-      element_at(cb, element_at(col("pq_code"), i + 1) + 1)
-    }: _*)
-    val sw = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("doc_id"), col("chunk_idx"))
-    val short = scan.join(broadcast(probes), "list")
-      .withColumn("adc",
-        graft.functions.KFunctions.array_dot(recon, col("qn")))
-      .withColumn("srank", row_number().over(sw))
-      .where(col("srank") <= sl)
-      .select("query_id", "doc_id", "chunk_idx", "qvec")
-    // exact integer re-rank over the shortlist only: full-precision
-    // vectors come from the source corpus, never the index
+    val m2 = graft.util.Sidecar.read(spark, path, "_mip_m2.json").trim.toLong
+    val nVb = graft.util.Sidecar.requiredLong(
+      graft.util.Sidecar.read(spark, path, "_vecs_meta.json"),
+      "nVecBuckets", s"$path/_vecs_meta.json")
     val chunks = embeddedChunks(docs, chunkTokens, overlapTokens, dim, salt,
       textCol)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
-    chunks.join(broadcast(short), Seq("doc_id", "chunk_idx"))
-      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
-        col("chunk_start"),
-        innerProduct(col("vec"), col("qvec")).as("score"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "doc_id", "chunk_idx", "chunk_start",
-        "score")
+    val nsq = innerProduct(col("vec"), col("vec"))
+    val augmented = chunks.withColumn("vaug",
+      concat(col("vec").cast("array<double>"),
+        array(sqrt(greatest(lit(0L), lit(m2) - nsq)))))
+    val assigned = Ann.assignWithModel(augmented, model, "vaug")
+    Ann.pqEncode(assigned, "vaug", pqModel)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("list"), col("pq_code"))
+      .write.mode("append").partitionBy("list").parquet(path)
+    assigned
+      .withColumn("vb", pmod(xxhash64(col("doc_id")), lit(nVb)).cast("int"))
+      .select(col("doc_id"), col("chunk_idx"), col("vec"), col("list"),
+        col("vb"))
+      .write.mode("append").partitionBy("list", "vb").parquet(s"$path/_vecs")
   }
 
   /** Collapse a chunk-level ranked result to a document-level ranking:

@@ -680,7 +680,16 @@ object Dedup {
               .localCheckpoint(true)
             if (prev != null) graft.util.Checkpoints.free(prev)
           }
-          return finish(acc)
+          // materialize the exact-cosine finish eagerly so the survivor
+          // accumulator can be released NOW rather than whenever the
+          // ContextCleaner gets to it — the lazy form kept the final acc
+          // pinned in the block manager after return (the same residue
+          // class the graph-family hygiene fix targets). What stays pinned
+          // is the RESULT itself (output-sized true pairs); callers drop
+          // it when done, same contract as every eager checkpoint here.
+          val staged = finish(acc).localCheckpoint(true)
+          graft.util.Checkpoints.free(acc)
+          return staged
         }
         return finish(survivorsFor(0 until tables))
       }

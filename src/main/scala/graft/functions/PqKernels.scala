@@ -187,3 +187,82 @@ case class PqAdcScore(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): PqAdcScore =
     copy(child = newChild)
 }
+
+/** Decode an `array<int>` PQ code back to its reconstructed `array<double>`
+  * vector: the concatenation of the m selected codewords. The codebooks ride
+  * a BROADCAST (one copy per executor), so the model size never enters the
+  * Catalyst plan — the literal-array reconstruction this replaces embedded
+  * m·ksub·dsub `lit` nodes per query plan, which bloats analysis and risks
+  * the 64 KB generated-method limit at realistic params (ksub = 256).
+  * Element order matches per-subspace sequential layout, so a dot product
+  * over the decoded array is bit-identical to the literal form's
+  * `element_at`-concat reconstruction. NULL for NULL code, length ≠ m, or an
+  * out-of-range id — same strictness as [[PqAdcScore]].
+  */
+case class PqDecode(child: Expression,
+                    codebooks: Broadcast[Array[Array[Array[Double]]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.resolved || child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_decode expects array<int>, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_decode"
+
+  @transient private lazy val cb = codebooks.value
+
+  override def nullSafeEval(input: Any): Any = {
+    val code = input.asInstanceOf[ArrayData]
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    if (code.numElements() != m) return null
+    val out = new Array[Double](m * dsub)
+    var i = 0
+    while (i < m) {
+      if (code.isNullAt(i)) return null
+      val j = code.getInt(i)
+      if (j < 0 || j >= cb(i).length) return null
+      System.arraycopy(cb(i)(j), 0, out, i * dsub, dsub)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqDecCbBc", codebooks,
+      "org.apache.spark.broadcast.Broadcast")
+    val cbCls = "double[][][]"
+    val cbVar = ctx.addMutableState(cbCls, "pqDecCodebooks",
+      v => s"$v = ($cbCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, code => {
+      val m = ctx.freshName("m"); val dsub = ctx.freshName("dsub")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |final int $m = $cbVar.length;
+         |final int $dsub = $cbVar[0][0].length;
+         |if ($code.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$m * $dsub];
+         |  for (int $i = 0; $i < $m && !${ev.isNull}; $i++) {
+         |    if ($code.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    int $j = $code.getInt($i);
+         |    if ($j < 0 || $j >= $cbVar[$i].length) { ${ev.isNull} = true; break; }
+         |    System.arraycopy($cbVar[$i][$j], 0, $out, $i * $dsub, $dsub);
+         |  }
+         |  if (!${ev.isNull})
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecode =
+    copy(child = newChild)
+}

@@ -200,6 +200,56 @@ class ChaosSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("task death during an IVF-PQ chunk-index append: retried writes land codes AND vectors exactly once") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pchaos").toString
+    val idx = s"chaos:$dir/idx"
+    val oldDocs = (0L until 30L).map(i => (i, s"pch w$i phi " * 18))
+      .toDF("doc_id", "text")
+    val newDocs = (30L until 60L).map(i => (i, s"pch w$i phi " * 18))
+      .toDF("doc_id", "text")
+    try {
+      graft.ann.Retrieval.writeChunkIndexPq(oldDocs, idx, nLists = 4,
+        m = 5, ksub = 8, fitBudget = 48)
+      val beforeCodes = spark.read.parquet(idx).count()
+      val beforeVecs = spark.read.parquet(s"$idx/_vecs").count()
+      // kill one write-task attempt of the APPEND mid-write (the append
+      // runs TWO jobs — codes then vectors; the armed failure hits the
+      // first write's task and the commit protocol + retry must land both
+      // layouts complete and row-aligned)
+      ChaosFileSystem.armPathCreateFailure("/idx/", startAt = 2, times = 1)
+      try graft.ann.Retrieval.appendToChunkIndexPq(newDocs, idx)
+      finally ChaosFileSystem.disarm()
+      assert(ChaosFileSystem.failureFired, "the injected write failure must fire")
+      val codes = spark.read.parquet(idx)
+      val vecs = spark.read.parquet(s"$idx/_vecs")
+      // exactly-once in BOTH layouts, pre-append rows untouched
+      assert(codes.count() == codes.select("doc_id", "chunk_idx")
+        .distinct().count(), "duplicate code rows after retry")
+      assert(vecs.count() == vecs.select("doc_id", "chunk_idx")
+        .distinct().count(), "duplicate side-table rows after retry")
+      assert(codes.count() == vecs.count(),
+        "codes and side table must stay row-aligned")
+      assert(codes.filter(col("doc_id") < 30L).count() == beforeCodes,
+        "pre-append code rows must be untouched")
+      assert(vecs.filter(col("doc_id") < 30L).count() == beforeVecs,
+        "pre-append side-table rows must be untouched")
+      // the appended index serves exactly like the exact scorer on the
+      // union (full probe + wide shortlist — the degraded-to-exact mode)
+      val qs = Seq((7L, "pch w7 phi"), (44L, "pch w44 phi"))
+        .toDF("query_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val served = rows(graft.ann.Retrieval.retrieveFromChunkIndexPq(spark,
+        idx, qs, k = 4, nProbe = 4, shortlist = 100000))
+      assert(served == rows(graft.ann.Retrieval.retrieveChunks(
+        oldDocs.unionByName(newDocs), qs, k = 4)))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("task death during a BM25 index append: retried write lands every posting exactly once") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

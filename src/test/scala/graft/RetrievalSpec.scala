@@ -93,14 +93,54 @@ class RetrievalSpec extends SparkSpec {
       (3L, 2L, 0L, 6L)), out.mkString(", "))
   }
 
-  test("topKChunks: oversized query set fails loudly instead of a silent cartesian") {
-    val chunks = Seq((1L, 0L, 0L, Seq(1L))).toDF(
-      "doc_id", "chunk_idx", "chunk_start", "vec")
-    val queries = Seq((1L, Seq(1L)), (2L, Seq(2L))).toDF("query_id", "vec")
-    val e = intercept[IllegalArgumentException] {
-      Retrieval.topKChunks(chunks, queries, k = 1, maxQueries = 1L)
-    }
-    assert(e.getMessage.contains("IVF"), e.getMessage)
+  test("over-gate fallback: topKChunks past maxQueries shards and stays row-identical") {
+    val docs = (0L until 30L).map(i => (i, s"og w$i mu " * 20))
+      .toDF("doc_id", "text")
+    val qs = (0L until 7L).map(i => (i, s"og w${i * 4} mu"))
+      .toDF("query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val broadcastPath = rows(Retrieval.retrieveChunks(docs, qs, k = 3))
+    // force the gate: 7 queries over maxQueries=2 → sharded serve
+    val chunks = graft.text.CorpusClean.chunkByTokens(docs, 32, 8)
+      .where(col("chunk").isNotNull)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        Retrieval.hashEmbedding(col("chunk"), 4, "emb").as("vec"))
+    val qv = qs.select(col("query_id"),
+      Retrieval.hashEmbedding(col("text"), 4, "emb").as("vec"))
+    val sharded = rows(Retrieval.topKChunks(chunks, qv, k = 3,
+      maxQueries = 2L))
+    assert(sharded == broadcastPath,
+      s"sharded over-gate path must be row-identical:\n$sharded\nvs\n$broadcastPath")
+  }
+
+  test("over-gate fallback: topKChunksIvf and the PQ serve path shard past maxQueries, row-identical") {
+    val docs = (0L until 40L).map(i => (i, s"ogi w$i nu " * 20))
+      .toDF("doc_id", "text")
+    val qs = (0L until 6L).map(i => (i, s"ogi w${i * 5} nu"))
+      .toDF("query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // IVF in-memory: sharded == unsharded (same fit knobs → same centroids)
+    val un = rows(Retrieval.retrieveChunksIvf(docs, qs, k = 3, nLists = 4,
+      nProbe = 2, fitBudget = 48))
+    val sh = rows(Retrieval.retrieveChunksIvf(docs, qs, k = 3, nLists = 4,
+      nProbe = 2, fitBudget = 48, maxQueries = 2L))
+    assert(sh == un, s"sharded IVF must be row-identical:\n$sh\nvs\n$un")
+    // persisted PQ serve: sharded == unsharded through the same index
+    val dir = java.nio.file.Files.createTempDirectory("graft_og_pq").toFile
+    try {
+      Retrieval.writeChunkIndexPq(docs, dir.getAbsolutePath, nLists = 4,
+        m = 5, ksub = 16, fitBudget = 48)
+      val unPq = rows(Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, qs, k = 3, nProbe = 2))
+      val shPq = rows(Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, qs, k = 3, nProbe = 2, maxQueries = 2L))
+      assert(shPq == unPq,
+        s"sharded PQ serve must be row-identical:\n$shPq\nvs\n$unPq")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
   test("retrieveChunks: query side broadcasts, per-query top-k collapses map-side") {
@@ -220,7 +260,7 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("IVF-PQ chunk index: codes-only layout, full probe + wide shortlist " +
-    "is exact, pruned probe prunes partitions and holds the 0.5 floor") {
+    "is exact, serve never touches the corpus, pruned probe holds the 0.5 floor") {
     val docs = (0L until 80L).map(i => (i, s"pq w$i alpha beta gamma " * 15))
       .toDF("doc_id", "text")
     val qs = (0L until 8L).map(i => (i, s"pq w${i * 9} alpha beta gamma"))
@@ -230,11 +270,28 @@ class RetrievalSpec extends SparkSpec {
     try {
       Retrieval.writeChunkIndexPq(docs, dir.getAbsolutePath, nLists = 5,
         m = 5, ksub = 16, fitBudget = 48)
-      // the index stores codes, NEVER vectors — the 100 TB scan-IO claim
+      // the CODES layout stores codes, NEVER vectors — the 100 TB scan-IO
+      // claim (the _vecs side table is invisible to this read: underscore
+      // prefix, like the sidecars)
       val idx = spark.read.parquet(dir.getAbsolutePath)
       assert(idx.columns.toSet ==
         Set("doc_id", "chunk_idx", "chunk_start", "list", "pq_code"),
         idx.columns.mkString(","))
+      // the side table's stored vectors ARE the re-embedded corpus chunks,
+      // row for row — which is exactly why serving from it is
+      // result-identical to the round-9 path that re-embedded the corpus
+      // per serve call
+      val side = spark.read.parquet(s"${dir.getAbsolutePath}/_vecs")
+        .select("doc_id", "chunk_idx", "vec")
+      val reEmbedded = graft.text.CorpusClean.chunkByTokens(docs, 32, 8)
+        .where(col("chunk").isNotNull)
+        .select(col("doc_id"), col("chunk_idx"),
+          Retrieval.hashEmbedding(col("chunk"), 4, "emb").as("vec"))
+      def vrows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id", "chunk_idx")
+          .as[(Long, Long, Seq[Long])].collect().toSeq
+      assert(vrows(side) == vrows(reEmbedded),
+        "side-table vectors must equal the re-embedded corpus chunks")
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.orderBy("query_id", "rank")
           .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
@@ -242,14 +299,16 @@ class RetrievalSpec extends SparkSpec {
       // every candidate reaches the exact integer re-rank, so the PQ
       // approximation vanishes from the output entirely
       val full = Retrieval.retrieveFromChunkIndexPq(spark,
-        dir.getAbsolutePath, docs, qs, k = 4, nProbe = 5,
-        shortlist = 100000)
+        dir.getAbsolutePath, qs, k = 4, nProbe = 5, shortlist = 100000)
       assert(rows(full) == rows(Retrieval.retrieveChunks(docs, qs, k = 4)))
-      // pruned serve: the probed lists must prune partitions and the
-      // index scan must read ids + codes ONLY (no vector column exists to
-      // leak into ReadSchema — locked anyway against regressions)
+      // pruned serve: probed lists must prune partitions; the codes scan
+      // must read ids + codes ONLY; and the ENTIRE read surface must be
+      // index files — the serve plan holds no scan outside the index dir
+      // (the round-9 path re-chunked + re-embedded the whole corpus per
+      // serve call; with no docs argument left in the API the plan lock
+      // pins the fix structurally)
       val served = Retrieval.retrieveFromChunkIndexPq(spark,
-        dir.getAbsolutePath, docs, qs, k = 5, nProbe = 2)
+        dir.getAbsolutePath, qs, k = 5, nProbe = 2)
       val p = served.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       assert(p.contains("PartitionFilters") && p.contains("list"),
@@ -257,7 +316,16 @@ class RetrievalSpec extends SparkSpec {
       val idxSchemas = p.linesIterator
         .filter(l => l.contains("ReadSchema") && l.contains("pq_code")).toSeq
       assert(idxSchemas.nonEmpty && idxSchemas.forall(!_.contains("vec")),
-        s"index scan must read ids + codes only:\n${idxSchemas.mkString("\n")}")
+        s"codes scan must read ids + codes only:\n${idxSchemas.mkString("\n")}")
+      val locations = p.linesIterator
+        .filter(_.contains("Location:")).toSeq
+      assert(locations.nonEmpty &&
+        locations.forall(_.contains(dir.getName)),
+        s"serve must read ONLY index files, never a corpus scan:\n" +
+          locations.mkString("\n"))
+      // the vb doc-hash bucket filter must reach the side-table scan as a
+      // partition filter too
+      assert(p.contains("vb"), s"vec fetch must prune doc-hash buckets:\n$p")
       // pruned-probe recall vs the exact scorer — the battery audit floor
       def keyed(df: org.apache.spark.sql.DataFrame) =
         df.select("query_id", "doc_id", "chunk_idx")
@@ -267,7 +335,108 @@ class RetrievalSpec extends SparkSpec {
       val recall = (exact & approx).size.toDouble / exact.size
       assert(recall >= 0.5, s"recall@5 $recall below the 0.5 floor " +
         s"(${(exact & approx).size}/${exact.size})")
+      // ADC-only serving mode: zero vector IO, same shortlist membership
+      // universe — its top-k must be a subset of the ADC shortlist the
+      // exact path re-ranks, and carry the documented (rank, adc) schema
+      val adcOnly = Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, qs, k = 5, nProbe = 2, exactRerank = false)
+      assert(adcOnly.columns.toSeq == Seq("query_id", "rank", "doc_id",
+        "chunk_idx", "chunk_start", "score"))
+      val pAdc = adcOnly.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!pAdc.contains("_vecs"),
+        s"ADC-only serve must not read the vector side table:\n$pAdc")
+      assert(adcOnly.count() == 8 * 5)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("appendToChunkIndexPq: appended index serves exactly like the union corpus; both layouts advance") {
+    val oldDocs = (0L until 40L).map(i => (i, s"apq w$i chi " * 18))
+      .toDF("doc_id", "text")
+    // includes an outlier whose chunk norm can exceed the stored M² — the
+    // augmentation clamp must keep the append NaN-free
+    val newDocs = ((40L until 80L).map(i => (i, s"apq w$i chi " * 18)) :+
+      (999L, "zzz outlier qqq " * 30)).toDF("doc_id", "text")
+    val allDocs = oldDocs.unionByName(newDocs)
+    val qs = Seq((7L, "apq w7 chi"), (55L, "apq w55 chi"),
+      (999L, "zzz outlier qqq")).toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_apq")
+      .toFile
+    try {
+      Retrieval.writeChunkIndexPq(oldDocs, dir.getAbsolutePath, nLists = 5,
+        m = 5, ksub = 16, fitBudget = 48)
+      Retrieval.appendToChunkIndexPq(newDocs, dir.getAbsolutePath)
+      // codes and side table must stay row-aligned (every chunk in both)
+      val nCodes = spark.read.parquet(dir.getAbsolutePath).count()
+      val nVecs = spark.read.parquet(s"${dir.getAbsolutePath}/_vecs").count()
+      assert(nCodes == nVecs, s"codes $nCodes != side-table $nVecs rows")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      // full probe + wide shortlist through the appended index == the
+      // exact scorer over the UNION corpus (what a rebuild serves at the
+      // same degraded-to-exact settings)
+      val full = rows(Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, qs, k = 4, nProbe = 5, shortlist = 100000))
+      assert(full == rows(Retrieval.retrieveChunks(allDocs, qs, k = 4)))
+      // pruned serve still finds appended docs (incl. the outlier's)
+      val pruned = Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, qs, k = 4, nProbe = 2)
+      val hitDocs = pruned.select("doc_id").as[Long].collect().toSet
+      assert(hitDocs.exists(_ >= 40L), s"appended docs never retrieved: $hitDocs")
+      assert(!pruned.select("score").as[Long].collect().exists(_ < 0),
+        "scores must stay exact non-negative integers")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("retrieveFromChunkIndexPq: an index built from an empty corpus serves an empty result") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val qs = Seq((1L, "anything at all")).toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_pq0")
+      .toFile
+    try {
+      Retrieval.writeChunkIndexPq(empty, dir.getAbsolutePath, nLists = 2,
+        m = 5, ksub = 4, fitBudget = 8)
+      // schema-less inference died here before the fixed reader schema
+      // (partitioned dir with sidecars but no data files)
+      val out = Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, qs, k = 3, nProbe = 1)
+      assert(out.count() == 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("PqDecode kernel: reconstruction == codeword concat, interpreted == codegen, null contract") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val codebooks = Array(
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)),
+      Array(Array(5.0, 6.0), Array(7.0, 8.0), Array(9.0, 10.0)))
+    val bc = spark.sparkContext.broadcast(codebooks)
+    def decode(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.PqDecode(
+        ColumnBridge.resolvedExpression(c), bc))
+    def run(): Seq[Option[Seq[Double]]] =
+      Seq(Seq(0, 2), Seq(1, 0), Seq(0, 0, 0), Seq(0, 9), Seq(1))
+        .toDF("code")
+        .select(decode(col("code")).as("v"))
+        .collect().map(r =>
+          if (r.isNullAt(0)) None else Some(r.getSeq[Double](0))).toSeq
+    val gen = run()
+    assert(gen == Seq(
+      Some(Seq(1.0, 2.0, 9.0, 10.0)),   // codewords 0 and 2 concatenated
+      Some(Seq(3.0, 4.0, 5.0, 6.0)),
+      None,                              // wrong length
+      None,                              // out-of-range id
+      None), gen.toString)
+    val conf = spark.conf
+    val prior = (conf.get("spark.sql.codegen.wholeStage"),
+      conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == gen, "PqDecode: interpreted != codegen")
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", prior._1)
+      conf.set("spark.sql.codegen.factoryMode", prior._2)
+    }
   }
 
   test("appendToChunkIndex: append ∪ build serves exactly like a full corpus, outlier norms clamp") {
