@@ -563,10 +563,12 @@ object Retrieval {
     * the [[graft.functions.PqDecode]] broadcast-codebook kernel (the
     * model never enters the Catalyst plan, so realistic ksub/dim fit the
     * 64 KB codegen budget); the approximation is WHICH chunks reach the
-    * shortlist, never the final scores. The bucket filter costs one
-    * extra run of the (cheap, codes-only) shortlist subplan to collect
-    * the bucket ids — at scale that trade buys skipping
-    * (nVecBuckets − hit)/nVecBuckets of the much wider vector files.
+    * shortlist, never the final scores. In the serving regime (bounded
+    * query batches) the shortlist collects and re-enters as a broadcast
+    * local relation, so the whole serve is ONE codes/ADC pass plus the
+    * bucket-pruned vector fetch; past the collect gate the codes-only
+    * subplan runs once more to gather the bucket ids — see the inline
+    * note.
     *
     * `exactRerank = false` skips the vector fetch entirely and ranks by
     * the ADC score itself (`score` becomes the 6-dp ADC double) — the
@@ -635,22 +637,44 @@ object Retrieval {
             col("doc_id"), col("chunk_idx"), col("chunk_start"),
             round(col("adc"), 6).as("score"))
       } else {
-        val shortS = short.select("query_id", "doc_id", "chunk_idx",
-          "chunk_start", "qvec")
         val nVb = graft.util.Sidecar.requiredLong(
           graft.util.Sidecar.read(spark, path, "_vecs_meta.json"),
           "nVecBuckets", s"$path/_vecs_meta.json")
-        val vbs = shortS
-          .select(pmod(xxhash64(col("doc_id")), lit(nVb)).cast("int")
-            .as("vb"))
-          .distinct().collect().map(_.getInt(0)).sorted
+        // vb derived IN the plan (Spark's xxhash64 — never a driver-side
+        // reimplementation that could diverge from the write-side column)
+        val shortS = short.select(col("query_id"), col("doc_id"),
+          col("chunk_idx"), col("chunk_start"), col("qvec"),
+          pmod(xxhash64(col("doc_id")), lit(nVb)).cast("int").as("vb"))
+        // the shortlist is ≤ nq·sl rows by construction. In the serving
+        // regime (bounded query batches) it COLLECTS: one codes/ADC pass
+        // total, the shortlist re-enters as a broadcast local relation,
+        // and its vb set prunes the side table's doc-hash buckets — the
+        // single-query serve reads ~sl/nVecBuckets of the probed lists'
+        // vector files. Past the collect gate (huge eval sets) the
+        // shortlist subplan instead runs twice: once collapsed to ≤ nVb
+        // bucket ids, once inside the final join — trading one extra
+        // codes-only pass (cheap: the codes are the d·4/m-fold-compressed
+        // column) for the same vector-IO pruning.
+        val collectGate = 200000L
+        val nq = queries.count()
+        val (shortSrc, vbs) =
+          if (nq * sl <= collectGate) {
+            val rows = shortS.collect()
+            (broadcast(spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), shortS.schema)),
+              rows.map(_.getAs[Int]("vb")).distinct.sorted)
+          } else {
+            (broadcast(shortS),
+              shortS.select("vb").distinct().collect()
+                .map(_.getInt(0)).sorted)
+          }
         val side = spark.read.schema(pqVecsSchema).parquet(s"$path/_vecs")
           .where(listFilter(col("list")) &&
             col("vb").isin(vbs.map(Integer.valueOf).toSeq: _*))
           .select("doc_id", "chunk_idx", "vec")
         val w = Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
-        side.join(broadcast(shortS), Seq("doc_id", "chunk_idx"))
+        side.join(shortSrc, Seq("doc_id", "chunk_idx"))
           .select(col("query_id"), col("doc_id"), col("chunk_idx"),
             col("chunk_start"),
             innerProduct(col("vec"), col("qvec")).as("score"))

@@ -313,10 +313,6 @@ class RetrievalSpec extends SparkSpec {
         org.apache.spark.sql.execution.FormattedMode)
       assert(p.contains("PartitionFilters") && p.contains("list"),
         s"probe union must prune index partitions:\n$p")
-      val idxSchemas = p.linesIterator
-        .filter(l => l.contains("ReadSchema") && l.contains("pq_code")).toSeq
-      assert(idxSchemas.nonEmpty && idxSchemas.forall(!_.contains("vec")),
-        s"codes scan must read ids + codes only:\n${idxSchemas.mkString("\n")}")
       val locations = p.linesIterator
         .filter(_.contains("Location:")).toSeq
       assert(locations.nonEmpty &&
@@ -324,7 +320,9 @@ class RetrievalSpec extends SparkSpec {
         s"serve must read ONLY index files, never a corpus scan:\n" +
           locations.mkString("\n"))
       // the vb doc-hash bucket filter must reach the side-table scan as a
-      // partition filter too
+      // partition filter too (the serving-regime plan: the collected
+      // shortlist re-enters as a local relation, so the only scan left is
+      // the bucket-pruned _vecs fetch)
       assert(p.contains("vb"), s"vec fetch must prune doc-hash buckets:\n$p")
       // pruned-probe recall vs the exact scorer — the battery audit floor
       def keyed(df: org.apache.spark.sql.DataFrame) =
@@ -346,6 +344,13 @@ class RetrievalSpec extends SparkSpec {
         org.apache.spark.sql.execution.FormattedMode)
       assert(!pAdc.contains("_vecs"),
         s"ADC-only serve must not read the vector side table:\n$pAdc")
+      // the codes-scan ReadSchema lock lives on this plan (the exact-rerank
+      // serve collects the shortlist eagerly, so its RETURNED plan holds
+      // only the side-table fetch): ids + codes only, no vector column
+      val idxSchemas = pAdc.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("pq_code")).toSeq
+      assert(idxSchemas.nonEmpty && idxSchemas.forall(!_.contains("vec")),
+        s"codes scan must read ids + codes only:\n${idxSchemas.mkString("\n")}")
       assert(adcOnly.count() == 8 * 5)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
