@@ -527,17 +527,26 @@ object Retrieval {
     val aug = assigned.withColumn("vaug",
       concat(col("vec").cast("array<double>"),
         array(sqrt(greatest(lit(0L), lit(m2) - nsq)))))
+    // codes keep the writer-task sharding (the ADC scan WANTS parallelism
+    // — scoring is CPU-bound, and one file per list would serialize it)
     Ann.pqEncode(aug, "vaug", pqModel)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
         col("list"), col("pq_code"))
       .write.mode("overwrite").partitionBy("list").parquet(path)
     // the full-precision side table (underscore prefix keeps it invisible
-    // to the codes read's file discovery, like the sidecars)
+    // to the codes read's file discovery, like the sidecars). ONE sized
+    // file per (list, vb) dir, rows id-sorted: the fetch is a cheap probe
+    // join, and the naive write's (writer tasks × dirs) slivers cost it a
+    // task per sliver — measured 116 tasks for a 1.5M-row fetch at sf10,
+    // pure scheduling overhead. A 100 TB build salts the repartition key
+    // to hold files at target size instead.
     assigned
       .withColumn("vb",
         pmod(xxhash64(col("doc_id")), lit(nVecBuckets.toLong)).cast("int"))
       .select(col("doc_id"), col("chunk_idx"), col("vec"), col("list"),
         col("vb"))
+      .repartition(col("list"), col("vb"))
+      .sortWithinPartitions("doc_id", "chunk_idx")
       .write.mode("overwrite").partitionBy("list", "vb")
       .parquet(s"$path/_vecs")
     val spark = docs.sparkSession
@@ -616,7 +625,10 @@ object Retrieval {
         .where(listFilter(col("list")))
         .select("doc_id", "chunk_idx", "chunk_start", "list", "pq_code")
       // ADC decode via the broadcast-codebook kernel; summation order is
-      // identical to the per-subspace literal reconstruction it replaced
+      // identical to the per-subspace literal reconstruction it replaced.
+      // Decoded BEFORE the multiplying probe join: each chunk reconstructs
+      // once, not once per probing query (~nQueries·nProbe/nLists matches
+      // per chunk — decode-per-match was measured 1.8× slower at sf1)
       val cbBc = spark.sparkContext.broadcast(pqModel.codebooks)
       val recon = org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.PqDecode(
@@ -624,9 +636,10 @@ object Retrieval {
             col("pq_code")), cbBc))
       val sw = Window.partitionBy("query_id")
         .orderBy(col("adc").desc, col("doc_id"), col("chunk_idx"))
-      val short = scan.join(broadcast(probes), "list")
+      val short = scan.withColumn("dec", recon)
+        .join(broadcast(probes), "list")
         .withColumn("adc",
-          graft.functions.KFunctions.array_dot(recon, col("qn")))
+          graft.functions.KFunctions.array_dot(col("dec"), col("qn")))
         .withColumn("srank", row_number().over(sw))
         .where(col("srank") <= sl)
       if (!exactRerank) {
@@ -727,6 +740,8 @@ object Retrieval {
       .withColumn("vb", pmod(xxhash64(col("doc_id")), lit(nVb)).cast("int"))
       .select(col("doc_id"), col("chunk_idx"), col("vec"), col("list"),
         col("vb"))
+      .repartition(col("list"), col("vb"))
+      .sortWithinPartitions("doc_id", "chunk_idx")
       .write.mode("append").partitionBy("list", "vb").parquet(s"$path/_vecs")
   }
 
