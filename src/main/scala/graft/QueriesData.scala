@@ -3865,13 +3865,18 @@ object QueriesData {
       // ~p^5 ≈ 8% (measured 9.3%) — multi-table union is the honest
       // borderline-similarity configuration: 1-(1-p^5)^8 ≈ 0.47
       // past ~100k vectors the one-shot 8-table band join's sort spill
-      // exhausts small scratch tiers (the r13 sf10 non-completion measured
-      // SPILL_OUT_OF_MEMORY at 200k vectors on the 78 GB class) — mine
-      // 2 tables per staged batch there instead; pair set identical
-      // (spec-pinned), peak spill ~1/4
+      // exhausts small scratch tiers (SPILL_OUT_OF_MEMORY "No space left on
+      // device" at 200k vectors on the 78 GB class) — mine staged batches
+      // there instead; pair set identical (spec-pinned). MEASURED on the
+      // 78 GB tier at sf10 (200k vectors, ~5B one-shot probe-widened
+      // candidates): a 2-table batch spills ~60 GB and even ONE table
+      // ~75 GB (disk-full both ways), so table staging alone cannot fit —
+      // the bucket-hash RANGE split is the knob that scales: 2 tables ×
+      // 1/4 of the bucket space per batch ≈ 7-8 GB peak, 16 batch jobs
       val approx = Dedup.embeddingPairs(e, "vec_id", "embedding", dim = 64,
         bits = 5, threshold = 0.3, knownCount = Some(n), tables = 8,
-        stagedTableBatch = if (n > 100000L) 2 else 0)
+        stagedTableBatch = if (n > 100000L) 2 else 0,
+        stagedBucketRanges = if (n > 150000L) 4 else 0)
       // the brute-force ground truth is O(n²): audit only below a measured
       // count (sf<=0.1 batteries), carry an explicit null above it — a 100TB
       // corpus audits on a sampled slice instead, never all-pairs

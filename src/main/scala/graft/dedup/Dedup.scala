@@ -525,6 +525,14 @@ object Dedup {
     *   scratch-disk spill at N/tables of the one-shot plan for
     *   spill-constrained tiers (pair set identical, spec-pinned). Only
     *   meaningful with the payload-carrying quantized multi-table shape.
+    * @param stagedBucketRanges 0/1 (default) mines each table batch's
+    *   whole bucket space at once; K ≥ 2 further splits every batch into
+    *   K bucket-hash ranges mined one at a time — each candidate pair
+    *   meets on exactly one (table, bucket) key, so the ranges partition
+    *   the candidate set EXACTLY and peak spill drops another K-fold
+    *   (measured at sf10 on the 78 GB tier: one whole table's probe-
+    *   widened candidates alone spill ~75 GB; 8 ranges bound it). Same
+    *   shape constraint as stagedTableBatch; usable with or without it.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                      bits: Int = 12, threshold: Double = 0.95,
@@ -534,11 +542,16 @@ object Dedup {
                      tables: Int = 1,
                      quantizedPrefilter: Boolean = true,
                      idOnlyBand: Boolean = false,
-                     stagedTableBatch: Int = 0): DataFrame = {
+                     stagedTableBatch: Int = 0,
+                     stagedBucketRanges: Int = 0): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
     require(stagedTableBatch >= 0, "stagedTableBatch must be >= 0")
+    require(stagedBucketRanges >= 0, "stagedBucketRanges must be >= 0")
     require(stagedTableBatch == 0 || (quantizedPrefilter && tables > 1 && !idOnlyBand),
       "stagedTableBatch applies to the payload-carrying quantized " +
+        "multi-table shape only")
+    require(stagedBucketRanges <= 1 || (quantizedPrefilter && tables > 1 && !idOnlyBand),
+      "stagedBucketRanges applies to the payload-carrying quantized " +
         "multi-table shape only")
     val effBits = effectiveBits(knownCount.getOrElse(df.count()), bits, targetBucketSize)
     val probe = multiProbe || effBits > bits
@@ -638,20 +651,31 @@ object Dedup {
         }
         // distinct quantized-survivor id-pairs for a SUBSET of the table
         // ids (the join key is the batch-local posexplode position — any
-        // key that separates the batch's plane families works)
-        def survivorsFor(ts: Seq[Int]): DataFrame = {
+        // key that separates the batch's plane families works) and,
+        // optionally, ONE hash range of the bucket space: every candidate
+        // pair meets on exactly one (tbl, bucket) key value, so filtering
+        // BOTH join sides to hash(bucket) % ranges == r partitions the
+        // candidate set exactly — the union over r is the full join, no
+        // overlap, and each range batch carries ~1/ranges of the band
+        // join's sort spill
+        def survivorsFor(ts: Seq[Int], ranges: Int = 1,
+                         range: Int = 0): DataFrame = {
           val sigs = baseQ.select(col("id"), col("qb"), col("qs"),
             posexplode(array(ts.map(t =>
               hyperplaneSignature(col("vec"), dim, effBits, table = t)): _*))
               .as(Seq("tbl", "bucket")))
-          val a =
+          def inRange(df: DataFrame): DataFrame =
+            if (ranges <= 1) df
+            else df.filter(pmod(xxhash64(col("bucket")), lit(ranges.toLong))
+              === range)
+          val a = inRange(
             if (!probe) sigs.select(col("tbl"), col("bucket"),
               col("id").as("id_a"), col("qb").as("qb_a"), col("qs").as("qs_a"))
             else sigs.select(col("tbl"),
               probedBuckets(col("bucket")).as("bucket"),
-              col("id").as("id_a"), col("qb").as("qb_a"), col("qs").as("qs_a"))
-          val b = sigs.select(col("tbl"), col("bucket"),
-            col("id").as("id_b"), col("qb").as("qb_b"), col("qs").as("qs_b"))
+              col("id").as("id_a"), col("qb").as("qb_a"), col("qs").as("qs_a")))
+          val b = inRange(sigs.select(col("tbl"), col("bucket"),
+            col("id").as("id_b"), col("qb").as("qb_b"), col("qs").as("qs_b")))
           a.join(b, Seq("tbl", "bucket"))
             .filter(col("id_a") < col("id_b"))
             .filter(graft.functions.KFunctions.binary_dot(col("qb_a"), col("qb_b"))
@@ -659,37 +683,66 @@ object Dedup {
             .select("id_a", "id_b")
             .distinct()
         }
-        if (stagedTableBatch > 0 && stagedTableBatch < tables) {
+        if (stagedTableBatch > 0 && stagedTableBatch < tables ||
+          stagedBucketRanges > 1) {
           // Staged mining (the bounded-spill configuration): run the band
-          // join over `stagedTableBatch` tables at a time, each batch its
-          // own EAGER job, distinct-unioning survivors into a checkpointed
-          // accumulator between batches. The candidate volume — and with
-          // it the band-join sort's scratch-disk spill, the resource that
-          // exhausted the 78 GB-tier at sf10 (SCALING.md) — peaks at
-          // batch/tables of the one-shot plan's; the price is
-          // tables/batch extra signature scans of the (row-sized, never
-          // pair-sized) corpus. The accumulator stays output-sized (true
-          // pairs survive the quantized threshold, not raw candidates).
-          // Pair set ≡ one-shot by construction (union-distinct over the
-          // same per-table survivor sets) — spec-pinned.
+          // join over `stagedTableBatch` tables × one bucket-hash range at
+          // a time, each batch its own EAGER job, distinct-unioning
+          // survivors into a checkpointed accumulator between batches. The
+          // candidate volume — and with it the band-join sort's
+          // scratch-disk spill, the resource that exhausted the 78 GB tier
+          // at sf10 (SCALING.md) — peaks at (batch/tables)/ranges of the
+          // one-shot plan's; the price is one signature scan of the
+          // (row-sized, never pair-sized) corpus per batch. The
+          // accumulator stays output-sized (true pairs survive the
+          // quantized threshold, not raw candidates). Pair set ≡ one-shot
+          // by construction (union-distinct over an exact partition of the
+          // candidate set) — spec-pinned.
+          // DISK_ONLY checkpoints: the default MEMORY_AND_DISK level
+          // unrolls each batch's survivor pairs as deserialized VALUES in
+          // the memory store WHILE 32 band-join sorts hold their pages —
+          // measured hard heap OOM at sf10 on the default 16 GB heap; the
+          // staged mode exists for resource-constrained tiers, so its own
+          // bookkeeping must not bid for executor memory
+          val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
+          val batch =
+            if (stagedTableBatch > 0) stagedTableBatch else tables
+          val ranges = math.max(1, stagedBucketRanges)
+          // the exact-cosine finish runs PER BATCH, so the accumulator
+          // holds only exact-threshold TRUE pairs. Accumulating raw
+          // quantize-passed survivors instead is a measured scale trap: on
+          // a near-orthogonal corpus the [thr − margin, thr) shoulder is
+          // FAT — the survivor set is candidate-scale, and the one deferred
+          // finish at the end re-joined vectors onto all of it at once
+          // (measured 60+ GB spill in that single final stage at sf10,
+          // after every mining batch had stayed bounded). Per-batch finish
+          // does the same total join work in bounded slices, and the
+          // union-distinct is over (id_a, id_b, cosine) with a
+          // deterministic 6-dp cosine — the pair set is identical to the
+          // one-shot plan's (spec-pinned).
           var acc: DataFrame = null
-          (0 until tables).grouped(stagedTableBatch).foreach { g =>
-            val s = survivorsFor(g)
+          for (g <- (0 until tables).grouped(batch); r <- 0 until ranges) {
+            val s = finish(survivorsFor(g, ranges, r))
             val prev = acc
             acc = (if (prev == null) s else prev.union(s).distinct())
-              .localCheckpoint(true)
+              .localCheckpoint(true, diskOnly)
             if (prev != null) graft.util.Checkpoints.free(prev)
+            // release the finished batch's SHUFFLE FILES now: Spark frees
+            // shuffle scratch via ContextCleaner when the ShuffleDependency
+            // is garbage-collected, and with the accumulator lineage cut by
+            // the checkpoint nothing references the dead batch — but an
+            // unpressured driver heap may not GC for the whole loop, and
+            // the per-batch band-join scratch then ACCUMULATES on disk
+            // (measured: 16 bounded batches climbed to a 95 GB monotone
+            // peak and exhausted the 78 GB tier that one batch alone fits
+            // in comfortably). An explicit GC per batch keeps peak scratch
+            // at one batch's footprint — the entire point of staging.
+            System.gc()
           }
-          // materialize the exact-cosine finish eagerly so the survivor
-          // accumulator can be released NOW rather than whenever the
-          // ContextCleaner gets to it — the lazy form kept the final acc
-          // pinned in the block manager after return (the same residue
-          // class the graph-family hygiene fix targets). What stays pinned
-          // is the RESULT itself (output-sized true pairs); callers drop
-          // it when done, same contract as every eager checkpoint here.
-          val staged = finish(acc).localCheckpoint(true)
-          graft.util.Checkpoints.free(acc)
-          return staged
+          // the returned accumulator IS the result (output-sized true
+          // pairs, disk-only blocks); callers drop it when done — the
+          // eager-checkpoint contract shared with the iterative operators.
+          return acc
         }
         return finish(survivorsFor(0 until tables))
       }

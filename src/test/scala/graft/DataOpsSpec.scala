@@ -346,11 +346,12 @@ class DataOpsSpec extends SparkSpec {
     // widening, so without the explicit multiProbe case that leg would go
     // untested (advisor finding)
     for (thr <- Seq(0.3, 0.8); probe <- Seq(false, true)) {
-      def run(q: Boolean, idOnly: Boolean = false, staged: Int = 0) =
+      def run(q: Boolean, idOnly: Boolean = false, staged: Int = 0,
+              ranges: Int = 0) =
         Dedup.embeddingPairs(df, "vec_id", "embedding",
           dim = 16, bits = 5, threshold = thr, tables = 8,
           multiProbe = probe, quantizedPrefilter = q, idOnlyBand = idOnly,
-          stagedTableBatch = staged)
+          stagedTableBatch = staged, stagedBucketRanges = ranges)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       val direct = run(false)
       val pre = run(true)
@@ -360,6 +361,17 @@ class DataOpsSpec extends SparkSpec {
         val st = run(true, staged = batch)
         assert(st == direct,
           s"thr=$thr probe=$probe batch=$batch: staged mining drifted; " +
+            s"missing=${(direct.keySet -- st.keySet).take(5)}, " +
+            s"extra=${(st.keySet -- direct.keySet).take(5)}")
+      }
+      // the bucket-hash range split partitions the candidate set exactly —
+      // pair-identical with table batching (the sf10 78 GB configuration)
+      // and alone (batch = all tables, ranges only)
+      for ((batch, ranges) <- Seq((2, 4), (0, 3))) {
+        val st = run(true, staged = batch, ranges = ranges)
+        assert(st == direct,
+          s"thr=$thr probe=$probe batch=$batch ranges=$ranges: range-staged " +
+            s"mining drifted; " +
             s"missing=${(direct.keySet -- st.keySet).take(5)}, " +
             s"extra=${(st.keySet -- direct.keySet).take(5)}")
       }
