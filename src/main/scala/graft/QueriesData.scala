@@ -488,6 +488,27 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // the zero-vector-IO serving mode of the same index: ADC shortlist
+    // order IS the ranking (score = the 6-dp ADC double; the exact
+    // re-rank and its side-table fetch are skipped entirely), so a serve
+    // call is ONE pruned codes scan — the regime where the PQ layout's
+    // d·4/m-fold smaller bytes actually pay on cold/IO-bound storage.
+    // Audit = the family's recall@5 vs the exact scorer (quantization now
+    // shows in the FINAL ranks, not just shortlist membership, so its
+    // floor sits below the exact-re-rank sibling's)
+    "a_retrieval_ivfpq_adc" -> ((s, d) => {
+      val path = ensureChunkIndexPq(s, d)
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val approx = graft.ann.Retrieval.retrieveFromChunkIndexPq(s, path,
+        qs, k = 5, nProbe = 3, exactRerank = false)
+      approx.withColumn("recall_at_k",
+          retrievalRecall(s, d, approx, qs))
+        .orderBy("query_id", "rank")
+    }),
+
     // sparse lexical retrieval: BM25 top-5 per query over the whole-doc
     // inverted index, same bounded query slice as the dense family.
     // Scoring is integer-exact (idf rounded to 9 dp, contributions in

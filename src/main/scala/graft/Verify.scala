@@ -44,6 +44,10 @@ object Verify {
       "a_ann_lsh" -> 0.4, "a_ann_lsh_bucketed" -> 0.3, "a_ann_ivf" -> 0.5,
       "a_ann_pq" -> 0.3, "a_ann_ivfpq" -> 0.3, "a_retrieval_ivf" -> 0.5,
       "a_retrieval_index" -> 0.5, "a_retrieval_ivfpq" -> 0.5,
+      // ADC-only serve: quantization reaches the final ranks (no exact
+      // re-rank), so the floor sits at the family's 0.5 against a 0.96
+      // sf0.01 measurement
+      "a_retrieval_ivfpq_adc" -> 0.5,
       "d_minhash_pairs" -> 0.9, "d_simhash_pairs" -> 0.5,
       "d_embedding_dups" -> 0.35, "d_quality_classifier" -> 0.8,
       "d_semantic_prune" -> 0.3, "d_semantic_dedup" -> 0.35,
