@@ -4,6 +4,43 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** One audit row: render the JSON the round artifact records AND decide
+    * whether the measurement must FAIL the entry. `cell` is
+    * None = empty result (no audit cell at all), Some(None) = NULL cell
+    * (the entry ran above its measured-count gate — operator-only timing
+    * regime, floor not demonstrable by design), Some(Some(v)) = measured.
+    *
+    * ENFORCED floors (r10 verdict task 2): a measured value below its
+    * floor — or an empty result that leaves a configured floor
+    * undemonstrated — returns fail=true, and the caller withholds the
+    * entry's parquet dump so the driver's compare records an error row for
+    * it. A recall regression fails the ROUND, instead of flipping an
+    * `above_floor` boolean nobody gates on.
+    */
+  private[graft] def auditRow(column: String, cell: Option[Option[Double]],
+                              floor: Option[Double]): (String, Boolean) = {
+    val floorS = floor.map(_.toString).getOrElse("null")
+    cell match {
+      case Some(Some(v)) =>
+        val above = floor.forall(v >= _)
+        (s"""{"column":"$column","value":$v,"floor":$floorS,""" +
+          s""""above_floor":$above,"gated":false""" +
+          (if (above) "}" else ""","enforced":true}"""), !above)
+      case Some(None) =>
+        (s"""{"column":"$column","value":null,"floor":$floorS,""" +
+          """"above_floor":true,"gated":true}""", false)
+      case None =>
+        // an empty result with a configured floor is NOT a pass — the
+        // floor cannot be demonstrated, and greening it would mask a
+        // regression that zeroed the operator's output
+        val ok = floor.isEmpty
+        (s"""{"column":"$column","value":null,"floor":$floorS,""" +
+          s""""above_floor":$ok,"gated":false,"empty_result":true""" +
+          (if (ok) "}" else ""","enforced":true}"""), !ok)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (local iteration only — the driver passes two):
     // comma-separated entry names to dump instead of the full battery
@@ -65,26 +102,19 @@ object Verify {
           // ran above its measured-count gate (operator-only timing regime).
           // A zero-row result has no cell — record it rather than letting
           // head() throw and misreport a successful dump as a failure
-          res.select(c).limit(1).collect().headOption match {
-            case Some(cell) =>
-              val (value, gated) =
-                if (cell.isNullAt(0)) ("null", true)
-                else (cell.getDouble(0).toString, false)
-              val floor = floors.get(name).map(_.toString).getOrElse("null")
-              val above = floors.get(name).forall(f =>
-                gated || cell.getDouble(0) >= f)
-              audits(name) =
-                s"""{"column":"$c","value":$value,"floor":$floor,""" +
-                  s""""above_floor":$above,"gated":$gated}"""
-            case None =>
-              // an empty result with a configured floor is NOT a pass — the
-              // floor cannot be demonstrated, and greening it would mask a
-              // regression that zeroed the operator's output
-              val floor = floors.get(name)
-              audits(name) = s"""{"column":"$c","value":null,""" +
-                s""""floor":${floor.map(_.toString).getOrElse("null")},""" +
-                s""""above_floor":${floor.isEmpty},"gated":false,""" +
-                """"empty_result":true}"""
+          val cell = res.select(c).limit(1).collect().headOption.map(r =>
+            if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+          val (row, fail) = auditRow(c, cell, floors.get(name))
+          audits(name) = row
+          if (fail) {
+            // ENFORCEMENT: withhold the dump so the driver's compare
+            // records an error row for this entry — the regression fails
+            // the round, loudly and per-entry
+            System.err.println(s"[verify] $name FAILED its audit floor " +
+              s"(${floors.get(name).getOrElse("?")}): $row — " +
+              "withholding the dump so the round records the regression")
+            org.apache.commons.io.FileUtils.deleteDirectory(
+              new java.io.File(s"$outDir/$name"))
           }
         }
       }

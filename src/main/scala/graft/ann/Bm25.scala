@@ -94,13 +94,16 @@ object Bm25 {
     val nq = queries.count()
     val bcastQ = nq <= maxQueries
     // the switch is silent in the OUTPUT (row-identical) but not in the
-    // logs: callers that relied on the former loud over-gate require keep
-    // an observable signal that a corpus-sized query set arrived
-    if (!bcastQ)
+    // logs or /metrics: callers that relied on the former loud over-gate
+    // require keep an observable signal that a corpus-sized query set
+    // arrived (the counter rides every MetricsServer exposition)
+    if (!bcastQ) {
+      graft.metrics.GraftCounters.inc("bm25_shuffle_join_fallback_total")
       org.slf4j.LoggerFactory.getLogger("graft.ann.Bm25").warn(
         s"topKFromPostings: query set has $nq rows > maxQueries=" +
           s"$maxQueries — switching to term-partitioned shuffle joins " +
           "(row-identical, decontamination-scale plan)")
+    }
     def qSide(df: DataFrame): DataFrame = if (bcastQ) broadcast(df) else df
     // distinct query terms: classic BM25 sums over the query's term SET
     // (query-side tf is deliberately ignored — the k3 component of the

@@ -37,21 +37,39 @@ object Retrieval {
     * headroom absorbs hash unevenness; a pathologically skewed shard simply
     * re-shards through the same gate on recursion.
     *
-    * Returns None at or under the gate (caller runs the broadcast plan).
+    * Hash shards split DISTINCT ids only — rows sharing one query_id land
+    * in the same shard at every re-shard, so a single id whose multiplicity
+    * exceeds the gate could never make progress (unbounded recursion, the
+    * failure mode the old loud `require` at least surfaced). The same
+    * one-pass aggregate that measures the total therefore also measures the
+    * worst per-id multiplicity, and an unshardable duplicate id fails
+    * loudly instead of recursing.
+    *
+    * Returns Left(measured query count) at or under the gate — the caller
+    * runs the broadcast plan and reuses the count instead of re-executing
+    * the (possibly derived, arbitrarily expensive) queries plan for a
+    * second `count()`.
     */
   private def shardedByQueryCount(queries: DataFrame, maxQueries: Long,
                                   what: String)
-      (serve: DataFrame => DataFrame): Option[DataFrame] = {
+      (serve: DataFrame => DataFrame): Either[Long, DataFrame] = {
     require(maxQueries >= 1, "maxQueries must be >= 1")
-    val nq = queries.count()
-    if (nq <= maxQueries) None
+    val r = queries.groupBy("query_id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum("c"), lit(0L)), coalesce(max("c"), lit(0L))).head()
+    val (nq, maxPerId) = (r.getLong(0), r.getLong(1))
+    if (nq <= maxQueries) Left(nq)
     else {
+      require(maxPerId <= maxQueries,
+        s"$what: one query_id appears $maxPerId times > maxQueries=" +
+          s"$maxQueries — duplicate query_ids cannot be hash-sharded " +
+          "(identical ids co-shard at every re-shard); dedup the query set")
+      graft.metrics.GraftCounters.inc("dense_query_shard_fallback_total")
       val nShards = (2L * ((nq + maxQueries - 1) / maxQueries))
         .min(Int.MaxValue.toLong).toInt
       log.warn(s"$what: query set has $nq rows > maxQueries=$maxQueries — " +
         s"switching to the sharded probe path ($nShards hash shards, " +
         "row-identical, cost linear in shards)")
-      Some((0 until nShards).map { i =>
+      Right((0 until nShards).map { i =>
         serve(queries.where(
           pmod(xxhash64(col("query_id")), lit(nShards)) === i))
       }.reduce(_ unionByName _))
@@ -138,6 +156,7 @@ object Retrieval {
       topKChunks(chunks, shard.withColumnRenamed("qv", vecCol), k, vecCol,
         maxQueries)
     }.getOrElse {
+      // (Left carries the measured count; this path doesn't need it)
       val scored = chunks
         .join(broadcast(q))
         .select(col("query_id"), col("doc_id"), col("chunk_idx"),
@@ -591,15 +610,20 @@ object Retrieval {
                                dim: Int = 4, salt: String = "emb",
                                textCol: String = "text",
                                exactRerank: Boolean = true,
-                               maxQueries: Long = 1000000L): DataFrame = {
+                               maxQueries: Long = 1000000L,
+                               collectGate: Long = 200000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val sl = if (shortlist > 0) shortlist else 10 * k
     require(sl >= k, s"shortlist=$sl must be >= k=$k")
-    shardedByQueryCount(queries, maxQueries, "retrieveFromChunkIndexPq") {
-      shard =>
+    val nq = shardedByQueryCount(queries, maxQueries,
+      "retrieveFromChunkIndexPq") { shard =>
         retrieveFromChunkIndexPq(spark, path, shard, k, nProbe, shortlist,
-          dim, salt, textCol, exactRerank, maxQueries)
-    }.getOrElse {
+          dim, salt, textCol, exactRerank, maxQueries, collectGate)
+    } match {
+      case Right(sharded) => return sharded
+      case Left(n)        => n   // measured ONCE; feeds the collect gate
+    }
+    {
       val ivfModel = Ann.IvfModel.fromJson(
         graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
       val pqModel = Ann.PqModel.fromJson(
@@ -654,9 +678,12 @@ object Retrieval {
           graft.util.Sidecar.read(spark, path, "_vecs_meta.json"),
           "nVecBuckets", s"$path/_vecs_meta.json")
         // vb derived IN the plan (Spark's xxhash64 — never a driver-side
-        // reimplementation that could diverge from the write-side column)
-        val shortS = short.select(col("query_id"), col("doc_id"),
-          col("chunk_idx"), col("chunk_start"), col("qvec"),
+        // reimplementation that could diverge from the write-side column).
+        // The shortlist carries IDS ONLY — query vectors re-attach at the
+        // end from the ≤nq-row query table, so neither branch ever moves
+        // an nq·sl set of vector payloads.
+        val shortIds = short.select(col("query_id"), col("doc_id"),
+          col("chunk_idx"), col("chunk_start"),
           pmod(xxhash64(col("doc_id")), lit(nVb)).cast("int").as("vb"))
         // the shortlist is ≤ nq·sl rows by construction. In the serving
         // regime (bounded query batches) it COLLECTS: one codes/ADC pass
@@ -664,21 +691,24 @@ object Retrieval {
         // and its vb set prunes the side table's doc-hash buckets — the
         // single-query serve reads ~sl/nVecBuckets of the probed lists'
         // vector files. Past the collect gate (huge eval sets) the
-        // shortlist subplan instead runs twice: once collapsed to ≤ nVb
+        // shortlist stays DISTRIBUTED: the side-table fetch becomes a
+        // shuffle-hash join on (doc_id, chunk_idx) — shortlist-sized, the
+        // side-table scan is already list+vb-pruned — because broadcasting
+        // (or collecting) an nq·sl shortlist is the one join strategy that
+        // cannot handle the huge-eval regime this branch exists for. The
+        // shortlist subplan then runs twice: once collapsed to ≤ nVb
         // bucket ids, once inside the final join — trading one extra
         // codes-only pass (cheap: the codes are the d·4/m-fold-compressed
         // column) for the same vector-IO pruning.
-        val collectGate = 200000L
-        val nq = queries.count()
         val (shortSrc, vbs) =
           if (nq * sl <= collectGate) {
-            val rows = shortS.collect()
+            val rows = shortIds.collect()
             (broadcast(spark.createDataFrame(
-              java.util.Arrays.asList(rows: _*), shortS.schema)),
+              java.util.Arrays.asList(rows: _*), shortIds.schema)),
               rows.map(_.getAs[Int]("vb")).distinct.sorted)
           } else {
-            (broadcast(shortS),
-              shortS.select("vb").distinct().collect()
+            (shortIds.hint("shuffle_hash"),
+              shortIds.select("vb").distinct().collect()
                 .map(_.getInt(0)).sorted)
           }
         val side = spark.read.schema(pqVecsSchema).parquet(s"$path/_vecs")
@@ -688,6 +718,8 @@ object Retrieval {
         val w = Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
         side.join(shortSrc, Seq("doc_id", "chunk_idx"))
+          .join(broadcast(qn.select(col("query_id"), col("qvec"))),
+            "query_id")
           .select(col("query_id"), col("doc_id"), col("chunk_idx"),
             col("chunk_start"),
             innerProduct(col("vec"), col("qvec")).as("score"))
@@ -716,6 +748,36 @@ object Retrieval {
                            chunkTokens: Int = 32, overlapTokens: Int = 8,
                            dim: Int = 4, salt: String = "emb",
                            textCol: String = "text"): Unit = {
+    val (codes, vecs) = pqAppendFrames(docs, path, chunkTokens,
+      overlapTokens, dim, salt, textCol)
+    // side table FIRST. The append is two independent write JOBS, and a
+    // driver death (or job failure) between them leaves exactly one layout
+    // advanced. An orphan _vecs row is harmless — a chunk with no code row
+    // never reaches a shortlist, so serving is identical to the append
+    // never having happened (spec-pinned). The reverse order was a
+    // silent-wrong-answer hazard: an appended code row with no _vecs row
+    // gets shortlisted and then silently DROPPED by the exact re-rank's
+    // inner side-table join. (Recovering a half-appended index is a store
+    // operation, not a blind re-run — re-appending the same docs would
+    // duplicate the landed layout; dedupe-compact on (doc_id, chunk_idx)
+    // or rebuild. The ordering's guarantee is that the index stays
+    // CORRECT to serve at every point of that timeline.)
+    vecs.write.mode("append").partitionBy("list", "vb")
+      .parquet(s"$path/_vecs")
+    codes.write.mode("append").partitionBy("list").parquet(path)
+  }
+
+  /** The two append frames (codes, vecs) for [[appendToChunkIndexPq]],
+    * exposed so the ordering contract above is testable: writing `vecs`
+    * alone simulates a death between the jobs, and serving must then be
+    * identical to the un-appended index.
+    */
+  private[graft] def pqAppendFrames(docs: DataFrame, path: String,
+                                    chunkTokens: Int = 32,
+                                    overlapTokens: Int = 8,
+                                    dim: Int = 4, salt: String = "emb",
+                                    textCol: String = "text")
+      : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val model = Ann.IvfModel.fromJson(
       graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
@@ -732,17 +794,16 @@ object Retrieval {
       concat(col("vec").cast("array<double>"),
         array(sqrt(greatest(lit(0L), lit(m2) - nsq)))))
     val assigned = Ann.assignWithModel(augmented, model, "vaug")
-    Ann.pqEncode(assigned, "vaug", pqModel)
+    val codes = Ann.pqEncode(assigned, "vaug", pqModel)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
         col("list"), col("pq_code"))
-      .write.mode("append").partitionBy("list").parquet(path)
-    assigned
+    val vecs = assigned
       .withColumn("vb", pmod(xxhash64(col("doc_id")), lit(nVb)).cast("int"))
       .select(col("doc_id"), col("chunk_idx"), col("vec"), col("list"),
         col("vb"))
       .repartition(col("list"), col("vb"))
       .sortWithinPartitions("doc_id", "chunk_idx")
-      .write.mode("append").partitionBy("list", "vb").parquet(s"$path/_vecs")
+    (codes, vecs)
   }
 
   /** Collapse a chunk-level ranked result to a document-level ranking:

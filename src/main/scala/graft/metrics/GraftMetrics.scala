@@ -45,7 +45,10 @@ final class GraftMetrics extends SparkListener {
     "shuffle_bytes_written_total" -> shuffleBytesWritten.sum(),
     "tasks_completed_total" -> tasksCompleted.sum(),
     "tasks_failed_total" -> tasksFailed.sum(),
-    "task_time_ms_total" -> taskTimeMs.sum())
+    "task_time_ms_total" -> taskTimeMs.sum()) ++
+    // driver-side operator counters (over-gate fallback trips etc.) ride
+    // the same exposition — see GraftCounters
+    GraftCounters.snapshot
 
   /** Prometheus text exposition rendering of the snapshot. */
   def prometheusText: String =

@@ -48,6 +48,61 @@ class ChaosSpec extends SparkSpec {
     assert(restored.count() == sourceCount)
   }
 
+  test("task death inside a staged-mining batch: retry converges to the exact one-shot pair set") {
+    import spark.implicits._
+    // the bounded-spill machinery (batch jobs over (table-group × bucket-
+    // hash range), DISK_ONLY checkpoint accumulator, per-batch exact
+    // finish) must survive a task death mid-batch like every other
+    // multi-job writer in the repo: the retried batch re-mines its exact
+    // candidate partition and the union-distinct accumulator ends
+    // pair-identical to the undisturbed run
+    val rnd = new scala.util.Random(23)
+    val baseVecs = (1L to 120L).map(id =>
+      (id, Array.tabulate(16)(j => math.sin(id * 7.77 + j * 1.91).toFloat)))
+    val clones = (1L to 24L).map(id =>
+      (1000L + id, baseVecs(id.toInt - 1)._2.map(x =>
+        x + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    val chaosDir = Files.createTempDirectory("graft-staged-chaos").toString
+    (baseVecs ++ clones).toDF("vec_id", "embedding")
+      .write.parquet(s"$chaosDir/vecs")
+    // a REAL scan (not a driver-local Seq): with a LocalRelation input,
+    // ConvertToLocalRelation evaluates the poison at plan time on the
+    // driver — a driver throw, not the task death this test injects
+    val df = spark.read.parquet(s"$chaosDir/vecs")
+    def pairsOf(input: org.apache.spark.sql.DataFrame) =
+      graft.dedup.Dedup.embeddingPairs(input, "vec_id", "embedding",
+        dim = 16, bits = 5, threshold = 0.8, tables = 4,
+        knownCount = Some(144L),
+        stagedTableBatch = 2, stagedBucketRanges = 2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+    val undisturbed = pairsOf(df)
+    assert(undisturbed.nonEmpty, "fixture must yield pairs")
+    // poison: the first task to evaluate row 57 dies, exactly once —
+    // that evaluation happens inside the first batch job's signature scan
+    // (knownCount skips the pre-mining count, so batch jobs are the only
+    // consumers of the input)
+    StagedChaosPoison.fired.set(false)
+    val poison = udf { (id: Long, emb: Seq[Float]) =>
+      if (id == 57L &&
+          StagedChaosPoison.fired.compareAndSet(false, true))
+        throw new RuntimeException("chaos: staged-mining task death")
+      emb
+    }
+    val chaotic = df.select(col("vec_id"),
+      poison(col("vec_id"), col("embedding")).as("embedding"))
+    try {
+      val survived = pairsOf(chaotic)
+      assert(StagedChaosPoison.fired.get(), "the injected task death must fire")
+      assert(survived == undisturbed,
+        s"staged mining drifted after task death; " +
+          s"missing=${(undisturbed.keySet -- survived.keySet).take(5)}, " +
+          s"extra=${(survived.keySet -- undisturbed.keySet).take(5)}")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(chaosDir))
+  }
+
   test("task death inside the components loop: reliable checkpoint retries, grouping identical") {
     import spark.implicits._
     // a 48-node path forces multiple large-star/small-star rounds, so the
@@ -440,4 +495,11 @@ object ChaosSpec {
     val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
   }
+}
+
+/** JVM-static once-flag for the staged-mining poison UDF (must live outside
+  * the suite so the task-side closure doesn't drag the spec in).
+  */
+object StagedChaosPoison {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

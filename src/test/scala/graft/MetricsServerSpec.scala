@@ -110,6 +110,48 @@ class MetricsServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("over-gate fallback trips are observable at /metrics, not just in driver logs") {
+    import spark.implicits._
+    val bmBefore = graft.metrics.GraftCounters
+      .get("bm25_shuffle_join_fallback_total")
+    val dnBefore = graft.metrics.GraftCounters
+      .get("dense_query_shard_fallback_total")
+    // trip BM25's broadcast→shuffle-join switch: 3 queries over maxQueries=1
+    val docs = (0L until 10L).map(i => (i, s"mtr w$i pi " * 10))
+      .toDF("doc_id", "text")
+    val qs = (0L until 3L).map(i => (i, s"mtr w$i pi"))
+      .toDF("query_id", "text")
+    graft.ann.Bm25.topK(docs, qs, k = 2, maxQueries = 1L).collect()
+    // trip the dense family's query-shard recursion the same way
+    val chunks = Seq((1L, 0L, 0L, Seq(2L, 1L)), (2L, 0L, 0L, Seq(1L, 3L)))
+      .toDF("doc_id", "chunk_idx", "chunk_start", "vec")
+    val qv = Seq((1L, Seq(1L, 0L)), (2L, Seq(0L, 1L)), (3L, Seq(1L, 1L)))
+      .toDF("query_id", "vec")
+    graft.ann.Retrieval.topKChunks(chunks, qv, k = 1, maxQueries = 1L)
+      .collect()
+    assert(graft.metrics.GraftCounters
+      .get("bm25_shuffle_join_fallback_total") > bmBefore,
+      "BM25 shuffle-join fallback must increment its counter")
+    assert(graft.metrics.GraftCounters
+      .get("dense_query_shard_fallback_total") > dnBefore,
+      "dense shard fallback must increment its counter")
+    // and both ride the Prometheus exposition every MetricsServer serves
+    val server = MetricsServer.start(GraftMetrics.install(spark), port = 0)
+    try {
+      val (code, body, _) = get(server.port, "/metrics")
+      assert(code == 200)
+      assert(body.contains("graft_bm25_shuffle_join_fallback_total"), body)
+      assert(body.contains("graft_dense_query_shard_fallback_total"), body)
+    } finally server.stop()
+    // the counters are gate-trip counters, not per-shard: an under-gate
+    // serve must leave them unchanged
+    val after = graft.metrics.GraftCounters
+      .get("dense_query_shard_fallback_total")
+    graft.ann.Retrieval.topKChunks(chunks, qv, k = 1).collect()
+    assert(graft.metrics.GraftCounters
+      .get("dense_query_shard_fallback_total") == after)
+  }
+
   test("throughput window: only the trailing 10 s of samples count") {
     var now = 100000L
     val health = new HealthRegistry(clock = () => now)

@@ -394,6 +394,107 @@ class RetrievalSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("exact-rerank over-gate branch: shortlist stays distributed — no broadcast/collect of it — and is row-identical to the collect branch") {
+    val docs = (0L until 80L).map(i => (i, s"ogx w$i psi " * 15))
+      .toDF("doc_id", "text")
+    val qs = (0L until 8L).map(i => (i, s"ogx w${i * 9} psi"))
+      .toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_og_branch").toFile
+    try {
+      Retrieval.writeChunkIndexPq(docs, dir.getAbsolutePath, nLists = 5,
+        m = 5, ksub = 16, fitBudget = 48)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val collected = Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, qs, k = 4, nProbe = 3)
+      // collectGate = 0 forces the huge-eval branch on the same inputs
+      val overGate = Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, qs, k = 4, nProbe = 3, collectGate = 0L)
+      assert(rows(overGate) == rows(collected),
+        "over-gate branch must be row-identical to the collect branch")
+      // plan lock: the side-table fetch joins the shortlist on
+      // (doc_id, chunk_idx) WITHOUT a BroadcastExchange — past the gate the
+      // shortlist is up to nq·sl rows, and broadcast would materialize it
+      // on the driver exactly like the collect the gate exists to avoid.
+      // The only broadcasts left are the probe table (≤ nq·nProbe rows)
+      // and the ≤ nq-row query-vector table.
+      import org.apache.spark.sql.execution.joins._
+      val plan = overGate.queryExecution.sparkPlan
+      val idJoins = plan.collect {
+        case j: BaseJoinExec
+          if j.leftKeys.map(_.toString).exists(_.contains("doc_id")) &&
+             j.leftKeys.map(_.toString).exists(_.contains("chunk_idx")) => j
+      }
+      assert(idJoins.nonEmpty, s"no (doc_id, chunk_idx) join in:\n$plan")
+      assert(idJoins.forall(j => !j.isInstanceOf[BroadcastHashJoinExec] &&
+        !j.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        s"over-gate shortlist must not broadcast:\n$plan")
+      assert(idJoins.exists(j => j.isInstanceOf[ShuffledHashJoinExec] ||
+        j.isInstanceOf[SortMergeJoinExec]),
+        s"side-table fetch must be a shuffle join past the gate:\n$plan")
+      // and the shortlist carries no query-vector payload: the only qvec
+      // attach is the final ≤nq-row broadcast join on query_id
+      val qvecJoins = plan.collect {
+        case j: BroadcastHashJoinExec
+          if j.leftKeys.map(_.toString).exists(_.contains("query_id")) => j
+      }
+      assert(qvecJoins.nonEmpty,
+        s"query vectors must re-attach via the bounded query-table join:\n$plan")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("over-gate shard path: a duplicate query_id past the gate fails loudly instead of recursing forever") {
+    val chunks = Seq((1L, 0L, 0L, Seq(1L, 0L)))
+      .toDF("doc_id", "chunk_idx", "chunk_start", "vec")
+    // 3 rows share query_id 7 — identical ids co-shard at every re-shard,
+    // so with maxQueries = 2 no amount of sharding can make progress
+    val qs = Seq((7L, Seq(1L, 0L)), (7L, Seq(1L, 0L)), (7L, Seq(0L, 1L)),
+      (8L, Seq(1L, 1L))).toDF("query_id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.topKChunks(chunks, qs, k = 1, maxQueries = 2L)
+    }
+    assert(e.getMessage.contains("duplicate query_ids"), e.getMessage)
+    // distinct ids past the gate still shard fine (same fixture minus dups)
+    val ok = Retrieval.topKChunks(chunks,
+      qs.dropDuplicates("query_id"), k = 1, maxQueries = 1L)
+    assert(ok.count() == 2)
+  }
+
+  test("pq append ordering: side table lands first, so a death between the two write jobs leaves serving untouched") {
+    val oldDocs = (0L until 40L).map(i => (i, s"ord w$i omg " * 18))
+      .toDF("doc_id", "text")
+    val newDocs = (40L until 70L).map(i => (i, s"ord w$i omg " * 18))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "ord w7 omg"), (55L, "ord w55 omg"))
+      .toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_apq_ord").toFile
+    try {
+      Retrieval.writeChunkIndexPq(oldDocs, dir.getAbsolutePath, nLists = 4,
+        m = 5, ksub = 16, fitBudget = 48)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      def serve() = rows(Retrieval.retrieveFromChunkIndexPq(spark,
+        dir.getAbsolutePath, qs, k = 4, nProbe = 4, shortlist = 100000))
+      val before = serve()
+      // phase 1 of the append only (the _vecs job) — simulating a driver
+      // death between the two write jobs
+      val (codes, vecs) = Retrieval.pqAppendFrames(newDocs,
+        dir.getAbsolutePath)
+      vecs.write.mode("append").partitionBy("list", "vb")
+        .parquet(s"${dir.getAbsolutePath}/_vecs")
+      assert(serve() == before,
+        "orphan side-table vectors must be invisible to serving — " +
+          "un-coded chunks never reach a shortlist")
+      // phase 2 completes the append: serving now covers the union corpus
+      codes.write.mode("append").partitionBy("list")
+        .parquet(dir.getAbsolutePath)
+      assert(serve() == rows(Retrieval.retrieveChunks(
+        oldDocs.unionByName(newDocs), qs, k = 4)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("retrieveFromChunkIndexPq: an index built from an empty corpus serves an empty result") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val qs = Seq((1L, "anything at all")).toDF("query_id", "text")
