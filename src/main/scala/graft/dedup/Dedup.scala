@@ -937,25 +937,35 @@ object Dedup {
     require(minDocFreq >= 2, "minDocFreq must be >= 2 (1 flags everything)")
     val toks = docs.select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("t"))
+    // the ~100 B 13-token gram string never enters an exchange: both the
+    // doc-frequency aggregation and the canonical join shuffle a 16 B
+    // 128-bit key instead (two independent xxhash64 views — one 64-bit
+    // hash collides at real corpus scale: birthday at ~4e9 grams, and a
+    // collision silently trims a non-duplicated span; the pair pushes
+    // that past 2^100 grams). Measured 105 → 58 s on the sf10
+    // d_curation_pipeline whose profile this stage dominated at 86%.
     val pos = toks
       .where(size(col("t")) >= windowN)
       .select(col(idCol), posexplode(
         graft.functions.KFunctions.word_shingles(col("t"), windowN)))
       .toDF(idCol, "pos", "gram")
+      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("gh1"),
+        xxhash64(lit("graft:gram"), col("gram")).as("gh2"))
     // duplicated grams with their canonical (min doc, then min pos) owner —
     // one partial-agg pass: min(struct(doc, pos)) IS the lexicographic min
-    val dupCanon = pos.groupBy("gram")
+    val dupCanon = pos.groupBy("gh1", "gh2")
       .agg(countDistinct(col(idCol)).as("df"),
         min(struct(col(idCol).as("cid"), col("pos").as("cpos"))).as("canon"))
       .where(col("df") >= minDocFreq)
-      .select(col("gram"), col("canon.cid").as("cid"), col("canon.cpos").as("cpos"))
+      .select(col("gh1"), col("gh2"), col("canon.cid").as("cid"),
+        col("canon.cpos").as("cpos"))
     // drop a position iff some non-canonical duplicated window covers it
     // AND no canonical window does: without the canonical-cover exemption,
     // overlapping non-canonical windows of OTHER grams could destroy a
     // canonical occurrence and the last copy of a duplicated span would
     // vanish from the corpus — violating keep-one trim semantics. One
     // groupBy(doc, position) with bool_or(is_canon) decides both at once
-    val dropped = pos.join(dupCanon, Seq("gram"))
+    val dropped = pos.join(dupCanon, Seq("gh1", "gh2"))
       .select(col(idCol),
         (col(idCol) === col("cid") && col("pos") === col("cpos")).as("is_canon"),
         explode(sequence(col("pos"), col("pos") + lit(windowN - 1))).as("p"))
@@ -989,17 +999,21 @@ object Dedup {
       TextFunctions.tokens(col(textCol)).as("t"))
     val nTok = toks.select(col(idCol),
       coalesce(size(col("t")), lit(0)).as("n_tokens"))
+    // same 128-bit gram-key narrowing as [[trimDupSpans]]: the gram string
+    // stays inside the scan stage, exchanges carry 16 B keys
     val pos = toks
       .where(size(col("t")) >= windowN)
       .select(col(idCol), posexplode(
         graft.functions.KFunctions.word_shingles(col("t"), windowN)))
       .toDF(idCol, "pos", "gram")
-    val dupGrams = pos.select("gram", idCol).distinct()
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("gh1"),
+        xxhash64(lit("graft:gram"), col("gram")).as("gh2"))
+    val dupGrams = pos.select("gh1", "gh2", idCol).distinct()
+      .groupBy("gh1", "gh2").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocFreq)
-      .select("gram")
+      .select("gh1", "gh2")
     val w = Window.partitionBy(idCol).orderBy("pos")
-    val cov = pos.join(dupGrams, Seq("gram"), "left_semi")
+    val cov = pos.join(dupGrams, Seq("gh1", "gh2"), "left_semi")
       .withColumn("prev", lag("pos", 1).over(w))
       .groupBy(idCol)
       .agg(count(lit(1)).as("dup_windows"),

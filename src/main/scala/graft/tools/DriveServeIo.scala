@@ -8,13 +8,25 @@ import org.apache.spark.sql.functions._
   * an untimed touch pass (JIT + index-build warm), a warm pass (page
   * cache hot), and a cold pass (page cache dropped via
   * /proc/sys/vm/drop_caches when writable — requires root; skipped
-  * otherwise). Every timed region also records its task-input bytes from
-  * the listener bus, so the layout's scan volume is measured, not
-  * asserted. Queries are COLLECTED into a local relation before timing, so
-  * the timed read surface is index files only.
+  * otherwise). Every timed region also records its task-input bytes and
+  * records from the listener bus, so the layout's scan volume is
+  * measured, not asserted. Queries are COLLECTED into a local relation
+  * before timing, so the timed read surface is index files only.
   *
-  * Usage: DriveServeIo <sfDir> <adc|rerank|flat> [nQueries=0 → the
-  *   25-query bench slice] [collectGate=0 → the serve default]
+  * The battery fixture's dim-4 embedding hides the codes layout's whole
+  * point — at 4 longs a vector row is barely wider than its ids, so codes
+  * vs vectors is a ~1.3× file-size difference. `dim=` builds a dedicated
+  * index pair at a realistic embedding width (e.g. dim=64: vectors 64
+  * longs/row, codes m ints/row — the d·8/m-fold gap the layout exists
+  * for) and serves from that.
+  *
+  * Usage: DriveServeIo <sfDir> <adc|rerank|flat|scan_codes|scan_flat>
+  *   [nq=0 → the 25-query bench slice] [gate=0 → the serve default]
+  *   [dim=4] [m=5 — must divide dim+1]
+  *
+  * scan_codes / scan_flat time a FULL aggregate read of the payload
+  * column of the PQ codes layout / the flat vector layout — the raw
+  * per-byte cost of each serve scan, independent of scoring CPU.
   */
 object DriveServeIo {
 
@@ -25,11 +37,35 @@ object DriveServeIo {
     true
   } catch { case _: Throwable => false }
 
+  /** Bytes actually fetched from the block device (all disks, sectors×512
+    * from /sys/block/<dev>/stat) — Spark's listener-bus bytesRead
+    * undercounts small-file parquet scans badly (measured 0.5 MB reported
+    * for a 9.3 MB full read), so the COLD regions' IO claim rests on the
+    * kernel's own counter: after drop_caches every page the scan touches
+    * is a real disk fetch. Warm regions read ~0 here, which is itself the
+    * page-cache check.
+    */
+  private def diskBytesRead(): Long = try {
+    val root = new java.io.File("/sys/block")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName.startsWith("loop"))
+      .map { d =>
+        val stat = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(d.getAbsolutePath, "stat")).trim
+        stat.split("\\s+")(2).toLong * 512L
+      }.sum
+  } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val mode = args(1)
-    val nQueries = if (args.length > 2) args(2).toInt else 0
-    val gate = if (args.length > 3) args(3).toLong else 0L
+    val kv = args.drop(2).map { a =>
+      val Array(k, v) = a.split("=", 2): @unchecked; (k, v)
+    }.toMap
+    val nQueries = kv.getOrElse("nq", "0").toInt
+    val gate = kv.getOrElse("gate", "0").toLong
+    val dim = kv.getOrElse("dim", "4").toInt
+    val m = kv.getOrElse("m", "5").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,14 +77,39 @@ object DriveServeIo {
     spark.sparkContext.setLogLevel("ERROR")
     val metrics = graft.metrics.GraftMetrics.install(spark)
 
-    val pqPath = graft.QueriesData.ensureChunkIndexPq(spark, sfDir)
-    val flatPath = graft.QueriesData.ensureChunkIndex(spark, sfDir)
-
-    // query set → local relation (driver-resident), so timed serves read
-    // ONLY index files; nQueries > 0 picks an eval-sized slice that can
-    // push the exact re-rank past its collect gate
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("text").isNotNull)
+
+    // dim 4 reuses the battery's cached indexes; any other dim builds its
+    // own pair once (marker-gated) under the same tmp-cache convention
+    def ensureDimIndex(kind: String)(build: String => Unit): String = {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_serveio_${kind}_dim${dim}_m${m}_" +
+          Integer.toHexString(sfDir.hashCode))
+      val ok = new java.io.File(dir, "_GRAFT_OK")
+      if (!ok.exists()) {
+        if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        build(dir.getAbsolutePath)
+        java.nio.file.Files.createFile(ok.toPath)
+      }
+      dir.getAbsolutePath
+    }
+    lazy val pqPath =
+      if (dim == 4) graft.QueriesData.ensureChunkIndexPq(spark, sfDir)
+      else ensureDimIndex("pq") { p =>
+        graft.ann.Retrieval.writeChunkIndexPq(docs.select("doc_id", "text"),
+          p, nLists = 8, m = m, ksub = 32, dim = dim)
+      }
+    lazy val flatPath =
+      if (dim == 4) graft.QueriesData.ensureChunkIndex(spark, sfDir)
+      else ensureDimIndex("flat") { p =>
+        graft.ann.Retrieval.writeChunkIndex(docs.select("doc_id", "text"),
+          p, nLists = 8, dim = dim)
+      }
+
+    // query set → local relation (driver-resident), so timed serves read
+    // ONLY index files; nq > 0 picks an eval-sized slice that can push the
+    // exact re-rank past its collect gate
     val qRows =
       (if (nQueries > 0)
         docs.filter(col("doc_id") % 7 === 3).orderBy("doc_id")
@@ -64,35 +125,50 @@ object DriveServeIo {
     def qs: DataFrame = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), schema)
 
+    // raw layout scans: aggregate over the payload column so every page of
+    // it is decoded — the per-byte scan cost with zero scoring CPU
+    def scanCodes(): DataFrame = spark.read.parquet(pqPath)
+      .agg(sum(aggregate(col("pq_code"), lit(0L), (a, x) => a + x)),
+        count(lit(1)))
+    def scanFlat(): DataFrame = spark.read.parquet(flatPath)
+      .agg(sum(aggregate(col("vec"), lit(0L), (a, x) => a + x)),
+        count(lit(1)))
+
     def serve(): DataFrame = mode match {
       case "adc" => graft.ann.Retrieval.retrieveFromChunkIndexPq(spark,
-        pqPath, qs, k = 5, nProbe = 3, exactRerank = false)
+        pqPath, qs, k = 5, nProbe = 3, dim = dim, exactRerank = false)
       case "rerank" =>
         if (gate > 0)
           graft.ann.Retrieval.retrieveFromChunkIndexPq(spark, pqPath, qs,
-            k = 5, nProbe = 3, collectGate = gate)
+            k = 5, nProbe = 3, dim = dim, collectGate = gate)
         else graft.ann.Retrieval.retrieveFromChunkIndexPq(spark, pqPath,
-          qs, k = 5, nProbe = 3)
+          qs, k = 5, nProbe = 3, dim = dim)
       case "flat" => graft.ann.Retrieval.retrieveFromChunkIndex(spark,
-        flatPath, qs, k = 5, nProbe = 3)
+        flatPath, qs, k = 5, nProbe = 3, dim = dim)
+      case "scan_codes" => scanCodes()
+      case "scan_flat"  => scanFlat()
       case other => sys.error(s"unknown mode $other")
     }
 
-    // listener bus is async: poll until the byte counter stops moving
-    def drainedBytes(): Long = {
+    // listener bus is async: poll until the counters stop moving
+    def drained(): (Long, Long) = {
       var prev = -1L
       var cur = metrics.bytesRead.sum()
       while (cur != prev) { prev = cur; Thread.sleep(300); cur = metrics.bytesRead.sum() }
-      cur
+      (cur, metrics.recordsRead.sum())
     }
     def timed(region: String): Unit = {
-      val b0 = drainedBytes()
+      val (b0, r0) = drained()
+      val d0 = diskBytesRead()
       val t0 = System.nanoTime()
       serve().write.mode("overwrite").format("noop").save()
       val secs = (System.nanoTime() - t0) / 1e9
-      val bytes = drainedBytes() - b0
+      val d1 = diskBytesRead()
+      val (b1, r1) = drained()
       println(f"""{"mode":"$mode","region":"$region","secs":$secs%.2f,""" +
-        s""""bytes_read":$bytes,"nq":${qRows.length},"sf":"$sfDir"""" +
+        s""""disk_bytes":${if (d0 < 0 || d1 < 0) -1 else d1 - d0},""" +
+        s""""bytes_read":${b1 - b0},"records_read":${r1 - r0},""" +
+        s""""nq":${qRows.length},"dim":$dim,"sf":"$sfDir"""" +
         (if (gate > 0) s""","collect_gate":$gate}""" else "}"))
     }
 
