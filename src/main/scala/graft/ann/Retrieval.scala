@@ -774,6 +774,94 @@ object Retrieval {
     codes.write.mode("append").partitionBy("list").parquet(path)
   }
 
+  /** EXACTLY-ONCE application of one ingest batch into a persisted IVF-PQ
+    * chunk index — the idempotent form of [[appendToChunkIndexPq]] that
+    * streaming ingest (foreachBatch, an AT-LEAST-ONCE contract: a batch
+    * replays after any failure, with the SAME batchId) and externally
+    * checkpointed backfills need. Plain `mode("append")` is wrong under
+    * replay: a batch that crashed between its two write jobs — or after
+    * both — would re-append rows it already landed, and duplicate
+    * `(doc_id, chunk_idx)` rows corrupt the serve's top-k (each duplicate
+    * takes its own rank slot).
+    *
+    * Protocol (plain parquet, no table format needed):
+    *   1. marker check: `_stream_appends/b<id>` exists → fully applied,
+    *      no-op (returns false);
+    *   2. scrub: delete every `b<id>-*` file from BOTH layouts — a replay
+    *      after a mid-promote crash removes whatever subset landed;
+    *   3. stage: write codes and vecs into `_staging/b<id>/` (underscore
+    *      dir — invisible to every reader, like the sidecars);
+    *   4. promote: per-file rename into the live layout under a
+    *      `b<id>-`-prefixed name, VECS FIRST (orphan vectors are invisible
+    *      to serving — the same ordering contract as
+    *      [[appendToChunkIndexPq]]);
+    *   5. marker write, then staging cleanup.
+    * Every step is idempotent or scrubbed, so any crash point replays to
+    * the single-application state. File renames are atomic on
+    * rename-capable stores (local, HDFS, ABFS); an S3 deployment fronts
+    * this with a rename-capable committer the same way it must for every
+    * other multi-file layout in the repo. Concurrent zombie applications
+    * of the SAME batchId are the one unguarded case (no lock file) —
+    * Spark's streaming engine serializes foreachBatch per query, which is
+    * the deployment contract here.
+    */
+  def applyPqIngestBatch(batch: DataFrame, path: String, batchId: Long,
+                         chunkTokens: Int = 32, overlapTokens: Int = 8,
+                         dim: Int = 4, salt: String = "emb",
+                         textCol: String = "text"): Boolean = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val marker = p(s"$path/_stream_appends/b$batchId")
+    if (fs.exists(marker)) return false
+    val prefix = s"b$batchId-"
+    Seq(s"$path/list=*/$prefix*", s"$path/_vecs/list=*/vb=*/$prefix*")
+      .foreach { g =>
+        Option(fs.globStatus(p(g))).getOrElse(Array.empty)
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+    val staging = s"$path/_staging/b$batchId"
+    fs.delete(p(staging), true)
+    val (codes, vecs) = pqAppendFrames(batch, path, chunkTokens,
+      overlapTokens, dim, salt, textCol)
+    vecs.write.mode("overwrite").partitionBy("list", "vb")
+      .parquet(s"$staging/vecs")
+    codes.write.mode("overwrite").partitionBy("list").parquet(s"$staging/codes")
+    def promote(stagedRoot: String, targetRoot: String): Unit = {
+      // qualify BOTH roots: listFiles returns scheme-qualified paths, and
+      // URI.relativize against a schemeless base silently returns the
+      // input unchanged — which would promote into a garbage destination
+      val root = fs.makeQualified(p(stagedRoot))
+      val target = fs.makeQualified(p(targetRoot))
+      if (!fs.exists(root)) return
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val rel = root.toUri.relativize(f.getPath.toUri).getPath
+          require(!rel.startsWith("/"),
+            s"cannot relativize ${f.getPath} against $root")
+          val relDir = p(rel).getParent
+          val destDir =
+            if (relDir == null) target
+            else new org.apache.hadoop.fs.Path(target, relDir)
+          fs.mkdirs(destDir)
+          val dest = new org.apache.hadoop.fs.Path(destDir,
+            prefix + f.getPath.getName)
+          require(fs.rename(f.getPath, dest),
+            s"promote rename failed: ${f.getPath} -> $dest")
+        }
+      }
+    }
+    promote(s"$staging/vecs", s"$path/_vecs")
+    promote(s"$staging/codes", path)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(p(staging), true)
+    true
+  }
+
   /** The two append frames (codes, vecs) for [[appendToChunkIndexPq]],
     * exposed so the ordering contract above is testable: writing `vecs`
     * alone simulates a death between the jobs, and serving must then be

@@ -153,6 +153,35 @@ object StreamingText {
           textCol))
     }
 
+  /** The ingest direction of [[retrieveStream]]: a document stream feeds a
+    * persisted IVF-PQ chunk index continuously — each micro-batch chunks,
+    * embeds, PQ-encodes against the index's STORED model (a pure codegen
+    * map, no re-fit) and lands in both serve layouts. foreachBatch is
+    * at-least-once (a batch replays with the same batchId after any
+    * failure), so the per-batch function is the EXACTLY-ONCE apply
+    * ([[graft.ann.Retrieval.applyPqIngestBatch]]): replays scrub and
+    * re-land the batch's own files, duplicates are impossible by
+    * construction, and a serve between any two steps sees a correct index
+    * (vecs-first ordering). Appended chunks are visible to the NEXT
+    * [[retrieveStream]] trigger — the two streams together are the full
+    * build-once/ingest-forever/serve-many deployment.
+    *
+    * Returns the configured writer; the caller picks trigger/checkpoint
+    * and calls `start()` — the checkpoint is what makes batchIds stable
+    * across restarts, which the exactly-once contract rests on.
+    */
+  def ingestChunkIndexPqStream(docStream: DataFrame, indexPath: String,
+                               chunkTokens: Int = 32, overlapTokens: Int = 8,
+                               dim: Int = 4, salt: String = "emb",
+                               textCol: String = "text"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ann.Retrieval.applyPqIngestBatch(batch, indexPath, batchId,
+          chunkTokens, overlapTokens, dim, salt, textCol)
+        ()
+    }
+
   /** Streaming lexical search against a persisted BM25 index — the sparse
     * sibling of [[retrieveStream]], same shape for the same reason:
     * per-query top-k is a rank window, which streaming can't express

@@ -657,4 +657,66 @@ class RetrievalSpec extends SparkSpec {
     assert(a == run(docs.repartition(7)))
     assert(a.forall(_._3 != 99L))
   }
+
+  test("applyPqIngestBatch: exactly-once under replay — marker no-op, full-crash scrub, mid-promote scrub all converge to the single application") {
+    val oldDocs = (0L until 40L).map(i => (i, s"ing w$i zeta " * 18))
+      .toDF("doc_id", "text")
+    val newDocs = (40L until 70L).map(i => (i, s"ing w$i zeta " * 18))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "ing w7 zeta"), (55L, "ing w55 zeta"))
+      .toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ing_eo").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Retrieval.writeChunkIndexPq(oldDocs, path, nLists = 4, m = 5,
+        ksub = 16, fitBudget = 48)
+      def serve() = Retrieval.retrieveFromChunkIndexPq(spark, path, qs,
+          k = 4, nProbe = 4, shortlist = 100000)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      def codeRows() = spark.read.parquet(path)
+        .orderBy("doc_id", "chunk_idx")
+        .select("doc_id", "chunk_idx").as[(Long, Long)].collect().toSeq
+      val before = serve()
+      val beforeCodes = codeRows()
+      assert(Retrieval.applyPqIngestBatch(newDocs, path, batchId = 3L))
+      val once = serve()
+      val onceCodes = codeRows()
+      // deterministic presence check (hash embeddings carry no text
+      // semantics, so "an appended doc wins some query" is a coin flip —
+      // the layout growing by exactly the new docs' chunks is not)
+      assert(onceCodes.size > beforeCodes.size &&
+        onceCodes.exists(_._1 >= 40L), "appended chunks missing from codes")
+      // 1. marker present → replay is a pure no-op
+      assert(!Retrieval.applyPqIngestBatch(newDocs, path, batchId = 3L))
+      assert(codeRows() == onceCodes && serve() == once)
+      // 2. crash AFTER promote but BEFORE marker: every file landed, no
+      // marker — replay must scrub its own files and re-land exactly once
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/b3"), false)
+      assert(Retrieval.applyPqIngestBatch(newDocs, path, batchId = 3L))
+      assert(codeRows() == onceCodes && serve() == once)
+      // 3. crash BETWEEN the promotes (vecs landed, codes did not): serving
+      // in that state must look un-appended (orphan vecs are invisible),
+      // and replay converges
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/b3"), false)
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/list=*/b3-*"))).getOrElse(Array.empty)
+        .foreach(st => fs.delete(st.getPath, false))
+      assert(serve() == before,
+        "orphan vectors must be invisible to serving")
+      assert(Retrieval.applyPqIngestBatch(newDocs, path, batchId = 3L))
+      assert(codeRows() == onceCodes && serve() == once)
+      // 4. a second batch under a different id composes; its marker is
+      // independent of batch 3's
+      assert(Retrieval.applyPqIngestBatch(
+        (70L until 80L).map(i => (i, s"ing w$i zeta " * 18))
+          .toDF("doc_id", "text"), path, batchId = 4L))
+      assert(codeRows().size > onceCodes.size)
+      assert(!Retrieval.applyPqIngestBatch(newDocs, path, batchId = 3L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }

@@ -479,4 +479,67 @@ class StreamingTextSpec extends SparkSpec {
       } finally q.stop()
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("streaming PQ ingest: exactly-once micro-batch appends, serve-equal to the batch append API (St14)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seed = (0L until 40L).map(i => (i, s"ist w$i theta " * 18))
+      .toDF("doc_id", "text")
+    val b1 = (40L until 55L).map(i => (i, s"ist w$i theta " * 18))
+    val b2 = (55L until 70L).map(i => (i, s"ist w$i theta " * 18))
+    val qs = Seq((7L, "ist w7 theta"), (47L, "ist w47 theta"),
+      (62L, "ist w62 theta")).toDF("query_id", "text")
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_ist_stream").toFile
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft_ist_batch").toFile
+    try {
+      // identical seed index in both worlds (same fit inputs → same model)
+      graft.ann.Retrieval.writeChunkIndexPq(seed, streamDir.getAbsolutePath,
+        nLists = 4, m = 5, ksub = 16, fitBudget = 48)
+      graft.ann.Retrieval.writeChunkIndexPq(seed, batchDir.getAbsolutePath,
+        nLists = 4, m = 5, ksub = 16, fitBudget = 48)
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingText.ingestChunkIndexPqStream(
+          input.toDF().toDF("doc_id", "text"), streamDir.getAbsolutePath)
+        .start()
+      try {
+        input.addData(b1: _*)
+        q.processAllAvailable()
+        input.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the reference world applies the same two batches via the batch API
+      graft.ann.Retrieval.appendToChunkIndexPq(b1.toDF("doc_id", "text"),
+        batchDir.getAbsolutePath)
+      graft.ann.Retrieval.appendToChunkIndexPq(b2.toDF("doc_id", "text"),
+        batchDir.getAbsolutePath)
+      def serve(p: String) = graft.ann.Retrieval.retrieveFromChunkIndexPq(
+          spark, p, qs, k = 4, nProbe = 4, shortlist = 100000)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      def codes(p: String) = spark.read.parquet(p)
+        .select("doc_id", "chunk_idx", "chunk_start", "list", "pq_code")
+        .orderBy("doc_id", "chunk_idx")
+        .as[(Long, Long, Long, Int, Seq[Int])].collect().toSeq
+      assert(codes(streamDir.getAbsolutePath) == codes(batchDir.getAbsolutePath),
+        "streamed codes layout must equal the batch-append layout")
+      assert(serve(streamDir.getAbsolutePath) == serve(batchDir.getAbsolutePath),
+        "stream-ingested index must serve identically to batch appends")
+      // both micro-batches left their exactly-once markers
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(streamDir.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration)
+      assert((0L to 1L).forall(i => fs.exists(new org.apache.hadoop.fs.Path(
+        s"${streamDir.getAbsolutePath}/_stream_appends/b$i"))))
+      // and no staging residue survives a clean run
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"${streamDir.getAbsolutePath}/_staging/b0")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"${streamDir.getAbsolutePath}/_staging/b1")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(batchDir)
+    }
+  }
 }
