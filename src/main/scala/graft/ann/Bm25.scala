@@ -200,20 +200,138 @@ object Bm25 {
   def appendToIndex(docs: DataFrame, path: String,
                     textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
-    val body = graft.util.Sidecar.read(spark, path, "_bm25_stats.json")
-    val nDocs0 = graft.util.Sidecar.requiredLong(body, "n_docs", path)
-    val totalTokens0 =
-      graft.util.Sidecar.requiredLong(body, "total_tokens", path)
-    val nBuckets =
-      graft.util.Sidecar.requiredLong(body, "n_buckets", path).toInt
+    val (nDocs0, totalTokens0, nBuckets, folded) =
+      parseStats(graft.util.Sidecar.read(spark, path, "_bm25_stats.json"))
     val (dn, dt) = corpusStats(docs, textCol)
     buildPostings(docs, textCol)
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(path)
+    // the folded map rides through: dropping it would re-serve every
+    // previously folded (but not yet deleted) ingest marker's delta
     graft.util.Sidecar.write(spark, path, "_bm25_stats.json",
-      s"""{"n_docs":${nDocs0 + dn},"total_tokens":${totalTokens0 + dt},""" +
-        s""""n_buckets":$nBuckets}""")
+      renderStats(nDocs0 + dn, totalTokens0 + dt, nBuckets, folded))
+  }
+
+  /** `_bm25_stats.json` fields; `folded` maps streamId → highest ingest
+    * batchId whose delta is already folded INTO the base counts (see
+    * [[compactStreamStats]]) — missing = -1, nothing folded.
+    */
+  private def parseStats(body: String): (Long, Long, Int, Map[String, Long]) = {
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(body)
+    val folded = (j \ "folded") match {
+      case JObject(fields) =>
+        fields.map { case (k, v) => k -> v.extract[Long] }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    ((j \ "n_docs").extract[Long], (j \ "total_tokens").extract[Long],
+      (j \ "n_buckets").extract[Int], folded)
+  }
+
+  private def renderStats(nDocs: Long, totalTokens: Long, nBuckets: Int,
+                          folded: Map[String, Long]): String = {
+    val f =
+      if (folded.isEmpty) ""
+      else folded.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${graft.util.Json.escape(k)}:$v" }
+        .mkString(""","folded":{""", ",", "}")
+    s"""{"n_docs":$nDocs,"total_tokens":$totalTokens,""" +
+      s""""n_buckets":$nBuckets$f}"""
+  }
+
+  private def markerDelta(body: String): (Long, Long) =
+    (graft.util.Sidecar.requiredLong(body, "n_docs", "bm25 ingest marker"),
+      graft.util.Sidecar.requiredLong(body, "total_tokens",
+        "bm25 ingest marker"))
+
+  /** Serving-time corpus stats: the base sidecar plus every UNFOLDED
+    * streaming-ingest marker's delta (metadata-sized driver reads — one
+    * small file per un-compacted micro-batch; [[compactStreamStats]]
+    * bounds the count).
+    */
+  private def liveStats(spark: SparkSession, path: String)
+      : (Long, Long, Int) = {
+    val (n0, t0, nb, folded) =
+      parseStats(graft.util.Sidecar.read(spark, path, "_bm25_stats.json"))
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    val (dn, dt) = graft.util.StreamCommit.listMarkers(fs, path)
+      .filter { case (sid, id, _) => id > folded.getOrElse(sid, -1L) }
+      .map(m => markerDelta(m._3))
+      .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    (n0 + dn, t0 + dt, nb)
+  }
+
+  /** EXACTLY-ONCE application of one ingest batch — the BM25 sibling of
+    * [[graft.ann.Retrieval.applyPqIngestBatch]], same
+    * [[graft.util.StreamCommit]] protocol (marker gate → scrub → stage →
+    * prefixed promote → marker). The extra wrinkle is the stats sidecar:
+    * a replayed `appendToIndex` would double-count (n_docs, total_tokens)
+    * with no way to tell, so the batch's delta is NOT added to the base —
+    * it travels IN the marker file (the same write that commits the
+    * batch), and [[retrieveFromIndex]] serves base + unfolded marker
+    * deltas. Stats and postings therefore commit in ONE atomic step, and
+    * every crash point replays clean.
+    */
+  def applyIngestBatch(batch: DataFrame, path: String, batchId: Long,
+                       streamId: String = "",
+                       textCol: String = "text"): Boolean = {
+    graft.util.StreamCommit.requireValidStreamId(streamId)
+    val spark = batch.sparkSession
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    val tag = graft.util.StreamCommit.tag(streamId, batchId)
+    if (graft.util.StreamCommit.markerExists(fs, path, tag)) return false
+    val prefix = s"$tag-"
+    graft.util.StreamCommit.scrub(fs, Seq(s"$path/bucket=*/$prefix*"))
+    val staging = s"$path/_staging/$tag"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val nBuckets = graft.util.Sidecar.requiredLong(
+      graft.util.Sidecar.read(spark, path, "_bm25_stats.json"),
+      "n_buckets", path).toInt
+    val (dn, dt) = corpusStats(batch, textCol)
+    buildPostings(batch, textCol)
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    graft.util.StreamCommit.promote(fs, staging, path, prefix)
+    graft.util.StreamCommit.writeMarker(fs, path, tag,
+      s"""{"n_docs":$dn,"total_tokens":$dt}""")
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    true
+  }
+
+  /** Fold accumulated streaming-ingest marker deltas into the base stats
+    * sidecar and delete the folded markers — bounds the per-serve marker
+    * scan for long-running ingest streams. Crash-safe: the single-file
+    * stats overwrite is the commit point (it both adds the deltas and
+    * records the folded watermark per streamId), and marker deletion
+    * after it is idempotent — a marker that is folded but survives a
+    * crash is simply ignored by [[liveStats]] until the next compact
+    * deletes it.
+    */
+  def compactStreamStats(spark: SparkSession, path: String): Unit = {
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    val (n0, t0, nb, folded) =
+      parseStats(graft.util.Sidecar.read(spark, path, "_bm25_stats.json"))
+    val markers = graft.util.StreamCommit.listMarkers(fs, path)
+    if (markers.isEmpty) return
+    val (dn, dt) = markers
+      .filter { case (sid, id, _) => id > folded.getOrElse(sid, -1L) }
+      .map(m => markerDelta(m._3))
+      .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    val newFolded = folded ++ markers.groupBy(_._1).map { case (sid, ms) =>
+      sid -> math.max(folded.getOrElse(sid, -1L), ms.map(_._2).max)
+    }
+    graft.util.Sidecar.write(spark, path, "_bm25_stats.json",
+      renderStats(n0 + dn, t0 + dt, nb, newFolded))
+    markers
+      .filter { case (sid, id, _) => id <= newFolded(sid) }
+      .foreach { case (sid, id, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/_stream_appends/${graft.util.StreamCommit.tag(sid, id)}"),
+          false)
+      }
   }
 
   /** Serve a persisted index: the query terms' bucket set is collected
@@ -227,13 +345,7 @@ object Bm25 {
                         k1: Double = 1.5, b: Double = 0.75,
                         textCol: String = "text",
                         maxQueries: Long = 1000000L): DataFrame = {
-    import org.json4s._
-    implicit val formats: Formats = DefaultFormats
-    val stats = org.json4s.jackson.JsonMethods
-      .parse(graft.util.Sidecar.read(spark, path, "_bm25_stats.json"))
-    val nDocs = (stats \ "n_docs").extract[Long]
-    val totalTokens = (stats \ "total_tokens").extract[Long]
-    val nBuckets = (stats \ "n_buckets").extract[Int]
+    val (nDocs, totalTokens, nBuckets) = liveStats(spark, path)
     val buckets = queries.where(col(textCol).isNotNull)
       .select(explode(terms(col(textCol))).as("term"))
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")

@@ -804,61 +804,38 @@ object Retrieval {
     * of the SAME batchId are the one unguarded case (no lock file) —
     * Spark's streaming engine serializes foreachBatch per query, which is
     * the deployment contract here.
+    *
+    * `streamId` namespaces the batch tag: batchIds are only stable within
+    * ONE streaming checkpoint lineage (a new checkpoint restarts at 0 and
+    * would silently no-op against the old lineage's markers, dropping
+    * data), so every new checkpoint directory — and every concurrent
+    * stream into one index — carries its own streamId.
     */
   def applyPqIngestBatch(batch: DataFrame, path: String, batchId: Long,
                          chunkTokens: Int = 32, overlapTokens: Int = 8,
                          dim: Int = 4, salt: String = "emb",
-                         textCol: String = "text"): Boolean = {
+                         textCol: String = "text",
+                         streamId: String = ""): Boolean = {
+    graft.util.StreamCommit.requireValidStreamId(streamId)
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val marker = p(s"$path/_stream_appends/b$batchId")
-    if (fs.exists(marker)) return false
-    val prefix = s"b$batchId-"
-    Seq(s"$path/list=*/$prefix*", s"$path/_vecs/list=*/vb=*/$prefix*")
-      .foreach { g =>
-        Option(fs.globStatus(p(g))).getOrElse(Array.empty)
-          .foreach(st => fs.delete(st.getPath, false))
-      }
-    val staging = s"$path/_staging/b$batchId"
-    fs.delete(p(staging), true)
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    val tag = graft.util.StreamCommit.tag(streamId, batchId)
+    if (graft.util.StreamCommit.markerExists(fs, path, tag)) return false
+    val prefix = s"$tag-"
+    graft.util.StreamCommit.scrub(fs,
+      Seq(s"$path/list=*/$prefix*", s"$path/_vecs/list=*/vb=*/$prefix*"))
+    val staging = s"$path/_staging/$tag"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     val (codes, vecs) = pqAppendFrames(batch, path, chunkTokens,
       overlapTokens, dim, salt, textCol)
     vecs.write.mode("overwrite").partitionBy("list", "vb")
       .parquet(s"$staging/vecs")
     codes.write.mode("overwrite").partitionBy("list").parquet(s"$staging/codes")
-    def promote(stagedRoot: String, targetRoot: String): Unit = {
-      // qualify BOTH roots: listFiles returns scheme-qualified paths, and
-      // URI.relativize against a schemeless base silently returns the
-      // input unchanged — which would promote into a garbage destination
-      val root = fs.makeQualified(p(stagedRoot))
-      val target = fs.makeQualified(p(targetRoot))
-      if (!fs.exists(root)) return
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) {
-          val rel = root.toUri.relativize(f.getPath.toUri).getPath
-          require(!rel.startsWith("/"),
-            s"cannot relativize ${f.getPath} against $root")
-          val relDir = p(rel).getParent
-          val destDir =
-            if (relDir == null) target
-            else new org.apache.hadoop.fs.Path(target, relDir)
-          fs.mkdirs(destDir)
-          val dest = new org.apache.hadoop.fs.Path(destDir,
-            prefix + f.getPath.getName)
-          require(fs.rename(f.getPath, dest),
-            s"promote rename failed: ${f.getPath} -> $dest")
-        }
-      }
-    }
-    promote(s"$staging/vecs", s"$path/_vecs")
-    promote(s"$staging/codes", path)
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    fs.delete(p(staging), true)
+    graft.util.StreamCommit.promote(fs, s"$staging/vecs", s"$path/_vecs",
+      prefix)
+    graft.util.StreamCommit.promote(fs, s"$staging/codes", path, prefix)
+    graft.util.StreamCommit.writeMarker(fs, path, tag)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     true
   }
 

@@ -173,12 +173,32 @@ object StreamingText {
   def ingestChunkIndexPqStream(docStream: DataFrame, indexPath: String,
                                chunkTokens: Int = 32, overlapTokens: Int = 8,
                                dim: Int = 4, salt: String = "emb",
-                               textCol: String = "text"):
+                               textCol: String = "text",
+                               streamId: String = ""):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         graft.ann.Retrieval.applyPqIngestBatch(batch, indexPath, batchId,
-          chunkTokens, overlapTokens, dim, salt, textCol)
+          chunkTokens, overlapTokens, dim, salt, textCol, streamId)
+        ()
+    }
+
+  /** The lexical sibling of [[ingestChunkIndexPqStream]]: a document
+    * stream feeds a persisted BM25 index with exactly-once micro-batch
+    * appends ([[graft.ann.Bm25.applyIngestBatch]] — postings land under
+    * batch-tagged filenames, the stats delta commits atomically inside
+    * the batch marker, and serving folds unfolded marker deltas onto the
+    * base stats). Run [[graft.ann.Bm25.compactStreamStats]] periodically
+    * to bound the marker count of a long-lived stream.
+    */
+  def ingestBm25IndexStream(docStream: DataFrame, indexPath: String,
+                            textCol: String = "text",
+                            streamId: String = ""):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ann.Bm25.applyIngestBatch(batch, indexPath, batchId, streamId,
+          textCol)
         ()
     }
 

@@ -1,0 +1,119 @@
+package graft.util
+
+/** Shared mechanics of the exactly-once micro-batch commit protocol the
+  * streaming index ingests use (IVF-PQ chunk index, BM25 postings index):
+  * every batch's files land in the live partitioned layout under a
+  * batch-tagged filename prefix, gated by a marker file —
+  *
+  *   marker check → scrub this tag's files → stage under `_staging/` →
+  *   per-file rename into the layout → marker write → staging cleanup
+  *
+  * so a foreachBatch replay (at-least-once contract, same batchId) at ANY
+  * crash point converges to the single-application state.
+  *
+  * `streamId` namespaces the tag. batchIds are only stable within ONE
+  * streaming checkpoint lineage — a new checkpoint restarts at 0, and an
+  * un-namespaced batch 0 would silently no-op against the old stream's
+  * marker, DROPPING data. Every new checkpoint directory must therefore
+  * carry its own streamId (concurrent streams into one index get distinct
+  * namespaces the same way).
+  */
+object StreamCommit {
+
+  /** Tag charset is restricted so tags parse unambiguously and never glob. */
+  def requireValidStreamId(streamId: String): Unit =
+    require(streamId.matches("[A-Za-z0-9_-]*"),
+      s"streamId must match [A-Za-z0-9_-]*, got '$streamId'")
+
+  /** Marker name / filename-prefix stem for one (streamId, batchId). */
+  def tag(streamId: String, batchId: Long): String =
+    if (streamId.isEmpty) s"b$batchId" else s"$streamId~b$batchId"
+
+  /** Inverse of [[tag]]: (streamId, batchId), or None for foreign files. */
+  def parseTag(name: String): Option[(String, Long)] = name match {
+    case TagRe(sid, id) => Some((if (sid == null) "" else sid, id.toLong))
+    case _              => None
+  }
+  private val TagRe = "^(?:([A-Za-z0-9_-]+)~)?b([0-9]+)$".r
+
+  def fs(spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Delete every file matching the globs — replay's first step removes
+    * whatever subset of this tag's files a crashed attempt landed.
+    */
+  def scrub(fs: org.apache.hadoop.fs.FileSystem, globs: Seq[String]): Unit =
+    globs.foreach { g =>
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(g)))
+        .getOrElse(Array.empty)
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+
+  /** Move every staged parquet file into the live layout, preserving the
+    * partition-directory structure and prefixing the filename with
+    * `prefix` (what makes the batch's files scrubbable on replay).
+    */
+  def promote(fs: org.apache.hadoop.fs.FileSystem, stagedRoot: String,
+              targetRoot: String, prefix: String): Unit = {
+    // qualify BOTH roots: listFiles returns scheme-qualified paths, and
+    // URI.relativize against a schemeless base silently returns the input
+    // unchanged — which would promote into a garbage destination
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(stagedRoot))
+    val target = fs.makeQualified(new org.apache.hadoop.fs.Path(targetRoot))
+    if (!fs.exists(root)) return
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = root.toUri.relativize(f.getPath.toUri).getPath
+        require(!rel.startsWith("/"),
+          s"cannot relativize ${f.getPath} against $root")
+        val relDir = new org.apache.hadoop.fs.Path(rel).getParent
+        val destDir =
+          if (relDir == null) target
+          else new org.apache.hadoop.fs.Path(target, relDir)
+        fs.mkdirs(destDir)
+        val dest = new org.apache.hadoop.fs.Path(destDir,
+          prefix + f.getPath.getName)
+        require(fs.rename(f.getPath, dest),
+          s"promote rename failed: ${f.getPath} -> $dest")
+      }
+    }
+  }
+
+  /** Write the marker that commits the batch (its existence IS the
+    * applied-ness of the tag; `body` may carry per-batch metadata, e.g.
+    * BM25's stats delta).
+    */
+  def writeMarker(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                  tagName: String, body: String = ""): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_stream_appends/$tagName")
+    fs.mkdirs(marker.getParent)
+    val os = fs.create(marker, true)
+    try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  def markerExists(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                   tagName: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/_stream_appends/$tagName"))
+
+  /** All markers under the layout: (streamId, batchId, marker body). */
+  def listMarkers(fs: org.apache.hadoop.fs.FileSystem, path: String)
+      : Seq[(String, Long, String)] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$path/_stream_appends/*"))).getOrElse(Array.empty).toSeq
+      .flatMap { st =>
+        parseTag(st.getPath.getName).map { case (sid, id) =>
+          val in = fs.open(st.getPath)
+          val body = new String(
+            try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+            finally in.close(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          (sid, id, body)
+        }
+      }
+}

@@ -286,4 +286,98 @@ class Bm25Spec extends SparkSpec {
         s"bucket probe must prune partitions, not post-filter:\n${ip.take(1500)}")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("applyIngestBatch: exactly-once ingest — stats travel in the marker, replays converge, serve == full rebuild") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    val b0docs = docs.filter(col("doc_id") % 3 === 1)
+    val b1docs = docs.filter(col("doc_id") % 3 === 2)
+    val qs = docs.filter(col("doc_id") % 50 === 3 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25eo").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Bm25.writeIndex(seed, path, nBuckets = 8)
+      def serve() = Bm25.retrieveFromIndex(spark, path, qs, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(Bm25.applyIngestBatch(b0docs, path, batchId = 0L))
+      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      // scores — which fold n_docs/total_tokens/df — must equal the direct
+      // path over the union corpus: stats idempotence is score-observable
+      val full = Bm25.topK(docs, qs, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      val once = serve()
+      assert(once.nonEmpty && once == full)
+      // marker present → replay is a pure no-op
+      assert(!Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      assert(serve() == full)
+      // crash after promote, before marker: replay scrubs and re-lands —
+      // postings AND the stats delta commit together in the marker write
+      val fs = graft.util.StreamCommit.fs(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/b1"), false)
+      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      assert(serve() == full)
+      // mid-promote crash: some of b1's posting files landed, no marker —
+      // replay still converges to the identical serve
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/b1"), false)
+      val b1files = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/bucket=*/b1-*"))).getOrElse(Array.empty)
+      assert(b1files.nonEmpty)
+      b1files.take(b1files.length / 2 max 1)
+        .foreach(st => fs.delete(st.getPath, false))
+      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      assert(serve() == full)
+      // distinct streamIds namespace their batchIds: s2's batch 1 is not
+      // gated by the default stream's b1 marker
+      assert(Bm25.applyIngestBatch(
+        Seq((900001L, "zzqx unique ingest probe")).toDF("doc_id", "text"),
+        path, batchId = 1L, streamId = "s2"))
+      val probe = Bm25.retrieveFromIndex(spark, path,
+        Seq((1L, "zzqx")).toDF("query_id", "text"), k = 1).collect()
+      assert(probe.length == 1 && probe.head.getLong(2) == 900001L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("compactStreamStats: folds marker deltas into the base atomically; surviving folded markers are ignored; batch appends preserve the fold") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val seed = docs.filter(col("doc_id") % 4 === 0)
+    val b0docs = docs.filter(col("doc_id") % 4 === 1)
+    val b1docs = docs.filter(col("doc_id") % 4 === 2)
+    val late = docs.filter(col("doc_id") % 4 === 3)
+    val qs = docs.filter(col("doc_id") % 50 === 3 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25cmp").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Bm25.writeIndex(seed, path, nBuckets = 8)
+      assert(Bm25.applyIngestBatch(b0docs, path, batchId = 0L))
+      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      def serve() = Bm25.retrieveFromIndex(spark, path, qs, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      val before = serve()
+      val fs = graft.util.StreamCommit.fs(spark, path)
+      // keep b1's marker body around to fake a failed post-fold delete
+      val b1body = graft.util.StreamCommit.listMarkers(fs, path)
+        .find(m => m._1 == "" && m._2 == 1L).get._3
+      Bm25.compactStreamStats(spark, path)
+      assert(graft.util.StreamCommit.listMarkers(fs, path).isEmpty,
+        "compact must delete folded markers")
+      assert(serve() == before, "fold must not change served stats")
+      // crash between the stats overwrite and marker deletion: the folded
+      // watermark makes a surviving folded marker inert, not double-counted
+      graft.util.StreamCommit.writeMarker(fs, path, "b1", b1body)
+      assert(serve() == before, "folded-but-surviving marker must be inert")
+      Bm25.compactStreamStats(spark, path)
+      assert(graft.util.StreamCommit.listMarkers(fs, path).isEmpty)
+      // a batch append after compaction rides the folded map through its
+      // sidecar rewrite; the final index serves like a full rebuild
+      graft.util.StreamCommit.writeMarker(fs, path, "b1", b1body) // survive again
+      Bm25.appendToIndex(late, path)
+      assert(serve() == Bm25.topK(docs, qs, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq,
+        "appendToIndex must preserve the folded watermark")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }

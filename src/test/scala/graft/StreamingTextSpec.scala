@@ -542,4 +542,49 @@ class StreamingTextSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(batchDir)
     }
   }
+
+  test("streaming BM25 ingest: exactly-once micro-batch appends serve like a full rebuild (St14)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seed = (0L until 30L).map(i => (i, s"ibx w$i kappa " * 18))
+    val b1 = (30L until 45L).map(i => (i, s"ibx w$i kappa " * 18))
+    val b2 = (45L until 60L).map(i => (i, s"ibx w$i kappa " * 18))
+    val qs = Seq((3L, "ibx w3 kappa"), (37L, "ibx w37 kappa"),
+      (51L, "ibx w51 kappa")).toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ibx").toFile
+    try {
+      graft.ann.Bm25.writeIndex(seed.toDF("doc_id", "text"),
+        dir.getAbsolutePath, nBuckets = 8)
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingText.ingestBm25IndexStream(
+          input.toDF().toDF("doc_id", "text"), dir.getAbsolutePath,
+          streamId = "ibx")
+        .start()
+      try {
+        input.addData(b1: _*)
+        q.processAllAvailable()
+        input.addData(b2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val served = graft.ann.Bm25.retrieveFromIndex(spark,
+          dir.getAbsolutePath, qs, k = 4)
+        .orderBy("query_id", "rank").collect().toSeq
+      val full = graft.ann.Bm25.topK(
+          (seed ++ b1 ++ b2).toDF("doc_id", "text"), qs, k = 4)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(served.nonEmpty && served == full,
+        "stream-ingested BM25 index must serve like a full rebuild")
+      // both micro-batches committed under the stream's namespace
+      val fs = graft.util.StreamCommit.fs(spark, dir.getAbsolutePath)
+      val markers = graft.util.StreamCommit
+        .listMarkers(fs, dir.getAbsolutePath)
+      assert(markers.map(m => (m._1, m._2)).toSet == Set(("ibx", 0L), ("ibx", 1L)))
+      // compaction keeps the serve identical and clears the markers
+      graft.ann.Bm25.compactStreamStats(spark, dir.getAbsolutePath)
+      assert(graft.util.StreamCommit
+        .listMarkers(fs, dir.getAbsolutePath).isEmpty)
+      assert(graft.ann.Bm25.retrieveFromIndex(spark, dir.getAbsolutePath,
+          qs, k = 4).orderBy("query_id", "rank").collect().toSeq == full)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
