@@ -970,6 +970,45 @@ object Retrieval {
       .write.mode("append").partitionBy("list").parquet(path)
   }
 
+  /** EXACTLY-ONCE application of one ingest batch into a persisted
+    * IVF-flat chunk index — the [[appendToChunkIndex]] counterpart of
+    * [[applyPqIngestBatch]], same [[graft.util.StreamCommit]] protocol.
+    * The flat layout is the easy case: one partitioned table, no side
+    * table, no stats sidecar — marker gate, scrub, stage, prefixed
+    * promote, marker.
+    */
+  def applyChunkIngestBatch(batch: DataFrame, path: String, batchId: Long,
+                            chunkTokens: Int = 32, overlapTokens: Int = 8,
+                            dim: Int = 4, salt: String = "emb",
+                            textCol: String = "text",
+                            streamId: String = ""): Boolean = {
+    graft.util.StreamCommit.requireValidStreamId(streamId)
+    val spark = batch.sparkSession
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    val tag = graft.util.StreamCommit.tag(streamId, batchId)
+    if (graft.util.StreamCommit.markerExists(fs, path, tag)) return false
+    val prefix = s"$tag-"
+    graft.util.StreamCommit.scrub(fs, Seq(s"$path/list=*/$prefix*"))
+    val staging = s"$path/_staging/$tag"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val model = Ann.IvfModel.fromJson(
+      graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
+    val m2 = graft.util.Sidecar.read(spark, path, "_mip_m2.json").trim.toLong
+    val chunks = embeddedChunks(batch, chunkTokens, overlapTokens, dim, salt,
+      textCol)
+    val nsq = innerProduct(col("vec"), col("vec"))
+    val augmented = chunks.withColumn("vaug",
+      concat(col("vec").cast("array<double>"),
+        array(sqrt(greatest(lit(0L), lit(m2) - nsq)))))
+    Ann.assignWithModel(augmented, model, "vaug")
+      .select("doc_id", "chunk_idx", "chunk_start", "vec", "list")
+      .write.mode("overwrite").partitionBy("list").parquet(staging)
+    graft.util.StreamCommit.promote(fs, staging, path, prefix)
+    graft.util.StreamCommit.writeMarker(fs, path, tag)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    true
+  }
+
   /** Serve a persisted chunk index: the union of every query's probed
     * lists is collected (≤ nLists ints — metadata-sized by construction)
     * and applied as a STATIC partition filter, so only nProbe-ish of the

@@ -183,6 +183,24 @@ object StreamingText {
         ()
     }
 
+  /** [[ingestChunkIndexPqStream]] for the IVF-FLAT chunk index — the
+    * layout [[retrieveStream]] serves. Same exactly-once per-batch apply
+    * ([[graft.ann.Retrieval.applyChunkIngestBatch]]); the flat layout is
+    * the easy case (one table, no sidecar deltas).
+    */
+  def ingestChunkIndexStream(docStream: DataFrame, indexPath: String,
+                             chunkTokens: Int = 32, overlapTokens: Int = 8,
+                             dim: Int = 4, salt: String = "emb",
+                             textCol: String = "text",
+                             streamId: String = ""):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.ann.Retrieval.applyChunkIngestBatch(batch, indexPath, batchId,
+          chunkTokens, overlapTokens, dim, salt, textCol, streamId)
+        ()
+    }
+
   /** The lexical sibling of [[ingestChunkIndexPqStream]]: a document
     * stream feeds a persisted BM25 index with exactly-once micro-batch
     * appends ([[graft.ann.Bm25.applyIngestBatch]] — postings land under

@@ -719,4 +719,49 @@ class RetrievalSpec extends SparkSpec {
       assert(!Retrieval.applyPqIngestBatch(newDocs, path, batchId = 3L))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("applyChunkIngestBatch: exactly-once ingest into the flat chunk index, serve-equal to batch appends") {
+    val oldDocs = (0L until 40L).map(i => (i, s"fci w$i rho " * 18))
+      .toDF("doc_id", "text")
+    val b1 = (40L until 55L).map(i => (i, s"fci w$i rho " * 18))
+      .toDF("doc_id", "text")
+    val b2 = (55L until 70L).map(i => (i, s"fci w$i rho " * 18))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "fci w7 rho"), (47L, "fci w47 rho"),
+      (62L, "fci w62 rho")).toDF("query_id", "text")
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_fci_s").toFile
+    val batchDir = java.nio.file.Files
+      .createTempDirectory("graft_fci_b").toFile
+    try {
+      Retrieval.writeChunkIndex(oldDocs, streamDir.getAbsolutePath,
+        nLists = 4, fitBudget = 48)
+      Retrieval.writeChunkIndex(oldDocs, batchDir.getAbsolutePath,
+        nLists = 4, fitBudget = 48)
+      assert(Retrieval.applyChunkIngestBatch(b1, streamDir.getAbsolutePath,
+        batchId = 0L, streamId = "fci"))
+      assert(Retrieval.applyChunkIngestBatch(b2, streamDir.getAbsolutePath,
+        batchId = 1L, streamId = "fci"))
+      Retrieval.appendToChunkIndex(b1, batchDir.getAbsolutePath)
+      Retrieval.appendToChunkIndex(b2, batchDir.getAbsolutePath)
+      def serve(p: String) = Retrieval.retrieveFromChunkIndex(spark, p, qs,
+          k = 4, nProbe = 4)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val expected = serve(batchDir.getAbsolutePath)
+      assert(serve(streamDir.getAbsolutePath) == expected)
+      // replay no-op, and replay-after-crash (marker gone, files present)
+      assert(!Retrieval.applyChunkIngestBatch(b2, streamDir.getAbsolutePath,
+        batchId = 1L, streamId = "fci"))
+      val fs = graft.util.StreamCommit.fs(spark, streamDir.getAbsolutePath)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${streamDir.getAbsolutePath}/_stream_appends/fci~b1"), false)
+      assert(Retrieval.applyChunkIngestBatch(b2, streamDir.getAbsolutePath,
+        batchId = 1L, streamId = "fci"))
+      assert(serve(streamDir.getAbsolutePath) == expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(batchDir)
+    }
+  }
 }
