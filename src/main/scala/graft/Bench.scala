@@ -60,6 +60,7 @@ object Bench {
       QueriesData.ensureChunkIndex(spark, sfDir)
       QueriesData.ensureChunkIndexPq(spark, sfDir)
       QueriesData.ensureBm25Index(spark, sfDir)
+      QueriesData.ensureBm25IngestIndex(spark, sfDir)
     } catch { case _: Throwable => }
 
     // post-query hygiene, shared by both timing passes: drop block-manager

@@ -537,6 +537,22 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // the ingest-assembled sibling: the SAME serve against a layout built
+    // half by writeIndex and half through the exactly-once streaming
+    // ingest protocol (two micro-batches, a stats compaction between
+    // them, the second batch's stats still marker-borne at serve time) —
+    // so the protocol's END STATE, not just its specs, is hash-checked
+    // against plain BM25 over the full corpus in DuckDB
+    "a_bm25_ingest" -> ((s, d) => {
+      val path = ensureBm25IngestIndex(s, d)
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.ann.Bm25.retrieveFromIndex(s, path, qs, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // the eval leg on the SPARSE ranking: same MRR/nDCG@5 arithmetic and
     // synthetic relevance as a_retrieval_eval, over the BM25 doc ranking —
     // any ranking this engine produces is measurable with the same metric
@@ -3294,6 +3310,13 @@ object QueriesData {
       """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
         |       score_micro / 1000000e0 AS score
         |FROM br WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // the ingest-assembled index serves the union corpus, so it shares
+    // the same full-corpus oracle as the direct and index paths
+    "a_bm25_ingest" ->
+      (s"WITH $bm25SqlCtes\n" +
+      """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
+        |       score_micro / 1000000e0 AS score
+        |FROM br WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "a_bm25_snippets" ->
       (s"WITH $bm25SqlCtes,\n" +
       """hq AS (SELECT query_id, doc_id FROM br WHERE rank <= 3),
@@ -3715,6 +3738,27 @@ object QueriesData {
     ensureCached("bm25_index", contentKey(s"$dir/documents.parquet")) { build =>
       graft.ann.Bm25.writeIndex(docs(s, dir), build.getAbsolutePath,
         nBuckets = 16)
+    }
+
+  /** Build-or-reuse a BM25 index assembled THROUGH the exactly-once
+    * streaming-ingest protocol: seed = even doc_ids (writeIndex), then the
+    * odd doc_ids land as two `applyIngestBatch` micro-batches with a stats
+    * compaction between them — the cached layout carries the protocol's
+    * real artifacts (batch-tagged posting files, one folded watermark, one
+    * live marker whose stats delta folds at serve time), and the battery
+    * oracle compares its serve against plain BM25 over the full corpus.
+    */
+  def ensureBm25IngestIndex(s: SparkSession, dir: String): String =
+    ensureCached("bm25_index_ingest",
+      contentKey(s"$dir/documents.parquet")) { build =>
+      val all = docs(s, dir)
+      graft.ann.Bm25.writeIndex(all.filter(col("doc_id") % 2 === 0),
+        build.getAbsolutePath, nBuckets = 16)
+      graft.ann.Bm25.applyIngestBatch(all.filter(col("doc_id") % 4 === 1),
+        build.getAbsolutePath, batchId = 0L, streamId = "ingest")
+      graft.ann.Bm25.compactStreamStats(s, build.getAbsolutePath)
+      graft.ann.Bm25.applyIngestBatch(all.filter(col("doc_id") % 4 === 3),
+        build.getAbsolutePath, batchId = 1L, streamId = "ingest")
     }
 
   def ensureIvfPq(s: SparkSession, dir: String): String =
