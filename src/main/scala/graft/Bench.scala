@@ -61,6 +61,7 @@ object Bench {
       QueriesData.ensureChunkIndexPq(spark, sfDir)
       QueriesData.ensureBm25Index(spark, sfDir)
       QueriesData.ensureBm25IngestIndex(spark, sfDir)
+      QueriesData.ensurePqIngestIndex(spark, sfDir)
     } catch { case _: Throwable => }
 
     // post-query hygiene, shared by both timing passes: drop block-manager

@@ -488,6 +488,26 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // the ingest-assembled dense sibling of a_bm25_ingest: the coarse/PQ
+    // models fit on the SEED half only (write), the other half lands
+    // through two exactly-once ingest micro-batches encoding against the
+    // stored models, and the serve's recall@5 vs the exact scorer over
+    // the FULL corpus is the measured end-state check — the audit covers
+    // both the protocol (no dup/lost chunks) and the frozen-fit staleness
+    // the append contract documents
+    "a_retrieval_ingest" -> ((s, d) => {
+      val path = ensurePqIngestIndex(s, d)
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val approx = graft.ann.Retrieval.retrieveFromChunkIndexPq(s, path,
+        qs, k = 5, nProbe = 3)
+      approx.withColumn("recall_at_k",
+          retrievalRecall(s, d, approx, qs))
+        .orderBy("query_id", "rank")
+    }),
+
     // the zero-vector-IO serving mode of the same index: ADC shortlist
     // order IS the ranking (score = the 6-dp ADC double; the exact
     // re-rank and its side-table fetch are skipped entirely), so a serve
@@ -3738,6 +3758,29 @@ object QueriesData {
     ensureCached("bm25_index", contentKey(s"$dir/documents.parquet")) { build =>
       graft.ann.Bm25.writeIndex(docs(s, dir), build.getAbsolutePath,
         nBuckets = 16)
+    }
+
+  /** Build-or-reuse an IVF-PQ chunk index assembled THROUGH the
+    * exactly-once streaming-ingest protocol: seed = even doc_ids
+    * (writeChunkIndexPq — the coarse centroids and PQ codebooks fit on
+    * THIS half only), then the odd doc_ids land as two
+    * `applyPqIngestBatch` micro-batches encoding against the stored
+    * models. The serving battery entry audits recall@5 against the exact
+    * scorer over the full corpus.
+    */
+  def ensurePqIngestIndex(s: SparkSession, dir: String): String =
+    ensureCached("chunk_index_pq_ingest",
+      contentKey(s"$dir/documents.parquet")) { build =>
+      val all = docs(s, dir)
+      graft.ann.Retrieval.writeChunkIndexPq(
+        all.filter(col("doc_id") % 2 === 0), build.getAbsolutePath,
+        nLists = 8, m = 5, ksub = 32)
+      graft.ann.Retrieval.applyPqIngestBatch(
+        all.filter(col("doc_id") % 4 === 1), build.getAbsolutePath,
+        batchId = 0L, streamId = "ingest")
+      graft.ann.Retrieval.applyPqIngestBatch(
+        all.filter(col("doc_id") % 4 === 3), build.getAbsolutePath,
+        batchId = 1L, streamId = "ingest")
     }
 
   /** Build-or-reuse a BM25 index assembled THROUGH the exactly-once

@@ -85,6 +85,10 @@ object Verify {
       // re-rank), so the floor sits at the family's 0.5 against a 0.96
       // sf0.01 measurement
       "a_retrieval_ivfpq_adc" -> 0.5,
+      // ingest-assembled index (models fit on the seed half only): the
+      // family floor against a 1.0 sf0.01 measurement — frozen-fit
+      // staleness plus any protocol dup/loss would both surface here
+      "a_retrieval_ingest" -> 0.5,
       "d_minhash_pairs" -> 0.9, "d_simhash_pairs" -> 0.5,
       "d_embedding_dups" -> 0.35, "d_quality_classifier" -> 0.8,
       "d_semantic_prune" -> 0.3, "d_semantic_dedup" -> 0.35,
