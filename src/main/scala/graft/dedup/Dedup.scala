@@ -602,16 +602,37 @@ object Dedup {
         // (output-sized, not candidate-sized) and applies the exact cosine.
         val margin = (math.sqrt(dim) + dim / 254.0) / 127.0 +
           dim / (4.0 * 127.0 * 127.0) + 1e-6
-        val baseQ = base.withColumn("qb",
-          graft.functions.KFunctions.pack_unit_int8(col("unit")))
-          .withColumn("qs",
-            array_max(transform(col("unit"), x => abs(x))) / 127.0d)
+        val stagedMode = stagedTableBatch > 0 && stagedTableBatch < tables ||
+          stagedBucketRanges > 1
+        // Staged mining consumes this projection ~3× PER BATCH (the batch's
+        // signature scan plus the per-batch finish's two unit joins) — ~48
+        // corpus re-derivations at the battery's 2-tables × 4-ranges
+        // config. One DISK_ONLY materialization replaces them all: it is
+        // corpus-ROW-sized (≈2× the input vector bytes) and CONSTANT in
+        // the batch count, so unlike the band-join shuffle scratch that
+        // staging exists to bound, it cannot grow with the staging depth —
+        // compatible with the bounded-spill contract by construction.
+        // DISK_ONLY for the same reason as the accumulator checkpoints:
+        // the staged tier's executor memory belongs to the band-join
+        // sorts. Freed at the end of the staged loop.
+        val baseQ = {
+          val q = base.withColumn("qb",
+            graft.functions.KFunctions.pack_unit_int8(col("unit")))
+            .withColumn("qs",
+              array_max(transform(col("unit"), x => abs(x))) / 127.0d)
+          if (stagedMode)
+            q.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          else q
+        }
         // exact-cosine finish, shared by both band shapes: re-attach full
         // unit vectors BY ID to the distinct survivor pairs (output-sized,
-        // not candidate-sized) and apply the exact threshold
+        // not candidate-sized) and apply the exact threshold. Units come
+        // from baseQ (a superset projection of base) so the staged mode's
+        // persisted copy serves the finish too; Catalyst prunes the
+        // quantized columns away on the unpersisted path.
         def finish(survivors: DataFrame): DataFrame = survivors
-          .join(base.select(col("id").as("id_a"), col("unit").as("unit_a")), Seq("id_a"))
-          .join(base.select(col("id").as("id_b"), col("unit").as("unit_b")), Seq("id_b"))
+          .join(baseQ.select(col("id").as("id_a"), col("unit").as("unit_a")), Seq("id_a"))
+          .join(baseQ.select(col("id").as("id_b"), col("unit").as("unit_b")), Seq("id_b"))
           .withColumn("cosine", round(
             graft.functions.KFunctions.array_dot(col("unit_a"), col("unit_b")), 6))
           .filter(col("cosine") >= threshold)
@@ -683,8 +704,7 @@ object Dedup {
             .select("id_a", "id_b")
             .distinct()
         }
-        if (stagedTableBatch > 0 && stagedTableBatch < tables ||
-          stagedBucketRanges > 1) {
+        if (stagedMode) {
           // Staged mining (the bounded-spill configuration): run the band
           // join over `stagedTableBatch` tables × one bucket-hash range at
           // a time, each batch its own EAGER job, distinct-unioning
@@ -739,6 +759,9 @@ object Dedup {
             // at one batch's footprint — the entire point of staging.
             System.gc()
           }
+          // the persisted projection served its last consumer (the final
+          // batch's finish ran eagerly into the checkpoint above)
+          baseQ.unpersist(false)
           // the returned accumulator IS the result (output-sized true
           // pairs, disk-only blocks); callers drop it when done — the
           // eager-checkpoint contract shared with the iterative operators.
