@@ -309,6 +309,13 @@ object Bm25 {
     * after it is idempotent — a marker that is folded but survives a
     * crash is simply ignored by [[liveStats]] until the next compact
     * deletes it.
+    *
+    * The stats sidecar has two read-modify-write writers — this compact
+    * and the batch [[appendToIndex]] — and neither takes a lock:
+    * administrative operations on one index are single-writer by
+    * deployment contract (the same contract appendToIndex has always
+    * carried for itself). Streaming ingest batches never touch the base
+    * sidecar, so they are safe concurrently with either.
     */
   def compactStreamStats(spark: SparkSession, path: String): Unit = {
     val fs = graft.util.StreamCommit.fs(spark, path)
