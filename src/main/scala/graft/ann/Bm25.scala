@@ -283,7 +283,8 @@ object Bm25 {
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
     if (graft.util.StreamCommit.markerExists(fs, path, tag)) return false
     val prefix = s"$tag-"
-    graft.util.StreamCommit.scrub(fs, Seq(s"$path/bucket=*/$prefix*"))
+    graft.util.StreamCommit.scrub(fs, Seq(
+      s"${graft.util.StreamCommit.escapeGlob(path)}/bucket=*/$prefix*"))
     val staging = s"$path/_staging/$tag"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     val nBuckets = graft.util.Sidecar.requiredLong(

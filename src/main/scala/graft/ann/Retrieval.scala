@@ -26,6 +26,24 @@ object Retrieval {
   @transient private lazy val log =
     org.slf4j.LoggerFactory.getLogger("graft.ann.Retrieval")
 
+  /** The previous over-gate serve's persisted shortlist. A serve cannot
+    * unpersist its OWN shortlist (the returned plan consumes it lazily),
+    * so without bookkeeping a long-running serve-many process would leak
+    * one MEMORY_AND_DISK entry per past-gate call; retiring the previous
+    * handle when the next one persists bounds the leak to ONE live cache.
+    * A caller still holding the previous result just recomputes it —
+    * slower, never wrong.
+    */
+  @transient private var lastOverGateShortlist: DataFrame = null
+
+  private def retirePreviousShortlist(next: DataFrame): DataFrame =
+    synchronized {
+      val prev = lastOverGateShortlist
+      if (prev != null) prev.unpersist(false)
+      lastOverGateShortlist = next
+      next
+    }
+
   /** Over-gate fallback shared by the dense retrieval family (the sparse
     * sibling is BM25's shuffle-join switch): when the MEASURED query count
     * exceeds `maxQueries`, the query set is split into hash shards small
@@ -702,9 +720,10 @@ object Retrieval {
         // pass: re-running it per consumer measured 1.8× the collect
         // branch at sf1 / 5000 queries (73.8 vs 40.6 s); persisted it is
         // shortlist-sized ids, and the serve pays the ADC pass once in
-        // either branch. Callers' between-query hygiene (clearCache) frees
-        // it — the returned plan stays correct either way, the cache is
-        // only the don't-recompute shield.
+        // either branch. Each serve retires the previous serve's handle
+        // ([[retirePreviousShortlist]]) so a serve-many loop holds at most
+        // ONE live cache — the returned plan stays correct either way, the
+        // cache is only the don't-recompute shield.
         val (shortSrc, vbs) =
           if (nq * sl <= collectGate) {
             val rows = shortIds.collect()
@@ -712,8 +731,8 @@ object Retrieval {
               java.util.Arrays.asList(rows: _*), shortIds.schema)),
               rows.map(_.getAs[Int]("vb")).distinct.sorted)
           } else {
-            val mat = shortIds.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val mat = retirePreviousShortlist(shortIds.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
             (mat.hint("shuffle_hash"),
               mat.select("vb").distinct().collect()
                 .map(_.getInt(0)).sorted)
@@ -822,8 +841,9 @@ object Retrieval {
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
     if (graft.util.StreamCommit.markerExists(fs, path, tag)) return false
     val prefix = s"$tag-"
+    val pg = graft.util.StreamCommit.escapeGlob(path)
     graft.util.StreamCommit.scrub(fs,
-      Seq(s"$path/list=*/$prefix*", s"$path/_vecs/list=*/vb=*/$prefix*"))
+      Seq(s"$pg/list=*/$prefix*", s"$pg/_vecs/list=*/vb=*/$prefix*"))
     val staging = s"$path/_staging/$tag"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     val (codes, vecs) = pqAppendFrames(batch, path, chunkTokens,
@@ -954,7 +974,21 @@ object Retrieval {
   def appendToChunkIndex(docs: DataFrame, path: String,
                          chunkTokens: Int = 32, overlapTokens: Int = 8,
                          dim: Int = 4, salt: String = "emb",
-                         textCol: String = "text"): Unit = {
+                         textCol: String = "text"): Unit =
+    chunkAppendFrame(docs, path, chunkTokens, overlapTokens, dim, salt,
+      textCol)
+      .write.mode("append").partitionBy("list").parquet(path)
+
+  /** Chunk, embed, augment with the INDEX'S stored M² (outlier norms
+    * clamp to 0 — see [[appendToChunkIndex]]'s contract), and assign
+    * against its stored centroids — the one frame construction the flat
+    * index's batch append AND streaming ingest share (the flat sibling
+    * of [[pqAppendFrames]]; a one-sided edit here cannot diverge them).
+    */
+  private def chunkAppendFrame(docs: DataFrame, path: String,
+                               chunkTokens: Int, overlapTokens: Int,
+                               dim: Int, salt: String,
+                               textCol: String): DataFrame = {
     val spark = docs.sparkSession
     val model = Ann.IvfModel.fromJson(
       graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
@@ -967,7 +1001,6 @@ object Retrieval {
         array(sqrt(greatest(lit(0L), lit(m2) - nsq)))))
     Ann.assignWithModel(augmented, model, "vaug")
       .select("doc_id", "chunk_idx", "chunk_start", "vec", "list")
-      .write.mode("append").partitionBy("list").parquet(path)
   }
 
   /** EXACTLY-ONCE application of one ingest batch into a persisted
@@ -988,20 +1021,12 @@ object Retrieval {
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
     if (graft.util.StreamCommit.markerExists(fs, path, tag)) return false
     val prefix = s"$tag-"
-    graft.util.StreamCommit.scrub(fs, Seq(s"$path/list=*/$prefix*"))
+    graft.util.StreamCommit.scrub(fs, Seq(
+      s"${graft.util.StreamCommit.escapeGlob(path)}/list=*/$prefix*"))
     val staging = s"$path/_staging/$tag"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    val model = Ann.IvfModel.fromJson(
-      graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
-    val m2 = graft.util.Sidecar.read(spark, path, "_mip_m2.json").trim.toLong
-    val chunks = embeddedChunks(batch, chunkTokens, overlapTokens, dim, salt,
+    chunkAppendFrame(batch, path, chunkTokens, overlapTokens, dim, salt,
       textCol)
-    val nsq = innerProduct(col("vec"), col("vec"))
-    val augmented = chunks.withColumn("vaug",
-      concat(col("vec").cast("array<double>"),
-        array(sqrt(greatest(lit(0L), lit(m2) - nsq)))))
-    Ann.assignWithModel(augmented, model, "vaug")
-      .select("doc_id", "chunk_idx", "chunk_start", "vec", "list")
       .write.mode("overwrite").partitionBy("list").parquet(staging)
     graft.util.StreamCommit.promote(fs, staging, path, prefix)
     graft.util.StreamCommit.writeMarker(fs, path, tag)

@@ -929,7 +929,11 @@ object Dedup {
     * dupGrams row, not a pair explosion, which is why there is no
     * maxDocFreq cap here unlike [[ngramJaccardPairs]]); interval union is
     * a per-document window (sorted by position, bounded by document
-    * length) using the closed form |union| = W + Σ min(W, gap_i).
+    * length) using the closed form |union| = W + Σ min(W, gap_i). Grams
+    * key the exchanges as a 128-bit hash pair (16 B, not the ~100 B
+    * string; a both-halves collision — past 2^100 grams — would flag a
+    * non-duplicated window, the one departure from exact-string
+    * semantics).
     */
   /** The actionable form of [[dupSpans]]: REMOVE duplicated spans from the
     * text, keeping exactly one canonical occurrence corpus-wide (Lee et al.
@@ -944,9 +948,13 @@ object Dedup {
     * token sequence re-joined by single spaces (tokenization is the
     * whitespace convention, so re-joining loses only whitespace shape).
     *
-    * Deterministic by construction (no hash involved at all): the canonical
-    * choice is a total order over occurrences, so any partitioning and any
-    * retry produces the identical corpus. Scale shape: the covered-position
+    * Deterministic by construction: the canonical choice is a total order
+    * over occurrences, so any partitioning and any retry produces the
+    * identical corpus. Grams group by a 128-bit hash pair rather than the
+    * gram string (the exchanges carry 16 B, not ~100 B per position); a
+    * cross-gram collision on BOTH halves — past 2^100 grams, see the
+    * inline derivation — would trim a non-duplicated span, the one
+    * departure from exact-string semantics. Scale shape: the covered-position
     * explode is bounded by (redundant windows × windowN) — the duplicated
     * MINORITY of positions, not the corpus — followed by a per-doc distinct
     * and one anti-join back onto token positions; everything else is the

@@ -48,7 +48,13 @@ object DriveServeIo {
   private def diskBytesRead(): Long = try {
     val root = new java.io.File("/sys/block")
     Option(root.listFiles()).getOrElse(Array.empty)
-      .filterNot(_.getName.startsWith("loop"))
+      // physical devices only: layered block devices (dm-*/md*) replay the
+      // same read at two layers and would double-count it; loop/ram/zram
+      // are not disks at all. (Other processes' IO still lands in the
+      // delta — the tool's contract is an otherwise-quiet machine, same as
+      // every timed battery run.)
+      .filterNot(d => Seq("loop", "dm-", "md", "ram", "zram")
+        .exists(d.getName.startsWith))
       .map { d =>
         val stat = java.nio.file.Files.readString(
           java.nio.file.Paths.get(d.getAbsolutePath, "stat")).trim
@@ -172,8 +178,19 @@ object DriveServeIo {
         (if (gate > 0) s""","collect_gate":$gate}""" else "}"))
     }
 
+    // drop block-manager state between regions: the over-gate rerank serve
+    // persists its shortlist, and CacheManager substitutes a cached
+    // subtree into any later plan that canonicalizes equal — a "cold" run
+    // served from the Spark cache would silently skip the codes scan this
+    // tool exists to measure (drop_caches clears the PAGE cache only)
+    def freshRegion(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     serve().write.mode("overwrite").format("noop").save()   // touch pass
+    freshRegion()
     timed("warm")
+    freshRegion()
     if (dropCaches()) timed("cold")
     else println(s"""{"mode":"$mode","region":"cold","skipped":"drop_caches not writable"}""")
     spark.stop()

@@ -41,8 +41,19 @@ object StreamCommit {
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
 
+  /** Escape Hadoop-glob metacharacters so a literal path can be embedded
+    * in a glob pattern — an index at a legal directory like `/data/idx[v2]`
+    * must not have `[v2]` read as a character class (the scrub would then
+    * silently miss a crashed attempt's files and the replay would land
+    * duplicates). Tag names never need escaping (charset-restricted).
+    */
+  def escapeGlob(literal: String): String =
+    literal.replaceAll("([\\\\*?\\[\\]{}])", "\\\\$1")
+
   /** Delete every file matching the globs — replay's first step removes
     * whatever subset of this tag's files a crashed attempt landed.
+    * Callers pass the index path through [[escapeGlob]]; only the
+    * partition-dir and tag-prefix wildcards stay live.
     */
   def scrub(fs: org.apache.hadoop.fs.FileSystem, globs: Seq[String]): Unit =
     globs.foreach { g =>
@@ -85,16 +96,25 @@ object StreamCommit {
 
   /** Write the marker that commits the batch (its existence IS the
     * applied-ness of the tag; `body` may carry per-batch metadata, e.g.
-    * BM25's stats delta).
+    * BM25's stats delta). Written to a dot-temp name and renamed into
+    * place: the marker's EXISTENCE is the commit, so a create-then-write
+    * would expose a visible empty marker between the two — a crash there
+    * would gate replays forever while the body (BM25's stats delta) was
+    * never recorded, and a concurrent reader could fold a torn delta.
+    * Dot-prefixed temps are invisible to [[listMarkers]]' glob and never
+    * parse as tags.
     */
   def writeMarker(fs: org.apache.hadoop.fs.FileSystem, path: String,
                   tagName: String, body: String = ""): Unit = {
     val marker = new org.apache.hadoop.fs.Path(
       s"$path/_stream_appends/$tagName")
     fs.mkdirs(marker.getParent)
-    val os = fs.create(marker, true)
+    val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+      s".$tagName.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val os = fs.create(tmp, true)
     try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
+    require(fs.rename(tmp, marker), s"marker rename failed: $tmp -> $marker")
   }
 
   def markerExists(fs: org.apache.hadoop.fs.FileSystem, path: String,
@@ -105,7 +125,7 @@ object StreamCommit {
   def listMarkers(fs: org.apache.hadoop.fs.FileSystem, path: String)
       : Seq[(String, Long, String)] =
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-      s"$path/_stream_appends/*"))).getOrElse(Array.empty).toSeq
+      s"${escapeGlob(path)}/_stream_appends/*"))).getOrElse(Array.empty).toSeq
       .flatMap { st =>
         parseTag(st.getPath.getName).map { case (sid, id) =>
           val in = fs.open(st.getPath)
