@@ -41,7 +41,8 @@ object Cli {
     "commands: run-config backup backup-incremental import-offsets-db export-offsets-db restore dry-run list describe validate " +
       "import-warc prepare-corpus corpus-diff datasheet " +
       "build-chunk-index append-chunk-index retrieve " +
-      "build-bm25-index append-bm25-index bm25-search rank-domains " +
+      "build-bm25-index append-bm25-index bm25-search " +
+      "ingest-bm25 ingest-chunks compact-bm25-stats rank-domains " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-groups snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -362,6 +363,75 @@ object Cli {
       val after = spark.read.parquet(indexDir).count()
       println(s"""{"index":${graft.util.Json.escape(indexDir)},""" +
         s""""appended_postings":${after - before},"n_postings":$after}""")
+
+    // ingest-bm25 <docsDir> <indexDir> <checkpointDir> [streamId]
+    // Exactly-once STREAMING ingest into a persisted BM25 index: the docs
+    // directory is a file-stream source (new parquet files become
+    // micro-batches), each batch lands via the marker-gated StreamCommit
+    // protocol, and Trigger.AvailableNow drains everything currently
+    // present then stops — re-running with the same checkpoint ingests
+    // only files added since. A NEW checkpoint dir needs a NEW streamId
+    // (batchIds restart at 0 per checkpoint lineage).
+    case "ingest-bm25" =>
+      val Array(_, docsDir, indexDir, ckpt, rest @ _*) = args: @unchecked
+      val sid = rest.lift(0).filter(_ != "-").getOrElse("")
+      val schema = spark.read.parquet(docsDir).schema
+      val stream = spark.readStream.schema(schema).parquet(docsDir)
+      graft.streaming.StreamingText
+        .ingestBm25IndexStream(stream, indexDir, streamId = sid)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val ifs = graft.util.StreamCommit.fs(spark, indexDir)
+      println(s"""{"index":${graft.util.Json.escape(indexDir)},""" +
+        s""""n_postings":${spark.read.parquet(indexDir).count()},""" +
+        s""""pending_markers":${
+          graft.util.StreamCommit.listMarkers(ifs, indexDir).size}}""")
+
+    // ingest-chunks <docsDir> <indexDir> <checkpointDir> [pq|flat] [streamId]
+    // The dense siblings of ingest-bm25: exactly-once streaming ingest into
+    // a persisted IVF-PQ (default) or IVF-flat chunk index.
+    case "ingest-chunks" =>
+      val Array(_, docsDir, indexDir, ckpt, rest @ _*) = args: @unchecked
+      val kind = rest.lift(0).filter(_ != "-").getOrElse("pq")
+      val sid = rest.lift(1).filter(_ != "-").getOrElse("")
+      val schema = spark.read.parquet(docsDir).schema
+      val stream = spark.readStream.schema(schema).parquet(docsDir)
+      val writer = kind match {
+        case "pq" => graft.streaming.StreamingText
+          .ingestChunkIndexPqStream(stream, indexDir, streamId = sid)
+        case "flat" => graft.streaming.StreamingText
+          .ingestChunkIndexStream(stream, indexDir, streamId = sid)
+        case other => sys.error(s"ingest-chunks: unknown kind '$other' " +
+          "(expected pq or flat)")
+      }
+      writer.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val cfs = graft.util.StreamCommit.fs(spark, indexDir)
+      println(s"""{"index":${graft.util.Json.escape(indexDir)},""" +
+        s""""kind":"$kind",""" +
+        s""""n_chunks":${spark.read.parquet(indexDir).count()},""" +
+        s""""pending_markers":${
+          graft.util.StreamCommit.listMarkers(cfs, indexDir).size}}""")
+
+    // compact-bm25-stats <indexDir>
+    // Fold accumulated streaming-ingest marker deltas into the BM25 stats
+    // sidecar and delete the folded markers — run periodically to bound a
+    // long-lived ingest stream's per-serve marker scan. Single
+    // administrative writer per index (CAS-guarded: a concurrent admin op
+    // fails loudly instead of losing an update).
+    case "compact-bm25-stats" =>
+      val root = args(1)
+      val sfs = graft.util.StreamCommit.fs(spark, root)
+      val before = graft.util.StreamCommit.listMarkers(sfs, root).size
+      graft.ann.Bm25.compactStreamStats(spark, root)
+      val after = graft.util.StreamCommit.listMarkers(sfs, root).size
+      println(s"""{"index":${graft.util.Json.escape(root)},""" +
+        s""""folded_markers":${before - after},""" +
+        s""""pending_markers":$after}""")
 
     // bm25-search <indexDir> <queries.parquet> <outPath> [k]
     // Serve: per-query BM25 top-k docs (integer-exact micro scores);

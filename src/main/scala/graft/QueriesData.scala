@@ -573,6 +573,24 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // serve-read isolation, hash-checked END TO END: the cached layout is
+    // the ingest-assembled index PLUS a fully-promoted POISON batch whose
+    // marker never landed (the exact crash-before-marker state) —
+    // duplicate copies of every query-slice doc, which would tie into
+    // every top-5 and shift every df/idf if visible. committedOnly pins
+    // the scan to base files + marker/folded batches, so the serve must
+    // hash-match plain BM25 over the committed corpus alone
+    "a_bm25_committed" -> ((s, d) => {
+      val path = ensureBm25CommittedIndex(s, d)
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.ann.Bm25.retrieveFromIndex(s, path, qs, k = 5,
+          committedOnly = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // the eval leg on the SPARSE ranking: same MRR/nDCG@5 arithmetic and
     // synthetic relevance as a_retrieval_eval, over the BM25 doc ranking —
     // any ranking this engine produces is measurable with the same metric
@@ -3337,6 +3355,16 @@ object QueriesData {
       """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
         |       score_micro / 1000000e0 AS score
         |FROM br WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // committed-only serve over a layout that ALSO holds a fully-promoted
+    // unmarked poison batch (duplicates of every query doc): invisibility
+    // is the assertion, so the oracle is the same full-committed-corpus
+    // BM25 as the other serve entries — any leaked file shifts df/idf and
+    // therefore the hash
+    "a_bm25_committed" ->
+      (s"WITH $bm25SqlCtes\n" +
+      """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
+        |       score_micro / 1000000e0 AS score
+        |FROM br WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "a_bm25_snippets" ->
       (s"WITH $bm25SqlCtes,\n" +
       """hq AS (SELECT query_id, doc_id FROM br WHERE rank <= 3),
@@ -3804,6 +3832,37 @@ object QueriesData {
         build.getAbsolutePath, batchId = 1L, streamId = "ingest")
     }
 
+  /** [[ensureBm25IngestIndex]] plus a POISON batch: duplicate copies of
+    * the battery's query-slice docs land fully promoted (batchId 2, same
+    * stream) and then the batch's marker is deleted — the exact
+    * crash-before-marker state a concurrent serve can observe. If
+    * committed-only serving leaked the unmarked files, the duplicates
+    * would tie into every query's top-5 (identical text → identical
+    * per-term contributions) and inflate every matched term's df, shifting
+    * the hashed scores; the entry's oracle is plain BM25 over the
+    * committed corpus alone.
+    */
+  def ensureBm25CommittedIndex(s: SparkSession, dir: String): String =
+    ensureCached("bm25_index_committed",
+      contentKey(s"$dir/documents.parquet")) { build =>
+      val all = docs(s, dir)
+      graft.ann.Bm25.writeIndex(all.filter(col("doc_id") % 2 === 0),
+        build.getAbsolutePath, nBuckets = 16)
+      graft.ann.Bm25.applyIngestBatch(all.filter(col("doc_id") % 4 === 1),
+        build.getAbsolutePath, batchId = 0L, streamId = "ingest")
+      graft.ann.Bm25.compactStreamStats(s, build.getAbsolutePath)
+      graft.ann.Bm25.applyIngestBatch(all.filter(col("doc_id") % 4 === 3),
+        build.getAbsolutePath, batchId = 1L, streamId = "ingest")
+      val poison = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("text").isNotNull)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      graft.ann.Bm25.applyIngestBatch(poison, build.getAbsolutePath,
+        batchId = 2L, streamId = "ingest")
+      graft.util.StreamCommit.fs(s, build.getAbsolutePath).delete(
+        new org.apache.hadoop.fs.Path(
+          s"${build.getAbsolutePath}/_stream_appends/ingest~b2"), false)
+    }
+
   def ensureIvfPq(s: SparkSession, dir: String): String =
     ensureCached("ann_ivfpq", contentKey(s"$dir/embeddings.parquet")) { build =>
       Ann.writeIvfPq(emb(s, dir).filter(col("vec_id") =!= 0), "vec_id",
@@ -3971,20 +4030,24 @@ object QueriesData {
       // 8 tables: the synthetic corpus's "near dups" sit at cosine ~0.3
       // (near-orthogonal), where a single 5-bit table structurally recalls
       // ~p^5 ≈ 8% (measured 9.3%) — multi-table union is the honest
-      // borderline-similarity configuration: 1-(1-p^5)^8 ≈ 0.47
-      // past ~100k vectors the one-shot 8-table band join's sort spill
-      // exhausts small scratch tiers (SPILL_OUT_OF_MEMORY "No space left on
-      // device" at 200k vectors on the 78 GB class) — mine staged batches
-      // there instead; pair set identical (spec-pinned). MEASURED on the
-      // 78 GB tier at sf10 (200k vectors, ~5B one-shot probe-widened
-      // candidates): a 2-table batch spills ~60 GB and even ONE table
-      // ~75 GB (disk-full both ways), so table staging alone cannot fit —
-      // the bucket-hash RANGE split is the knob that scales: 2 tables ×
-      // 1/4 of the bucket space per batch ≈ 7-8 GB peak, 16 batch jobs
+      // borderline-similarity configuration: 1-(1-p^5)^8 ≈ 0.47.
+      // Geometry is a MEASURED choice, re-measured after the int16
+      // prefilter landed (it shrank the quantize margin ~250×, so the
+      // survivor distinct that used to spill 60 GB at int8 — the reason
+      // the old config was 2 tables × 1/4 ranges × 16 jobs — is now
+      // output-scale, <8 GB total scratch in every geometry). sf10 A/B on
+      // the 78 GB tier (200k vectors, single passes, this VM class):
+      // 2×¼ (16 jobs) 369 s, 4×½ (4 jobs) 180/281 s, 4×full (2 jobs)
+      // 203 s, 8×½ (2 jobs) 323 s, one-shot 237-272 s — 4 tables × 1/2
+      // of the bucket space wins (per-batch fixed costs amortized, band
+      // joins still small enough to stay in memory), and its sf10 pair
+      // set was counted EQUAL to the one-shot plan's (57,845,156).
+      // Deeper staging (more ranges) remains the bounded-spill lever for
+      // corpora orders of magnitude past this tier.
       val approx = Dedup.embeddingPairs(e, "vec_id", "embedding", dim = 64,
         bits = 5, threshold = 0.3, knownCount = Some(n), tables = 8,
-        stagedTableBatch = if (n > 100000L) 2 else 0,
-        stagedBucketRanges = if (n > 150000L) 4 else 0)
+        stagedTableBatch = if (n > 100000L) 4 else 0,
+        stagedBucketRanges = if (n > 100000L) 2 else 0)
       // the brute-force ground truth is O(n²): audit only below a measured
       // count (sf<=0.1 batteries), carry an explicit null above it — a 100TB
       // corpus audits on a sampled slice instead, never all-pairs

@@ -179,8 +179,8 @@ object Bm25 {
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     graft.util.Sidecar.write(docs.sparkSession, path, "_bm25_stats.json",
-      s"""{"n_docs":$nDocs,"total_tokens":$totalTokens,""" +
-        s""""n_buckets":$nBuckets}""")
+      renderStats(nDocs, totalTokens, nBuckets, Map.empty, version = 0L,
+        writer = ""))
   }
 
   /** Incremental ingest into a persisted index: new documents' postings
@@ -195,29 +195,40 @@ object Bm25 {
     * docs (re-appending a doc double-counts it), and the sidecar is
     * written after the data lands, so a crash between the two leaves the
     * stats one append behind — re-run the append's sidecar half or
-    * rebuild.
+    * rebuild. A CAS conflict ([[writeStatsCas]]) lands in the same
+    * recoverable state: postings appended, stats not yet advanced.
     */
   def appendToIndex(docs: DataFrame, path: String,
                     textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
-    val (nDocs0, totalTokens0, nBuckets, folded) =
-      parseStats(graft.util.Sidecar.read(spark, path, "_bm25_stats.json"))
+    val st = readStats(spark, path)
     val (dn, dt) = corpusStats(docs, textCol)
     buildPostings(docs, textCol)
       .withColumn("bucket",
-        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
+        pmod(xxhash64(col("term")), lit(st.nBuckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(path)
     // the folded map rides through: dropping it would re-serve every
     // previously folded (but not yet deleted) ingest marker's delta
-    graft.util.Sidecar.write(spark, path, "_bm25_stats.json",
-      renderStats(nDocs0 + dn, totalTokens0 + dt, nBuckets, folded))
+    writeStatsCas(spark, path, st, st.nDocs + dn, st.totalTokens + dt,
+      st.folded)
   }
 
-  /** `_bm25_stats.json` fields; `folded` maps streamId → highest ingest
+  /** Parsed `_bm25_stats.json`. `folded` maps streamId → highest ingest
     * batchId whose delta is already folded INTO the base counts (see
-    * [[compactStreamStats]]) — missing = -1, nothing folded.
+    * [[compactStreamStats]]) — missing = -1, nothing folded. `version` and
+    * `writer` are the CAS fields guarding the sidecar's two
+    * read-modify-writers ([[writeStatsCas]]); sidecars written before the
+    * fields existed parse as version 0 with an empty writer.
     */
-  private def parseStats(body: String): (Long, Long, Int, Map[String, Long]) = {
+  private[graft] case class BmStats(nDocs: Long, totalTokens: Long,
+                                    nBuckets: Int,
+                                    folded: Map[String, Long],
+                                    version: Long, writer: String)
+
+  private[graft] def readStats(spark: SparkSession, path: String): BmStats =
+    parseStats(graft.util.Sidecar.read(spark, path, "_bm25_stats.json"))
+
+  private[graft] def parseStats(body: String): BmStats = {
     import org.json4s._
     implicit val formats: Formats = DefaultFormats
     val j = org.json4s.jackson.JsonMethods.parse(body)
@@ -226,19 +237,65 @@ object Bm25 {
         fields.map { case (k, v) => k -> v.extract[Long] }.toMap
       case _ => Map.empty[String, Long]
     }
-    ((j \ "n_docs").extract[Long], (j \ "total_tokens").extract[Long],
-      (j \ "n_buckets").extract[Int], folded)
+    BmStats((j \ "n_docs").extract[Long], (j \ "total_tokens").extract[Long],
+      (j \ "n_buckets").extract[Int], folded,
+      (j \ "version").extractOpt[Long].getOrElse(0L),
+      (j \ "writer").extractOpt[String].getOrElse(""))
   }
 
   private def renderStats(nDocs: Long, totalTokens: Long, nBuckets: Int,
-                          folded: Map[String, Long]): String = {
+                          folded: Map[String, Long], version: Long,
+                          writer: String): String = {
     val f =
       if (folded.isEmpty) ""
       else folded.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${graft.util.Json.escape(k)}:$v" }
         .mkString(""","folded":{""", ",", "}")
     s"""{"n_docs":$nDocs,"total_tokens":$totalTokens,""" +
-      s""""n_buckets":$nBuckets$f}"""
+      s""""n_buckets":$nBuckets,"version":$version,""" +
+      s""""writer":${graft.util.Json.escape(writer)}$f}"""
+  }
+
+  /** Commit a read-modify-write of the stats sidecar with a cheap CAS
+    * check. The sidecar's two administrative RMW writers —
+    * [[appendToIndex]] and [[compactStreamStats]] — are single-writer by
+    * deployment contract; this turns a violated contract (two admins
+    * racing, one side's update silently overwritten) into a LOUD failure
+    * on at least one side: the version is re-read just before the rename
+    * (stale → fail) and the (version, writer-nonce) pair is re-read just
+    * after it (someone overwrote my write → fail). Not a lock — two
+    * writers whose write+recheck windows fully interleave inside one
+    * driver-side read can still both pass — but the realistic mistake
+    * (two seconds-long admin operations overlapping) now fails loudly and
+    * bumps `bm25_stats_cas_conflict_total` instead of silently losing a
+    * read-modify-write. On failure the sidecar holds the OTHER writer's
+    * consistent update; this writer re-reads and retries its operation.
+    */
+  private[graft] def writeStatsCas(spark: SparkSession, path: String,
+                                   expect: BmStats, nDocs: Long,
+                                   totalTokens: Long,
+                                   folded: Map[String, Long]): Unit = {
+    def conflict(what: String): Nothing = {
+      graft.metrics.GraftCounters.inc("bm25_stats_cas_conflict_total")
+      throw new IllegalStateException(
+        s"bm25 stats sidecar CAS conflict at $path: $what — a concurrent " +
+          "administrative writer (appendToIndex / compactStreamStats) " +
+          "violated the single-administrative-writer contract; re-read " +
+          "the sidecar and retry this operation")
+    }
+    val pre = readStats(spark, path)
+    if (pre.version != expect.version)
+      conflict(s"read version ${expect.version}, found ${pre.version} " +
+        "before write")
+    val nonce = java.util.UUID.randomUUID().toString
+    graft.util.Sidecar.write(spark, path, "_bm25_stats.json",
+      renderStats(nDocs, totalTokens, expect.nBuckets, folded,
+        expect.version + 1, nonce))
+    val post = readStats(spark, path)
+    if (post.version != expect.version + 1 || post.writer != nonce)
+      conflict(s"post-write readback saw version ${post.version} / writer " +
+        s"'${post.writer}' where this writer committed " +
+        s"${expect.version + 1} / '$nonce' — this update was overwritten")
   }
 
   private def markerDelta(body: String): (Long, Long) =
@@ -250,17 +307,38 @@ object Bm25 {
     * streaming-ingest marker's delta (metadata-sized driver reads — one
     * small file per un-compacted micro-batch; [[compactStreamStats]]
     * bounds the count).
+    *
+    * READ ORDER MATTERS: markers are listed BEFORE the sidecar is read.
+    * [[compactStreamStats]] writes the new sidecar (which carries the
+    * folded watermark) strictly before deleting the markers it folded, so
+    * with this order every interleaving of a concurrent compact converges:
+    * a read that sees the PRE-compact base also sees every unfolded marker
+    * (none deleted yet when the list ran), and a read that sees the
+    * POST-compact base filters the already-listed folded markers out via
+    * the watermark. The reverse order (sidecar first) silently DROPPED the
+    * folded deltas whenever a compact committed between the two reads —
+    * old base counts combined with a post-delete marker list — skewing
+    * idf/avgdl for that serve (Bm25Spec pins both interleavings).
     */
   private def liveStats(spark: SparkSession, path: String)
       : (Long, Long, Int) = {
-    val (n0, t0, nb, folded) =
-      parseStats(graft.util.Sidecar.read(spark, path, "_bm25_stats.json"))
     val fs = graft.util.StreamCommit.fs(spark, path)
-    val (dn, dt) = graft.util.StreamCommit.listMarkers(fs, path)
-      .filter { case (sid, id, _) => id > folded.getOrElse(sid, -1L) }
+    liveStatsFrom(graft.util.StreamCommit.listMarkers(fs, path),
+      graft.util.Sidecar.read(spark, path, "_bm25_stats.json"))
+  }
+
+  /** The pure combine step of [[liveStats]] — (markers listed first,
+    * sidecar body read second) → serving stats. Seam-exposed so the spec
+    * can pin the compact-interleaved read orders deterministically.
+    */
+  private[graft] def liveStatsFrom(markers: Seq[(String, Long, String)],
+                                   statsBody: String): (Long, Long, Int) = {
+    val st = parseStats(statsBody)
+    val (dn, dt) = markers
+      .filter { case (sid, id, _) => id > st.folded.getOrElse(sid, -1L) }
       .map(m => markerDelta(m._3))
       .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
-    (n0 + dn, t0 + dt, nb)
+    (st.nDocs + dn, st.totalTokens + dt, st.nBuckets)
   }
 
   /** EXACTLY-ONCE application of one ingest batch — the BM25 sibling of
@@ -315,24 +393,32 @@ object Bm25 {
     * and the batch [[appendToIndex]] — and neither takes a lock:
     * administrative operations on one index are single-writer by
     * deployment contract (the same contract appendToIndex has always
-    * carried for itself). Streaming ingest batches never touch the base
-    * sidecar, so they are safe concurrently with either.
+    * carried for itself), and [[writeStatsCas]] turns a violated contract
+    * into a loud failure instead of a silent lost update. Streaming ingest
+    * batches never touch the base sidecar, so they are safe concurrently
+    * with either.
     */
   def compactStreamStats(spark: SparkSession, path: String): Unit = {
     val fs = graft.util.StreamCommit.fs(spark, path)
-    val (n0, t0, nb, folded) =
-      parseStats(graft.util.Sidecar.read(spark, path, "_bm25_stats.json"))
+    // sweep stale marker temps (crashed writeMarker attempts of abandoned
+    // streams — a LIVE stream's replay cleans its own). Benign race: a
+    // compact can delete a concurrently in-flight marker temp, failing
+    // that marker's rename loudly — the batch replays and converges, the
+    // exactly-once end state is untouched.
+    graft.util.StreamCommit.scrub(fs, Seq(
+      s"${graft.util.StreamCommit.escapeGlob(path)}/_stream_appends/.*.tmp.*"))
+    val st = readStats(spark, path)
     val markers = graft.util.StreamCommit.listMarkers(fs, path)
     if (markers.isEmpty) return
     val (dn, dt) = markers
-      .filter { case (sid, id, _) => id > folded.getOrElse(sid, -1L) }
+      .filter { case (sid, id, _) => id > st.folded.getOrElse(sid, -1L) }
       .map(m => markerDelta(m._3))
       .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
-    val newFolded = folded ++ markers.groupBy(_._1).map { case (sid, ms) =>
-      sid -> math.max(folded.getOrElse(sid, -1L), ms.map(_._2).max)
+    val newFolded = st.folded ++ markers.groupBy(_._1).map { case (sid, ms) =>
+      sid -> math.max(st.folded.getOrElse(sid, -1L), ms.map(_._2).max)
     }
-    graft.util.Sidecar.write(spark, path, "_bm25_stats.json",
-      renderStats(n0 + dn, t0 + dt, nb, newFolded))
+    writeStatsCas(spark, path, st, st.nDocs + dn, st.totalTokens + dt,
+      newFolded)
     markers
       .filter { case (sid, id, _) => id <= newFolded(sid) }
       .foreach { case (sid, id, _) =>
@@ -342,26 +428,79 @@ object Bm25 {
       }
   }
 
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+
   /** Serve a persisted index: the query terms' bucket set is collected
     * (≤ nBuckets ints — metadata-sized by construction) and applied as a
     * STATIC partition filter, so only those bucket directories are read;
     * scoring and ranking are then exactly [[topKFromPostings]] — the
     * served result is row-identical to the direct path by construction.
+    *
+    * Visibility vs a concurrent streaming ingest: the default serve reads
+    * whatever files are in the layout, so a batch mid-promote (or crashed
+    * before its marker) is PARTIALLY visible — its landed postings score
+    * with a df that includes them but corpus stats that don't (the stats
+    * delta only exists once the marker lands). That is an at-least-once
+    * read mode: transient, bounded by one batch, converging at the next
+    * marker. `committedOnly = true` buys snapshot isolation at marker
+    * granularity instead: the scan is pinned to base files + batches whose
+    * marker is present (or already folded — compaction deletes markers,
+    * the folded watermark is the durable record), the SAME marker snapshot
+    * feeds the corpus stats, so a half-landed batch is entirely invisible
+    * and stats always match the scanned postings exactly. Cost: one
+    * driver-side file listing of the probed buckets (base + one-ish file
+    * set per un-compacted batch — metadata-sized; compaction bounds it).
     */
   def retrieveFromIndex(spark: SparkSession, path: String,
                         queries: DataFrame, k: Int,
                         k1: Double = 1.5, b: Double = 0.75,
                         textCol: String = "text",
-                        maxQueries: Long = 1000000L): DataFrame = {
-    val (nDocs, totalTokens, nBuckets) = liveStats(spark, path)
+                        maxQueries: Long = 1000000L,
+                        committedOnly: Boolean = false): DataFrame = {
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    // ONE marker snapshot + ONE sidecar read feed both the stats and (in
+    // committed-only mode) the file pruning — stats and scan can't diverge
+    val markers = graft.util.StreamCommit.listMarkers(fs, path)
+    val statsBody = graft.util.Sidecar.read(spark, path, "_bm25_stats.json")
+    val (nDocs, totalTokens, nBuckets) = liveStatsFrom(markers, statsBody)
     val buckets = queries.where(col(textCol).isNotNull)
       .select(explode(terms(col(textCol))).as("term"))
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
         .as("bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val postings = spark.read.parquet(path)
-      .where(col("bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
-      .select("doc_id", "dl", "term", "tf")
+    val postings =
+      if (!committedOnly)
+        spark.read.parquet(path)
+          .where(col("bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
+          .select("doc_id", "dl", "term", "tf")
+      else {
+        val tags = markers
+          .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet
+        val globs =
+          if (buckets.isEmpty) Seq.empty[String]
+          else Seq(s"${graft.util.StreamCommit.escapeGlob(path)}" +
+            s"/bucket={${buckets.mkString(",")}}/*")
+        val files = graft.util.StreamCommit.committedDataFiles(fs, globs,
+          tags, parseStats(statsBody).folded)
+        if (files.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            postingsSchema).select("doc_id", "dl", "term", "tf")
+        else
+          spark.read.option("basePath", path).schema(postingsSchema)
+            .parquet(files: _*)
+            .select("doc_id", "dl", "term", "tf")
+      }
     topKFromPostings(postings, nDocs, totalTokens, queries, k, k1, b,
       textCol, maxQueries)
   }

@@ -620,6 +620,15 @@ object Retrieval {
     * the ADC score itself (`score` becomes the 6-dp ADC double) — the
     * zero-vector-IO serving mode for when shortlist-grade ordering is
     * enough.
+    *
+    * `committedOnly = true` pins BOTH layout scans (codes and `_vecs`) to
+    * base files + batches whose [[graft.util.StreamCommit]] marker is
+    * present, via a driver-side listing of the probed partitions — so a
+    * streaming-ingest batch that is mid-promote (or crashed before its
+    * marker) is entirely invisible: without it the default scan could
+    * shortlist a SUBSET of a half-landed batch's chunks (at-least-once
+    * visibility, transient, converges at the marker). Cost: one file
+    * listing per layout over the probed lists (metadata-sized).
     */
   def retrieveFromChunkIndexPq(spark: org.apache.spark.sql.SparkSession,
                                path: String, queries: DataFrame,
@@ -629,19 +638,44 @@ object Retrieval {
                                textCol: String = "text",
                                exactRerank: Boolean = true,
                                maxQueries: Long = 1000000L,
-                               collectGate: Long = 200000L): DataFrame = {
+                               collectGate: Long = 200000L,
+                               committedOnly: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val sl = if (shortlist > 0) shortlist else 10 * k
     require(sl >= k, s"shortlist=$sl must be >= k=$k")
     val nq = shardedByQueryCount(queries, maxQueries,
       "retrieveFromChunkIndexPq") { shard =>
         retrieveFromChunkIndexPq(spark, path, shard, k, nProbe, shortlist,
-          dim, salt, textCol, exactRerank, maxQueries, collectGate)
+          dim, salt, textCol, exactRerank, maxQueries, collectGate,
+          committedOnly)
     } match {
       case Right(sharded) => return sharded
       case Left(n)        => n   // measured ONCE; feeds the collect gate
     }
     {
+      // one marker snapshot serves both layout scans — the codes and vecs
+      // views of any batch commit or vanish together
+      lazy val committedTags = {
+        val fs = graft.util.StreamCommit.fs(spark, path)
+        graft.util.StreamCommit.listMarkers(fs, path)
+          .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet
+      }
+      def committedScan(layoutRoot: String, partDirGlobs: Seq[String],
+                        schema: org.apache.spark.sql.types.StructType)
+          : DataFrame = {
+        val fs = graft.util.StreamCommit.fs(spark, layoutRoot)
+        val files = graft.util.StreamCommit.committedDataFiles(fs,
+          partDirGlobs.map(g =>
+            s"${graft.util.StreamCommit.escapeGlob(layoutRoot)}/$g/*"),
+          committedTags, Map.empty)
+        if (files.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            schema)
+        else
+          spark.read.option("basePath", layoutRoot).schema(schema)
+            .parquet(files: _*)
+      }
       val ivfModel = Ann.IvfModel.fromJson(
         graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
       val pqModel = Ann.PqModel.fromJson(
@@ -663,9 +697,14 @@ object Retrieval {
         .map(_.getInt(0)).sorted
       def listFilter(c: Column): Column =
         c.isin(lists.map(Integer.valueOf).toSeq: _*)
-      val scan = spark.read.schema(pqCodesSchema).parquet(path)
-        .where(listFilter(col("list")))
-        .select("doc_id", "chunk_idx", "chunk_start", "list", "pq_code")
+      val scan =
+        (if (!committedOnly)
+          spark.read.schema(pqCodesSchema).parquet(path)
+            .where(listFilter(col("list")))
+        else
+          committedScan(path, lists.toSeq.map(l => s"list=$l"),
+            pqCodesSchema))
+          .select("doc_id", "chunk_idx", "chunk_start", "list", "pq_code")
       // ADC decode via the broadcast-codebook kernel; summation order is
       // identical to the per-subspace literal reconstruction it replaced.
       // Decoded BEFORE the multiplying probe join: each chunk reconstructs
@@ -737,10 +776,17 @@ object Retrieval {
               mat.select("vb").distinct().collect()
                 .map(_.getInt(0)).sorted)
           }
-        val side = spark.read.schema(pqVecsSchema).parquet(s"$path/_vecs")
-          .where(listFilter(col("list")) &&
-            col("vb").isin(vbs.map(Integer.valueOf).toSeq: _*))
-          .select("doc_id", "chunk_idx", "vec")
+        val side =
+          (if (!committedOnly)
+            spark.read.schema(pqVecsSchema).parquet(s"$path/_vecs")
+              .where(listFilter(col("list")) &&
+                col("vb").isin(vbs.map(Integer.valueOf).toSeq: _*))
+          else
+            committedScan(s"$path/_vecs",
+              for { l <- lists.toSeq; v <- vbs.toSeq }
+                yield s"list=$l/vb=$v",
+              pqVecsSchema))
+            .select("doc_id", "chunk_idx", "vec")
         val w = Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
         side.join(shortSrc, Seq("doc_id", "chunk_idx"))
@@ -1034,26 +1080,60 @@ object Retrieval {
     true
   }
 
+  private val flatChunkSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("chunk_idx",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("chunk_start",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("list",
+      org.apache.spark.sql.types.IntegerType)))
+
   /** Serve a persisted chunk index: the union of every query's probed
     * lists is collected (≤ nLists ints — metadata-sized by construction)
     * and applied as a STATIC partition filter, so only nProbe-ish of the
     * index files are ever read; scoring and ranking are then exactly
     * [[topKChunksIvf]]. Query text must use the same (chunkTokens, dim,
-    * salt) the index was built with.
+    * salt) the index was built with. `committedOnly` pins the scan to
+    * base files + marker-committed ingest batches (the same snapshot
+    * contract as [[retrieveFromChunkIndexPq]]).
     */
   def retrieveFromChunkIndex(spark: org.apache.spark.sql.SparkSession,
                              path: String, queries: DataFrame, k: Int,
                              nProbe: Int, dim: Int = 4, salt: String = "emb",
                              textCol: String = "text",
-                             maxQueries: Long = 1000000L): DataFrame = {
+                             maxQueries: Long = 1000000L,
+                             committedOnly: Boolean = false): DataFrame = {
     val model = Ann.IvfModel.fromJson(
       graft.util.Sidecar.read(spark, path, "_ivf_centroids.json"))
     val np = math.min(nProbe, model.nLists)
     val q = augmentedQueries(queries, dim, salt, textCol)
     val lists = probeTable(q, model, np, "vec", "vaug")
       .select("list").distinct().collect().map(_.getInt(0)).sorted
-    val scan = spark.read.parquet(path)
-      .where(col("list").isin(lists.map(Integer.valueOf).toSeq: _*))
+    val scan =
+      if (!committedOnly)
+        spark.read.parquet(path)
+          .where(col("list").isin(lists.map(Integer.valueOf).toSeq: _*))
+      else {
+        val fs = graft.util.StreamCommit.fs(spark, path)
+        val tags = graft.util.StreamCommit.listMarkers(fs, path)
+          .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet
+        val files = graft.util.StreamCommit.committedDataFiles(fs,
+          lists.toSeq.map(l =>
+            s"${graft.util.StreamCommit.escapeGlob(path)}/list=$l/*"),
+          tags, Map.empty)
+        if (files.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            flatChunkSchema)
+        else
+          spark.read.option("basePath", path).schema(flatChunkSchema)
+            .parquet(files: _*)
+      }
     topKChunksIvf(scan, model, q, k, np, probeCol = "vaug",
       maxQueries = maxQueries)
   }

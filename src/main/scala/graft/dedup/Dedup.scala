@@ -506,7 +506,7 @@ object Dedup {
     *   expensive inputs
     * @param idOnlyBand quantized-prefilter band-join shape: ship only
     *   (tbl, bucket, id) through the band exchange, DISTINCT the candidate
-    *   id-pairs (collapsing table×probe duplication), then attach int8
+    *   id-pairs (collapsing table×probe duplication), then attach int16
     *   payloads by id join at distinct-candidate scale. Output identical
     *   either way (spec-pinned); pick by the measured exchange weight
     *   (SCALING.md A/B). Ignored unless quantizedPrefilter && tables > 1.
@@ -588,26 +588,37 @@ object Dedup {
         // Shuffle-compressed two-stage scoring, EXACT by construction. The
         // candidate join is the dominant exchange: every vector ships once
         // per (table, probe) — 8 tables × 4 probes of a 64-dim double array
-        // is ~16 KB of exchange per vector, the int8 payload ~2 KB. Stage 1
-        // scores candidates on the bytes (native BinaryDot) and keeps any
-        // pair whose quantized cosine clears `threshold − margin`, where
-        // margin bounds the quantization error ANALYTICALLY for unit
-        // vectors: with s = max|x|/127 ≤ 1/127, |e_i| ≤ s/2, ‖x‖₁ ≤ √d,
-        //   |cos − cosq| ≤ 2·(√d + d/254)/254·... folded to
-        //   margin(d) = (√d + d/254)/127 + d/(4·127²)  (≈ 0.066 at d=64),
+        // is ~16 KB of exchange per vector, the int16 payload ~4 KB. Stage
+        // 1 scores candidates on the packed shorts (native BinaryDot16)
+        // and keeps any pair whose quantized cosine clears
+        // `threshold − margin`, where margin bounds the quantization error
+        // ANALYTICALLY for unit vectors: with s = max|x|/32767 ≤ 1/32767,
+        // |e_i| ≤ s/2, ‖x‖₁ ≤ √d, the error telescopes to
+        //   margin(d) = (√d + d/65534)/32767 + d/(4·32767²)
+        //   (≈ 0.000245 at d=64),
         // plus 1e-6 for the final 6-dp rounding — so every pair the exact
         // stage would keep survives the prefilter and the output is
         // IDENTICAL to the direct form (spec-pinned equality). Stage 2
         // re-attaches full vectors BY ID to the distinct survivor pairs
         // (output-sized, not candidate-sized) and applies the exact cosine.
-        val margin = (math.sqrt(dim) + dim / 254.0) / 127.0 +
-          dim / (4.0 * 127.0 * 127.0) + 1e-6
+        //
+        // int16, not int8, is a measured scale decision: the prefilter
+        // keeps the [thr − margin, thr) shoulder as false survivors, and
+        // on a near-orthogonal corpus (exact cosines massed just below the
+        // threshold) the int8 margin (≈ 0.066 at d=64) made that shoulder
+        // CANDIDATE-scale — the survivors' distinct() sort was the
+        // measured 60 GB spill that forced staged mining on the 78 GB
+        // scratch tier. The ~250× tighter int16 margin collapses survivors
+        // to output-scale for 2× the candidate-join payload — see
+        // SCALING.md for the measured sf10 before/after.
+        val margin = (math.sqrt(dim) + dim / 65534.0) / 32767.0 +
+          dim / (4.0 * 32767.0 * 32767.0) + 1e-6
         val stagedMode = stagedTableBatch > 0 && stagedTableBatch < tables ||
           stagedBucketRanges > 1
         // Staged mining consumes this projection ~3× PER BATCH (the batch's
-        // signature scan plus the per-batch finish's two unit joins) — ~48
-        // corpus re-derivations at the battery's 2-tables × 4-ranges
-        // config. One DISK_ONLY materialization replaces them all: it is
+        // signature scan plus the per-batch finish's two unit joins) — a
+        // dozen-plus corpus re-derivations at typical batch geometries.
+        // One DISK_ONLY materialization replaces them all: it is
         // corpus-ROW-sized (≈2× the input vector bytes) and CONSTANT in
         // the batch count, so unlike the band-join shuffle scratch that
         // staging exists to bound, it cannot grow with the staging depth —
@@ -617,9 +628,9 @@ object Dedup {
         // sorts. Freed at the end of the staged loop.
         val baseQ = {
           val q = base.withColumn("qb",
-            graft.functions.KFunctions.pack_unit_int8(col("unit")))
+            graft.functions.KFunctions.pack_unit_int16(col("unit")))
             .withColumn("qs",
-              array_max(transform(col("unit"), x => abs(x))) / 127.0d)
+              array_max(transform(col("unit"), x => abs(x))) / 32767.0d)
           if (stagedMode)
             q.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           else q
@@ -639,7 +650,7 @@ object Dedup {
           .select("id_a", "id_b", "cosine")
         if (idOnlyBand) {
           // A/B alternative shape: the band join moves (tbl, bucket, id)
-          // ONLY (16-byte rows instead of the ~2 KB int8 payload per
+          // ONLY (16-byte rows instead of the ~4 KB int16 payload per
           // (table × probe) copy), candidate id-pairs go DISTINCT first —
           // collapsing the (table × probe) duplication before any scoring —
           // and the quantized payloads attach by TWO id joins at
@@ -665,7 +676,7 @@ object Dedup {
               col("qb").as("qb_a"), col("qs").as("qs_a")), Seq("id_a"))
             .join(baseQ.select(col("id").as("id_b"),
               col("qb").as("qb_b"), col("qs").as("qs_b")), Seq("id_b"))
-            .filter(graft.functions.KFunctions.binary_dot(col("qb_a"), col("qb_b"))
+            .filter(graft.functions.KFunctions.binary_dot16(col("qb_a"), col("qb_b"))
               .cast("double") * col("qs_a") * col("qs_b") >= threshold - margin)
             .select("id_a", "id_b")
           return finish(survivors)
@@ -699,7 +710,7 @@ object Dedup {
             col("id").as("id_b"), col("qb").as("qb_b"), col("qs").as("qs_b")))
           a.join(b, Seq("tbl", "bucket"))
             .filter(col("id_a") < col("id_b"))
-            .filter(graft.functions.KFunctions.binary_dot(col("qb_a"), col("qb_b"))
+            .filter(graft.functions.KFunctions.binary_dot16(col("qb_a"), col("qb_b"))
               .cast("double") * col("qs_a") * col("qs_b") >= threshold - margin)
             .select("id_a", "id_b")
             .distinct()
@@ -931,9 +942,9 @@ object Dedup {
     * a per-document window (sorted by position, bounded by document
     * length) using the closed form |union| = W + Σ min(W, gap_i). Grams
     * key the exchanges as a 128-bit hash pair (16 B, not the ~100 B
-    * string; a both-halves collision — past 2^100 grams — would flag a
-    * non-duplicated window, the one departure from exact-string
-    * semantics).
+    * string; a both-halves collision — birthday bound ~2^64 distinct
+    * grams — would flag a non-duplicated window, the one departure from
+    * exact-string semantics).
     */
   /** The actionable form of [[dupSpans]]: REMOVE duplicated spans from the
     * text, keeping exactly one canonical occurrence corpus-wide (Lee et al.
@@ -952,9 +963,9 @@ object Dedup {
     * over occurrences, so any partitioning and any retry produces the
     * identical corpus. Grams group by a 128-bit hash pair rather than the
     * gram string (the exchanges carry 16 B, not ~100 B per position); a
-    * cross-gram collision on BOTH halves — past 2^100 grams, see the
-    * inline derivation — would trim a non-duplicated span, the one
-    * departure from exact-string semantics. Scale shape: the covered-position
+    * cross-gram collision on BOTH halves — birthday bound ~2^64 grams,
+    * see the inline derivation — would trim a non-duplicated span, the
+    * one departure from exact-string semantics. Scale shape: the covered-position
     * explode is bounded by (redundant windows × windowN) — the duplicated
     * MINORITY of positions, not the corpus — followed by a per-doc distinct
     * and one anti-join back onto token positions; everything else is the
@@ -970,10 +981,13 @@ object Dedup {
       TextFunctions.tokens(col(textCol)).as("t"))
     // the ~100 B 13-token gram string never enters an exchange: both the
     // doc-frequency aggregation and the canonical join shuffle a 16 B
-    // 128-bit key instead (two independent xxhash64 views — one 64-bit
-    // hash collides at real corpus scale: birthday at ~4e9 grams, and a
-    // collision silently trims a non-duplicated span; the pair pushes
-    // that past 2^100 grams). Measured 105 → 58 s on the sf10
+    // 128-bit key instead (two seed-chained xxhash64 views — not an
+    // independent hash family, but empirically uncorrelated across the
+    // seed split). One 64-bit hash collides at real corpus scale
+    // (birthday at ~2^32 ≈ 4e9 grams) and a collision silently trims a
+    // non-duplicated span; the 128-bit pair pushes the birthday bound to
+    // ~2^64 grams — comfortably past any corpus (10^12 grams ≈ 2^40 gives
+    // a ~2^-48 collision probability). Measured 105 → 58 s on the sf10
     // d_curation_pipeline whose profile this stage dominated at 86%.
     val pos = toks
       .where(size(col("t")) >= windowN)

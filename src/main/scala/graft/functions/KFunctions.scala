@@ -169,6 +169,16 @@ object KFunctions {
   def binary_dot(a: Column, b: Column): Column =
     exprCol(BinaryDot(exprOf(a), exprOf(b)))
 
+  /** Per-vector int16 quantization to a little-endian binary payload (see
+    * [[PackUnitInt16]]) — the tight-margin prefilter form: ~250× smaller
+    * analytic error bound than int8 for 2× the payload.
+    */
+  def pack_unit_int16(v: Column): Column = exprCol(PackUnitInt16(exprOf(v)))
+
+  /** Long dot of two int16 binary payloads (see [[BinaryDot16]]). */
+  def binary_dot16(a: Column, b: Column): Column =
+    exprCol(BinaryDot16(exprOf(a), exprOf(b)))
+
   /** k-slot MinHash signature of an array<string> column in one map pass —
     * native codegen expression, hash-compatible with
     * min(xxhash64(shingle, lit(seed))) per slot (see [[MinHashSig]]).

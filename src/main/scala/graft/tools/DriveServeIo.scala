@@ -66,12 +66,18 @@ object DriveServeIo {
     val sfDir = args(0)
     val mode = args(1)
     val kv = args.drop(2).map { a =>
-      val Array(k, v) = a.split("=", 2): @unchecked; (k, v)
+      a.split("=", 2) match {
+        case Array(k, v) => (k, v)
+        case _ => sys.error(s"bad argument '$a' — expected key=value; " +
+          "usage: DriveServeIo <sfDir> <adc|rerank|flat|scan_codes|" +
+          "scan_flat> [nq=N] [gate=N] [dim=N] [m=N] [wide=1]")
+      }
     }.toMap
     val nQueries = kv.getOrElse("nq", "0").toInt
     val gate = kv.getOrElse("gate", "0").toLong
     val dim = kv.getOrElse("dim", "4").toInt
     val m = kv.getOrElse("m", "5").toInt
+    val wide = kv.getOrElse("wide", "0") == "1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -100,18 +106,63 @@ object DriveServeIo {
       }
       dir.getAbsolutePath
     }
-    lazy val pqPath =
+    lazy val pqPathBase =
       if (dim == 4) graft.QueriesData.ensureChunkIndexPq(spark, sfDir)
       else ensureDimIndex("pq") { p =>
         graft.ann.Retrieval.writeChunkIndexPq(docs.select("doc_id", "text"),
           p, nLists = 8, m = m, ksub = 32, dim = dim)
       }
-    lazy val flatPath =
+    lazy val flatPathBase =
       if (dim == 4) graft.QueriesData.ensureChunkIndex(spark, sfDir)
       else ensureDimIndex("flat") { p =>
         graft.ann.Retrieval.writeChunkIndex(docs.select("doc_id", "text"),
           p, nLists = 8, dim = dim)
       }
+
+    // wide=1: a clone of each layout whose STORED VECTORS carry full-range
+    // 64-bit (xxhash64-derived) values parquet cannot bitpack or
+    // dictionary-encode — the fixture embedding's 0–999 range compresses
+    // ~6× on disk and hides most of the codes layout's byte advantage, so
+    // the honest cold-IO rung for REAL (incompressible float) embeddings
+    // measures against these. Codes files are copied untouched: 5-bit PQ
+    // codes bitpack by design in both worlds, the claim under test is the
+    // vector side's bytes. Serve SCORES on the wide clones are meaningless
+    // (the inner product wraps) — every mode here is an IO measurement.
+    def ensureWideClone(src: String, kind: String): String = {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_serveio_wide_${kind}_dim${dim}_m${m}_" +
+          Integer.toHexString(src.hashCode))
+      val ok = new java.io.File(dir, "_GRAFT_WIDE_OK")
+      if (!ok.exists()) {
+        if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        def widen(df: DataFrame): DataFrame = df.withColumn("vec",
+          transform(col("vec"),
+            x => xxhash64(col("doc_id"), col("chunk_idx"), x)))
+        if (kind == "pq") {
+          // codes + sidecars verbatim; _vecs rewritten with wide values
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File(src), dir,
+            (f: java.io.File) => f.getName != "_vecs")
+          widen(spark.read.parquet(s"$src/_vecs"))
+            .write.partitionBy("list", "vb").parquet(s"$dir/_vecs")
+        } else {
+          // data rewritten first (overwrite would clear the dir), then the
+          // model sidecars copied alongside
+          widen(spark.read.parquet(src))
+            .write.partitionBy("list").parquet(dir.getAbsolutePath)
+          Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".json"))
+            .foreach(f => org.apache.commons.io.FileUtils
+              .copyFileToDirectory(f, dir))
+        }
+        java.nio.file.Files.createFile(ok.toPath)
+      }
+      dir.getAbsolutePath
+    }
+    lazy val pqPath =
+      if (wide) ensureWideClone(pqPathBase, "pq") else pqPathBase
+    lazy val flatPath =
+      if (wide) ensureWideClone(flatPathBase, "flat") else flatPathBase
 
     // query set → local relation (driver-resident), so timed serves read
     // ONLY index files; nq > 0 picks an eval-sized slice that can push the
@@ -174,7 +225,7 @@ object DriveServeIo {
       println(f"""{"mode":"$mode","region":"$region","secs":$secs%.2f,""" +
         s""""disk_bytes":${if (d0 < 0 || d1 < 0) -1 else d1 - d0},""" +
         s""""bytes_read":${b1 - b0},"records_read":${r1 - r0},""" +
-        s""""nq":${qRows.length},"dim":$dim,"sf":"$sfDir"""" +
+        s""""nq":${qRows.length},"dim":$dim,"wide":$wide,"sf":"$sfDir"""" +
         (if (gate > 0) s""","collect_gate":$gate}""" else "}"))
     }
 

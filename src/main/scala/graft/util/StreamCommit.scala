@@ -36,6 +36,55 @@ object StreamCommit {
   }
   private val TagRe = "^(?:([A-Za-z0-9_-]+)~)?b([0-9]+)$".r
 
+  /** The batch tag a [[promote]] prefixed onto a data file's name —
+    * `b3-part-...parquet` → `("", 3)` — or None for base files (Spark
+    * part files start with `part-`, which can never parse as a tag:
+    * the no-stream form requires a leading `b<digits>-` and the
+    * streamId form requires a `~` before any `-`).
+    */
+  def tagOfFileName(name: String): Option[(String, Long)] = name match {
+    case FileTagRe(sid, id) => Some((if (sid == null) "" else sid, id.toLong))
+    case _                  => None
+  }
+  private val FileTagRe = "^(?:([A-Za-z0-9_-]+)~)?b([0-9]+)-.*".r
+
+  /** True iff a data file belongs to the COMMITTED view of a
+    * streaming-ingested layout: base files (no batch-tag prefix), files of
+    * a batch whose marker is present, and files of a batch already FOLDED
+    * into a stats sidecar — compaction deletes markers but promoted files
+    * keep their tag prefix forever, so for those the folded watermark (not
+    * marker presence) is the durable commit record. Layouts without a
+    * compacting sidecar pass an empty watermark map.
+    */
+  def isCommittedFile(name: String, markerTags: Set[String],
+                      foldedWatermark: Map[String, Long]): Boolean =
+    tagOfFileName(name) match {
+      case None => true
+      case Some((sid, id)) =>
+        markerTags.contains(tag(sid, id)) ||
+          id <= foldedWatermark.getOrElse(sid, -1L)
+    }
+
+  /** The committed parquet data files under the given partition-directory
+    * globs — the driver-side file pruning a committed-only serve snapshot
+    * uses instead of a per-row `input_file_name()` filter (which would pay
+    * a regex per scanned ROW; this pays one list per layout, and the file
+    * count is base-files + one-ish per ingest batch — metadata-sized).
+    * A half-promoted batch (files landed, marker not yet written, or
+    * crashed before its marker) is invisible to the returned set.
+    */
+  def committedDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                         globs: Seq[String], markerTags: Set[String],
+                         foldedWatermark: Map[String, Long]): Seq[String] =
+    globs
+      .flatMap { g =>
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(g)))
+          .getOrElse(Array.empty).toSeq
+      }
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        isCommittedFile(st.getPath.getName, markerTags, foldedWatermark))
+      .map(_.getPath.toString)
+
   def fs(spark: org.apache.spark.sql.SparkSession, path: String)
       : org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
@@ -101,14 +150,23 @@ object StreamCommit {
     * would expose a visible empty marker between the two — a crash there
     * would gate replays forever while the body (BM25's stats delta) was
     * never recorded, and a concurrent reader could fold a torn delta.
-    * Dot-prefixed temps are invisible to [[listMarkers]]' glob and never
-    * parse as tags.
+    * Dot-prefixed temps are harmless to [[listMarkers]] — its `*` glob
+    * DOES match dot-files (Hadoop globStatus has no hidden-file rule), but
+    * [[parseTag]] rejects the `.tag.tmp.x` shape — and never gate a
+    * replay. A crash between the temp write and the rename leaves the
+    * temp behind; this tag's replay reaches this function again and the
+    * scrub below removes it, so temps never accumulate on a live stream
+    * (abandoned streams' stragglers are swept by the stats compaction).
     */
   def writeMarker(fs: org.apache.hadoop.fs.FileSystem, path: String,
                   tagName: String, body: String = ""): Unit = {
     val marker = new org.apache.hadoop.fs.Path(
       s"$path/_stream_appends/$tagName")
     fs.mkdirs(marker.getParent)
+    // tag names are charset-restricted ([[requireValidStreamId]]) so the
+    // embedded tag never needs glob escaping; the layout path does
+    scrub(fs, Seq(
+      s"${escapeGlob(path)}/_stream_appends/.$tagName.tmp.*"))
     val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
       s".$tagName.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     val os = fs.create(tmp, true)

@@ -380,4 +380,130 @@ class Bm25Spec extends SparkSpec {
         "appendToIndex must preserve the folded watermark")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("liveStats: markers-before-sidecar read order makes a concurrent compact harmless in every interleaving") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    val b0docs = docs.filter(col("doc_id") % 3 === 1)
+    val b1docs = docs.filter(col("doc_id") % 3 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("bm25ls").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Bm25.writeIndex(seed, path, nBuckets = 8)
+      assert(Bm25.applyIngestBatch(b0docs, path, batchId = 0L))
+      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      val fs = graft.util.StreamCommit.fs(spark, path)
+      def body() = graft.util.Sidecar.read(spark, path, "_bm25_stats.json")
+      // ground truth: the union corpus's exact stats
+      val (truthN, truthT) = Bm25.corpusStats(docs)
+      // interleaving A (no compact): old markers + old sidecar
+      val preMarkers = graft.util.StreamCommit.listMarkers(fs, path)
+      val preBody = body()
+      assert(Bm25.liveStatsFrom(preMarkers, preBody)._1 == truthN)
+      assert(Bm25.liveStatsFrom(preMarkers, preBody)._2 == truthT)
+      // interleaving B — THE race the read order exists for: markers were
+      // listed, then a compact commits fully (new sidecar written, folded
+      // markers deleted), then the sidecar is read. The new sidecar's
+      // folded watermark must filter the already-listed markers, so the
+      // deltas are counted exactly once. (The old sidecar-first order
+      // combined the old base with the post-delete empty marker list and
+      // dropped both batches' deltas here.)
+      Bm25.compactStreamStats(spark, path)
+      val postBody = body()
+      assert(Bm25.liveStatsFrom(preMarkers, postBody) ==
+        (truthN, truthT, 8),
+        "compact between marker list and sidecar read must not drop deltas")
+      // interleaving C (read starts after the compact): empty marker list +
+      // new sidecar
+      assert(Bm25.liveStatsFrom(
+        graft.util.StreamCommit.listMarkers(fs, path), postBody) ==
+        (truthN, truthT, 8))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("stats sidecar CAS: a stale read-modify-write fails loudly and bumps the conflict counter") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    val other = docs.filter(col("doc_id") % 3 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("bm25cas").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Bm25.writeIndex(seed, path, nBuckets = 8)
+      // writer A reads the sidecar...
+      val stale = Bm25.readStats(spark, path)
+      // ...writer B's full append commits in between (version bumps)...
+      Bm25.appendToIndex(other, path)
+      val after = Bm25.readStats(spark, path)
+      assert(after.version == stale.version + 1)
+      // ...writer A's commit must now fail LOUDLY, not silently overwrite
+      val c0 = graft.metrics.GraftCounters.get("bm25_stats_cas_conflict_total")
+      val ex = intercept[IllegalStateException] {
+        Bm25.writeStatsCas(spark, path, stale, stale.nDocs + 99,
+          stale.totalTokens + 99, stale.folded)
+      }
+      assert(ex.getMessage.contains("CAS conflict"))
+      assert(
+        graft.metrics.GraftCounters.get("bm25_stats_cas_conflict_total") ==
+          c0 + 1)
+      // the sidecar still holds writer B's consistent update
+      assert(Bm25.readStats(spark, path) == after)
+      // a fresh read-modify-write (the documented recovery) succeeds
+      val retry = Bm25.readStats(spark, path)
+      Bm25.writeStatsCas(spark, path, retry, retry.nDocs, retry.totalTokens,
+        retry.folded)
+      assert(Bm25.readStats(spark, path).version == retry.version + 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("committed-only serve: a promoted-but-unmarked batch is invisible; marker landing and compaction both keep it visible") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    val b0docs = docs.filter(col("doc_id") % 3 === 1)
+    val b1docs = docs.filter(col("doc_id") % 3 === 2)
+    val qs = docs.filter(col("doc_id") % 50 === 3 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25co").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Bm25.writeIndex(seed, path, nBuckets = 8)
+      def serveCommitted() = Bm25.retrieveFromIndex(spark, path, qs, k = 5,
+        committedOnly = true).orderBy("query_id", "rank").collect().toSeq
+      def serveDefault() = Bm25.retrieveFromIndex(spark, path, qs, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      // no ingest yet: committed-only == default == direct
+      val seedOnly = Bm25.topK(seed, qs, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(serveCommitted() == seedOnly && serveDefault() == seedOnly)
+      assert(Bm25.applyIngestBatch(b0docs, path, batchId = 0L))
+      val afterB0 = serveCommitted()
+      assert(afterB0 == Bm25.topK(seed.unionByName(b0docs), qs, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq)
+      // b1 fully promoted but its marker never lands (crash before marker):
+      // the committed-only serve must be row-identical to the pre-batch
+      // index — the half-landed batch is entirely invisible
+      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      val fs = graft.util.StreamCommit.fs(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/b1"), false)
+      assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/bucket=*/b1-*"))).getOrElse(Array.empty).nonEmpty,
+        "fixture: b1's postings files must still be in the layout")
+      assert(serveCommitted() == afterB0,
+        "a promoted batch without its marker must be invisible to the " +
+          "committed-only serve")
+      // replay lands the marker: committed-only == default == full rebuild
+      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      val full = Bm25.topK(docs, qs, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(serveCommitted() == full && serveDefault() == full)
+      // compaction deletes the markers but the files keep their b<id>-
+      // prefixes: the folded watermark (not marker presence) must keep the
+      // batches visible — the naive base+marker filter would drop them here
+      Bm25.compactStreamStats(spark, path)
+      assert(graft.util.StreamCommit.listMarkers(fs, path).isEmpty)
+      assert(serveCommitted() == full,
+        "folded (compacted) batches must stay visible to the " +
+          "committed-only serve")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }

@@ -22,6 +22,11 @@ class ChaosFileSystem extends RawLocalFileSystem {
     ChaosFileSystem.maybeFail(f)
     super.createOutputStreamWithMode(f, append, permission)
   }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    ChaosFileSystem.maybeFailDelete(f)
+    super.delete(f, recursive)
+  }
 }
 
 object ChaosFileSystem {
@@ -60,7 +65,40 @@ object ChaosFileSystem {
     failPathSubstring = Some(substr)
   }
 
-  def disarm(): Unit = { failAtSegmentCreate = -1; failPathSubstring = None }
+  private val pathDeletes = new AtomicInteger(0)
+  private val deleteRemaining = new AtomicInteger(0)
+  @volatile private var failDeleteSubstring: Option[String] = None
+  @volatile private var failDeleteStartAt: Int = 1
+
+  /** Fail deletes whose path contains `substr` — the crash point BETWEEN a
+    * protocol's commit write and its post-commit cleanup deletes (e.g.
+    * compactStreamStats dying after the stats sidecar landed but before
+    * the folded markers are removed).
+    */
+  def armPathDeleteFailure(substr: String, startAt: Int = 1,
+                           times: Int = 1): Unit = {
+    pathDeletes.set(0)
+    firedCount.set(0)
+    deleteRemaining.set(times)
+    failDeleteStartAt = startAt
+    failDeleteSubstring = Some(substr)
+  }
+
+  def disarm(): Unit = {
+    failAtSegmentCreate = -1
+    failPathSubstring = None
+    failDeleteSubstring = None
+  }
+
+  private def maybeFailDelete(f: Path): Unit = failDeleteSubstring match {
+    case Some(sub) if f.toString.contains(sub) =>
+      if (pathDeletes.incrementAndGet() >= failDeleteStartAt &&
+          deleteRemaining.getAndDecrement() > 0) {
+        firedCount.incrementAndGet()
+        throw new IOException(s"chaos: injected delete failure for $f")
+      }
+    case _ => ()
+  }
 
   /** True iff the armed failure actually fired (spec sanity check). */
   def failureFired: Boolean = firedCount.get() > 0

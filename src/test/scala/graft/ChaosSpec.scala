@@ -345,6 +345,65 @@ class ChaosSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("compact killed between the stats write and the marker deletes: serves stay exact, the re-run converges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cchaos").toString
+    // the ingest protocol runs on the plain local path; ONLY the compact
+    // under test runs against the chaos: view of the same directory (its
+    // promote-time listFiles doesn't support the chaos scheme, and the
+    // failure point under test is compact's marker delete anyway)
+    val idx = s"$dir/idx"
+    val chaosIdx = s"chaos:$dir/idx"
+    val seed = (0L until 30L).map(i => (i, s"cch w$i mu " * 18))
+      .toDF("doc_id", "text")
+    val b0 = (30L until 45L).map(i => (i, s"cch w$i mu " * 18))
+      .toDF("doc_id", "text")
+    val b1 = (45L until 60L).map(i => (i, s"cch w$i mu " * 18))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "cch w7 mu"), (50L, "cch w50 mu"))
+      .toDF("query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "rank", "doc_id", "score_micro")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    try {
+      graft.ann.Bm25.writeIndex(seed, idx, nBuckets = 4)
+      assert(graft.ann.Bm25.applyIngestBatch(b0, idx, batchId = 0L))
+      assert(graft.ann.Bm25.applyIngestBatch(b1, idx, batchId = 1L))
+      val expected = rows(graft.ann.Bm25.topK(
+        seed.unionByName(b0).unionByName(b1), qs, k = 4))
+      // every access after the first chaos-side write goes through the
+      // chaos view too: the raw (chaos) FS doesn't maintain the local
+      // FS's .crc sidecars, so mixing schemes would trip checksum errors
+      def serve(committed: Boolean = false) = rows(
+        graft.ann.Bm25.retrieveFromIndex(spark, chaosIdx, qs, k = 4,
+          committedOnly = committed))
+      assert(serve() == expected)
+      // kill the compact on its FIRST marker delete: the stats sidecar —
+      // deltas folded, watermark recorded — has already committed, and
+      // every folded marker survives the crash
+      ChaosFileSystem.armPathDeleteFailure("/_stream_appends/b", times = 1)
+      try intercept[java.io.IOException] {
+        graft.ann.Bm25.compactStreamStats(spark, chaosIdx)
+      } finally ChaosFileSystem.disarm()
+      assert(ChaosFileSystem.failureFired, "the injected delete must fire")
+      val fs = graft.util.StreamCommit.fs(spark, chaosIdx)
+      assert(graft.util.StreamCommit.listMarkers(fs, chaosIdx).nonEmpty,
+        "fixture: folded markers must survive the crash")
+      // the folded watermark makes the survivors inert for BOTH serve
+      // modes — stats identical to the undisturbed path
+      assert(serve() == expected,
+        "crash between fold and delete must not change served stats")
+      assert(serve(committed = true) == expected,
+        "committed-only serve must treat folded batches as committed")
+      // the re-run compact deletes the survivors and changes nothing else
+      graft.ann.Bm25.compactStreamStats(spark, chaosIdx)
+      assert(graft.util.StreamCommit.listMarkers(fs, chaosIdx).isEmpty)
+      assert(serve() == expected && serve(committed = true) == expected)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("task death inside a streaming incremental-dedup micro-batch: retry keeps exactly-once survivors") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

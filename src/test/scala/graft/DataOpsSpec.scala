@@ -329,6 +329,73 @@ class DataOpsSpec extends SparkSpec {
     assert(d.isNullAt(1))
   }
 
+  test("int16 kernels: pack/dot match a scala reference; round-trip dot is inside the analytic margin") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(0.9, -0.3, 0.1, 0.0)),
+      (2L, Array(0.5, 0.5, -0.5, 0.5)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0)) // all-zero → all-zero bytes
+    ).toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+    val out = vs.select(col("id"),
+        graft.functions.KFunctions.pack_unit_int16(col("v")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("b")).toMap
+    def ref(a: Array[Double]): Array[Byte] = {
+      val m = a.map(math.abs).max
+      val shorts =
+        if (m == 0) Array.fill(a.length)(0)
+        else a.map(x => Math.round(x / (m / 32767.0)).toInt)
+      shorts.flatMap(c =>
+        Array((c & 0xff).toByte, ((c >> 8) & 0xff).toByte))
+    }
+    assert(out(1L).sameElements(ref(Array(0.9, -0.3, 0.1, 0.0))))
+    assert(out(2L).sameElements(ref(Array(0.5, 0.5, -0.5, 0.5))))
+    assert(out(3L).sameElements(Array.fill[Byte](8)(0)))
+    // dot: little-endian decode, long accumulation, shape nulls
+    def le(shorts: Int*): Array[Byte] = shorts.toArray.flatMap(c =>
+      Array((c & 0xff).toByte, ((c >> 8) & 0xff).toByte))
+    val d = spark.range(1).select(
+      graft.functions.KFunctions.binary_dot16(
+        lit(le(32767, -32767, 5)), lit(le(32767, 32767, -6))).as("d"),
+      graft.functions.KFunctions.binary_dot16(
+        lit(le(1)), lit(le(1, 2))).as("m"),
+      graft.functions.KFunctions.binary_dot16(
+        lit(Array[Byte](1)), lit(Array[Byte](1))).as("odd")).head()
+    assert(d.getLong(0) ==
+      32767L * 32767L - 32767L * 32767L + 5L * -6L)
+    assert(d.isNullAt(1) && d.isNullAt(2))
+    // the prefilter's correctness rests on |cos − qdot·qs_a·qs_b| ≤
+    // margin(d): check it empirically on unit vectors across the margin
+    // formula's terms
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val margin = (math.sqrt(dim) + dim / 65534.0) / 32767.0 +
+      dim / (4.0 * 32767.0 * 32767.0)
+    val pairs = (1 to 50).map { _ =>
+      def unit(): Array[Double] = {
+        val v = Array.fill(dim)(rnd.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+      (unit(), unit())
+    }
+    val pdf = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("i", "a", "b")
+    val checked = pdf.select(
+      graft.functions.KFunctions.array_dot(col("a"), col("b")).as("exact"),
+      (graft.functions.KFunctions.binary_dot16(
+        graft.functions.KFunctions.pack_unit_int16(col("a")),
+        graft.functions.KFunctions.pack_unit_int16(col("b")))
+        .cast("double") *
+        (array_max(transform(col("a"), x => abs(x))) / 32767.0d) *
+        (array_max(transform(col("b"), x => abs(x))) / 32767.0d)).as("q"))
+      .collect()
+    checked.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= margin,
+        s"quantized dot ${r.getDouble(1)} drifted more than $margin " +
+          s"from exact ${r.getDouble(0)}")
+    }
+  }
+
   test("quantized prefilter pipeline is pair-identical to the direct multi-table form") {
     import spark.implicits._
     // mixed regime: random near-orthogonal vectors PLUS planted near-dup

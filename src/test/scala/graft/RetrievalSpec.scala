@@ -764,4 +764,98 @@ class RetrievalSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(batchDir)
     }
   }
+
+  test("committed-only PQ serve: a promoted-but-unmarked batch is invisible to BOTH layout scans; once the marker lands it serves identically") {
+    val oldDocs = (0L until 40L).map(i => (i, s"cmo w$i tau " * 18))
+      .toDF("doc_id", "text")
+    val newDocs = (40L until 70L).map(i => (i, s"cmo w$i tau " * 18))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "cmo w7 tau"), (55L, "cmo w55 tau"))
+      .toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmo").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Retrieval.writeChunkIndexPq(oldDocs, path, nLists = 4, m = 5,
+        ksub = 16, fitBudget = 48)
+      def serve(committed: Boolean) =
+        Retrieval.retrieveFromChunkIndexPq(spark, path, qs, k = 4,
+            nProbe = 4, shortlist = 100000, committedOnly = committed)
+          .orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      // base index: committed-only == default
+      val before = serve(committed = false)
+      assert(serve(committed = true) == before)
+      // batch fully promoted (codes AND vecs), marker deleted — the
+      // crash-before-marker state. The default serve sees the new chunks;
+      // the committed-only serve must be row-identical to the pre-batch
+      // index: neither layout scan may admit the unmarked batch's files.
+      assert(Retrieval.applyPqIngestBatch(newDocs, path, batchId = 3L))
+      val once = serve(committed = false)
+      val fs = graft.util.StreamCommit.fs(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/b3"), false)
+      assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/list=*/b3-*"))).getOrElse(Array.empty).nonEmpty &&
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$path/_vecs/list=*/vb=*/b3-*"))).getOrElse(Array.empty).nonEmpty,
+        "fixture: b3's files must be promoted in both layouts")
+      assert(serve(committed = true) == before,
+        "an unmarked batch must be invisible to the committed-only serve")
+      // replay lands the marker: committed-only == default == post-ingest
+      assert(Retrieval.applyPqIngestBatch(newDocs, path, batchId = 3L))
+      assert(serve(committed = true) == once &&
+        serve(committed = false) == once)
+      // ADC-only mode (no vecs fetch) honors the same snapshot: with the
+      // marker deleted again, the committed-only ADC serve must rank only
+      // pre-batch chunks (doc_id < 40); re-landing the marker restores it
+      def adcServe(committed: Boolean) =
+        Retrieval.retrieveFromChunkIndexPq(spark, path, qs, k = 4,
+            nProbe = 4, shortlist = 100000, exactRerank = false,
+            committedOnly = committed)
+          .orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      val adcFull = adcServe(committed = true)
+      assert(adcFull == adcServe(committed = false))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/b3"), false)
+      val adcSnapshot = adcServe(committed = true)
+      assert(adcSnapshot.nonEmpty && adcSnapshot.forall(_._3 < 40L),
+        "ADC committed-only serve with the marker deleted must rank only " +
+          "pre-batch chunks")
+      assert(Retrieval.applyPqIngestBatch(newDocs, path, batchId = 3L))
+      assert(adcServe(committed = true) == adcFull)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("committed-only flat serve: unmarked batch invisible, marker restores it") {
+    val oldDocs = (0L until 40L).map(i => (i, s"cmf w$i psi " * 18))
+      .toDF("doc_id", "text")
+    val b1 = (40L until 60L).map(i => (i, s"cmf w$i psi " * 18))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "cmf w7 psi"), (47L, "cmf w47 psi"))
+      .toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmf").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Retrieval.writeChunkIndex(oldDocs, path, nLists = 4, fitBudget = 48)
+      def serve(committed: Boolean) =
+        Retrieval.retrieveFromChunkIndex(spark, path, qs, k = 4, nProbe = 4,
+            committedOnly = committed)
+          .orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val before = serve(committed = false)
+      assert(serve(committed = true) == before)
+      assert(Retrieval.applyChunkIngestBatch(b1, path, batchId = 0L,
+        streamId = "cmf"))
+      val once = serve(committed = false)
+      val fs = graft.util.StreamCommit.fs(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/cmf~b0"), false)
+      assert(serve(committed = true) == before,
+        "unmarked flat-index batch must be invisible to committed-only")
+      assert(Retrieval.applyChunkIngestBatch(b1, path, batchId = 0L,
+        streamId = "cmf"))
+      assert(serve(committed = true) == once)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }

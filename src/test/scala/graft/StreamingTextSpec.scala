@@ -587,4 +587,79 @@ class StreamingTextSpec extends SparkSpec {
           qs, k = 4).orderBy("query_id", "rank").collect().toSeq == full)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("CLI ingest-bm25 / compact-bm25-stats: two AvailableNow drains + compaction, drivable without Scala") {
+    import spark.implicits._
+    val seed = (0L until 30L).map(i => (i, s"cib w$i iota " * 18))
+    val b1 = (30L until 45L).map(i => (i, s"cib w$i iota " * 18))
+    val b2 = (45L until 60L).map(i => (i, s"cib w$i iota " * 18))
+    val qs = Seq((3L, "cib w3 iota"), (37L, "cib w37 iota"),
+      (51L, "cib w51 iota")).toDF("query_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_cib").toFile
+    val docsDir = s"$root/docs"
+    val idx = s"$root/idx"
+    val ckpt = s"$root/ckpt"
+    try {
+      graft.ann.Bm25.writeIndex(seed.toDF("doc_id", "text"), idx,
+        nBuckets = 8)
+      def serve() = graft.ann.Bm25.retrieveFromIndex(spark, idx, qs, k = 4)
+        .orderBy("query_id", "rank").collect().toSeq
+      // drain 1: one file present → one committed micro-batch
+      b1.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(docsDir)
+      Cli.run(spark, Array("ingest-bm25", docsDir, idx, ckpt, "cib"))
+      assert(serve() == graft.ann.Bm25.topK(
+        (seed ++ b1).toDF("doc_id", "text"), qs, k = 4)
+        .orderBy("query_id", "rank").collect().toSeq)
+      // re-run with nothing new: the checkpoint makes it a no-op
+      Cli.run(spark, Array("ingest-bm25", docsDir, idx, ckpt, "cib"))
+      // drain 2 picks up ONLY the file added since
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(docsDir)
+      Cli.run(spark, Array("ingest-bm25", docsDir, idx, ckpt, "cib"))
+      val full = graft.ann.Bm25.topK(
+        (seed ++ b1 ++ b2).toDF("doc_id", "text"), qs, k = 4)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(serve() == full,
+        "CLI-driven stream ingest must serve like a full rebuild")
+      // compaction verb: folds the markers, serve identical
+      val fs = graft.util.StreamCommit.fs(spark, idx)
+      assert(graft.util.StreamCommit.listMarkers(fs, idx).nonEmpty)
+      Cli.run(spark, Array("compact-bm25-stats", idx))
+      assert(graft.util.StreamCommit.listMarkers(fs, idx).isEmpty)
+      assert(serve() == full)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+
+  test("CLI ingest-chunks: AvailableNow drain into the PQ index serves like a batch append") {
+    import spark.implicits._
+    val seed = (0L until 40L).map(i => (i, s"cic w$i xi " * 18))
+    val b1 = (40L until 60L).map(i => (i, s"cic w$i xi " * 18))
+    val qs = Seq((7L, "cic w7 xi"), (47L, "cic w47 xi"))
+      .toDF("query_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_cic").toFile
+    val docsDir = s"$root/docs"
+    val streamIdx = s"$root/sidx"
+    val batchIdx = s"$root/bidx"
+    try {
+      graft.ann.Retrieval.writeChunkIndexPq(seed.toDF("doc_id", "text"),
+        streamIdx, nLists = 4, m = 5, ksub = 16, fitBudget = 48)
+      graft.ann.Retrieval.writeChunkIndexPq(seed.toDF("doc_id", "text"),
+        batchIdx, nLists = 4, m = 5, ksub = 16, fitBudget = 48)
+      b1.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(docsDir)
+      Cli.run(spark, Array("ingest-chunks", docsDir, streamIdx,
+        s"$root/ckpt", "pq", "cic"))
+      graft.ann.Retrieval.appendToChunkIndexPq(b1.toDF("doc_id", "text"),
+        batchIdx)
+      def serve(p: String) = graft.ann.Retrieval
+        .retrieveFromChunkIndexPq(spark, p, qs, k = 4, nProbe = 4,
+          shortlist = 100000)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val expected = serve(batchIdx)
+      assert(expected.nonEmpty && serve(streamIdx) == expected,
+        "CLI-driven PQ ingest must serve identically to the batch append")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
 }
