@@ -325,14 +325,17 @@ object Cli {
         s""""appended_chunks":${after - before},"n_chunks":$after}""")
 
     // retrieve <indexDir> <queries.parquet> <outPath> [k] [nProbe]
+    //   [--committed]
     // Serve: per-query top-k chunks with (doc, chunk, offset) provenance;
-    // queries.parquet needs (query_id, text).
+    // queries.parquet needs (query_id, text). --committed = snapshot
+    // isolation against in-flight streaming-ingest batches.
     case "retrieve" =>
       val Array(_, indexDir, queriesPath, outPath, rest @ _*) = args: @unchecked
       val k = rest.lift(0).filter(_ != "-").map(_.toInt).getOrElse(5)
       val nProbe = rest.lift(1).filter(_ != "-").map(_.toInt).getOrElse(4)
       graft.ann.Retrieval.retrieveFromChunkIndex(spark, indexDir,
-          spark.read.parquet(queriesPath), k, nProbe)
+          spark.read.parquet(queriesPath), k, nProbe,
+          committedOnly = rest.contains("--committed"))
         .write.mode("overwrite").parquet(outPath)
       val out = spark.read.parquet(outPath)
       println(s"""{"out":${graft.util.Json.escape(outPath)},""" +
@@ -433,14 +436,17 @@ object Cli {
         s""""folded_markers":${before - after},""" +
         s""""pending_markers":$after}""")
 
-    // bm25-search <indexDir> <queries.parquet> <outPath> [k]
+    // bm25-search <indexDir> <queries.parquet> <outPath> [k] [--committed]
     // Serve: per-query BM25 top-k docs (integer-exact micro scores);
-    // queries.parquet needs (query_id, text).
+    // queries.parquet needs (query_id, text). --committed = snapshot
+    // isolation against in-flight streaming-ingest batches (base files +
+    // marker-committed/folded batches only).
     case "bm25-search" =>
       val Array(_, indexDir, queriesPath, outPath, rest @ _*) = args: @unchecked
       val k = rest.lift(0).filter(_ != "-").map(_.toInt).getOrElse(5)
       graft.ann.Bm25.retrieveFromIndex(spark, indexDir,
-          spark.read.parquet(queriesPath), k)
+          spark.read.parquet(queriesPath), k,
+          committedOnly = rest.contains("--committed"))
         .write.mode("overwrite").parquet(outPath)
       val out = spark.read.parquet(outPath)
       println(s"""{"out":${graft.util.Json.escape(outPath)},""" +

@@ -183,13 +183,15 @@ object DriveServeIo {
       java.util.Arrays.asList(qRows: _*), schema)
 
     // raw layout scans: aggregate over the payload column so every page of
-    // it is decoded — the per-byte scan cost with zero scoring CPU
+    // it is decoded — the per-byte scan cost with zero scoring CPU. The
+    // fold reduces each element mod 1000 first: wide=1 vectors carry
+    // full-range 64-bit values whose raw running sum trips ANSI overflow
     def scanCodes(): DataFrame = spark.read.parquet(pqPath)
-      .agg(sum(aggregate(col("pq_code"), lit(0L), (a, x) => a + x)),
-        count(lit(1)))
+      .agg(sum(aggregate(col("pq_code"), lit(0L),
+        (a, x) => a + pmod(x, lit(1000)))), count(lit(1)))
     def scanFlat(): DataFrame = spark.read.parquet(flatPath)
-      .agg(sum(aggregate(col("vec"), lit(0L), (a, x) => a + x)),
-        count(lit(1)))
+      .agg(sum(aggregate(col("vec"), lit(0L),
+        (a, x) => a + pmod(x, lit(1000L)))), count(lit(1)))
 
     def serve(): DataFrame = mode match {
       case "adc" => graft.ann.Retrieval.retrieveFromChunkIndexPq(spark,

@@ -628,6 +628,14 @@ class StreamingTextSpec extends SparkSpec {
       Cli.run(spark, Array("compact-bm25-stats", idx))
       assert(graft.util.StreamCommit.listMarkers(fs, idx).isEmpty)
       assert(serve() == full)
+      // --committed search verb over the compacted (folded) layout: the
+      // batch files are marker-less but folded, so the committed-only
+      // serve must still equal the full rebuild
+      qs.write.mode("overwrite").parquet(s"$root/qs")
+      Cli.run(spark, Array("bm25-search", idx, s"$root/qs",
+        s"$root/hits", "4", "--committed"))
+      assert(spark.read.parquet(s"$root/hits")
+        .orderBy("query_id", "rank").collect().toSeq == full)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
   }
 
