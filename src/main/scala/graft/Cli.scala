@@ -42,7 +42,7 @@ object Cli {
       "import-warc prepare-corpus corpus-diff datasheet " +
       "build-chunk-index append-chunk-index retrieve " +
       "build-bm25-index append-bm25-index bm25-search " +
-      "ingest-bm25 ingest-chunks compact-bm25-stats rank-domains " +
+      "ingest-bm25 ingest-chunks compact-bm25-stats remove-ingest-batch rank-domains " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-groups snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -419,6 +419,32 @@ object Cli {
         s""""n_chunks":${spark.read.parquet(indexDir).count()},""" +
         s""""pending_markers":${
           graft.util.StreamCommit.listMarkers(cfs, indexDir).size}}""")
+
+    // remove-ingest-batch <indexDir> <bm25|pq|flat> <batchId> [streamId]
+    // Roll back one streaming-ingested batch (poisoned-data recovery):
+    // the marker delete is the commit point, the batch's tagged files are
+    // then scrubbed (both layouts, codes-first, for pq). BM25 batches
+    // already folded into the base stats are refused loudly.
+    case "remove-ingest-batch" =>
+      val Array(_, indexDir, kind, batchIdS, rest @ _*) = args: @unchecked
+      val batchId = batchIdS.toLong
+      val sid = rest.lift(0).filter(_ != "-").getOrElse("")
+      val had = kind match {
+        case "bm25" =>
+          graft.ann.Bm25.removeIngestBatch(spark, indexDir, batchId, sid)
+        case "pq" =>
+          graft.ann.Retrieval.removePqIngestBatch(spark, indexDir, batchId,
+            sid)
+        case "flat" =>
+          graft.ann.Retrieval.removeChunkIngestBatch(spark, indexDir,
+            batchId, sid)
+        case other => sys.error(s"remove-ingest-batch: unknown kind " +
+          s"'$other' (expected bm25, pq or flat)")
+      }
+      println(s"""{"index":${graft.util.Json.escape(indexDir)},""" +
+        s""""kind":"$kind","batch_id":$batchId,""" +
+        s""""stream_id":${graft.util.Json.escape(sid)},""" +
+        s""""marker_removed":$had}""")
 
     // compact-bm25-stats <indexDir>
     // Fold accumulated streaming-ingest marker deltas into the BM25 stats

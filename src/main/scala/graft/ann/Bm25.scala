@@ -380,6 +380,36 @@ object Bm25 {
     true
   }
 
+  /** Roll back one streaming-ingested batch (the "remove a poisoned
+    * batch" administrative operation): deleting the marker removes the
+    * batch's stats delta atomically with its committed-ness, then its
+    * tagged posting files are scrubbed —
+    * [[graft.util.StreamCommit.removeBatch]]'s crash contract (a death
+    * between the two steps leaves the promoted-without-marker state every
+    * reader already handles; re-run to finish). Batches already FOLDED by
+    * [[compactStreamStats]] are refused loudly: their deltas live in the
+    * base counts and cannot be subtracted (the marker is gone) — rebuild,
+    * or trim and re-append, instead. Administrative single-writer, like
+    * every other admin op on one index; in particular it must not race an
+    * in-flight ingest of the SAME tag. Returns false when the batch's
+    * marker was already absent (leftover files are still scrubbed).
+    */
+  def removeIngestBatch(spark: SparkSession, path: String, batchId: Long,
+                        streamId: String = ""): Boolean = {
+    graft.util.StreamCommit.requireValidStreamId(streamId)
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    val st = readStats(spark, path)
+    if (batchId <= st.folded.getOrElse(streamId, -1L))
+      throw new IllegalStateException(
+        s"bm25 ingest batch $batchId of stream '$streamId' at $path is " +
+          s"already folded into the base stats (watermark " +
+          s"${st.folded.getOrElse(streamId, -1L)}) — its delta cannot be " +
+          "subtracted; rebuild the index or trim the corpus and re-append")
+    val tag = graft.util.StreamCommit.tag(streamId, batchId)
+    graft.util.StreamCommit.removeBatch(fs, path, tag, Seq(
+      s"${graft.util.StreamCommit.escapeGlob(path)}/bucket=*/$tag-*"))
+  }
+
   /** Fold accumulated streaming-ingest marker deltas into the base stats
     * sidecar and delete the folded markers — bounds the per-serve marker
     * scan for long-running ingest streams. Crash-safe: the single-file

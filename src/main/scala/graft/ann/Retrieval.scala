@@ -905,6 +905,42 @@ object Retrieval {
     true
   }
 
+  /** Roll back one streaming-ingested batch from a persisted IVF-PQ chunk
+    * index — the administrative "remove a poisoned batch" operation
+    * ([[graft.util.StreamCommit.removeBatch]]): the marker delete is the
+    * commit point, then the batch's tagged files are scrubbed from BOTH
+    * layouts, CODES FIRST — the mirror of the vecs-first promote
+    * ordering, so at every crash point a chunk either has both rows or
+    * is invisible to serving (a code row without its vector row is the
+    * silent-drop hazard; an orphan vector row never reaches a
+    * shortlist). Idempotent; must not race an in-flight ingest of the
+    * same tag (administrative single-writer).
+    */
+  def removePqIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batchId: Long,
+                          streamId: String = ""): Boolean = {
+    graft.util.StreamCommit.requireValidStreamId(streamId)
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    val tag = graft.util.StreamCommit.tag(streamId, batchId)
+    val pg = graft.util.StreamCommit.escapeGlob(path)
+    graft.util.StreamCommit.removeBatch(fs, path, tag, Seq(
+      s"$pg/list=*/$tag-*",
+      s"$pg/_vecs/list=*/vb=*/$tag-*"))
+  }
+
+  /** [[removePqIngestBatch]] for the IVF-flat chunk index — one layout,
+    * no ordering subtlety.
+    */
+  def removeChunkIngestBatch(spark: org.apache.spark.sql.SparkSession,
+                             path: String, batchId: Long,
+                             streamId: String = ""): Boolean = {
+    graft.util.StreamCommit.requireValidStreamId(streamId)
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    val tag = graft.util.StreamCommit.tag(streamId, batchId)
+    graft.util.StreamCommit.removeBatch(fs, path, tag, Seq(
+      s"${graft.util.StreamCommit.escapeGlob(path)}/list=*/$tag-*"))
+  }
+
   /** The two append frames (codes, vecs) for [[appendToChunkIndexPq]],
     * exposed so the ordering contract above is testable: writing `vecs`
     * alone simulates a death between the jobs, and serving must then be

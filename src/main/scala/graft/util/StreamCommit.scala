@@ -179,6 +179,32 @@ object StreamCommit {
                    tagName: String): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(s"$path/_stream_appends/$tagName"))
 
+  /** Roll back one ingested batch — the administrative "remove a poisoned
+    * batch" operation: delete the batch's marker FIRST (the commit point:
+    * the batch stops being committed, its stats delta — if the layout
+    * carries one in the marker — vanishes atomically with it, and
+    * committed-only serves exclude it from here on), then scrub its
+    * tagged data files from the layout. Crash between the two steps
+    * leaves exactly the promoted-without-marker state every reader and
+    * replay already handles (default serves see it transiently, the
+    * at-least-once contract; committed-only serves never see it; a
+    * re-run of this removal — or a re-ingest of the same tag — scrubs
+    * the leftovers). Idempotent: removing an absent batch is a no-op
+    * (returns false). Callers enforce layout-specific preconditions
+    * (e.g. BM25 refuses batches already FOLDED into the base stats).
+    */
+  def removeBatch(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                  tagName: String, dataGlobs: Seq[String]): Boolean = {
+    val had = markerExists(fs, path, tagName)
+    if (had)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/$tagName"), false)
+    // scrub even when the marker was absent: a crashed earlier removal
+    // (or a crashed pre-marker ingest) may have left data files behind
+    scrub(fs, dataGlobs)
+    had
+  }
+
   /** All markers under the layout: (streamId, batchId, marker body). */
   def listMarkers(fs: org.apache.hadoop.fs.FileSystem, path: String)
       : Seq[(String, Long, String)] =

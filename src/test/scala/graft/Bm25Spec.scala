@@ -381,6 +381,57 @@ class Bm25Spec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("removeIngestBatch: rolls back a poisoned batch exactly; folded batches refuse; crash-mid-removal replays clean") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val seed = docs.filter(col("doc_id") % 3 === 0)
+    val b0docs = docs.filter(col("doc_id") % 3 === 1)
+    val b1docs = docs.filter(col("doc_id") % 3 === 2)
+    val qs = docs.filter(col("doc_id") % 50 === 3 && col("text").isNotNull)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25rb").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Bm25.writeIndex(seed, path, nBuckets = 8)
+      assert(Bm25.applyIngestBatch(b0docs, path, batchId = 0L))
+      def serve(committed: Boolean = false) =
+        Bm25.retrieveFromIndex(spark, path, qs, k = 5,
+            committedOnly = committed)
+          .orderBy("query_id", "rank").collect().toSeq
+      val beforePoison = serve()
+      // poison batch lands fully, then rolls back: the serve — scores,
+      // df, stats — must be byte-identical to never having ingested it
+      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      assert(serve() != beforePoison, "fixture: the batch must be visible")
+      assert(Bm25.removeIngestBatch(spark, path, batchId = 1L))
+      assert(serve() == beforePoison && serve(committed = true) == beforePoison,
+        "rollback must restore the exact pre-batch serve in both modes")
+      val fs = graft.util.StreamCommit.fs(spark, path)
+      assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/bucket=*/b1-*"))).getOrElse(Array.empty).isEmpty,
+        "rollback must scrub the batch's posting files")
+      // idempotent: removing an absent batch is a no-op returning false
+      assert(!Bm25.removeIngestBatch(spark, path, batchId = 1L))
+      assert(serve() == beforePoison)
+      // crash-mid-removal state (marker gone, files still present — the
+      // same promoted-without-marker state as a pre-marker ingest crash):
+      // a re-run scrubs the leftovers
+      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/b1"), false)
+      assert(!Bm25.removeIngestBatch(spark, path, batchId = 1L))
+      assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$path/bucket=*/b1-*"))).getOrElse(Array.empty).isEmpty)
+      assert(serve() == beforePoison)
+      // folded batches refuse loudly: their delta is in the base counts
+      Bm25.compactStreamStats(spark, path)
+      val ex = intercept[IllegalStateException] {
+        Bm25.removeIngestBatch(spark, path, batchId = 0L)
+      }
+      assert(ex.getMessage.contains("folded"))
+      assert(serve() == beforePoison, "refused removal must change nothing")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("liveStats: markers-before-sidecar read order makes a concurrent compact harmless in every interleaving") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val seed = docs.filter(col("doc_id") % 3 === 0)

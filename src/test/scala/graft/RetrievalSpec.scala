@@ -827,6 +827,54 @@ class RetrievalSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("removePqIngestBatch / removeChunkIngestBatch: rollback restores the exact pre-batch serve; CLI verb drives it") {
+    import graft.Cli
+    val oldDocs = (0L until 40L).map(i => (i, s"rbq w$i chi " * 18))
+      .toDF("doc_id", "text")
+    val poison = (40L until 60L).map(i => (i, s"rbq w$i chi " * 18))
+      .toDF("doc_id", "text")
+    val qs = Seq((7L, "rbq w7 chi"), (47L, "rbq w47 chi"))
+      .toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rbq").toFile
+    val pq = s"$dir/pq"
+    val flat = s"$dir/flat"
+    try {
+      Retrieval.writeChunkIndexPq(oldDocs, pq, nLists = 4, m = 5,
+        ksub = 16, fitBudget = 48)
+      Retrieval.writeChunkIndex(oldDocs, flat, nLists = 4, fitBudget = 48)
+      def servePq() = Retrieval.retrieveFromChunkIndexPq(spark, pq, qs,
+          k = 4, nProbe = 4, shortlist = 100000)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      def serveFlat() = Retrieval.retrieveFromChunkIndex(spark, flat, qs,
+          k = 4, nProbe = 4)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      val pqBefore = servePq()
+      val flatBefore = serveFlat()
+      // PQ: ingest, roll back via the CLI verb, serve byte-identical and
+      // BOTH layouts scrubbed
+      assert(Retrieval.applyPqIngestBatch(poison, pq, batchId = 5L,
+        streamId = "rb"))
+      assert(servePq() != pqBefore, "fixture: batch must be visible")
+      Cli.run(spark, Array("remove-ingest-batch", pq, "pq", "5", "rb"))
+      assert(servePq() == pqBefore)
+      val fs = graft.util.StreamCommit.fs(spark, pq)
+      assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$pq/list=*/rb~b5-*"))).getOrElse(Array.empty).isEmpty &&
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$pq/_vecs/list=*/vb=*/rb~b5-*"))).getOrElse(Array.empty).isEmpty,
+        "rollback must scrub both layouts")
+      assert(!Retrieval.removePqIngestBatch(spark, pq, batchId = 5L,
+        streamId = "rb"))
+      // flat: same contract through the API
+      assert(Retrieval.applyChunkIngestBatch(poison, flat, batchId = 0L))
+      assert(serveFlat() != flatBefore)
+      assert(Retrieval.removeChunkIngestBatch(spark, flat, batchId = 0L))
+      assert(serveFlat() == flatBefore)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("committed-only flat serve: unmarked batch invisible, marker restores it") {
     val oldDocs = (0L until 40L).map(i => (i, s"cmf w$i psi " * 18))
       .toDF("doc_id", "text")
