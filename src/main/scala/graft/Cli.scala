@@ -42,7 +42,8 @@ object Cli {
       "import-warc prepare-corpus corpus-diff datasheet " +
       "build-chunk-index append-chunk-index retrieve " +
       "build-bm25-index append-bm25-index bm25-search " +
-      "ingest-bm25 ingest-chunks compact-bm25-stats remove-ingest-batch rank-domains " +
+      "ingest-bm25 ingest-chunks compact-bm25-stats compact-ingest-markers " +
+      "remove-ingest-batch rank-domains " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-groups snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
@@ -445,6 +446,23 @@ object Cli {
         s""""kind":"$kind","batch_id":$batchId,""" +
         s""""stream_id":${graft.util.Json.escape(sid)},""" +
         s""""marker_removed":$had}""")
+
+    // compact-ingest-markers <indexDir>
+    // Fold the PQ/flat chunk-index ingest markers into the per-stream
+    // contiguous-watermark sidecar and delete them — bounds the
+    // committed-only serve's marker scan for long-lived streams. Refuses
+    // BM25-style layouts (bodied markers) — use compact-bm25-stats there.
+    case "compact-ingest-markers" =>
+      val root = args(1)
+      val wfs = graft.util.StreamCommit.fs(spark, root)
+      val before = graft.util.StreamCommit.listMarkers(wfs, root).size
+      val wm = graft.util.StreamCommit.compactMarkers(spark, root)
+      val after = graft.util.StreamCommit.listMarkers(wfs, root).size
+      println(s"""{"index":${graft.util.Json.escape(root)},""" +
+        s""""folded_markers":${before - after},""" +
+        s""""pending_markers":$after,""" +
+        s""""watermarks":${wm.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${graft.util.Json.escape(k)}:$v" }.mkString("{", ",", "}")}}""")
 
     // compact-bm25-stats <indexDir>
     // Fold accumulated streaming-ingest marker deltas into the BM25 stats

@@ -653,12 +653,13 @@ object Retrieval {
       case Left(n)        => n   // measured ONCE; feeds the collect gate
     }
     {
-      // one marker snapshot serves both layout scans — the codes and vecs
-      // views of any batch commit or vanish together
-      lazy val committedTags = {
+      // one marker+watermark snapshot serves both layout scans — the codes
+      // and vecs views of any batch commit or vanish together
+      lazy val committedSnapshot = {
         val fs = graft.util.StreamCommit.fs(spark, path)
-        graft.util.StreamCommit.listMarkers(fs, path)
-          .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet
+        (graft.util.StreamCommit.listMarkers(fs, path)
+          .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet,
+          graft.util.StreamCommit.readWatermarks(spark, path))
       }
       def committedScan(layoutRoot: String, partDirGlobs: Seq[String],
                         schema: org.apache.spark.sql.types.StructType)
@@ -667,7 +668,7 @@ object Retrieval {
         val files = graft.util.StreamCommit.committedDataFiles(fs,
           partDirGlobs.map(g =>
             s"${graft.util.StreamCommit.escapeGlob(layoutRoot)}/$g/*"),
-          committedTags, Map.empty)
+          committedSnapshot._1, committedSnapshot._2)
         if (files.isEmpty)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -914,12 +915,17 @@ object Retrieval {
     * is invisible to serving (a code row without its vector row is the
     * silent-drop hazard; an orphan vector row never reaches a
     * shortlist). Idempotent; must not race an in-flight ingest of the
-    * same tag (administrative single-writer).
+    * same tag (administrative single-writer). Batches at or below the
+    * marker-compaction watermark are refused — the watermark stamps them
+    * permanently committed (folding past a removal would otherwise
+    * resurrect its committed-ness with the files gone), matching the
+    * BM25 folded-batch refusal.
     */
   def removePqIngestBatch(spark: org.apache.spark.sql.SparkSession,
                           path: String, batchId: Long,
                           streamId: String = ""): Boolean = {
     graft.util.StreamCommit.requireValidStreamId(streamId)
+    requireNotWatermarked(spark, path, batchId, streamId)
     val fs = graft.util.StreamCommit.fs(spark, path)
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
     val pg = graft.util.StreamCommit.escapeGlob(path)
@@ -935,10 +941,23 @@ object Retrieval {
                              path: String, batchId: Long,
                              streamId: String = ""): Boolean = {
     graft.util.StreamCommit.requireValidStreamId(streamId)
+    requireNotWatermarked(spark, path, batchId, streamId)
     val fs = graft.util.StreamCommit.fs(spark, path)
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
     graft.util.StreamCommit.removeBatch(fs, path, tag, Seq(
       s"${graft.util.StreamCommit.escapeGlob(path)}/list=*/$tag-*"))
+  }
+
+  private def requireNotWatermarked(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batchId: Long, streamId: String): Unit = {
+    val wm = graft.util.StreamCommit.readWatermarks(spark, path)
+      .getOrElse(streamId, -1L)
+    if (batchId <= wm)
+      throw new IllegalStateException(
+        s"ingest batch $batchId of stream '$streamId' at $path is at or " +
+          s"below the marker-compaction watermark ($wm) — compacted " +
+          "batches are permanently committed; rebuild the index instead")
   }
 
   /** The two append frames (codes, vecs) for [[appendToChunkIndexPq]],
@@ -1161,7 +1180,7 @@ object Retrieval {
         val files = graft.util.StreamCommit.committedDataFiles(fs,
           lists.toSeq.map(l =>
             s"${graft.util.StreamCommit.escapeGlob(path)}/list=$l/*"),
-          tags, Map.empty)
+          tags, graft.util.StreamCommit.readWatermarks(spark, path))
         if (files.isEmpty)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),

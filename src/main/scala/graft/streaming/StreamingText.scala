@@ -168,7 +168,9 @@ object StreamingText {
     *
     * Returns the configured writer; the caller picks trigger/checkpoint
     * and calls `start()` — the checkpoint is what makes batchIds stable
-    * across restarts, which the exactly-once contract rests on.
+    * across restarts, which the exactly-once contract rests on. Run
+    * [[graft.util.StreamCommit.compactMarkers]] periodically to bound a
+    * long-lived stream's marker count (what committed-only serves scan).
     */
   def ingestChunkIndexPqStream(docStream: DataFrame, indexPath: String,
                                chunkTokens: Int = 32, overlapTokens: Int = 8,

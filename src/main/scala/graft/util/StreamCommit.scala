@@ -205,6 +205,70 @@ object StreamCommit {
     had
   }
 
+  /** Per-stream committed watermarks from `_ingest_watermarks.json`:
+    * every batchId ≤ the watermark is committed (its marker was folded by
+    * [[compactMarkers]] and deleted). Missing sidecar = nothing folded.
+    */
+  def readWatermarks(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Map[String, Long] = {
+    val f = fs(spark, path)
+    if (!f.exists(new org.apache.hadoop.fs.Path(
+      s"$path/_ingest_watermarks.json"))) return Map.empty
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    org.json4s.jackson.JsonMethods.parse(
+      Sidecar.read(spark, path, "_ingest_watermarks.json")) match {
+      case JObject(fields) =>
+        fields.map { case (k, v) => k -> v.extract[Long] }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Marker compaction for layouts WITHOUT a stats sidecar (the PQ/flat
+    * chunk indexes; BM25 markers carry stats deltas and compact through
+    * [[graft.ann.Bm25.compactStreamStats]] instead — bodied markers are
+    * refused here so that path cannot be misused to LOSE deltas). Bounds
+    * the committed-only serve's marker scan for long-lived streams: per
+    * stream, the watermark extends over the CONTIGUOUS marker run above
+    * the previous watermark — batchIds within one checkpoint lineage are
+    * contiguous from 0, so a gap means an in-flight crash or a
+    * rolled-back batch, and folding past it would stamp an uncommitted
+    * (or deliberately removed) batch committed forever. The atomic
+    * sidecar write is the commit point; marker deletion after it is
+    * idempotent (a surviving folded marker is redundant with the
+    * watermark — both read paths agree — and the next compact deletes
+    * it). Single administrative writer per index, like every admin op.
+    * Returns the new watermark map.
+    */
+  def compactMarkers(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Map[String, Long] = {
+    val f = fs(spark, path)
+    val wm0 = readWatermarks(spark, path)
+    val markers = listMarkers(f, path)
+    require(markers.forall(_._3.isEmpty),
+      s"$path has markers carrying metadata bodies (a BM25-style layout) " +
+        "— use the layout's own stats compaction, not compactMarkers")
+    val wm1 = wm0 ++ markers.groupBy(_._1).map { case (sid, ms) =>
+      val ids = ms.map(_._2).toSet
+      var w = wm0.getOrElse(sid, -1L)
+      while (ids.contains(w + 1)) w += 1
+      sid -> w
+    }
+    if (wm1 != wm0) {
+      val body = wm1.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${Json.escape(k)}:$v" }
+        .mkString("{", ",", "}")
+      Sidecar.write(spark, path, "_ingest_watermarks.json", body)
+    }
+    markers
+      .filter { case (sid, id, _) => id <= wm1.getOrElse(sid, -1L) }
+      .foreach { case (sid, id, _) =>
+        f.delete(new org.apache.hadoop.fs.Path(
+          s"$path/_stream_appends/${tag(sid, id)}"), false)
+      }
+    wm1
+  }
+
   /** All markers under the layout: (streamId, batchId, marker body). */
   def listMarkers(fs: org.apache.hadoop.fs.FileSystem, path: String)
       : Seq[(String, Long, String)] =

@@ -875,6 +875,80 @@ class RetrievalSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("compactMarkers: contiguous watermark folds markers, a gap stops it, committed serves and removal refusals agree") {
+    val oldDocs = (0L until 40L).map(i => (i, s"cmk w$i phi " * 18))
+      .toDF("doc_id", "text")
+    def batch(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, s"cmk w$i phi " * 18)).toDF("doc_id", "text")
+    val qs = Seq((7L, "cmk w7 phi"), (47L, "cmk w47 phi"),
+      (67L, "cmk w67 phi")).toDF("query_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmk").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Retrieval.writeChunkIndexPq(oldDocs, path, nLists = 4, m = 5,
+        ksub = 16, fitBudget = 48)
+      def serve(committed: Boolean) =
+        Retrieval.retrieveFromChunkIndexPq(spark, path, qs, k = 4,
+            nProbe = 4, shortlist = 100000, committedOnly = committed)
+          .orderBy("query_id", "rank")
+          .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(Retrieval.applyPqIngestBatch(batch(40, 50), path,
+        batchId = 0L, streamId = "cm"))
+      assert(Retrieval.applyPqIngestBatch(batch(50, 60), path,
+        batchId = 1L, streamId = "cm"))
+      val full2 = serve(committed = false)
+      assert(serve(committed = true) == full2)
+      // fold: watermark covers the contiguous 0..1 run, markers deleted,
+      // and the committed-only serve still sees the folded batches (their
+      // files keep cm~b<id>- prefixes forever — the watermark, not marker
+      // presence, is their commit record)
+      val fs = graft.util.StreamCommit.fs(spark, path)
+      assert(graft.util.StreamCommit.compactMarkers(spark, path) ==
+        Map("cm" -> 1L))
+      assert(graft.util.StreamCommit.listMarkers(fs, path).isEmpty)
+      assert(serve(committed = true) == full2,
+        "folded batches must stay visible to the committed-only serve")
+      // a GAP (batch 2 never landed) pins the watermark: batch 3's marker
+      // must survive compaction, and its chunks serve via the marker
+      assert(Retrieval.applyPqIngestBatch(batch(60, 70), path,
+        batchId = 3L, streamId = "cm"))
+      val full3 = serve(committed = false)
+      assert(graft.util.StreamCommit.compactMarkers(spark, path) ==
+        Map("cm" -> 1L),
+        "a batchId gap must stop the watermark extension")
+      assert(graft.util.StreamCommit.listMarkers(fs, path)
+        .map(m => (m._1, m._2)) == Seq(("cm", 3L)))
+      assert(serve(committed = true) == full3)
+      // removal: below the watermark refuses loudly (permanently
+      // committed); above it works
+      val ex = intercept[IllegalStateException] {
+        Retrieval.removePqIngestBatch(spark, path, batchId = 1L,
+          streamId = "cm")
+      }
+      assert(ex.getMessage.contains("watermark"))
+      assert(Retrieval.removePqIngestBatch(spark, path, batchId = 3L,
+        streamId = "cm"))
+      assert(serve(committed = true) == full2 &&
+        serve(committed = false) == full2)
+      // crash between the sidecar write and marker deletes: a surviving
+      // folded marker is redundant with the watermark — both read paths
+      // agree, the next compact deletes it
+      graft.util.StreamCommit.writeMarker(fs, path,
+        graft.util.StreamCommit.tag("cm", 1L))
+      assert(serve(committed = true) == full2)
+      graft.util.StreamCommit.compactMarkers(spark, path)
+      assert(graft.util.StreamCommit.listMarkers(fs, path).isEmpty)
+      // bodied markers (BM25-style) refuse this compaction path: folding
+      // them here would silently LOSE their stats deltas
+      graft.util.StreamCommit.writeMarker(fs, path, "x~b0",
+        """{"n_docs":1}""")
+      val ex2 = intercept[IllegalArgumentException] {
+        graft.util.StreamCommit.compactMarkers(spark, path)
+      }
+      assert(ex2.getMessage.contains("metadata bodies"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("committed-only flat serve: unmarked batch invisible, marker restores it") {
     val oldDocs = (0L until 40L).map(i => (i, s"cmf w$i psi " * 18))
       .toDF("doc_id", "text")
