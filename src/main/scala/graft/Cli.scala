@@ -332,8 +332,11 @@ object Cli {
     // isolation against in-flight streaming-ingest batches.
     case "retrieve" =>
       val Array(_, indexDir, queriesPath, outPath, rest @ _*) = args: @unchecked
-      val k = rest.lift(0).filter(_ != "-").map(_.toInt).getOrElse(5)
-      val nProbe = rest.lift(1).filter(_ != "-").map(_.toInt).getOrElse(4)
+      // flags never occupy positional slots: `retrieve i q o --committed`
+      // must serve with default k/nProbe, not throw on "--committed".toInt
+      val pos = rest.filterNot(_.startsWith("--"))
+      val k = pos.lift(0).filter(_ != "-").map(_.toInt).getOrElse(5)
+      val nProbe = pos.lift(1).filter(_ != "-").map(_.toInt).getOrElse(4)
       graft.ann.Retrieval.retrieveFromChunkIndex(spark, indexDir,
           spark.read.parquet(queriesPath), k, nProbe,
           committedOnly = rest.contains("--committed"))
@@ -487,7 +490,8 @@ object Cli {
     // marker-committed/folded batches only).
     case "bm25-search" =>
       val Array(_, indexDir, queriesPath, outPath, rest @ _*) = args: @unchecked
-      val k = rest.lift(0).filter(_ != "-").map(_.toInt).getOrElse(5)
+      val k = rest.filterNot(_.startsWith("--"))
+        .lift(0).filter(_ != "-").map(_.toInt).getOrElse(5)
       graft.ann.Bm25.retrieveFromIndex(spark, indexDir,
           spark.read.parquet(queriesPath), k,
           committedOnly = rest.contains("--committed"))

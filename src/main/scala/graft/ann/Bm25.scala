@@ -210,7 +210,12 @@ object Bm25 {
     // the folded map rides through: dropping it would re-serve every
     // previously folded (but not yet deleted) ingest marker's delta
     writeStatsCas(spark, path, st, st.nDocs + dn, st.totalTokens + dt,
-      st.folded)
+      st.folded,
+      "the batch's postings are ALREADY appended — do NOT re-run " +
+        "appendToIndex (it would append them a second time, doubling tf/df " +
+        "contributions); advance the stats sidecar only — re-read the " +
+        s"sidecar and CAS-write (+$dn docs, +$dt tokens) — or rebuild the " +
+        "index")
   }
 
   /** Parsed `_bm25_stats.json`. `folded` maps streamId → highest ingest
@@ -269,19 +274,23 @@ object Bm25 {
     * (two seconds-long admin operations overlapping) now fails loudly and
     * bumps `bm25_stats_cas_conflict_total` instead of silently losing a
     * read-modify-write. On failure the sidecar holds the OTHER writer's
-    * consistent update; this writer re-reads and retries its operation.
+    * consistent update; the correct recovery is CALLER-specific (a
+    * compact retries whole; a batch append must NOT be re-run — its
+    * postings already landed), so every caller passes its own
+    * `recoveryHint` into the exception text.
     */
   private[graft] def writeStatsCas(spark: SparkSession, path: String,
                                    expect: BmStats, nDocs: Long,
                                    totalTokens: Long,
-                                   folded: Map[String, Long]): Unit = {
+                                   folded: Map[String, Long],
+                                   recoveryHint: String): Unit = {
     def conflict(what: String): Nothing = {
       graft.metrics.GraftCounters.inc("bm25_stats_cas_conflict_total")
       throw new IllegalStateException(
         s"bm25 stats sidecar CAS conflict at $path: $what — a concurrent " +
-          "administrative writer (appendToIndex / compactStreamStats) " +
-          "violated the single-administrative-writer contract; re-read " +
-          "the sidecar and retry this operation")
+          "administrative writer (appendToIndex / compactStreamStats / " +
+          "removeIngestBatch) violated the " +
+          s"single-administrative-writer contract. Recovery: $recoveryHint")
     }
     val pre = readStats(spark, path)
     if (pre.version != expect.version)
@@ -390,24 +399,66 @@ object Bm25 {
     * [[compactStreamStats]] are refused loudly: their deltas live in the
     * base counts and cannot be subtracted (the marker is gone) — rebuild,
     * or trim and re-append, instead. Administrative single-writer, like
-    * every other admin op on one index; in particular it must not race an
+    * every other admin op on one index; a VIOLATED contract (a compact
+    * racing this removal) fails loudly on at least one side: the folded
+    * watermark is re-checked AFTER the marker delete — a compact that
+    * folded this batch's delta in between fails the removal WITHOUT
+    * scrubbing (the postings are intact and the base stats now carry
+    * their delta, so the index still serves the batch correctly; rebuild
+    * to remove it) — and a successful removal CAS-bumps the stats sidecar
+    * version, so a concurrent compact still holding a marker listing that
+    * contains the deleted marker fails ITS write instead of folding a
+    * scrubbed batch's delta into the base counts. Must not race an
     * in-flight ingest of the SAME tag. Returns false when the batch's
     * marker was already absent (leftover files are still scrubbed).
+    * Reader contract (serve-vs-rollback): removal does NOT quiesce
+    * serves — a serve planned before it fails loudly
+    * (FileNotFoundException) when executed after the scrub, never
+    * silently serving a partial index (spec-pinned).
     */
   def removeIngestBatch(spark: SparkSession, path: String, batchId: Long,
-                        streamId: String = ""): Boolean = {
+                        streamId: String = "",
+                        afterPreCheck: () => Unit = () => ()): Boolean = {
     graft.util.StreamCommit.requireValidStreamId(streamId)
     val fs = graft.util.StreamCommit.fs(spark, path)
-    val st = readStats(spark, path)
-    if (batchId <= st.folded.getOrElse(streamId, -1L))
+    def foldedWm(st: BmStats) = st.folded.getOrElse(streamId, -1L)
+    val st0 = readStats(spark, path)
+    if (batchId <= foldedWm(st0))
       throw new IllegalStateException(
         s"bm25 ingest batch $batchId of stream '$streamId' at $path is " +
-          s"already folded into the base stats (watermark " +
-          s"${st.folded.getOrElse(streamId, -1L)}) — its delta cannot be " +
-          "subtracted; rebuild the index or trim the corpus and re-append")
+          s"already folded into the base stats (watermark ${foldedWm(st0)})" +
+          " — its delta cannot be subtracted; rebuild the index or trim " +
+          "the corpus and re-append")
+    afterPreCheck()
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
-    graft.util.StreamCommit.removeBatch(fs, path, tag, Seq(
+    val had = graft.util.StreamCommit.markerExists(fs, path, tag)
+    if (had)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/$tag"), false)
+    val st1 = readStats(spark, path)
+    if (batchId <= foldedWm(st1)) {
+      graft.metrics.GraftCounters.inc("bm25_stats_cas_conflict_total")
+      throw new IllegalStateException(
+        s"bm25 ingest batch $batchId of stream '$streamId' at $path was " +
+          "concurrently folded into the base stats (a compactStreamStats " +
+          "ran between this removal's pre-check and its marker delete — " +
+          "single-administrative-writer contract violated). Its posting " +
+          "files were NOT scrubbed: the index still serves the batch " +
+          "correctly; rebuild the index to remove it")
+    }
+    graft.util.StreamCommit.scrub(fs, Seq(
       s"${graft.util.StreamCommit.escapeGlob(path)}/bucket=*/$tag-*"))
+    // pure version bump: counts unchanged (the delta died with the marker),
+    // but any concurrent compact whose marker listing predates the delete
+    // now fails its CAS instead of folding the scrubbed batch's delta
+    writeStatsCas(spark, path, st1, st1.nDocs, st1.totalTokens, st1.folded,
+      s"the batch's postings are already scrubbed; if the conflicting " +
+        "writer was a compactStreamStats whose marker listing predated " +
+        s"this removal, the base stats may now carry batch $batchId's " +
+        "delta with its postings gone — verify n_docs against a corpus " +
+        "count and rebuild if so; otherwise re-run removeIngestBatch " +
+        "(idempotent) to re-assert the guard bump")
+    had
   }
 
   /** Fold accumulated streaming-ingest marker deltas into the base stats
@@ -448,7 +499,9 @@ object Bm25 {
       sid -> math.max(st.folded.getOrElse(sid, -1L), ms.map(_._2).max)
     }
     writeStatsCas(spark, path, st, st.nDocs + dn, st.totalTokens + dt,
-      newFolded)
+      newFolded,
+      "re-run compactStreamStats — it is idempotent (unfolded markers are " +
+        "re-read and the conflicting writer's update is the one on disk)")
     markers
       .filter { case (sid, id, _) => id <= newFolded(sid) }
       .foreach { case (sid, id, _) =>
@@ -527,8 +580,11 @@ object Bm25 {
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             postingsSchema).select("doc_id", "dl", "term", "tf")
         else
-          spark.read.option("basePath", path).schema(postingsSchema)
-            .parquet(files: _*)
+          // schema INFERRED like the default serve's scan (the pinned
+          // postingsSchema is only the empty-layout fallback): an index
+          // whose corpus carried a narrower doc_id type must serve
+          // identically in both modes, not fail only under --committed
+          spark.read.option("basePath", path).parquet(files: _*)
             .select("doc_id", "dl", "term", "tf")
       }
     topKFromPostings(postings, nDocs, totalTokens, queries, k, k1, b,

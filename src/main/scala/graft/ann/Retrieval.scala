@@ -628,7 +628,12 @@ object Retrieval {
     * marker) is entirely invisible: without it the default scan could
     * shortlist a SUBSET of a half-landed batch's chunks (at-least-once
     * visibility, transient, converges at the marker). Cost: one file
-    * listing per layout over the probed lists (metadata-sized).
+    * listing per layout over the probed lists (metadata-sized). ONE
+    * marker+watermark snapshot is taken per logical serve CALL, before
+    * any query sharding — an over-gate query set that recurses through
+    * hash shards serves every shard from the same index view (a
+    * concurrent ingest committing between shards cannot give different
+    * shards different views; spec-pinned).
     */
   def retrieveFromChunkIndexPq(spark: org.apache.spark.sql.SparkSession,
                                path: String, queries: DataFrame,
@@ -639,28 +644,52 @@ object Retrieval {
                                exactRerank: Boolean = true,
                                maxQueries: Long = 1000000L,
                                collectGate: Long = 200000L,
-                               committedOnly: Boolean = false): DataFrame = {
+                               committedOnly: Boolean = false): DataFrame =
+    retrievePqWithSnapshot(spark, path, queries, k, nProbe, shortlist, dim,
+      salt, textCol, exactRerank, maxQueries, collectGate,
+      if (committedOnly) Some(committedSnapshotOf(spark, path)) else None)
+
+  /** One (marker tags, folded watermarks) snapshot of a streaming-ingested
+    * layout — the committed-only serve's index view.
+    */
+  private[graft] def committedSnapshotOf(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Set[String], Map[String, Long]) = {
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    (graft.util.StreamCommit.listMarkers(fs, path)
+      .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet,
+      graft.util.StreamCommit.readWatermarks(spark, path))
+  }
+
+  /** [[retrieveFromChunkIndexPq]] with the committed snapshot already
+    * taken (None = default at-least-once visibility) — the shard
+    * recursion target, package-visible so the spec can pin
+    * snapshot-coherence by injecting a stale snapshot.
+    */
+  private[graft] def retrievePqWithSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, nProbe: Int,
+      shortlist: Int, dim: Int, salt: String, textCol: String,
+      exactRerank: Boolean, maxQueries: Long, collectGate: Long,
+      snapshot: Option[(Set[String], Map[String, Long])]): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val sl = if (shortlist > 0) shortlist else 10 * k
     require(sl >= k, s"shortlist=$sl must be >= k=$k")
+    val committedOnly = snapshot.isDefined
     val nq = shardedByQueryCount(queries, maxQueries,
       "retrieveFromChunkIndexPq") { shard =>
-        retrieveFromChunkIndexPq(spark, path, shard, k, nProbe, shortlist,
+        retrievePqWithSnapshot(spark, path, shard, k, nProbe, shortlist,
           dim, salt, textCol, exactRerank, maxQueries, collectGate,
-          committedOnly)
+          snapshot)
     } match {
       case Right(sharded) => return sharded
       case Left(n)        => n   // measured ONCE; feeds the collect gate
     }
     {
-      // one marker+watermark snapshot serves both layout scans — the codes
-      // and vecs views of any batch commit or vanish together
-      lazy val committedSnapshot = {
-        val fs = graft.util.StreamCommit.fs(spark, path)
-        (graft.util.StreamCommit.listMarkers(fs, path)
-          .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet,
-          graft.util.StreamCommit.readWatermarks(spark, path))
-      }
+      // the one per-serve-call snapshot serves both layout scans — the
+      // codes and vecs views of any batch commit or vanish together, and
+      // every query shard of one logical call sees one index view
+      def committedSnapshot = snapshot.get
       def committedScan(layoutRoot: String, partDirGlobs: Seq[String],
                         schema: org.apache.spark.sql.types.StructType)
           : DataFrame = {
@@ -915,49 +944,39 @@ object Retrieval {
     * is invisible to serving (a code row without its vector row is the
     * silent-drop hazard; an orphan vector row never reaches a
     * shortlist). Idempotent; must not race an in-flight ingest of the
-    * same tag (administrative single-writer). Batches at or below the
-    * marker-compaction watermark are refused — the watermark stamps them
-    * permanently committed (folding past a removal would otherwise
-    * resurrect its committed-ness with the files gone), matching the
-    * BM25 folded-batch refusal.
+    * same tag (administrative single-writer). The full guarded protocol —
+    * watermark pre-check, post-marker-delete watermark re-check (a
+    * concurrent compact that folded the marker fails THIS call loudly
+    * with the files intact), removal recorded in the CAS-guarded sidecar
+    * so compaction extends across the gap — is
+    * [[graft.util.StreamCommit.removeBatchGuarded]], including the
+    * serve-vs-rollback reader contract (in-flight serves fail loudly,
+    * never silently partially).
     */
   def removePqIngestBatch(spark: org.apache.spark.sql.SparkSession,
                           path: String, batchId: Long,
-                          streamId: String = ""): Boolean = {
-    graft.util.StreamCommit.requireValidStreamId(streamId)
-    requireNotWatermarked(spark, path, batchId, streamId)
-    val fs = graft.util.StreamCommit.fs(spark, path)
+                          streamId: String = ""): Boolean =
+    graft.util.StreamCommit.removeBatchGuarded(spark, path, streamId,
+      batchId, pqBatchGlobs(path, streamId, batchId))
+
+  private[graft] def pqBatchGlobs(path: String, streamId: String,
+                                  batchId: Long): Seq[String] = {
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
     val pg = graft.util.StreamCommit.escapeGlob(path)
-    graft.util.StreamCommit.removeBatch(fs, path, tag, Seq(
-      s"$pg/list=*/$tag-*",
-      s"$pg/_vecs/list=*/vb=*/$tag-*"))
+    // codes-first scrub order is preserved by glob order ([[removePqIngestBatch]])
+    Seq(s"$pg/list=*/$tag-*", s"$pg/_vecs/list=*/vb=*/$tag-*")
   }
 
   /** [[removePqIngestBatch]] for the IVF-flat chunk index — one layout,
-    * no ordering subtlety.
+    * no ordering subtlety; same guarded protocol.
     */
   def removeChunkIngestBatch(spark: org.apache.spark.sql.SparkSession,
                              path: String, batchId: Long,
                              streamId: String = ""): Boolean = {
-    graft.util.StreamCommit.requireValidStreamId(streamId)
-    requireNotWatermarked(spark, path, batchId, streamId)
-    val fs = graft.util.StreamCommit.fs(spark, path)
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
-    graft.util.StreamCommit.removeBatch(fs, path, tag, Seq(
-      s"${graft.util.StreamCommit.escapeGlob(path)}/list=*/$tag-*"))
-  }
-
-  private def requireNotWatermarked(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      batchId: Long, streamId: String): Unit = {
-    val wm = graft.util.StreamCommit.readWatermarks(spark, path)
-      .getOrElse(streamId, -1L)
-    if (batchId <= wm)
-      throw new IllegalStateException(
-        s"ingest batch $batchId of stream '$streamId' at $path is at or " +
-          s"below the marker-compaction watermark ($wm) — compacted " +
-          "batches are permanently committed; rebuild the index instead")
+    graft.util.StreamCommit.removeBatchGuarded(spark, path, streamId,
+      batchId, Seq(
+        s"${graft.util.StreamCommit.escapeGlob(path)}/list=*/$tag-*"))
   }
 
   /** The two append frames (codes, vecs) for [[appendToChunkIndexPq]],

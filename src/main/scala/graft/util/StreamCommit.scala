@@ -192,6 +192,9 @@ object StreamCommit {
     * the leftovers). Idempotent: removing an absent batch is a no-op
     * (returns false). Callers enforce layout-specific preconditions
     * (e.g. BM25 refuses batches already FOLDED into the base stats).
+    * Reader contract: removal does NOT quiesce serves — a serve planned
+    * before it fails loudly (FileNotFoundException) when executed after
+    * the scrub, never silently serving a partial batch (spec-pinned).
     */
   def removeBatch(fs: org.apache.hadoop.fs.FileSystem, path: String,
                   tagName: String, dataGlobs: Seq[String]): Boolean = {
@@ -205,61 +208,164 @@ object StreamCommit {
     had
   }
 
+  /** Parsed `_ingest_watermarks.json`. `watermarks` maps streamId → highest
+    * batchId stamped permanently committed by [[compactMarkers]];
+    * `removed` records batchIds deliberately rolled back by
+    * [[removeBatchGuarded]], so compaction can extend a watermark ACROSS an
+    * intentional gap (an unrecorded gap still pins it — that is an
+    * in-flight crash, and folding past it would stamp an uncommitted batch
+    * committed forever). `version` and `writer` are the CAS fields guarding
+    * the sidecar's two read-modify-writers (compact and removal), the same
+    * discipline as the BM25 stats sidecar. Sidecars written before the
+    * envelope existed (a bare `{sid: wm}` map) parse as version 0 with
+    * empty `removed`.
+    */
+  private[graft] case class WmState(watermarks: Map[String, Long],
+                                    removed: Map[String, Set[Long]],
+                                    version: Long, writer: String)
+
+  private[graft] def readWatermarkState(
+      spark: org.apache.spark.sql.SparkSession, path: String): WmState = {
+    val f = fs(spark, path)
+    if (!f.exists(new org.apache.hadoop.fs.Path(
+      s"$path/_ingest_watermarks.json")))
+      return WmState(Map.empty, Map.empty, 0L, "")
+    parseWatermarkState(Sidecar.read(spark, path, "_ingest_watermarks.json"))
+  }
+
+  private[graft] def parseWatermarkState(body: String): WmState = {
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(body)
+    (j \ "watermarks") match {
+      case JObject(fields) =>
+        val rem = (j \ "removed") match {
+          case JObject(rf) => rf.map { case (k, v) =>
+            k -> v.extract[Seq[Long]].toSet }.toMap
+          case _ => Map.empty[String, Set[Long]]
+        }
+        WmState(fields.map { case (k, v) => k -> v.extract[Long] }.toMap,
+          rem, (j \ "version").extractOpt[Long].getOrElse(0L),
+          (j \ "writer").extractOpt[String].getOrElse(""))
+      case _ => j match { // legacy bare-map format
+        case JObject(fields) =>
+          WmState(fields.map { case (k, v) => k -> v.extract[Long] }.toMap,
+            Map.empty, 0L, "")
+        case _ => WmState(Map.empty, Map.empty, 0L, "")
+      }
+    }
+  }
+
+  private def renderWatermarkState(watermarks: Map[String, Long],
+                                   removed: Map[String, Set[Long]],
+                                   version: Long, writer: String): String = {
+    def jmap(fields: Seq[String]) = fields.mkString("{", ",", "}")
+    val wm = jmap(watermarks.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${Json.escape(k)}:$v" })
+    val rm = jmap(removed.toSeq.sortBy(_._1).filter(_._2.nonEmpty)
+      .map { case (k, v) =>
+        s"${Json.escape(k)}:${v.toSeq.sorted.mkString("[", ",", "]")}" })
+    s"""{"version":$version,"writer":${Json.escape(writer)},""" +
+      s""""watermarks":$wm,"removed":$rm}"""
+  }
+
+  /** Commit a read-modify-write of the watermark sidecar with the same
+    * cheap CAS check as [[graft.ann.Bm25]]'s `writeStatsCas`: the two
+    * administrative RMW writers — [[compactMarkers]] and
+    * [[removeBatchGuarded]] — are single-writer by deployment contract,
+    * and this turns a violated contract into a LOUD failure on at least
+    * one side (version re-read just before the rename; (version, nonce)
+    * re-read just after it) plus an `ingest_watermark_cas_conflict_total`
+    * bump, instead of a silently lost update. Not a lock: two writers
+    * whose write+recheck windows fully interleave can still both pass —
+    * the realistic overlap (two seconds-long admin ops) fails loudly.
+    */
+  private[graft] def writeWatermarksCas(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      expect: WmState, watermarks: Map[String, Long],
+      removed: Map[String, Set[Long]], recoveryHint: String): Unit = {
+    def conflict(what: String): Nothing = {
+      graft.metrics.GraftCounters.inc("ingest_watermark_cas_conflict_total")
+      throw new IllegalStateException(
+        s"ingest watermark sidecar CAS conflict at $path: $what — a " +
+          "concurrent administrative writer (compactMarkers / " +
+          "remove-ingest-batch) violated the single-administrative-writer " +
+          s"contract. Recovery: $recoveryHint")
+    }
+    val pre = readWatermarkState(spark, path)
+    if (pre.version != expect.version)
+      conflict(s"read version ${expect.version}, found ${pre.version} " +
+        "before write")
+    val nonce = java.util.UUID.randomUUID().toString
+    Sidecar.write(spark, path, "_ingest_watermarks.json",
+      renderWatermarkState(watermarks, removed, expect.version + 1, nonce))
+    val post = readWatermarkState(spark, path)
+    if (post.version != expect.version + 1 || post.writer != nonce)
+      conflict(s"post-write readback saw version ${post.version} / writer " +
+        s"'${post.writer}' where this writer committed " +
+        s"${expect.version + 1} / '$nonce' — this update was overwritten")
+  }
+
   /** Per-stream committed watermarks from `_ingest_watermarks.json`:
     * every batchId ≤ the watermark is committed (its marker was folded by
     * [[compactMarkers]] and deleted). Missing sidecar = nothing folded.
     */
   def readWatermarks(spark: org.apache.spark.sql.SparkSession,
-                     path: String): Map[String, Long] = {
-    val f = fs(spark, path)
-    if (!f.exists(new org.apache.hadoop.fs.Path(
-      s"$path/_ingest_watermarks.json"))) return Map.empty
-    import org.json4s._
-    implicit val formats: Formats = DefaultFormats
-    org.json4s.jackson.JsonMethods.parse(
-      Sidecar.read(spark, path, "_ingest_watermarks.json")) match {
-      case JObject(fields) =>
-        fields.map { case (k, v) => k -> v.extract[Long] }.toMap
-      case _ => Map.empty
-    }
-  }
+                     path: String): Map[String, Long] =
+    readWatermarkState(spark, path).watermarks
 
   /** Marker compaction for layouts WITHOUT a stats sidecar (the PQ/flat
     * chunk indexes; BM25 markers carry stats deltas and compact through
     * [[graft.ann.Bm25.compactStreamStats]] instead — bodied markers are
     * refused here so that path cannot be misused to LOSE deltas). Bounds
     * the committed-only serve's marker scan for long-lived streams: per
-    * stream, the watermark extends over the CONTIGUOUS marker run above
-    * the previous watermark — batchIds within one checkpoint lineage are
-    * contiguous from 0, so a gap means an in-flight crash or a
-    * rolled-back batch, and folding past it would stamp an uncommitted
-    * (or deliberately removed) batch committed forever. The atomic
-    * sidecar write is the commit point; marker deletion after it is
-    * idempotent (a surviving folded marker is redundant with the
-    * watermark — both read paths agree — and the next compact deletes
-    * it). Single administrative writer per index, like every admin op.
-    * Returns the new watermark map.
+    * stream, the watermark extends over the CONTIGUOUS run above the
+    * previous watermark in which every batchId has a marker OR is recorded
+    * in the sidecar's `removed` set (a deliberate [[removeBatchGuarded]]
+    * rollback) — batchIds within one checkpoint lineage are contiguous
+    * from 0, so an UNRECORDED gap means an in-flight crash, and folding
+    * past it would stamp an uncommitted batch committed forever. The
+    * CAS-guarded sidecar write is the commit point ([[writeWatermarksCas]]
+    * — a removal racing this compact fails loudly on at least one side);
+    * marker deletion after it is idempotent (a surviving folded marker is
+    * redundant with the watermark — both read paths agree — and the next
+    * compact deletes it). The sidecar state is read BEFORE the markers are
+    * listed, so a removal completing in between moves the version and
+    * fails this compact's CAS — a stale marker listing can never fold a
+    * scrubbed batch silently. Single administrative writer per index, like
+    * every admin op. Returns the new watermark map.
     */
   def compactMarkers(spark: org.apache.spark.sql.SparkSession,
                      path: String): Map[String, Long] = {
+    // state FIRST, markers second (see scaladoc: the CAS catches a removal
+    // that lands between the two reads)
+    val st = readWatermarkState(spark, path)
+    val markers = listMarkers(fs(spark, path), path)
+    compactMarkersFrom(spark, path, st, markers)
+  }
+
+  /** The RMW half of [[compactMarkers]] — seam-exposed (pre-read state +
+    * pre-listed markers injectable) so the spec can pin the
+    * compact-vs-removal race orders deterministically.
+    */
+  private[graft] def compactMarkersFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      st: WmState, markers: Seq[(String, Long, String)]): Map[String, Long] = {
     val f = fs(spark, path)
-    val wm0 = readWatermarks(spark, path)
-    val markers = listMarkers(f, path)
     require(markers.forall(_._3.isEmpty),
       s"$path has markers carrying metadata bodies (a BM25-style layout) " +
         "— use the layout's own stats compaction, not compactMarkers")
-    val wm1 = wm0 ++ markers.groupBy(_._1).map { case (sid, ms) =>
+    val wm1 = st.watermarks ++ markers.groupBy(_._1).map { case (sid, ms) =>
       val ids = ms.map(_._2).toSet
-      var w = wm0.getOrElse(sid, -1L)
-      while (ids.contains(w + 1)) w += 1
+      val rem = st.removed.getOrElse(sid, Set.empty[Long])
+      var w = st.watermarks.getOrElse(sid, -1L)
+      while (ids.contains(w + 1) || rem.contains(w + 1)) w += 1
       sid -> w
     }
-    if (wm1 != wm0) {
-      val body = wm1.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${Json.escape(k)}:$v" }
-        .mkString("{", ",", "}")
-      Sidecar.write(spark, path, "_ingest_watermarks.json", body)
-    }
+    if (wm1 != st.watermarks)
+      writeWatermarksCas(spark, path, st, wm1, st.removed,
+        "re-run compactMarkers — it is idempotent; the conflicting " +
+          "writer's update is the one on disk")
     markers
       .filter { case (sid, id, _) => id <= wm1.getOrElse(sid, -1L) }
       .foreach { case (sid, id, _) =>
@@ -267,6 +373,83 @@ object StreamCommit {
           s"$path/_stream_appends/${tag(sid, id)}"), false)
       }
     wm1
+  }
+
+  /** [[removeBatch]] for watermark-compacted layouts (the PQ/flat chunk
+    * indexes) — the full guarded rollback:
+    *   1. pre-check: a batch at or below the watermark and NOT recorded
+    *      removed is permanently committed — refuse loudly; a batch
+    *      already recorded removed is an idempotent no-op (leftover files
+    *      are still scrubbed);
+    *   2. delete the marker (the commit point of the removal);
+    *   3. RE-CHECK the watermark: a concurrent [[compactMarkers]] that
+    *      listed the marker before step 2 may have folded it — if the
+    *      watermark now covers this batch, fail LOUDLY WITHOUT scrubbing
+    *      (the data files are intact and the batch is still correctly
+    *      served as committed; the marker delete is redundant with the
+    *      watermark, so nothing is corrupted — rebuild to remove it);
+    *   4. scrub the batch's tagged data files;
+    *   5. record the batchId in the sidecar's `removed` set via a CAS
+    *      write — this lets compaction extend the watermark across the
+    *      deliberate gap, and the version bump fails any concurrent
+    *      compact still holding a marker listing that contains step 2's
+    *      marker (whose delta-less fold would otherwise stamp the
+    *      scrubbed batch committed). If THIS CAS fails, the scrub already
+    *      happened: re-run the removal (idempotent) to record it; until
+    *      recorded, compaction stays pinned below this batch — and if the
+    *      conflicting writer was a compact that folded the stale marker,
+    *      the failure message says to verify/rebuild.
+    * Reader contract (serve-vs-rollback): rollback does NOT quiesce
+    * serves. A serve planned before the rollback holds a file listing and
+    * fails LOUDLY (FileNotFoundException) when executed after the scrub —
+    * it never silently serves a partial batch. Deployments quiesce
+    * serving around rollbacks or treat the failure as a retry signal.
+    */
+  private[graft] def removeBatchGuarded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      streamId: String, batchId: Long, dataGlobs: Seq[String],
+      afterPreCheck: () => Unit = () => ()): Boolean = {
+    requireValidStreamId(streamId)
+    val f = fs(spark, path)
+    val st0 = readWatermarkState(spark, path)
+    if (st0.removed.getOrElse(streamId, Set.empty).contains(batchId)) {
+      scrub(f, dataGlobs) // finish a crashed earlier attempt's scrub
+      return false
+    }
+    if (batchId <= st0.watermarks.getOrElse(streamId, -1L))
+      throw new IllegalStateException(
+        s"ingest batch $batchId of stream '$streamId' at $path is at or " +
+          s"below the marker-compaction watermark " +
+          s"(${st0.watermarks.getOrElse(streamId, -1L)}) — compacted " +
+          "batches are permanently committed; rebuild the index instead")
+    afterPreCheck()
+    val tagName = tag(streamId, batchId)
+    val had = markerExists(f, path, tagName)
+    if (had)
+      f.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_stream_appends/$tagName"), false)
+    val st1 = readWatermarkState(spark, path)
+    if (batchId <= st1.watermarks.getOrElse(streamId, -1L) &&
+      !st1.removed.getOrElse(streamId, Set.empty).contains(batchId)) {
+      graft.metrics.GraftCounters.inc("ingest_watermark_cas_conflict_total")
+      throw new IllegalStateException(
+        s"ingest batch $batchId of stream '$streamId' at $path was " +
+          "concurrently compacted to permanently-committed (a compact ran " +
+          "between this removal's pre-check and its marker delete — " +
+          "single-administrative-writer contract violated). Its data files " +
+          "were NOT scrubbed: the index still serves the batch correctly; " +
+          "rebuild the index to remove it")
+    }
+    scrub(f, dataGlobs)
+    writeWatermarksCas(spark, path, st1, st1.watermarks,
+      st1.removed + (streamId ->
+        (st1.removed.getOrElse(streamId, Set.empty) + batchId)),
+      s"the batch's files are already scrubbed but the removal is not yet " +
+        s"recorded — re-run remove-ingest-batch $batchId (idempotent) to " +
+        "record it; if the conflicting writer was a compactMarkers whose " +
+        "marker listing predated this removal, the watermark may stamp " +
+        "this scrubbed batch committed — verify, and rebuild if so")
+    had
   }
 
   /** All markers under the layout: (streamId, batchId, marker body). */

@@ -490,7 +490,7 @@ class Bm25Spec extends SparkSpec {
       val c0 = graft.metrics.GraftCounters.get("bm25_stats_cas_conflict_total")
       val ex = intercept[IllegalStateException] {
         Bm25.writeStatsCas(spark, path, stale, stale.nDocs + 99,
-          stale.totalTokens + 99, stale.folded)
+          stale.totalTokens + 99, stale.folded, "test hint")
       }
       assert(ex.getMessage.contains("CAS conflict"))
       assert(
@@ -501,7 +501,7 @@ class Bm25Spec extends SparkSpec {
       // a fresh read-modify-write (the documented recovery) succeeds
       val retry = Bm25.readStats(spark, path)
       Bm25.writeStatsCas(spark, path, retry, retry.nDocs, retry.totalTokens,
-        retry.folded)
+        retry.folded, "test hint")
       assert(Bm25.readStats(spark, path).version == retry.version + 1)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
