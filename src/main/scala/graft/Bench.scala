@@ -85,43 +85,63 @@ object Bench {
       .sortBy { case (name, _) =>
         (if (name.startsWith("p_")) 1 else 0, name)
       }
+    // per-entry PROCESS-CPU time next to wall (r12 verdict task 5): this VM
+    // class throttles storage intermittently and wall alone cannot separate
+    // a plan regression from a slow disk — CPU seconds are stable across
+    // stamp swings, so cross-round per-entry diffs should read cpu first
+    val osBean = java.lang.management.ManagementFactory
+      .getPlatformMXBean(classOf[com.sun.management.OperatingSystemMXBean])
     val results = ordered.map { case (name, fn) =>
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and flatter the numbers)
-      def onePass(): (Double, Option[String]) = {
+      def onePass(): (Double, Double, Option[String]) = {
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val err: Option[String] =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
           }
-        ((System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9,
+          (osBean.getProcessCpuTime - c0) / 1e9, err)
       }
-      val (first, err1) = onePass()
+      val (first, cpu1, err1) = onePass()
       cleanup()
       // VM-noise self-defense: a single >1 s sample can be dominated by this
       // round's cold page cache or background writeback — re-run once and
       // keep the BEST of the two (plans are deterministic; the minimum is
       // the less-polluted sample). Sub-second entries aren't worth the
       // battery time, and a failed query must not run (or hide) twice.
-      val elapsed =
+      // The kept CPU sample is the kept WALL pass's own (they must describe
+      // the same execution).
+      val (elapsed, cpuSec) =
         if (err1.isEmpty && first > 1.0) {
-          val (second, err2) = onePass()
+          val (second, cpu2, err2) = onePass()
           cleanup()
-          if (err2.isEmpty) math.min(first, second) else first
-        } else first
-      (name, elapsed, err1)
+          if (err2.isEmpty && second < first) (second, cpu2) else (first, cpu1)
+        } else (first, cpu1)
+      (name, elapsed, cpuSec, err1)
     }
     def jstr(s: String) = graft.util.Json.escape(s)
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val cpuMap = results.map { case (k, _, c, _) =>
+      jstr(k) + ":" + math.rint(c * 1e3) / 1e3 }.mkString("{", ",", "}")
     // a failed query must be loud, not a flattering ~0 s entry
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalCpu = results.map(_._3).sum
+    // stamp floor: below it the host is storage-throttled and wall totals
+    // are not comparable across rounds — flagged, not refused (the driver
+    // still needs an artifact; the flag tells every reader to normalize)
+    val diskFloor = 100.0
+    val diskOk = diskMbS >= diskFloor
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu_sec":$cpuMap,"total_cpu_sec":${math.rint(totalCpu * 1e3) / 1e3},""" +
       s""""errors":$errs,"sf":${jstr(sfDir)},"cpus":$cpus,""" +
-      s""""disk_write_mb_s":$diskMbS,"timing":"best-of-2 over 1s"}"""
+      s""""disk_write_mb_s":$diskMbS,"disk_floor_mb_s":$diskFloor,""" +
+      s""""disk_ok":$diskOk,"timing":"best-of-2 over 1s"}"""
     // stdout line is the driver contract; the FILE is the loss-proof copy
     // (r6's driver tail-capture truncated the totals → "parsed": null)
     println(json)
@@ -138,15 +158,16 @@ object Bench {
     // the r7 finding). Slowest entries at 3 decimals + error map; the
     // complete per-query map lives in the full line above and in the file.
     val slowest = results.sortBy(-_._2).take(25)
-      .map { case (k, v, _) => jstr(k) + ":" + math.rint(v * 1e3) / 1e3 }
+      .map { case (k, v, _, _) => jstr(k) + ":" + math.rint(v * 1e3) / 1e3 }
       .mkString("{", ",", "}")
-    val errsShort = results.collect { case (k, _, Some(e)) =>
+    val errsShort = results.collect { case (k, _, _, Some(e)) =>
       jstr(k) + ":" + jstr(e.take(60)) }.take(5).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${math.rint(total * 1e3) / 1e3},""" +
       s""""unit":"sec","queries":$slowest,""" +
       s""""note":${jstr(s"slowest 25 of ${results.size}; full map in $out")},""" +
-      s""""errors":$errsShort,"n_errors":${results.count(_._3.isDefined)},""" +
+      s""""errors":$errsShort,"n_errors":${results.count(_._4.isDefined)},""" +
+      s""""total_cpu_sec":${math.rint(totalCpu * 1e3) / 1e3},""" +
       s""""sf":${jstr(sfDir)},"cpus":$cpus,"disk_write_mb_s":$diskMbS,""" +
-      s""""timing":"best-of-2 over 1s"}""")
+      s""""disk_ok":$diskOk,"timing":"best-of-2 over 1s"}""")
   }
 }

@@ -21,6 +21,18 @@ object QueriesData {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Persist a signature fixture at the STATIC path its DuckDB oracle reads
+    * (`/tmp/graft_fixtures/<name>`). Static because oracle SQL is a fixed
+    * string; safe because the driver always runs the Spark entry before its
+    * oracle, so the fixture reflects the same sf dir the oracle compares
+    * against (later runs at other sf dirs simply overwrite).
+    */
+  private def fixture(s: SparkSession, name: String, df: DataFrame): String = {
+    val path = s"/tmp/graft_fixtures/$name"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** Deterministic messy URL per document — the URL-curation fixture: mixed
     * case, default port, and one of three cosmetic variants by doc_id%3
     * (tracking params / trailing slash / fragment). Variants 1 and 2
@@ -969,6 +981,47 @@ object QueriesData {
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", shingleN = 3,
           threshold = 0.12, maxDocFreq = 50)
         .orderBy("id_a", "id_b")),
+
+    // Fixture-split oracles for the hash-signature dedup families (the r12
+    // no_oracle-tail task): DuckDB cannot compute the SIGNATURES (native
+    // xxhash minhash / simhash / murmur2-derived hyperplane kernels — each
+    // golden-vector spec-pinned), so each entry persists the Spark-computed
+    // signature table as a parquet fixture at a STATIC path and recomputes
+    // the PAIR LEG — banding, probe expansion, agreement estimate,
+    // threshold, cross-band dedup — from that fixture in BOTH engines (the
+    // oracle reads it back with read_parquet; the driver always runs the
+    // Spark entry before its oracle, so the fixture matches the sf dir).
+    "d_minhash_band_pairs" -> ((s, d) => {
+      val fx = fixture(s, "minhash_sigs",
+        Dedup.minhashSignatures(docs(s, d), "doc_id", "text", shingleN = 3,
+          k = 64))
+      Dedup.minhashPairsFromSigs(s.read.parquet(fx), k = 64, bands = 16,
+          threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d_simhash_band_pairs" -> ((s, d) => {
+      val fx = fixture(s, "simhash_sigs",
+        Dedup.simhashSignatures(docs(s, d), "doc_id", "text"))
+      Dedup.hammingPairs(s.read.parquet(fx), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d_embedding_band_pairs" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count()
+      // modulus-bounded corpus (≤ ~20k vectors): unlike d_embedding_dups
+      // this entry has no quantized threshold to shrink candidates before
+      // the distinct, so the band join is held at audit scale at every
+      // rung; bits=12 keeps bucket occupancy low at that size, and two
+      // flip bits exercise the one-directional probe asymmetry
+      val step = math.max(1L, (n + 19999L) / 20000L)
+      val fx = fixture(s, "emb_band_sigs",
+        Dedup.embeddingBandSignatures(e.filter(col("vec_id") % step === 0),
+          "vec_id", "embedding", dim = 64, bits = 12, tables = 4,
+          flipBits = Seq(0, 1)))
+      Dedup.bandPairsFromSigs(s.read.parquet(fx)).orderBy("id_a", "id_b")
+    }),
 
     // candidate-confirm composition: a LOOSE jaccard candidate pass (0.05 —
     // deliberately below the 0.12 the pure entry uses, so marginal pairs
@@ -2470,6 +2523,61 @@ object QueriesData {
         |  FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
         |             JOIN sizes sb ON sb.doc_id = pairs.id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.12
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // fixture-split pair-leg oracles (see the sqlChecked comment): the
+    // signature tables are Spark-written parquet fixtures at static paths;
+    // the SQL recomputes banding / probe expansion / estimate / threshold /
+    // dedup from them. k=64, bands=16 -> 4-slot band slices; the agreement
+    // estimate eq/64 is an exact binary multiple, so the 0.2 threshold and
+    // 6-dp round can never flip across engines.
+    "d_minhash_band_pairs" ->
+      """WITH sigs AS (
+        |  SELECT id, sig
+        |  FROM read_parquet('/tmp/graft_fixtures/minhash_sigs/*.parquet')
+        |  WHERE sig[1] <> 9223372036854775807),
+        |bands AS (SELECT unnest(range(0, 16)) AS band),
+        |banded AS (
+        |  SELECT id, sig, band, list_slice(sig, band*4 + 1, band*4 + 4) AS key
+        |  FROM sigs, bands),
+        |scored AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i]))
+        |         AS DOUBLE) / 64 AS je
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        |SELECT id_a, id_b, round(je, 6) AS jaccard_est
+        |FROM scored WHERE je >= 0.2e0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // 64-bit simhash, radius 3 -> 4 disjoint 16-bit bands (pigeonhole-
+    // complete); the sign-fill difference between engines' >> disappears
+    // under the 16-bit mask, and xor/bit_count are exact integer ops
+    "d_simhash_band_pairs" ->
+      """WITH sigs AS (
+        |  SELECT id, sig
+        |  FROM read_parquet('/tmp/graft_fixtures/simhash_sigs/*.parquet')
+        |  WHERE sig IS NOT NULL),
+        |bands AS (SELECT unnest(range(0, 4)) AS band),
+        |banded AS (
+        |  SELECT id, sig, band, (sig >> (band * 16)) & 65535 AS bucket
+        |  FROM sigs, bands),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, xor(a.sig, b.sig) AS x
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(x) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(x) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // one-directional multi-probe: probe rows join only onto raw rows
+    "d_embedding_band_pairs" ->
+      """WITH f AS (
+        |  SELECT id, tbl, bucket, is_probe
+        |  FROM read_parquet('/tmp/graft_fixtures/emb_band_sigs/*.parquet'))
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |FROM f a JOIN f b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |WHERE NOT b.is_probe AND a.id < b.id
         |ORDER BY id_a, id_b""".stripMargin,
     // the jaccard pipeline at the loose 0.05 cut + byte-level levenshtein on
     // the 120-char prefixes (the corpus is pure ASCII at every sf, so

@@ -173,8 +173,22 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, k)
+                   threshold: Double = 0.5): DataFrame =
+    minhashPairsFromSigs(minhashSignatures(df, idCol, textCol, shingleN, k),
+      k, bands, threshold)
+
+  /** The pair leg of [[minhashPairs]] over an already-computed — typically
+    * PERSISTED — `(id, sig)` signature table: banding, the
+    * signature-agreement Jaccard estimate, the threshold, and the
+    * cross-band dedup. Split out because the signatures are engine-native
+    * (the [[graft.functions.MinHashSig]] xxhash kernel, golden-vector
+    * spec-pinned) while everything from here on is pure relational logic
+    * any engine must agree on — the fixture-based DuckDB oracle
+    * (`d_minhash_band_pairs`) hash-checks exactly this half.
+    */
+  def minhashPairsFromSigs(sigs0: DataFrame, k: Int = 64, bands: Int = 16,
+                           threshold: Double = 0.5): DataFrame = {
+    val sigs = sigs0.toDF("id", "sig")
     // docs shorter than the shingle width have no shingle set — they all
     // share the sentinel signature and would pair quadratically as false
     // jaccard-1.0 "duplicates"; shingle-based dedup simply doesn't apply
@@ -478,6 +492,55 @@ object Dedup {
     sig.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  /** The banded, probe-expanded LSH signature rows of [[embeddingPairs]]'
+    * candidate stage as a persistable table `(id, tbl, bucket, is_probe)`:
+    * one raw row per (vector, table) plus — on the PROBE side only — one
+    * row per flip bit with that bit XOR-toggled (the multi-probe
+    * expansion). Zero- and NaN-norm vectors are excluded exactly like
+    * [[embeddingPairs]]. Signatures are engine-native (the murmur2-derived
+    * hyperplanes); the relational half downstream of this table is
+    * [[bandPairsFromSigs]], which the fixture-based DuckDB oracle
+    * (`d_embedding_band_pairs`) hash-checks.
+    */
+  def embeddingBandSignatures(df: DataFrame, idCol: String, vecCol: String,
+                              dim: Int, bits: Int, tables: Int,
+                              flipBits: Seq[Int]): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    require(flipBits.forall(j => j >= 0 && j < bits),
+      s"flip bits $flipBits must lie in [0, $bits)")
+    val vd = col(vecCol).cast("array<double>")
+    val base = df.select(col(idCol).as("id"), vd.as("vec"))
+      .withColumn("norm",
+        sqrt(graft.functions.KFunctions.array_dot(col("vec"), col("vec"))))
+      .filter(col("norm") =!= 0.0d && !isnan(col("norm")))
+    val sigs = base.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneSignature(col("vec"), dim, bits, table = t)): _*))
+        .as(Seq("tbl", "bucket")))
+    val raw = sigs.withColumn("is_probe", lit(false))
+    if (flipBits.isEmpty) raw
+    else raw.unionByName(sigs.select(col("id"), col("tbl"),
+      explode(array(flipBits.map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      .withColumn("is_probe", lit(true)))
+  }
+
+  /** The asymmetric band join over an [[embeddingBandSignatures]] table —
+    * the candidate pair expansion of [[embeddingPairs]] in isolation:
+    * probe side = raw + flipped rows, corpus side = raw rows only (probing
+    * is one-directional, query-onto-stored), candidates distinct on the
+    * ordered id pair. Output `(id_a, id_b)`.
+    */
+  def bandPairsFromSigs(sigs: DataFrame): DataFrame = {
+    val a = sigs.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = sigs.filter(!col("is_probe"))
+      .select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   /** Embedding near-duplicate pairs: bucket on the hyperplane signature,
     * exact cosine verify within buckets. At scale only same-bucket pairs
     * shuffle; `bits` trades recall for bucket size.
@@ -615,6 +678,12 @@ object Dedup {
           dim / (4.0 * 32767.0 * 32767.0) + 1e-6
         val stagedMode = stagedTableBatch > 0 && stagedTableBatch < tables ||
           stagedBucketRanges > 1
+        // the idOnlyBand A/B shape has no staged form — honoring staging
+        // there would silently measure the unstaged plan (and leak the
+        // DISK_ONLY corpus projection on its early return)
+        require(!(idOnlyBand && stagedMode),
+          "idOnlyBand has no staged form: run idOnlyBand=false for staged " +
+            "mining, or drop stagedTableBatch/stagedBucketRanges")
         // Staged mining consumes this projection ~3× PER BATCH (the batch's
         // signature scan plus the per-batch finish's two unit joins) — a
         // dozen-plus corpus re-derivations at typical batch geometries.
