@@ -1007,6 +1007,23 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    // the incremental (cross-corpus) minhash pair leg over TWO persisted
+    // signature fixtures — the batch-vs-history shape where persisting
+    // signatures is the whole point (the historical text is never re-read);
+    // no id ordering, only batch×corpus collisions survive
+    "d_incremental_band_pairs" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bs = fixture(s, "minhash_batch_sigs",
+        Dedup.minhashSignatures(dd.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", shingleN = 3, k = 64))
+      val cs = fixture(s, "minhash_corpus_sigs",
+        Dedup.minhashSignatures(dd.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", shingleN = 3, k = 64))
+      Dedup.minhashIncrementalPairs(s.read.parquet(bs), s.read.parquet(cs),
+          k = 64, bands = 16, threshold = 0.2)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     "d_embedding_band_pairs" -> ((s, d) => {
       val e = emb(s, d)
       val n = e.count()
@@ -1377,7 +1394,7 @@ object QueriesData {
       // d_ccnet_buckets before the same fix)
       val cut = scored.agg(round(
         sum(col("avg_logprob").cast("decimal(15,5)")).cast("double") /
-          count(lit(1)), 3)).head.getDouble(0)
+          count(lit(1)), 3)).head().getDouble(0)
       val kept = scored
         .where(col("avg_logprob") >= cut)
         .join(all.select("doc_id", "source"), "doc_id")
@@ -2569,6 +2586,32 @@ object QueriesData {
         |SELECT id_a, id_b, CAST(bit_count(x) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(x) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // two-fixture cross join: batch sigs × corpus sigs, no id ordering
+    "d_incremental_band_pairs" ->
+      """WITH bsig AS (
+        |  SELECT id, sig
+        |  FROM read_parquet('/tmp/graft_fixtures/minhash_batch_sigs/*.parquet')
+        |  WHERE sig[1] <> 9223372036854775807),
+        |csig AS (
+        |  SELECT id, sig
+        |  FROM read_parquet('/tmp/graft_fixtures/minhash_corpus_sigs/*.parquet')
+        |  WHERE sig[1] <> 9223372036854775807),
+        |bands AS (SELECT unnest(range(0, 16)) AS band),
+        |bb AS (
+        |  SELECT id, sig, band, list_slice(sig, band*4 + 1, band*4 + 4) AS key
+        |  FROM bsig, bands),
+        |cb AS (
+        |  SELECT id, sig, band, list_slice(sig, band*4 + 1, band*4 + 4) AS key
+        |  FROM csig, bands),
+        |scored AS (
+        |  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id,
+        |    CAST(len(list_filter(range(1, 65), i -> b.sig[i] = c.sig[i]))
+        |         AS DOUBLE) / 64 AS je
+        |  FROM bb b JOIN cb c ON b.band = c.band AND b.key = c.key)
+        |SELECT batch_id, corpus_id, round(je, 6) AS jaccard_est
+        |FROM scored WHERE je >= 0.2e0
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // one-directional multi-probe: probe rows join only onto raw rows
     "d_embedding_band_pairs" ->
@@ -4139,23 +4182,22 @@ object QueriesData {
       // (near-orthogonal), where a single 5-bit table structurally recalls
       // ~p^5 ≈ 8% (measured 9.3%) — multi-table union is the honest
       // borderline-similarity configuration: 1-(1-p^5)^8 ≈ 0.47.
-      // Geometry is a MEASURED choice, re-measured after the int16
-      // prefilter landed (it shrank the quantize margin ~250×, so the
-      // survivor distinct that used to spill 60 GB at int8 — the reason
-      // the old config was 2 tables × 1/4 ranges × 16 jobs — is now
-      // output-scale, <8 GB total scratch in every geometry). sf10 A/B on
-      // the 78 GB tier (200k vectors, single passes, this VM class):
-      // 2×¼ (16 jobs) 369 s, 4×½ (4 jobs) 180/281 s, 4×full (2 jobs)
-      // 203 s, 8×½ (2 jobs) 323 s, one-shot 237-272 s — 4 tables × 1/2
-      // of the bucket space wins (per-batch fixed costs amortized, band
-      // joins still small enough to stay in memory), and its sf10 pair
-      // set was counted EQUAL to the one-shot plan's (57,845,156).
-      // Deeper staging (more ranges) remains the bounded-spill lever for
-      // corpora orders of magnitude past this tier.
+      // Geometry is a MEASURED choice, settled with n=3 INTERLEAVED
+      // cold-JVM samples per geometry (r12 verdict task 2 — the earlier
+      // 4×1/2 gating rested on a noisy 2-sample A/B): 4 tables × FULL
+      // bucket range (2 jobs) won all three interleaved rounds against
+      // both 4×1/2 and one-shot — 117-153 s vs 136-212 s vs 222-259 s at
+      // sf10 — and its pair set counts EQUAL to the one-shot plan's
+      // (57,845,156; union-distinct over an exact candidate partition).
+      // See SCALING.md round-18 for the full variance-aware table with
+      // per-run disk stamps. Bucket-range staging (ranges > 1) remains
+      // the bounded-spill lever for corpora orders of magnitude past
+      // this tier; on it, the int16 prefilter keeps every geometry
+      // <8 GB scratch.
       val approx = Dedup.embeddingPairs(e, "vec_id", "embedding", dim = 64,
         bits = 5, threshold = 0.3, knownCount = Some(n), tables = 8,
         stagedTableBatch = if (n > 100000L) 4 else 0,
-        stagedBucketRanges = if (n > 100000L) 2 else 0)
+        stagedBucketRanges = if (n > 100000L) 1 else 0)
       // the brute-force ground truth is O(n²): audit only below a measured
       // count (sf<=0.1 batteries), carry an explicit null above it — a 100TB
       // corpus audits on a sampled slice instead, never all-pairs

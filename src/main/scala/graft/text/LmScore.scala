@@ -134,7 +134,7 @@ object LmScore {
       .agg(
         max(when(col("rn") <= ceil(col("sn") / 3.0), col("s"))).as("t1"),
         max(when(col("rn") <= ceil(col("sn") * 2 / 3.0), col("s"))).as("t2"))
-      .head
+      .head()
     (if (cuts.isNullAt(0)) None else Some(cuts.getDouble(0)),
      if (cuts.isNullAt(1)) None else Some(cuts.getDouble(1)))
   }
@@ -151,7 +151,7 @@ object LmScore {
       .groupBy("g2").agg(count(lit(1)).cast("double").as("c2"))
     val tri = reference.select(explode(TextFunctions.shingles(lower(col(textCol)), 3)).as("g3"))
       .groupBy("g3").agg(count(lit(1)).cast("double").as("c3"))
-    val nRow = uni.agg(sum("c1")).head
+    val nRow = uni.agg(sum("c1")).head()
     // sum over an empty vocabulary is SQL NULL — fail loudly rather than
     // NPE here or divide by zero at scoring time
     require(!nRow.isNullAt(0) && nRow.getDouble(0) > 0,

@@ -52,7 +52,7 @@ object DriveCurationProfile {
     val cut = timed("mean_cut") {
       scored.agg(round(
         sum(col("avg_logprob").cast("decimal(15,5)")).cast("double") /
-          count(lit(1)), 3)).head.getDouble(0)
+          count(lit(1)), 3)).head().getDouble(0)
     }
     timed("filter+mix+rollup") {
       val kept = scored.where(col("avg_logprob") >= cut)

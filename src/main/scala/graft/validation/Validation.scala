@@ -138,7 +138,7 @@ object Validation {
         Seq.empty[(String, Long, Long, Long, String)]
           .toDF("segment_key", "actual_count", "actual_start", "actual_end", "decode_error")
       else spark.read.format("binaryFile")
-        .load(scanDirs.map(d => s"$backupRoot/$d"): _*)
+        .load(scanDirs.map(d => s"$backupRoot/$d").toSeq: _*)
         .select("path", "content")
         .as[(String, Array[Byte])]
         .map { case (path, bytes) =>
