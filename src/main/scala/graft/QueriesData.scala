@@ -1024,6 +1024,25 @@ object QueriesData {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // the LSH-probe serving leg, fixture-split: the persisted (id, bucket)
+    // table includes the query row's own signature, so the Hamming probe,
+    // candidate join, exact cosine scoring and ranking are all recomputed
+    // from the fixture in BOTH engines (the un-oracleable part — the
+    // hyperplane signature arithmetic — stays spec-pinned; a_ann_lsh keeps
+    // the recall audit over the same params)
+    "a_ann_lsh_probe" -> ((s, d) => {
+      val e = emb(s, d)
+      val fx = fixture(s, "ann_lsh_sigs",
+        Ann.withBucket(e, "embedding", dim = 64, bits = 8)
+          .select(col("vec_id").as("id"), col("bucket")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Ann.lshTopKFromSigs(s.read.parquet(fx),
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q,
+        queryId = 0L, k = 10, probeHamming = 3)
+    }),
+
     "d_embedding_band_pairs" -> ((s, d) => {
       val e = emb(s, d)
       val n = e.count()
@@ -2612,6 +2631,23 @@ object QueriesData {
         |SELECT batch_id, corpus_id, round(je, 6) AS jaccard_est
         |FROM scored WHERE je >= 0.2e0
         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // Hamming probe over the persisted signatures (query row's own bucket
+    // included), exact cosine scoring like a_ann_topk's fragment
+    "a_ann_lsh_probe" ->
+      """WITH sigs AS (
+        |  SELECT id, bucket
+        |  FROM read_parquet('/tmp/graft_fixtures/ann_lsh_sigs/*.parquet')),
+        |qs AS (SELECT bucket AS qb FROM sigs WHERE id = 0),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT s.id FROM sigs s, qs
+        |  WHERE s.id <> 0 AND bit_count(xor(s.bucket, qs.qb)) <= 3)
+        |SELECT e.vec_id AS id,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |                                    q.qv::DOUBLE[]), 6) AS cosine
+        |FROM embeddings e JOIN cand ON e.vec_id = cand.id, q
+        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
 
     // one-directional multi-probe: probe rows join only onto raw rows
     "d_embedding_band_pairs" ->

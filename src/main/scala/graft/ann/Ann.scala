@@ -308,6 +308,30 @@ object Ann {
       .limit(k)
   }
 
+  /** [[lshTopK]] served from a PERSISTED `(id, bucket)` signature table
+    * that includes the query row's own signature — the fixture-split form:
+    * signatures are engine-native (murmur2-derived hyperplanes), while the
+    * Hamming probe, candidate join, exact scoring, and ranking downstream
+    * of the persisted table are pure relational logic the DuckDB oracle
+    * (`a_ann_lsh_probe`) hash-checks. Row-identical to [[lshTopK]] on the
+    * same corpus/params by construction (spec-pinned).
+    */
+  def lshTopKFromSigs(sigs0: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, query: Seq[Double], queryId: Long,
+                      k: Int, probeHamming: Int = 2): DataFrame = {
+    val sigs = sigs0.toDF("id", "bucket")
+    val qBucket = sigs.filter(col("id") === queryId).head().getLong(1)
+    val q = array(query.map(lit): _*)
+    val cand = sigs.filter(col("id") =!= queryId &&
+      bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(cand.select("id"), "id")
+      .select(col("id"),
+        round(Dedup.cosine(col("v").cast("array<double>"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   // ───────────────────────────── product quantization ──────────────────────
 
   /** Per-subspace PQ codebooks: `codebooks(i)(j)` = j-th codeword of

@@ -25,6 +25,28 @@ class AnnMetricsSpec extends SparkSpec {
     assert(rows.map(_.getDouble(1)).toSeq == rows.map(_.getDouble(1)).sorted.reverse.toSeq)
   }
 
+  test("lshTopKFromSigs (persisted-signature probe) is row-identical to the direct lshTopK") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val sigsPath = java.nio.file.Files
+      .createTempDirectory("ann-sigs").toString + "/sigs"
+    // the fixture carries the QUERY row's signature too — the oracle's (and
+    // any persisted-serving deployment's) source for the probe center
+    Ann.withBucket(emb, "embedding", dim = 64, bits = 8)
+      .select(col("vec_id").as("id"), col("bucket"))
+      .write.parquet(sigsPath)
+    val direct = Ann.lshTopK(corpus, "vec_id", "embedding", 64, q, k = 10,
+      bits = 8, probeHamming = 3).collect().toSeq
+    val fromSigs = Ann.lshTopKFromSigs(spark.read.parquet(sigsPath), corpus,
+      "vec_id", "embedding", q, queryId = 0L, k = 10, probeHamming = 3)
+      .collect().toSeq
+    assert(fromSigs == direct,
+      "persisted-signature probe must serve the direct path's exact rows")
+    assert(fromSigs.nonEmpty)
+  }
+
   test("IVF ANN: full probe exact, partial probe prunes, persisted layout partition-prunes") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val corpus = emb.filter(col("vec_id") =!= 0)
