@@ -1024,6 +1024,139 @@ object QueriesData {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // the IVF serving leg, fixture-split: the k-means FIT is iterative (no
+    // SQL form), but everything a SERVE does over the persisted layout is
+    // relational — probe-list selection, candidate pruning, exact scoring,
+    // ranking. Centroids and the query enter the fixtures MILLI-QUANTIZED
+    // to BIGINT (rounded once, in Spark), so the probe's squared-distance
+    // ordering is exact integer arithmetic in both engines — no cross-
+    // engine float-sum-order hazard in WHICH lists get probed; scoring
+    // over the probed candidates uses the same rounded-cosine fragment as
+    // a_ann_topk. Same layout params as a_ann_ivf (nLists=16, nProbe=6),
+    // which keeps the recall audit.
+    "a_ann_ivf_probe" -> ((s, d) => {
+      import s.implicits._
+      val path = ensureIvf(s, d)
+      val model = Ann.IvfModel.fromJson(
+        graft.util.Sidecar.read(s, path, "_ivf_centroids.json"))
+      val e = emb(s, d)
+      val fxC = fixture(s, "ivf_centroids_milli",
+        model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toSeq.toDF("list", "cvec")
+          .select(col("list"),
+            transform(col("cvec"), x => round(x * 1000).cast("long"))
+              .as("cmilli")))
+      val fxQ = fixture(s, "ivf_query_milli",
+        e.filter(col("vec_id") === 0)
+          .select(posexplode(transform(
+            col("embedding").cast("array<double>"),
+            x => round(x * 1000).cast("long"))).as(Seq("j", "qm"))))
+      val fxA = fixture(s, "ivf_assign",
+        s.read.parquet(path).select(col("vec_id").as("id"), col("list")))
+      // probe over the FIXTURE integers (driver-side: ≤ nLists rows)
+      val qmArr = s.read.parquet(fxQ).orderBy("j").collect()
+        .map(_.getAs[Long]("qm"))
+      val lists = s.read.parquet(fxC).select("list", "cmilli").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1)))
+        .map { case (l, c) =>
+          (c.zip(qmArr).map { case (a, b) => val t = a - b; t * t }.sum, l)
+        }
+        .sorted.take(6).map(_._2)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+        .join(s.read.parquet(fxA)
+          .filter(col("list").isin(lists.map(Integer.valueOf).toSeq: _*))
+          .select("id"), "id")
+        .select(col("id"),
+          round(graft.dedup.Dedup.cosine(col("v").cast("array<double>"),
+            array(q.map(lit): _*)), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+        .limit(10)
+    }),
+
+    // the IVF-PQ/ADC serving leg, fixture-split — the flagship compressed
+    // serving mode's whole relational half: integer centroid probe (as
+    // a_ann_ivf_probe), then the ADC shortlist as a JOIN against the
+    // persisted per-query lookup table (micro-quantized to BIGINT in Spark,
+    // so the shortlist ORDERING is exact integer arithmetic in both
+    // engines — the float kernel's last-ulp order can't flake the hash),
+    // then the exact-cosine re-rank of the shortlist. The k-means/PQ FITS
+    // stay un-oracleable (iterative); a_ann_ivfpq keeps the recall audit
+    // over the same layout (nLists=16, m=8, ksub=64, nProbe=6, sl=100).
+    "a_ann_ivfpq_probe" -> ((s, d) => {
+      import s.implicits._
+      val path = ensureIvfPq(s, d)
+      val ivfModel = Ann.IvfModel.fromJson(
+        graft.util.Sidecar.read(s, path, "_ivf_centroids.json"))
+      val pqModel = Ann.loadPqModel(s, path)
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val fxC = fixture(s, "ivfpq_centroids_milli",
+        ivfModel.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toSeq.toDF("list", "cvec")
+          .select(col("list"),
+            transform(col("cvec"), x => round(x * 1000).cast("long"))
+              .as("cmilli")))
+      val fxQ = fixture(s, "ivfpq_query_milli",
+        e.filter(col("vec_id") === 0)
+          .select(posexplode(transform(
+            col("embedding").cast("array<double>"),
+            x => round(x * 1000).cast("long"))).as(Seq("j", "qm"))))
+      val fxCodes = fixture(s, "ivfpq_codes",
+        s.read.parquet(path).select(col("vec_id").as("id"), col("list"),
+          col("pq_code")))
+      val fxL = fixture(s, "ivfpq_lut_micro",
+        pqModel.adcTable(q).zipWithIndex.flatMap { case (cw, sub) =>
+          cw.zipWithIndex.map { case (v, code) => (sub, code, v) }
+        }.toSeq.toDF("sub", "code", "lut")
+          .select(col("sub"), col("code"),
+            round(col("lut") * 1000000).cast("long").as("lutm")))
+      val qmArr = s.read.parquet(fxQ).orderBy("j").collect()
+        .map(_.getAs[Long]("qm"))
+      val lists = s.read.parquet(fxC).select("list", "cmilli").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1)))
+        .map { case (l, c) =>
+          (c.zip(qmArr).map { case (a, b) => val t = a - b; t * t }.sum, l)
+        }
+        .sorted.take(6).map(_._2)
+      val short = s.read.parquet(fxCodes)
+        .filter(col("list").isin(lists.map(Integer.valueOf).toSeq: _*))
+        .select(col("id"), posexplode(col("pq_code")).as(Seq("sub", "code")))
+        .join(s.read.parquet(fxL), Seq("sub", "code"))
+        .groupBy("id").agg(sum("lutm").as("adcm"))
+        .orderBy(col("adcm").desc, col("id"))
+        .limit(100)
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+        .join(short.select("id"), "id")
+        .select(col("id"),
+          round(graft.dedup.Dedup.cosine(col("v").cast("array<double>"),
+            array(q.map(lit): _*)), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+        .limit(10)
+    }),
+
+    // murmur2 partition placement, fixture-split: DuckDB cannot murmur2,
+    // but toPositive + modulo + the distribution rollup are relational —
+    // the RAW 32-bit hashes persist as the fixture and both engines place
+    // from them (q_murmur2_partition keeps the golden-vector basis)
+    "q_murmur2_fixture_partition" -> ((s, d) => {
+      val fx = fixture(s, "murmur2_hashes",
+        s.read.parquet(s"$d/events.parquet")
+          .select(graft.functions.KFunctions.kafka_murmur2(
+            encode(col("user_id").cast("string"), "UTF-8")).as("m2")))
+      s.read.parquet(fx)
+        .select(pmod(col("m2").bitwiseAND(lit(0x7fffffff)), lit(12))
+          .as("target_partition"))
+        .groupBy("target_partition").agg(count(lit(1)).as("n"))
+        .orderBy("target_partition")
+    }),
+
     // the LSH-probe serving leg, fixture-split: the persisted (id, bucket)
     // table includes the query row's own signature, so the Hamming probe,
     // candidate join, exact cosine scoring and ranking are all recomputed
@@ -2631,6 +2764,79 @@ object QueriesData {
         |SELECT batch_id, corpus_id, round(je, 6) AS jaccard_est
         |FROM scored WHERE je >= 0.2e0
         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // integer probe over the milli-quantized fixtures, then the a_ann_topk
+    // scoring fragment over the probed candidates
+    "a_ann_ivf_probe" ->
+      """WITH cm AS (
+        |  SELECT list, cmilli
+        |  FROM read_parquet('/tmp/graft_fixtures/ivf_centroids_milli/*.parquet')),
+        |qmt AS (
+        |  SELECT j, qm
+        |  FROM read_parquet('/tmp/graft_fixtures/ivf_query_milli/*.parquet')),
+        |qv AS (SELECT list(qm ORDER BY j) AS ql FROM qmt),
+        |d AS (
+        |  SELECT list,
+        |    list_sum(list_transform(range(1, len(cmilli) + 1),
+        |      i -> (cmilli[i] - ql[i]) * (cmilli[i] - ql[i]))) AS d2
+        |  FROM cm, qv),
+        |probes AS (SELECT list FROM d ORDER BY d2, list LIMIT 6),
+        |cand AS (
+        |  SELECT a.id
+        |  FROM read_parquet('/tmp/graft_fixtures/ivf_assign/*.parquet') a
+        |  JOIN probes USING (list)),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |                                    q.qvec::DOUBLE[]), 6) AS cosine
+        |FROM embeddings e JOIN cand ON e.vec_id = cand.id, q
+        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+
+    // integer centroid probe → integer ADC shortlist (LUT join) → exact
+    // cosine re-rank, all from the persisted fixtures
+    "a_ann_ivfpq_probe" ->
+      """WITH cm AS (
+        |  SELECT list, cmilli
+        |  FROM read_parquet('/tmp/graft_fixtures/ivfpq_centroids_milli/*.parquet')),
+        |qmt AS (
+        |  SELECT j, qm
+        |  FROM read_parquet('/tmp/graft_fixtures/ivfpq_query_milli/*.parquet')),
+        |qv AS (SELECT list(qm ORDER BY j) AS ql FROM qmt),
+        |d AS (
+        |  SELECT list,
+        |    list_sum(list_transform(range(1, len(cmilli) + 1),
+        |      i -> (cmilli[i] - ql[i]) * (cmilli[i] - ql[i]))) AS d2
+        |  FROM cm, qv),
+        |probes AS (SELECT list FROM d ORDER BY d2, list LIMIT 6),
+        |codes AS (
+        |  SELECT c.id, c.pq_code
+        |  FROM read_parquet('/tmp/graft_fixtures/ivfpq_codes/*.parquet') c
+        |  JOIN probes USING (list)),
+        |ex AS (
+        |  SELECT id, sc['sub'] AS sub, sc['code'] AS code
+        |  FROM (SELECT id,
+        |          unnest(list_transform(range(1, len(pq_code) + 1),
+        |            i -> {'sub': i - 1, 'code': pq_code[i]})) AS sc
+        |        FROM codes)),
+        |lut AS (
+        |  SELECT sub, code, lutm
+        |  FROM read_parquet('/tmp/graft_fixtures/ivfpq_lut_micro/*.parquet')),
+        |short AS (
+        |  SELECT id, sum(lutm) AS adcm
+        |  FROM ex JOIN lut USING (sub, code)
+        |  GROUP BY id ORDER BY adcm DESC, id LIMIT 100),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS id,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |                                    q.qvec::DOUBLE[]), 6) AS cosine
+        |FROM embeddings e JOIN short ON e.vec_id = short.id, q
+        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
+
+    // placement arithmetic over the persisted raw hashes
+    "q_murmur2_fixture_partition" ->
+      """SELECT (m2 & 2147483647) % 12 AS target_partition, count(*) AS n
+        |FROM read_parquet('/tmp/graft_fixtures/murmur2_hashes/*.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Hamming probe over the persisted signatures (query row's own bucket
     // included), exact cosine scoring like a_ann_topk's fragment
