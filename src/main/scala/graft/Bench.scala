@@ -33,14 +33,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // measure the disk BEFORE Spark starts dirtying the page cache
     val diskMbS = diskWriteMbPerSec()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+    // the session is a VAR so a context-fatal entry (e.g. a task OOM in
+    // local mode stops the one SparkContext) costs ONE error row, not the
+    // whole remaining battery — before each entry the loop revives a
+    // stopped context (r13: one sf10 task OOM zombied 80 subsequent
+    // entries with "Cannot call methods on a stopped SparkContext")
+    var spark = newSession()
 
     // JVM/codegen warm-up: touch the scan + shuffle + agg paths once so the
     // first measured query doesn't pay JIT and classloading (~5 s).
@@ -92,6 +101,11 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory
       .getPlatformMXBean(classOf[com.sun.management.OperatingSystemMXBean])
     val results = ordered.map { case (name, fn) =>
+      if (spark.sparkContext.isStopped) {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+      }
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and flatter the numbers)
       def onePass(): (Double, Double, Option[String]) = {
