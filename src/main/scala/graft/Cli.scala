@@ -43,11 +43,26 @@ object Cli {
       "build-chunk-index append-chunk-index retrieve " +
       "build-bm25-index append-bm25-index bm25-search " +
       "ingest-bm25 ingest-chunks compact-bm25-stats compact-ingest-markers " +
+      "validate-bm25-index " +
       "remove-ingest-batch rank-domains " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-groups snapshot-create snapshot-list snapshot-show " +
       "snapshot-verify snapshot-delete offset-rollback " +
       "evidence-create evidence-list evidence-get evidence-verify")
+
+  /** Reject unknown `--` flags loudly. Flag-taking verbs filter `--`
+    * tokens out of positional slots, so without this a typoed flag (e.g.
+    * `--commited`) would be silently ignored — on `retrieve`/`bm25-search`
+    * that silently downgrades a committed-only serve to at-least-once
+    * visibility, an isolation loss the operator asked against.
+    */
+  private def requireKnownFlags(verb: String, rest: Seq[String],
+                                known: Set[String]): Unit = {
+    val unknown = rest.filter(_.startsWith("--")).filterNot(known)
+    if (unknown.nonEmpty)
+      sys.error(s"$verb: unknown flag(s) ${unknown.mkString(", ")}" +
+        s" (known: ${known.toSeq.sorted.mkString(", ")})")
+  }
 
   def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
     case "backup" =>
@@ -333,7 +348,11 @@ object Cli {
     case "retrieve" =>
       val Array(_, indexDir, queriesPath, outPath, rest @ _*) = args: @unchecked
       // flags never occupy positional slots: `retrieve i q o --committed`
-      // must serve with default k/nProbe, not throw on "--committed".toInt
+      // must serve with default k/nProbe, not throw on "--committed".toInt.
+      // Unknown flags are rejected LOUDLY: a typo like --commited would
+      // otherwise silently downgrade an isolation-sensitive serve to
+      // at-least-once visibility
+      requireKnownFlags("retrieve", rest, Set("--committed"))
       val pos = rest.filterNot(_.startsWith("--"))
       val k = pos.lift(0).filter(_ != "-").map(_.toInt).getOrElse(5)
       val nProbe = pos.lift(1).filter(_ != "-").map(_.toInt).getOrElse(4)
@@ -426,9 +445,12 @@ object Cli {
 
     // remove-ingest-batch <indexDir> <bm25|pq|flat> <batchId> [streamId]
     // Roll back one streaming-ingested batch (poisoned-data recovery):
-    // the marker delete is the commit point, the batch's tagged files are
-    // then scrubbed (both layouts, codes-first, for pq). BM25 batches
-    // already folded into the base stats are refused loudly.
+    // the removal intent is CAS-recorded in the sidecar FIRST (the commit
+    // point), then the marker is deleted and the batch's tagged files are
+    // scrubbed (both layouts, codes-first, for pq). Crashed removals
+    // re-run to convergence; batches already folded into the base stats
+    // (bm25) or watermark-compacted (pq/flat) without a removal record
+    // are refused loudly.
     case "remove-ingest-batch" =>
       val Array(_, indexDir, kind, batchIdS, rest @ _*) = args: @unchecked
       val batchId = batchIdS.toLong
@@ -467,6 +489,21 @@ object Cli {
         s""""watermarks":${wm.toSeq.sortBy(_._1).map { case (k, v) =>
           s"${graft.util.Json.escape(k)}:$v" }.mkString("{", ",", "}")}}""")
 
+    // validate-bm25-index <indexDir>
+    // Deep stats/postings self-check over the committed view: sum(tf)
+    // must equal total_tokens exactly and distinct docs must not exceed
+    // n_docs — detects any historical stats/postings divergence (the
+    // corruption class the ingest-admin CAS guards prevent) after the
+    // fact. Exit 1 on failure.
+    case "validate-bm25-index" =>
+      val (nDocs, totalTokens, distinctDocs, sumTf, ok) =
+        graft.ann.Bm25.validateIndex(spark, args(1))
+      println(s"""{"index":${graft.util.Json.escape(args(1))},""" +
+        s""""n_docs":$nDocs,"total_tokens":$totalTokens,""" +
+        s""""distinct_docs":$distinctDocs,"sum_tf":$sumTf,""" +
+        s""""ok":$ok}""")
+      if (!ok) sys.exit(1)
+
     // compact-bm25-stats <indexDir>
     // Fold accumulated streaming-ingest marker deltas into the BM25 stats
     // sidecar and delete the folded markers — run periodically to bound a
@@ -490,6 +527,7 @@ object Cli {
     // marker-committed/folded batches only).
     case "bm25-search" =>
       val Array(_, indexDir, queriesPath, outPath, rest @ _*) = args: @unchecked
+      requireKnownFlags("bm25-search", rest, Set("--committed"))
       val k = rest.filterNot(_.startsWith("--"))
         .lift(0).filter(_ != "-").map(_.toInt).getOrElse(5)
       graft.ann.Bm25.retrieveFromIndex(spark, indexDir,

@@ -22,16 +22,30 @@ object QueriesData {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Persist a signature fixture at the STATIC path its DuckDB oracle reads
-    * (`/tmp/graft_fixtures/<name>`). Static because oracle SQL is a fixed
-    * string; safe because the driver always runs the Spark entry before its
-    * oracle, so the fixture reflects the same sf dir the oracle compares
-    * against (later runs at other sf dirs simply overwrite).
+    * (`/tmp/graft_fixtures/<name>`), stamped with the sf identity: every
+    * fixture row carries `sf_key` ([[contentKey]] of the entry's source
+    * parquet), the Spark entry labels its RESULT with the same literal, and
+    * the oracle projects `DISTINCT sf_key` from the fixture it actually
+    * read — so a stale fixture (a concurrent battery at another sf dir
+    * overwriting the shared path between this entry's Spark run and its
+    * oracle run, or an oracle run without the Spark entry having just run)
+    * surfaces as a LOUD hash/row mismatch instead of a silent false-green
+    * that validates nothing about the current sf. The path stays static
+    * because oracle SQL is a fixed string; [[readFixture]] drops the stamp
+    * so downstream pair legs see the exact signature schema.
     */
-  private def fixture(s: SparkSession, name: String, df: DataFrame): String = {
+  private def fixture(s: SparkSession, name: String, df: DataFrame,
+                      sfKey: String): String = {
     val path = s"/tmp/graft_fixtures/$name"
-    df.write.mode("overwrite").parquet(path)
+    df.withColumn("sf_key", lit(sfKey)).write.mode("overwrite").parquet(path)
     path
   }
+
+  /** Read a [[fixture]] back for the Spark-side recomputation, minus the
+    * sf stamp column.
+    */
+  private def readFixture(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).drop("sf_key")
 
   /** Deterministic messy URL per document — the URL-curation fixture: mixed
     * case, default port, and one of three cosmetic variants by doc_id%3
@@ -992,18 +1006,22 @@ object QueriesData {
     // oracle reads it back with read_parquet; the driver always runs the
     // Spark entry before its oracle, so the fixture matches the sf dir).
     "d_minhash_band_pairs" -> ((s, d) => {
+      val key = contentKey(s"$d/documents.parquet")
       val fx = fixture(s, "minhash_sigs",
         Dedup.minhashSignatures(docs(s, d), "doc_id", "text", shingleN = 3,
-          k = 64))
-      Dedup.minhashPairsFromSigs(s.read.parquet(fx), k = 64, bands = 16,
+          k = 64), key)
+      Dedup.minhashPairsFromSigs(readFixture(s, fx), k = 64, bands = 16,
           threshold = 0.2)
+        .withColumn("sf_key", lit(key))
         .orderBy("id_a", "id_b")
     }),
 
     "d_simhash_band_pairs" -> ((s, d) => {
+      val key = contentKey(s"$d/documents.parquet")
       val fx = fixture(s, "simhash_sigs",
-        Dedup.simhashSignatures(docs(s, d), "doc_id", "text"))
-      Dedup.hammingPairs(s.read.parquet(fx), maxHamming = 3)
+        Dedup.simhashSignatures(docs(s, d), "doc_id", "text"), key)
+      Dedup.hammingPairs(readFixture(s, fx), maxHamming = 3)
+        .withColumn("sf_key", lit(key))
         .orderBy("id_a", "id_b")
     }),
 
@@ -1013,14 +1031,16 @@ object QueriesData {
     // no id ordering, only batch×corpus collisions survive
     "d_incremental_band_pairs" -> ((s, d) => {
       val dd = docs(s, d)
+      val key = contentKey(s"$d/documents.parquet")
       val bs = fixture(s, "minhash_batch_sigs",
         Dedup.minhashSignatures(dd.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", shingleN = 3, k = 64))
+          "doc_id", "text", shingleN = 3, k = 64), key)
       val cs = fixture(s, "minhash_corpus_sigs",
         Dedup.minhashSignatures(dd.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", shingleN = 3, k = 64))
-      Dedup.minhashIncrementalPairs(s.read.parquet(bs), s.read.parquet(cs),
+          "doc_id", "text", shingleN = 3, k = 64), key)
+      Dedup.minhashIncrementalPairs(readFixture(s, bs), readFixture(s, cs),
           k = 64, bands = 16, threshold = 0.2)
+        .withColumn("sf_key", lit(key))
         .orderBy("batch_id", "corpus_id")
     }),
 
@@ -1040,19 +1060,21 @@ object QueriesData {
       val model = Ann.IvfModel.fromJson(
         graft.util.Sidecar.read(s, path, "_ivf_centroids.json"))
       val e = emb(s, d)
+      val key = contentKey(s"$d/embeddings.parquet")
       val fxC = fixture(s, "ivf_centroids_milli",
         model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
           .toSeq.toDF("list", "cvec")
           .select(col("list"),
             transform(col("cvec"), x => round(x * 1000).cast("long"))
-              .as("cmilli")))
+              .as("cmilli")), key)
       val fxQ = fixture(s, "ivf_query_milli",
         e.filter(col("vec_id") === 0)
           .select(posexplode(transform(
             col("embedding").cast("array<double>"),
-            x => round(x * 1000).cast("long"))).as(Seq("j", "qm"))))
+            x => round(x * 1000).cast("long"))).as(Seq("j", "qm"))), key)
       val fxA = fixture(s, "ivf_assign",
-        s.read.parquet(path).select(col("vec_id").as("id"), col("list")))
+        s.read.parquet(path).select(col("vec_id").as("id"), col("list")),
+        key)
       // probe over the FIXTURE integers (driver-side: ≤ nLists rows)
       val qmArr = s.read.parquet(fxQ).orderBy("j").collect()
         .map(_.getAs[Long]("qm"))
@@ -1075,6 +1097,7 @@ object QueriesData {
             array(q.map(lit): _*)), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id"))
         .limit(10)
+        .withColumn("sf_key", lit(key))
     }),
 
     // the IVF-PQ/ADC serving leg, fixture-split — the flagship compressed
@@ -1096,26 +1119,27 @@ object QueriesData {
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)
+      val key = contentKey(s"$d/embeddings.parquet")
       val fxC = fixture(s, "ivfpq_centroids_milli",
         ivfModel.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
           .toSeq.toDF("list", "cvec")
           .select(col("list"),
             transform(col("cvec"), x => round(x * 1000).cast("long"))
-              .as("cmilli")))
+              .as("cmilli")), key)
       val fxQ = fixture(s, "ivfpq_query_milli",
         e.filter(col("vec_id") === 0)
           .select(posexplode(transform(
             col("embedding").cast("array<double>"),
-            x => round(x * 1000).cast("long"))).as(Seq("j", "qm"))))
+            x => round(x * 1000).cast("long"))).as(Seq("j", "qm"))), key)
       val fxCodes = fixture(s, "ivfpq_codes",
         s.read.parquet(path).select(col("vec_id").as("id"), col("list"),
-          col("pq_code")))
+          col("pq_code")), key)
       val fxL = fixture(s, "ivfpq_lut_micro",
         pqModel.adcTable(q).zipWithIndex.flatMap { case (cw, sub) =>
           cw.zipWithIndex.map { case (v, code) => (sub, code, v) }
         }.toSeq.toDF("sub", "code", "lut")
           .select(col("sub"), col("code"),
-            round(col("lut") * 1000000).cast("long").as("lutm")))
+            round(col("lut") * 1000000).cast("long").as("lutm")), key)
       val qmArr = s.read.parquet(fxQ).orderBy("j").collect()
         .map(_.getAs[Long]("qm"))
       val lists = s.read.parquet(fxC).select("list", "cmilli").collect()
@@ -1139,6 +1163,7 @@ object QueriesData {
             array(q.map(lit): _*)), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id"))
         .limit(10)
+        .withColumn("sf_key", lit(key))
     }),
 
     // murmur2 partition placement, fixture-split: DuckDB cannot murmur2,
@@ -1146,14 +1171,16 @@ object QueriesData {
     // the RAW 32-bit hashes persist as the fixture and both engines place
     // from them (q_murmur2_partition keeps the golden-vector basis)
     "q_murmur2_fixture_partition" -> ((s, d) => {
+      val key = contentKey(s"$d/events.parquet")
       val fx = fixture(s, "murmur2_hashes",
         s.read.parquet(s"$d/events.parquet")
           .select(graft.functions.KFunctions.kafka_murmur2(
-            encode(col("user_id").cast("string"), "UTF-8")).as("m2")))
-      s.read.parquet(fx)
+            encode(col("user_id").cast("string"), "UTF-8")).as("m2")), key)
+      readFixture(s, fx)
         .select(pmod(col("m2").bitwiseAND(lit(0x7fffffff)), lit(12))
           .as("target_partition"))
         .groupBy("target_partition").agg(count(lit(1)).as("n"))
+        .withColumn("sf_key", lit(key))
         .orderBy("target_partition")
     }),
 
@@ -1165,15 +1192,17 @@ object QueriesData {
     // the recall audit over the same params)
     "a_ann_lsh_probe" -> ((s, d) => {
       val e = emb(s, d)
+      val key = contentKey(s"$d/embeddings.parquet")
       val fx = fixture(s, "ann_lsh_sigs",
         Ann.withBucket(e, "embedding", dim = 64, bits = 8)
-          .select(col("vec_id").as("id"), col("bucket")))
+          .select(col("vec_id").as("id"), col("bucket")), key)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)
-      Ann.lshTopKFromSigs(s.read.parquet(fx),
+      Ann.lshTopKFromSigs(readFixture(s, fx),
         e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q,
         queryId = 0L, k = 10, probeHamming = 3)
+        .withColumn("sf_key", lit(key))
     }),
 
     "d_embedding_band_pairs" -> ((s, d) => {
@@ -1185,11 +1214,14 @@ object QueriesData {
       // rung; bits=12 keeps bucket occupancy low at that size, and two
       // flip bits exercise the one-directional probe asymmetry
       val step = math.max(1L, (n + 19999L) / 20000L)
+      val key = contentKey(s"$d/embeddings.parquet")
       val fx = fixture(s, "emb_band_sigs",
         Dedup.embeddingBandSignatures(e.filter(col("vec_id") % step === 0),
           "vec_id", "embedding", dim = 64, bits = 12, tables = 4,
-          flipBits = Seq(0, 1)))
-      Dedup.bandPairsFromSigs(s.read.parquet(fx)).orderBy("id_a", "id_b")
+          flipBits = Seq(0, 1)), key)
+      Dedup.bandPairsFromSigs(readFixture(s, fx))
+        .withColumn("sf_key", lit(key))
+        .orderBy("id_a", "id_b")
     }),
 
     // candidate-confirm composition: a LOOSE jaccard candidate pass (0.05 —
@@ -2699,9 +2731,15 @@ object QueriesData {
     // the SQL recomputes banding / probe expansion / estimate / threshold /
     // dedup from them. k=64, bands=16 -> 4-slot band slices; the agreement
     // estimate eq/64 is an exact binary multiple, so the 0.2 threshold and
-    // 6-dp round can never flip across engines.
+    // 6-dp round can never flip across engines. Every oracle projects the
+    // fixture's DISTINCT sf_key stamp into its result (the Spark entry
+    // labels its result with the key it wrote), so a stale fixture from
+    // another sf dir mismatches LOUDLY instead of false-greening.
     "d_minhash_band_pairs" ->
-      """WITH sigs AS (
+      """WITH sk AS (
+        |  SELECT DISTINCT sf_key
+        |  FROM read_parquet('/tmp/graft_fixtures/minhash_sigs/*.parquet')),
+        |sigs AS (
         |  SELECT id, sig
         |  FROM read_parquet('/tmp/graft_fixtures/minhash_sigs/*.parquet')
         |  WHERE sig[1] <> 9223372036854775807),
@@ -2715,15 +2753,18 @@ object QueriesData {
         |         AS DOUBLE) / 64 AS je
         |  FROM banded a JOIN banded b
         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
-        |SELECT id_a, id_b, round(je, 6) AS jaccard_est
-        |FROM scored WHERE je >= 0.2e0
+        |SELECT id_a, id_b, round(je, 6) AS jaccard_est, sf_key
+        |FROM scored, sk WHERE je >= 0.2e0
         |ORDER BY id_a, id_b""".stripMargin,
 
     // 64-bit simhash, radius 3 -> 4 disjoint 16-bit bands (pigeonhole-
     // complete); the sign-fill difference between engines' >> disappears
     // under the 16-bit mask, and xor/bit_count are exact integer ops
     "d_simhash_band_pairs" ->
-      """WITH sigs AS (
+      """WITH sk AS (
+        |  SELECT DISTINCT sf_key
+        |  FROM read_parquet('/tmp/graft_fixtures/simhash_sigs/*.parquet')),
+        |sigs AS (
         |  SELECT id, sig
         |  FROM read_parquet('/tmp/graft_fixtures/simhash_sigs/*.parquet')
         |  WHERE sig IS NOT NULL),
@@ -2735,13 +2776,20 @@ object QueriesData {
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, xor(a.sig, b.sig) AS x
         |  FROM banded a JOIN banded b
         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
-        |SELECT id_a, id_b, CAST(bit_count(x) AS INTEGER) AS hamming
-        |FROM cand WHERE bit_count(x) <= 3
+        |SELECT id_a, id_b, CAST(bit_count(x) AS INTEGER) AS hamming, sf_key
+        |FROM cand, sk WHERE bit_count(x) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     // two-fixture cross join: batch sigs × corpus sigs, no id ordering
     "d_incremental_band_pairs" ->
-      """WITH bsig AS (
+      """WITH sk AS (
+        |  SELECT DISTINCT sf_key FROM (
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/minhash_batch_sigs/*.parquet')
+        |    UNION ALL
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/minhash_corpus_sigs/*.parquet'))),
+        |bsig AS (
         |  SELECT id, sig
         |  FROM read_parquet('/tmp/graft_fixtures/minhash_batch_sigs/*.parquet')
         |  WHERE sig[1] <> 9223372036854775807),
@@ -2761,14 +2809,24 @@ object QueriesData {
         |    CAST(len(list_filter(range(1, 65), i -> b.sig[i] = c.sig[i]))
         |         AS DOUBLE) / 64 AS je
         |  FROM bb b JOIN cb c ON b.band = c.band AND b.key = c.key)
-        |SELECT batch_id, corpus_id, round(je, 6) AS jaccard_est
-        |FROM scored WHERE je >= 0.2e0
+        |SELECT batch_id, corpus_id, round(je, 6) AS jaccard_est, sf_key
+        |FROM scored, sk WHERE je >= 0.2e0
         |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // integer probe over the milli-quantized fixtures, then the a_ann_topk
     // scoring fragment over the probed candidates
     "a_ann_ivf_probe" ->
-      """WITH cm AS (
+      """WITH sk AS (
+        |  SELECT DISTINCT sf_key FROM (
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/ivf_centroids_milli/*.parquet')
+        |    UNION ALL
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/ivf_query_milli/*.parquet')
+        |    UNION ALL
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/ivf_assign/*.parquet'))),
+        |cm AS (
         |  SELECT list, cmilli
         |  FROM read_parquet('/tmp/graft_fixtures/ivf_centroids_milli/*.parquet')),
         |qmt AS (
@@ -2788,14 +2846,28 @@ object QueriesData {
         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,
         |       round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |                                    q.qvec::DOUBLE[]), 6) AS cosine
-        |FROM embeddings e JOIN cand ON e.vec_id = cand.id, q
+        |                                    q.qvec::DOUBLE[]), 6) AS cosine,
+        |       sf_key
+        |FROM embeddings e JOIN cand ON e.vec_id = cand.id, q, sk
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
 
     // integer centroid probe → integer ADC shortlist (LUT join) → exact
     // cosine re-rank, all from the persisted fixtures
     "a_ann_ivfpq_probe" ->
-      """WITH cm AS (
+      """WITH sk AS (
+        |  SELECT DISTINCT sf_key FROM (
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/ivfpq_centroids_milli/*.parquet')
+        |    UNION ALL
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/ivfpq_query_milli/*.parquet')
+        |    UNION ALL
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/ivfpq_codes/*.parquet')
+        |    UNION ALL
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/ivfpq_lut_micro/*.parquet'))),
+        |cm AS (
         |  SELECT list, cmilli
         |  FROM read_parquet('/tmp/graft_fixtures/ivfpq_centroids_milli/*.parquet')),
         |qmt AS (
@@ -2828,20 +2900,28 @@ object QueriesData {
         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id AS id,
         |       round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |                                    q.qvec::DOUBLE[]), 6) AS cosine
-        |FROM embeddings e JOIN short ON e.vec_id = short.id, q
+        |                                    q.qvec::DOUBLE[]), 6) AS cosine,
+        |       sf_key
+        |FROM embeddings e JOIN short ON e.vec_id = short.id, q, sk
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
 
     // placement arithmetic over the persisted raw hashes
     "q_murmur2_fixture_partition" ->
-      """SELECT (m2 & 2147483647) % 12 AS target_partition, count(*) AS n
-        |FROM read_parquet('/tmp/graft_fixtures/murmur2_hashes/*.parquet')
+      """WITH sk AS (
+        |  SELECT DISTINCT sf_key
+        |  FROM read_parquet('/tmp/graft_fixtures/murmur2_hashes/*.parquet'))
+        |SELECT (m2 & 2147483647) % 12 AS target_partition, count(*) AS n,
+        |       any_value(sk.sf_key) AS sf_key
+        |FROM read_parquet('/tmp/graft_fixtures/murmur2_hashes/*.parquet'), sk
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Hamming probe over the persisted signatures (query row's own bucket
     // included), exact cosine scoring like a_ann_topk's fragment
     "a_ann_lsh_probe" ->
-      """WITH sigs AS (
+      """WITH sk AS (
+        |  SELECT DISTINCT sf_key
+        |  FROM read_parquet('/tmp/graft_fixtures/ann_lsh_sigs/*.parquet')),
+        |sigs AS (
         |  SELECT id, bucket
         |  FROM read_parquet('/tmp/graft_fixtures/ann_lsh_sigs/*.parquet')),
         |qs AS (SELECT bucket AS qb FROM sigs WHERE id = 0),
@@ -2851,17 +2931,21 @@ object QueriesData {
         |  WHERE s.id <> 0 AND bit_count(xor(s.bucket, qs.qb)) <= 3)
         |SELECT e.vec_id AS id,
         |       round(list_cosine_similarity(e.embedding::DOUBLE[],
-        |                                    q.qv::DOUBLE[]), 6) AS cosine
-        |FROM embeddings e JOIN cand ON e.vec_id = cand.id, q
+        |                                    q.qv::DOUBLE[]), 6) AS cosine,
+        |       sf_key
+        |FROM embeddings e JOIN cand ON e.vec_id = cand.id, q, sk
         |ORDER BY cosine DESC, id LIMIT 10""".stripMargin,
 
     // one-directional multi-probe: probe rows join only onto raw rows
     "d_embedding_band_pairs" ->
-      """WITH f AS (
+      """WITH sk AS (
+        |  SELECT DISTINCT sf_key
+        |  FROM read_parquet('/tmp/graft_fixtures/emb_band_sigs/*.parquet')),
+        |f AS (
         |  SELECT id, tbl, bucket, is_probe
         |  FROM read_parquet('/tmp/graft_fixtures/emb_band_sigs/*.parquet'))
-        |SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |FROM f a JOIN f b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b, sf_key
+        |FROM f a JOIN f b ON a.tbl = b.tbl AND a.bucket = b.bucket, sk
         |WHERE NOT b.is_probe AND a.id < b.id
         |ORDER BY id_a, id_b""".stripMargin,
     // the jaccard pipeline at the loose 0.05 cut + byte-level levenshtein on

@@ -179,8 +179,8 @@ object Bm25 {
         pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     graft.util.Sidecar.write(docs.sparkSession, path, "_bm25_stats.json",
-      renderStats(nDocs, totalTokens, nBuckets, Map.empty, version = 0L,
-        writer = ""))
+      renderStats(nDocs, totalTokens, nBuckets, Map.empty, Map.empty,
+        version = 0L, writer = ""))
   }
 
   /** Incremental ingest into a persisted index: new documents' postings
@@ -207,10 +207,11 @@ object Bm25 {
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(st.nBuckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(path)
-    // the folded map rides through: dropping it would re-serve every
-    // previously folded (but not yet deleted) ingest marker's delta
+    // the folded and removed maps ride through: dropping folded would
+    // re-serve every folded-but-undeleted marker's delta; dropping removed
+    // would resurrect rolled-back batches' leftover postings
     writeStatsCas(spark, path, st, st.nDocs + dn, st.totalTokens + dt,
-      st.folded,
+      st.folded, st.removed,
       "the batch's postings are ALREADY appended — do NOT re-run " +
         "appendToIndex (it would append them a second time, doubling tf/df " +
         "contributions); advance the stats sidecar only — re-read the " +
@@ -220,14 +221,26 @@ object Bm25 {
 
   /** Parsed `_bm25_stats.json`. `folded` maps streamId → highest ingest
     * batchId whose delta is already folded INTO the base counts (see
-    * [[compactStreamStats]]) — missing = -1, nothing folded. `version` and
-    * `writer` are the CAS fields guarding the sidecar's two
+    * [[compactStreamStats]]) — missing = -1, nothing folded. `removed`
+    * records batchIds deliberately rolled back by [[removeIngestBatch]]
+    * (the intent record is the rollback's commit point): serving skips
+    * their marker deltas and their posting files ([[liveStatsFrom]],
+    * committed-file pruning), compaction folds the watermark across them
+    * without their deltas, and the apply path refuses to resurrect them.
+    * Entries are KEPT, never pruned — the record is what makes a crashed
+    * removal's re-run converge and keeps its leftover postings
+    * uncommitted; the growth bound is one long per deliberate rollback
+    * per stream (rare admin operations; a rebuild resets it) — the same
+    * contract as the dense sidecar's
+    * ([[graft.util.StreamCommit.WmState]]). `version` and `writer` are
+    * the CAS fields guarding the sidecar's administrative
     * read-modify-writers ([[writeStatsCas]]); sidecars written before the
     * fields existed parse as version 0 with an empty writer.
     */
   private[graft] case class BmStats(nDocs: Long, totalTokens: Long,
                                     nBuckets: Int,
                                     folded: Map[String, Long],
+                                    removed: Map[String, Set[Long]],
                                     version: Long, writer: String)
 
   private[graft] def readStats(spark: SparkSession, path: String): BmStats =
@@ -242,23 +255,37 @@ object Bm25 {
         fields.map { case (k, v) => k -> v.extract[Long] }.toMap
       case _ => Map.empty[String, Long]
     }
+    val removed = (j \ "removed") match {
+      case JObject(fields) =>
+        fields.map { case (k, v) => k -> v.extract[Seq[Long]].toSet }.toMap
+      case _ => Map.empty[String, Set[Long]]
+    }
     BmStats((j \ "n_docs").extract[Long], (j \ "total_tokens").extract[Long],
-      (j \ "n_buckets").extract[Int], folded,
+      (j \ "n_buckets").extract[Int], folded, removed,
       (j \ "version").extractOpt[Long].getOrElse(0L),
       (j \ "writer").extractOpt[String].getOrElse(""))
   }
 
   private def renderStats(nDocs: Long, totalTokens: Long, nBuckets: Int,
-                          folded: Map[String, Long], version: Long,
+                          folded: Map[String, Long],
+                          removed: Map[String, Set[Long]], version: Long,
                           writer: String): String = {
     val f =
       if (folded.isEmpty) ""
       else folded.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${graft.util.Json.escape(k)}:$v" }
         .mkString(""","folded":{""", ",", "}")
+    val r = {
+      val nonEmpty = removed.toSeq.sortBy(_._1).filter(_._2.nonEmpty)
+      if (nonEmpty.isEmpty) ""
+      else nonEmpty
+        .map { case (k, v) =>
+          s"${graft.util.Json.escape(k)}:${v.toSeq.sorted.mkString("[", ",", "]")}" }
+        .mkString(""","removed":{""", ",", "}")
+    }
     s"""{"n_docs":$nDocs,"total_tokens":$totalTokens,""" +
       s""""n_buckets":$nBuckets,"version":$version,""" +
-      s""""writer":${graft.util.Json.escape(writer)}$f}"""
+      s""""writer":${graft.util.Json.escape(writer)}$f$r}"""
   }
 
   /** Commit a read-modify-write of the stats sidecar with a cheap CAS
@@ -283,6 +310,7 @@ object Bm25 {
                                    expect: BmStats, nDocs: Long,
                                    totalTokens: Long,
                                    folded: Map[String, Long],
+                                   removed: Map[String, Set[Long]],
                                    recoveryHint: String): Unit = {
     def conflict(what: String): Nothing = {
       graft.metrics.GraftCounters.inc("bm25_stats_cas_conflict_total")
@@ -298,7 +326,7 @@ object Bm25 {
         "before write")
     val nonce = java.util.UUID.randomUUID().toString
     graft.util.Sidecar.write(spark, path, "_bm25_stats.json",
-      renderStats(nDocs, totalTokens, expect.nBuckets, folded,
+      renderStats(nDocs, totalTokens, expect.nBuckets, folded, removed,
         expect.version + 1, nonce))
     val post = readStats(spark, path)
     if (post.version != expect.version + 1 || post.writer != nonce)
@@ -344,7 +372,11 @@ object Bm25 {
                                    statsBody: String): (Long, Long, Int) = {
     val st = parseStats(statsBody)
     val (dn, dt) = markers
-      .filter { case (sid, id, _) => id > st.folded.getOrElse(sid, -1L) }
+      .filter { case (sid, id, _) =>
+        id > st.folded.getOrElse(sid, -1L) &&
+          // a rollback's intent record commits the removal BEFORE the
+          // marker delete — a lingering marker's delta must not serve
+          !st.removed.getOrElse(sid, Set.empty).contains(id) }
       .map(m => markerDelta(m._3))
       .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
     (st.nDocs + dn, st.totalTokens + dt, st.nBuckets)
@@ -369,14 +401,18 @@ object Bm25 {
     val fs = graft.util.StreamCommit.fs(spark, path)
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
     if (graft.util.StreamCommit.markerExists(fs, path, tag)) return false
+    // marker gone ≠ never applied: compaction deletes folded markers, and
+    // a rollback deliberately excised the batch — gate on the sidecar too
+    // (the same replay gate as the dense applies)
+    val st = readStats(spark, path)
+    if (graft.util.StreamCommit.refuseReplayOfRemoved(st.folded, st.removed,
+      streamId, batchId, path)) return false
     val prefix = s"$tag-"
     graft.util.StreamCommit.scrub(fs, Seq(
       s"${graft.util.StreamCommit.escapeGlob(path)}/bucket=*/$prefix*"))
     val staging = s"$path/_staging/$tag"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    val nBuckets = graft.util.Sidecar.requiredLong(
-      graft.util.Sidecar.read(spark, path, "_bm25_stats.json"),
-      "n_buckets", path).toInt
+    val nBuckets = st.nBuckets
     val (dn, dt) = corpusStats(batch, textCol)
     buildPostings(batch, textCol)
       .withColumn("bucket",
@@ -390,27 +426,39 @@ object Bm25 {
   }
 
   /** Roll back one streaming-ingested batch (the "remove a poisoned
-    * batch" administrative operation): deleting the marker removes the
-    * batch's stats delta atomically with its committed-ness, then its
-    * tagged posting files are scrubbed —
-    * [[graft.util.StreamCommit.removeBatch]]'s crash contract (a death
-    * between the two steps leaves the promoted-without-marker state every
-    * reader already handles; re-run to finish). Batches already FOLDED by
-    * [[compactStreamStats]] are refused loudly: their deltas live in the
-    * base counts and cannot be subtracted (the marker is gone) — rebuild,
-    * or trim and re-append, instead. Administrative single-writer, like
-    * every other admin op on one index; a VIOLATED contract (a compact
-    * racing this removal) fails loudly on at least one side: the folded
-    * watermark is re-checked AFTER the marker delete — a compact that
-    * folded this batch's delta in between fails the removal WITHOUT
-    * scrubbing (the postings are intact and the base stats now carry
-    * their delta, so the index still serves the batch correctly; rebuild
-    * to remove it) — and a successful removal CAS-bumps the stats sidecar
-    * version, so a concurrent compact still holding a marker listing that
-    * contains the deleted marker fails ITS write instead of folding a
-    * scrubbed batch's delta into the base counts. Must not race an
-    * in-flight ingest of the SAME tag. Returns false when the batch's
-    * marker was already absent (leftover files are still scrubbed).
+    * batch" administrative operation) — INTENT-RECORD-FIRST, the same
+    * guarded protocol as the dense layouts'
+    * [[graft.util.StreamCommit.removeBatchGuarded]]:
+    *   1. pre-check: a batch already recorded removed is an idempotent
+    *      no-op that finishes a crashed attempt's cleanup (lingering
+    *      marker deleted — its delta dies with it — and leftover postings
+    *      scrubbed); a batch at or below the folded watermark and NOT
+    *      recorded removed is refused loudly — its delta lives in the
+    *      base counts and cannot be subtracted (rebuild, or trim and
+    *      re-append, instead);
+    *   2. CAS-record the batchId in the sidecar's `removed` set — THE
+    *      COMMIT POINT: from here the batch's marker delta never serves
+    *      and never folds ([[liveStatsFrom]], [[compactStreamStats]]),
+    *      its posting files are uncommitted in committed-only serves,
+    *      and the version bump fails any concurrent compact holding a
+    *      stale marker listing BEFORE this removal has mutated anything
+    *      (a compact that committed first fails THIS CAS instead — the
+    *      loud "concurrently folded" failure, postings intact, batch
+    *      still served correctly, rebuild to remove);
+    *   3. delete the marker (the delta dies with it — it was never in
+    *      the base: a pre-intent fold fails step 2, a post-intent fold
+    *      skips recorded batches);
+    *   4. scrub the batch's tagged posting files. A crash anywhere after
+    *      step 2 re-runs to convergence via step 1's no-op arm, and a
+    *      [[compactStreamStats]] in between finishes the cleanup itself
+    *      (folds ACROSS the recorded batch without its delta and scrubs
+    *      its leftovers) — the pre-r14 resurrection window (crashed
+    *      removal + max-fold compact permanently committing orphaned
+    *      postings with no delta) is closed by exactly this record.
+    * Re-ingesting a removed batchId is refused by [[applyIngestBatch]].
+    * Administrative single-writer, like every other admin op on one
+    * index. Returns false when the batch was already removed or its
+    * marker was already absent (leftovers are still scrubbed).
     * Reader contract (serve-vs-rollback): removal does NOT quiesce
     * serves — a serve planned before it fails loudly
     * (FileNotFoundException) when executed after the scrub, never
@@ -418,11 +466,25 @@ object Bm25 {
     */
   def removeIngestBatch(spark: SparkSession, path: String, batchId: Long,
                         streamId: String = "",
-                        afterPreCheck: () => Unit = () => ()): Boolean = {
+                        afterPreCheck: () => Unit = () => (),
+                        afterMarkerDelete: () => Unit = () => ()): Boolean = {
     graft.util.StreamCommit.requireValidStreamId(streamId)
     val fs = graft.util.StreamCommit.fs(spark, path)
     def foldedWm(st: BmStats) = st.folded.getOrElse(streamId, -1L)
+    def removedSet(st: BmStats) = st.removed.getOrElse(streamId, Set.empty[Long])
     val st0 = readStats(spark, path)
+    val tag = graft.util.StreamCommit.tag(streamId, batchId)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_stream_appends/$tag")
+    val postingGlobs = Seq(
+      s"${graft.util.StreamCommit.escapeGlob(path)}/bucket=*/$tag-*")
+    if (removedSet(st0).contains(batchId)) {
+      // finish a crashed earlier attempt: the intent record IS the
+      // removal's commit point, so complete the physical cleanup
+      if (graft.util.StreamCommit.markerExists(fs, path, tag))
+        fs.delete(marker, false)
+      graft.util.StreamCommit.scrub(fs, postingGlobs)
+      return false
+    }
     if (batchId <= foldedWm(st0))
       throw new IllegalStateException(
         s"bm25 ingest batch $batchId of stream '$streamId' at $path is " +
@@ -430,54 +492,64 @@ object Bm25 {
           " — its delta cannot be subtracted; rebuild the index or trim " +
           "the corpus and re-append")
     afterPreCheck()
-    val tag = graft.util.StreamCommit.tag(streamId, batchId)
-    val had = graft.util.StreamCommit.markerExists(fs, path, tag)
-    if (had)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$path/_stream_appends/$tag"), false)
-    val st1 = readStats(spark, path)
-    if (batchId <= foldedWm(st1)) {
-      graft.metrics.GraftCounters.inc("bm25_stats_cas_conflict_total")
-      throw new IllegalStateException(
-        s"bm25 ingest batch $batchId of stream '$streamId' at $path was " +
-          "concurrently folded into the base stats (a compactStreamStats " +
-          "ran between this removal's pre-check and its marker delete — " +
-          "single-administrative-writer contract violated). Its posting " +
-          "files were NOT scrubbed: the index still serves the batch " +
-          "correctly; rebuild the index to remove it")
+    try {
+      writeStatsCas(spark, path, st0, st0.nDocs, st0.totalTokens, st0.folded,
+        st0.removed + (streamId -> (removedSet(st0) + batchId)),
+        "nothing is mutated yet (the intent record is the removal's FIRST " +
+          s"write) — re-run removeIngestBatch $batchId (idempotent)")
+    } catch {
+      case e: IllegalStateException =>
+        val now = readStats(spark, path)
+        if (batchId <= foldedWm(now) && !removedSet(now).contains(batchId))
+          throw new IllegalStateException(
+            s"bm25 ingest batch $batchId of stream '$streamId' at $path " +
+              "was concurrently folded into the base stats (a " +
+              "compactStreamStats committed between this removal's state " +
+              "read and its intent record — single-administrative-writer " +
+              "contract violated). Its posting files were NOT scrubbed: " +
+              "the index still serves the batch correctly; rebuild the " +
+              "index to remove it", e)
+        throw e
     }
-    graft.util.StreamCommit.scrub(fs, Seq(
-      s"${graft.util.StreamCommit.escapeGlob(path)}/bucket=*/$tag-*"))
-    // pure version bump: counts unchanged (the delta died with the marker),
-    // but any concurrent compact whose marker listing predates the delete
-    // now fails its CAS instead of folding the scrubbed batch's delta
-    writeStatsCas(spark, path, st1, st1.nDocs, st1.totalTokens, st1.folded,
-      s"the batch's postings are already scrubbed; if the conflicting " +
-        "writer was a compactStreamStats whose marker listing predated " +
-        s"this removal, the base stats may now carry batch $batchId's " +
-        "delta with its postings gone — verify n_docs against a corpus " +
-        "count and rebuild if so; otherwise re-run removeIngestBatch " +
-        "(idempotent) to re-assert the guard bump")
+    val had = graft.util.StreamCommit.markerExists(fs, path, tag)
+    if (had) fs.delete(marker, false)
+    afterMarkerDelete()
+    graft.util.StreamCommit.scrub(fs, postingGlobs)
     had
   }
 
   /** Fold accumulated streaming-ingest marker deltas into the base stats
     * sidecar and delete the folded markers — bounds the per-serve marker
-    * scan for long-running ingest streams. Crash-safe: the single-file
-    * stats overwrite is the commit point (it both adds the deltas and
-    * records the folded watermark per streamId), and marker deletion
-    * after it is idempotent — a marker that is folded but survives a
-    * crash is simply ignored by [[liveStats]] until the next compact
-    * deletes it.
+    * scan for long-running ingest streams. Per stream, the folded
+    * watermark extends over the CONTIGUOUS run above the previous
+    * watermark in which every batchId has a marker OR is recorded in the
+    * sidecar's `removed` set (a deliberate [[removeIngestBatch]]
+    * rollback, whose delta must NOT fold — it died, or is about to die,
+    * with its marker): batchIds within one checkpoint lineage are
+    * contiguous from 0, so an UNRECORDED gap means an in-flight crash,
+    * and folding past it would permanently divorce that batch's eventual
+    * postings from its stats delta (the pre-r14 per-stream-MAX fold had
+    * exactly this hole — the dense layouts'
+    * [[graft.util.StreamCommit.compactMarkersFrom]] discipline now holds
+    * on both sidecar families). The compact also finishes crashed
+    * removals' physical cleanup (scrubs recorded-removed batches'
+    * leftover posting files), so the crash-then-compact sequence
+    * converges without waiting for a removal re-run. Crash-safe: the
+    * CAS-guarded single-file stats overwrite is the commit point (it both
+    * adds the deltas and records the folded watermark per streamId), and
+    * marker deletion after it is idempotent — a marker that is folded but
+    * survives a crash is simply ignored by [[liveStats]] until the next
+    * compact deletes it.
     *
-    * The stats sidecar has two read-modify-write writers — this compact
-    * and the batch [[appendToIndex]] — and neither takes a lock:
-    * administrative operations on one index are single-writer by
-    * deployment contract (the same contract appendToIndex has always
-    * carried for itself), and [[writeStatsCas]] turns a violated contract
-    * into a loud failure instead of a silent lost update. Streaming ingest
-    * batches never touch the base sidecar, so they are safe concurrently
-    * with either.
+    * The stats sidecar's administrative read-modify-writers — this
+    * compact, the batch [[appendToIndex]], and [[removeIngestBatch]]'s
+    * intent record — are single-writer by deployment contract, and
+    * [[writeStatsCas]] turns a violated contract into a loud failure
+    * instead of a silent lost update: the state is read FIRST, so a
+    * removal's intent record landing after this read moves the version
+    * and fails this compact's CAS — a stale marker listing can never fold
+    * a rolled-back batch's delta. Streaming ingest batches never touch
+    * the base sidecar, so they are safe concurrently with any of them.
     */
   def compactStreamStats(spark: SparkSession, path: String): Unit = {
     val fs = graft.util.StreamCommit.fs(spark, path)
@@ -490,25 +562,46 @@ object Bm25 {
       s"${graft.util.StreamCommit.escapeGlob(path)}/_stream_appends/.*.tmp.*"))
     val st = readStats(spark, path)
     val markers = graft.util.StreamCommit.listMarkers(fs, path)
-    if (markers.isEmpty) return
+    def removedOf(sid: String) = st.removed.getOrElse(sid, Set.empty[Long])
+    val byStream = markers.groupBy(_._1)
+    val newFolded = st.folded ++
+      (byStream.keySet ++ st.removed.keySet).map { sid =>
+        val ids = byStream.getOrElse(sid, Seq.empty).map(_._2).toSet
+        val rem = removedOf(sid)
+        var w = st.folded.getOrElse(sid, -1L)
+        while (ids.contains(w + 1) || rem.contains(w + 1)) w += 1
+        sid -> w
+      }.toMap
     val (dn, dt) = markers
-      .filter { case (sid, id, _) => id > st.folded.getOrElse(sid, -1L) }
+      .filter { case (sid, id, _) =>
+        id > st.folded.getOrElse(sid, -1L) && id <= newFolded(sid) &&
+          !removedOf(sid).contains(id) }
       .map(m => markerDelta(m._3))
       .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
-    val newFolded = st.folded ++ markers.groupBy(_._1).map { case (sid, ms) =>
-      sid -> math.max(st.folded.getOrElse(sid, -1L), ms.map(_._2).max)
-    }
-    writeStatsCas(spark, path, st, st.nDocs + dn, st.totalTokens + dt,
-      newFolded,
-      "re-run compactStreamStats — it is idempotent (unfolded markers are " +
-        "re-read and the conflicting writer's update is the one on disk)")
+    if (newFolded != st.folded || dn != 0L || dt != 0L)
+      writeStatsCas(spark, path, st, st.nDocs + dn, st.totalTokens + dt,
+        newFolded, st.removed,
+        "re-run compactStreamStats — it is idempotent (unfolded markers " +
+          "are re-read and the conflicting writer's update is the one on " +
+          "disk)")
     markers
-      .filter { case (sid, id, _) => id <= newFolded(sid) }
+      .filter { case (sid, id, _) => id <= newFolded.getOrElse(sid, -1L) }
       .foreach { case (sid, id, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(
           s"$path/_stream_appends/${graft.util.StreamCommit.tag(sid, id)}"),
           false)
       }
+    // finish crashed removals: a rollback that died between its intent
+    // record and its scrub left orphaned posting files (and possibly a
+    // marker, deleted above once folded) — scrubbing here is idempotent
+    // and safe at any time, the removal is committed by its record
+    graft.util.StreamCommit.scrub(fs,
+      st.removed.toSeq.flatMap { case (sid, ids) =>
+        ids.toSeq.sorted.map { id =>
+          val t = graft.util.StreamCommit.tag(sid, id)
+          s"${graft.util.StreamCommit.escapeGlob(path)}/bucket=*/$t-*"
+        }
+      })
   }
 
   private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -573,8 +666,9 @@ object Bm25 {
           if (buckets.isEmpty) Seq.empty[String]
           else Seq(s"${graft.util.StreamCommit.escapeGlob(path)}" +
             s"/bucket={${buckets.mkString(",")}}/*")
+        val st = parseStats(statsBody)
         val files = graft.util.StreamCommit.committedDataFiles(fs, globs,
-          tags, parseStats(statsBody).folded)
+          tags, st.folded, st.removed)
         if (files.isEmpty)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -589,6 +683,46 @@ object Bm25 {
       }
     topKFromPostings(postings, nDocs, totalTokens, queries, k, k1, b,
       textCol, maxQueries)
+  }
+
+  /** Deep self-check of a persisted index: recompute the postings-side
+    * invariants over the COMMITTED view and compare them to the serving
+    * stats, so any historical stats/postings divergence (a corruption
+    * class the admin-protocol guards exist to prevent — e.g. postings
+    * resurrected without their delta by a pre-r14 crash sequence, or a
+    * hand-edited layout) is detectable after the fact, not only in the
+    * exception text of the operation that caused it. Invariants:
+    *   - `sum(tf)` over the committed postings == `total_tokens` EXACTLY
+    *     (every token instance of every non-null-text doc is one tf unit;
+    *     zero-token docs contribute 0 to both sides);
+    *   - `count(distinct doc_id)` <= `n_docs` (zero-token docs count in
+    *     n_docs but have no postings, so equality is not required).
+    * One full scan of the committed postings — a deep admin check, not a
+    * serving-path cost. Returns (nDocs, totalTokens, distinctDocs, sumTf,
+    * ok).
+    */
+  def validateIndex(spark: SparkSession, path: String)
+      : (Long, Long, Long, Long, Boolean) = {
+    val fs = graft.util.StreamCommit.fs(spark, path)
+    val markers = graft.util.StreamCommit.listMarkers(fs, path)
+    val statsBody = graft.util.Sidecar.read(spark, path, "_bm25_stats.json")
+    val (nDocs, totalTokens, _) = liveStatsFrom(markers, statsBody)
+    val st = parseStats(statsBody)
+    val tags = markers
+      .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet
+    val files = graft.util.StreamCommit.committedDataFiles(fs,
+      Seq(s"${graft.util.StreamCommit.escapeGlob(path)}/bucket=*/*"),
+      tags, st.folded, st.removed)
+    val (distinctDocs, sumTf) =
+      if (files.isEmpty) (0L, 0L)
+      else {
+        val r = spark.read.option("basePath", path).parquet(files: _*)
+          .agg(countDistinct(col("doc_id")),
+            coalesce(sum(col("tf")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    (nDocs, totalTokens, distinctDocs, sumTf,
+      sumTf == totalTokens && distinctDocs <= nDocs)
   }
 
   /** Snippet generation for retrieval hits — the serving leg after

@@ -649,16 +649,20 @@ object Retrieval {
       salt, textCol, exactRerank, maxQueries, collectGate,
       if (committedOnly) Some(committedSnapshotOf(spark, path)) else None)
 
-  /** One (marker tags, folded watermarks) snapshot of a streaming-ingested
-    * layout — the committed-only serve's index view.
+  /** One (marker tags, folded watermarks, removed set) snapshot of a
+    * streaming-ingested layout — the committed-only serve's index view.
+    * The removed set rides along so a rollback that crashed before its
+    * scrub (intent recorded, files orphaned) stays invisible to committed
+    * serves ([[graft.util.StreamCommit.isCommittedFile]]).
     */
   private[graft] def committedSnapshotOf(
       spark: org.apache.spark.sql.SparkSession, path: String)
-      : (Set[String], Map[String, Long]) = {
+      : (Set[String], Map[String, Long], Map[String, Set[Long]]) = {
     val fs = graft.util.StreamCommit.fs(spark, path)
+    val st = graft.util.StreamCommit.readWatermarkState(spark, path)
     (graft.util.StreamCommit.listMarkers(fs, path)
       .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet,
-      graft.util.StreamCommit.readWatermarks(spark, path))
+      st.watermarks, st.removed)
   }
 
   /** [[retrieveFromChunkIndexPq]] with the committed snapshot already
@@ -671,7 +675,8 @@ object Retrieval {
       path: String, queries: DataFrame, k: Int, nProbe: Int,
       shortlist: Int, dim: Int, salt: String, textCol: String,
       exactRerank: Boolean, maxQueries: Long, collectGate: Long,
-      snapshot: Option[(Set[String], Map[String, Long])]): DataFrame = {
+      snapshot: Option[(Set[String], Map[String, Long],
+        Map[String, Set[Long]])]): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val sl = if (shortlist > 0) shortlist else 10 * k
     require(sl >= k, s"shortlist=$sl must be >= k=$k")
@@ -697,7 +702,7 @@ object Retrieval {
         val files = graft.util.StreamCommit.committedDataFiles(fs,
           partDirGlobs.map(g =>
             s"${graft.util.StreamCommit.escapeGlob(layoutRoot)}/$g/*"),
-          committedSnapshot._1, committedSnapshot._2)
+          committedSnapshot._1, committedSnapshot._2, committedSnapshot._3)
         if (files.isEmpty)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -916,6 +921,11 @@ object Retrieval {
     val fs = graft.util.StreamCommit.fs(spark, path)
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
     if (graft.util.StreamCommit.markerExists(fs, path, tag)) return false
+    // marker gone ≠ never applied: compaction deletes folded markers, and
+    // a rollback deliberately excised the batch — gate on the sidecar too
+    val wmSt = graft.util.StreamCommit.readWatermarkState(spark, path)
+    if (graft.util.StreamCommit.refuseReplayOfRemoved(wmSt.watermarks,
+      wmSt.removed, streamId, batchId, path)) return false
     val prefix = s"$tag-"
     val pg = graft.util.StreamCommit.escapeGlob(path)
     graft.util.StreamCommit.scrub(fs,
@@ -945,10 +955,10 @@ object Retrieval {
     * silent-drop hazard; an orphan vector row never reaches a
     * shortlist). Idempotent; must not race an in-flight ingest of the
     * same tag (administrative single-writer). The full guarded protocol —
-    * watermark pre-check, post-marker-delete watermark re-check (a
-    * concurrent compact that folded the marker fails THIS call loudly
-    * with the files intact), removal recorded in the CAS-guarded sidecar
-    * so compaction extends across the gap — is
+    * watermark pre-check, then the removal intent CAS-recorded in the
+    * sidecar BEFORE any mutation (a concurrent compact fails one side's
+    * CAS loudly with the files intact, and compaction extends the
+    * watermark across the recorded gap) — is
     * [[graft.util.StreamCommit.removeBatchGuarded]], including the
     * serve-vs-rollback reader contract (in-flight serves fail loudly,
     * never silently partially).
@@ -1140,6 +1150,11 @@ object Retrieval {
     val fs = graft.util.StreamCommit.fs(spark, path)
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
     if (graft.util.StreamCommit.markerExists(fs, path, tag)) return false
+    // same sidecar gate as [[applyPqIngestBatch]]: folded → no-op replay,
+    // deliberately removed → loud refusal (never resurrect a rollback)
+    val wmSt = graft.util.StreamCommit.readWatermarkState(spark, path)
+    if (graft.util.StreamCommit.refuseReplayOfRemoved(wmSt.watermarks,
+      wmSt.removed, streamId, batchId, path)) return false
     val prefix = s"$tag-"
     graft.util.StreamCommit.scrub(fs, Seq(
       s"${graft.util.StreamCommit.escapeGlob(path)}/list=*/$prefix*"))
@@ -1196,10 +1211,11 @@ object Retrieval {
         val fs = graft.util.StreamCommit.fs(spark, path)
         val tags = graft.util.StreamCommit.listMarkers(fs, path)
           .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet
+        val wmSt = graft.util.StreamCommit.readWatermarkState(spark, path)
         val files = graft.util.StreamCommit.committedDataFiles(fs,
           lists.toSeq.map(l =>
             s"${graft.util.StreamCommit.escapeGlob(path)}/list=$l/*"),
-          tags, graft.util.StreamCommit.readWatermarks(spark, path))
+          tags, wmSt.watermarks, wmSt.removed)
         if (files.isEmpty)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),

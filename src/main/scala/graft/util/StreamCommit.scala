@@ -53,16 +53,23 @@ object StreamCommit {
     * a batch whose marker is present, and files of a batch already FOLDED
     * into a stats sidecar — compaction deletes markers but promoted files
     * keep their tag prefix forever, so for those the folded watermark (not
-    * marker presence) is the durable commit record. Layouts without a
-    * compacting sidecar pass an empty watermark map.
+    * marker presence) is the durable commit record. A batchId in the
+    * sidecar's `removed` set OVERRIDES both: recording the removal intent
+    * is the rollback's commit point ([[removeBatchGuarded]]), so a
+    * recorded batch's leftover files (a rollback that crashed before its
+    * scrub) are never committed, even while its marker lingers or after a
+    * watermark folds across the gap. Layouts without a compacting sidecar
+    * pass empty maps.
     */
   def isCommittedFile(name: String, markerTags: Set[String],
-                      foldedWatermark: Map[String, Long]): Boolean =
+                      foldedWatermark: Map[String, Long],
+                      removed: Map[String, Set[Long]] = Map.empty): Boolean =
     tagOfFileName(name) match {
       case None => true
       case Some((sid, id)) =>
-        markerTags.contains(tag(sid, id)) ||
-          id <= foldedWatermark.getOrElse(sid, -1L)
+        !removed.getOrElse(sid, Set.empty).contains(id) &&
+          (markerTags.contains(tag(sid, id)) ||
+            id <= foldedWatermark.getOrElse(sid, -1L))
     }
 
   /** The committed parquet data files under the given partition-directory
@@ -75,14 +82,17 @@ object StreamCommit {
     */
   def committedDataFiles(fs: org.apache.hadoop.fs.FileSystem,
                          globs: Seq[String], markerTags: Set[String],
-                         foldedWatermark: Map[String, Long]): Seq[String] =
+                         foldedWatermark: Map[String, Long],
+                         removed: Map[String, Set[Long]] = Map.empty)
+      : Seq[String] =
     globs
       .flatMap { g =>
         Option(fs.globStatus(new org.apache.hadoop.fs.Path(g)))
           .getOrElse(Array.empty).toSeq
       }
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-        isCommittedFile(st.getPath.getName, markerTags, foldedWatermark))
+        isCommittedFile(st.getPath.getName, markerTags, foldedWatermark,
+          removed))
       .map(_.getPath.toString)
 
   def fs(spark: org.apache.spark.sql.SparkSession, path: String)
@@ -219,6 +229,21 @@ object StreamCommit {
     * discipline as the BM25 stats sidecar. Sidecars written before the
     * envelope existed (a bare `{sid: wm}` map) parse as version 0 with
     * empty `removed`.
+    *
+    * `removed` entries are KEPT, never pruned — the record is what makes a
+    * crashed removal's re-run converge (idempotent no-op that finishes the
+    * scrub) instead of hitting the permanently-committed refusal, and what
+    * keeps a rollback's leftover files uncommitted ([[isCommittedFile]])
+    * until something scrubs them. The growth bound is one long per
+    * DELIBERATE rollback per stream: rollbacks are rare administrative
+    * operations (each is a human decision to excise a poisoned batch), so
+    * a sidecar carrying even thousands of them stays metadata-sized
+    * (~10 bytes each), and a rebuild resets it. Pruning entries at or
+    * below the watermark was considered and rejected: with the
+    * intent-record-FIRST removal ordering, a recorded entry no longer
+    * implies its scrub completed, so pruning could re-commit orphaned
+    * files, and it would turn the documented crash recovery ("re-run the
+    * removal") into a refusal.
     */
   private[graft] case class WmState(watermarks: Map[String, Long],
                                     removed: Map[String, Set[Long]],
@@ -329,11 +354,16 @@ object StreamCommit {
     * — a removal racing this compact fails loudly on at least one side);
     * marker deletion after it is idempotent (a surviving folded marker is
     * redundant with the watermark — both read paths agree — and the next
-    * compact deletes it). The sidecar state is read BEFORE the markers are
-    * listed, so a removal completing in between moves the version and
-    * fails this compact's CAS — a stale marker listing can never fold a
-    * scrubbed batch silently. Single administrative writer per index, like
-    * every admin op. Returns the new watermark map.
+    * compact deletes it). A recorded-removed batch whose rollback crashed
+    * between its intent record and its marker delete still has a marker:
+    * folding across it deletes that marker too, and its leftover data
+    * files stay uncommitted via the removed record ([[isCommittedFile]])
+    * until a removal re-run scrubs them. The sidecar state is read BEFORE
+    * the markers are listed, so a removal's intent record landing in
+    * between moves the version and fails this compact's CAS — a stale
+    * marker listing can never fold a rolled-back batch silently. Single
+    * administrative writer per index, like every admin op. Returns the
+    * new watermark map.
     */
   def compactMarkers(spark: org.apache.spark.sql.SparkSession,
                      path: String): Map[String, Long] = {
@@ -376,29 +406,36 @@ object StreamCommit {
   }
 
   /** [[removeBatch]] for watermark-compacted layouts (the PQ/flat chunk
-    * indexes) — the full guarded rollback:
-    *   1. pre-check: a batch at or below the watermark and NOT recorded
-    *      removed is permanently committed — refuse loudly; a batch
-    *      already recorded removed is an idempotent no-op (leftover files
-    *      are still scrubbed);
-    *   2. delete the marker (the commit point of the removal);
-    *   3. RE-CHECK the watermark: a concurrent [[compactMarkers]] that
-    *      listed the marker before step 2 may have folded it — if the
-    *      watermark now covers this batch, fail LOUDLY WITHOUT scrubbing
-    *      (the data files are intact and the batch is still correctly
-    *      served as committed; the marker delete is redundant with the
-    *      watermark, so nothing is corrupted — rebuild to remove it);
-    *   4. scrub the batch's tagged data files;
-    *   5. record the batchId in the sidecar's `removed` set via a CAS
-    *      write — this lets compaction extend the watermark across the
-    *      deliberate gap, and the version bump fails any concurrent
-    *      compact still holding a marker listing that contains step 2's
-    *      marker (whose delta-less fold would otherwise stamp the
-    *      scrubbed batch committed). If THIS CAS fails, the scrub already
-    *      happened: re-run the removal (idempotent) to record it; until
-    *      recorded, compaction stays pinned below this batch — and if the
-    *      conflicting writer was a compact that folded the stale marker,
-    *      the failure message says to verify/rebuild.
+    * indexes) — the full guarded rollback, INTENT-RECORD-FIRST:
+    *   1. pre-check: a batch already recorded removed is an idempotent
+    *      no-op that finishes a crashed attempt's physical cleanup
+    *      (lingering marker deleted, leftover files scrubbed); a batch at
+    *      or below the watermark and NOT recorded removed is permanently
+    *      committed — refuse loudly;
+    *   2. CAS-record the batchId in the sidecar's `removed` set — THE
+    *      COMMIT POINT of the removal, and the whole race guard: a
+    *      concurrent [[compactMarkers]] that committed between the state
+    *      read and this write moves the version and fails THIS CAS with
+    *      NOTHING yet mutated (re-run; if the batch is now below the
+    *      watermark it was concurrently folded — the loud
+    *      "concurrently compacted" failure, files intact, still served
+    *      correctly, rebuild to remove); and a compact that reads state
+    *      AFTER this write sees the recorded removal, so its fold skips
+    *      the batch and extends the watermark across the deliberate gap.
+    *      This ordering closes the pre-r14 residual where a stale compact
+    *      could win the CAS race after the scrub and stamp a scrubbed
+    *      batch committed — now every mutation happens strictly after the
+    *      version bump that any stale compact must fail against;
+    *   3. delete the marker;
+    *   4. scrub the batch's tagged data files. A crash anywhere after
+    *      step 2 leaves a recorded removal whose re-run (step 1's no-op
+    *      arm) converges; until the scrub completes, the recorded entry
+    *      keeps the leftovers out of every committed serve
+    *      ([[isCommittedFile]]) while default serves may see them
+    *      transiently (the documented at-least-once mode).
+    * Re-ingesting a removed batchId is REFUSED by the apply paths
+    * ([[refuseReplayOfRemoved]]) — a replay must not resurrect a
+    * deliberate rollback; fixed data re-ingests under a fresh batchId.
     * Reader contract (serve-vs-rollback): rollback does NOT quiesce
     * serves. A serve planned before the rollback holds a file listing and
     * fails LOUDLY (FileNotFoundException) when executed after the scrub —
@@ -408,12 +445,19 @@ object StreamCommit {
   private[graft] def removeBatchGuarded(
       spark: org.apache.spark.sql.SparkSession, path: String,
       streamId: String, batchId: Long, dataGlobs: Seq[String],
-      afterPreCheck: () => Unit = () => ()): Boolean = {
+      afterPreCheck: () => Unit = () => (),
+      afterMarkerDelete: () => Unit = () => ()): Boolean = {
     requireValidStreamId(streamId)
     val f = fs(spark, path)
     val st0 = readWatermarkState(spark, path)
+    val tagName = tag(streamId, batchId)
     if (st0.removed.getOrElse(streamId, Set.empty).contains(batchId)) {
-      scrub(f, dataGlobs) // finish a crashed earlier attempt's scrub
+      // finish a crashed earlier attempt: the intent record IS the
+      // removal's commit point, so complete the physical cleanup
+      if (markerExists(f, path, tagName))
+        f.delete(new org.apache.hadoop.fs.Path(
+          s"$path/_stream_appends/$tagName"), false)
+      scrub(f, dataGlobs)
       return false
     }
     if (batchId <= st0.watermarks.getOrElse(streamId, -1L))
@@ -423,33 +467,56 @@ object StreamCommit {
           s"(${st0.watermarks.getOrElse(streamId, -1L)}) — compacted " +
           "batches are permanently committed; rebuild the index instead")
     afterPreCheck()
-    val tagName = tag(streamId, batchId)
+    try {
+      writeWatermarksCas(spark, path, st0, st0.watermarks,
+        st0.removed + (streamId ->
+          (st0.removed.getOrElse(streamId, Set.empty) + batchId)),
+        "nothing is mutated yet (the intent record is the removal's FIRST " +
+          s"write) — re-run remove-ingest-batch $batchId (idempotent)")
+    } catch {
+      case e: IllegalStateException =>
+        val now = readWatermarkState(spark, path)
+        if (batchId <= now.watermarks.getOrElse(streamId, -1L) &&
+          !now.removed.getOrElse(streamId, Set.empty).contains(batchId))
+          throw new IllegalStateException(
+            s"ingest batch $batchId of stream '$streamId' at $path was " +
+              "concurrently compacted to permanently-committed (a compact " +
+              "committed between this removal's state read and its intent " +
+              "record — single-administrative-writer contract violated). " +
+              "Its data files were NOT scrubbed: the index still serves " +
+              "the batch correctly; rebuild the index to remove it", e)
+        throw e
+    }
     val had = markerExists(f, path, tagName)
     if (had)
       f.delete(new org.apache.hadoop.fs.Path(
         s"$path/_stream_appends/$tagName"), false)
-    val st1 = readWatermarkState(spark, path)
-    if (batchId <= st1.watermarks.getOrElse(streamId, -1L) &&
-      !st1.removed.getOrElse(streamId, Set.empty).contains(batchId)) {
-      graft.metrics.GraftCounters.inc("ingest_watermark_cas_conflict_total")
+    afterMarkerDelete()
+    scrub(f, dataGlobs)
+    had
+  }
+
+  /** Apply-side replay gate shared by the streaming-ingest apply paths:
+    * returns true (skip — the batch is already committed AND folded; its
+    * marker was deleted by compaction, so the marker-existence gate alone
+    * would wrongly re-apply it) for a batchId at or below the stream's
+    * watermark, and REFUSES loudly a batchId recorded as deliberately
+    * removed — an at-least-once replay (or a manual re-ingest) of a
+    * rolled-back batch would silently resurrect data an administrator
+    * excised (the recorded removal makes its files uncommitted forever,
+    * so the re-applied data would be half-visible at best). Fixed data
+    * re-ingests under a FRESH batchId (or a fresh streamId/checkpoint).
+    */
+  private[graft] def refuseReplayOfRemoved(
+      watermarks: Map[String, Long], removed: Map[String, Set[Long]],
+      streamId: String, batchId: Long, path: String): Boolean = {
+    if (removed.getOrElse(streamId, Set.empty).contains(batchId))
       throw new IllegalStateException(
         s"ingest batch $batchId of stream '$streamId' at $path was " +
-          "concurrently compacted to permanently-committed (a compact ran " +
-          "between this removal's pre-check and its marker delete — " +
-          "single-administrative-writer contract violated). Its data files " +
-          "were NOT scrubbed: the index still serves the batch correctly; " +
-          "rebuild the index to remove it")
-    }
-    scrub(f, dataGlobs)
-    writeWatermarksCas(spark, path, st1, st1.watermarks,
-      st1.removed + (streamId ->
-        (st1.removed.getOrElse(streamId, Set.empty) + batchId)),
-      s"the batch's files are already scrubbed but the removal is not yet " +
-        s"recorded — re-run remove-ingest-batch $batchId (idempotent) to " +
-        "record it; if the conflicting writer was a compactMarkers whose " +
-        "marker listing predated this removal, the watermark may stamp " +
-        "this scrubbed batch committed — verify, and rebuild if so")
-    had
+          "deliberately rolled back (recorded in the sidecar's removed " +
+          "set) — re-applying it would resurrect an excised batch. " +
+          "Re-ingest corrected data under a fresh batchId or streamId")
+    batchId <= watermarks.getOrElse(streamId, -1L)
   }
 
   /** All markers under the layout: (streamId, batchId, marker body). */

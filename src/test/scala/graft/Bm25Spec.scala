@@ -409,18 +409,26 @@ class Bm25Spec extends SparkSpec {
       assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
         s"$path/bucket=*/b1-*"))).getOrElse(Array.empty).isEmpty,
         "rollback must scrub the batch's posting files")
-      // idempotent: removing an absent batch is a no-op returning false
+      // idempotent: re-removing a recorded-removed batch is a no-op
+      // returning false (the intent record survives forever)
       assert(!Bm25.removeIngestBatch(spark, path, batchId = 1L))
       assert(serve() == beforePoison)
-      // crash-mid-removal state (marker gone, files still present — the
-      // same promoted-without-marker state as a pre-marker ingest crash):
-      // a re-run scrubs the leftovers
-      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 1L))
+      // a replay of the excised batchId refuses loudly — a rollback is a
+      // deliberate excision, never to be resurrected by an at-least-once
+      // replay; corrected data re-ingests under a fresh batchId
+      val exReplay = intercept[IllegalStateException] {
+        Bm25.applyIngestBatch(b1docs, path, batchId = 1L)
+      }
+      assert(exReplay.getMessage.contains("rolled back"))
+      // crash-mid-ingest state under a NEW batchId (files promoted, marker
+      // never landed — the promoted-without-marker shape): a removal of it
+      // records the intent and scrubs the leftovers, returning false
+      assert(Bm25.applyIngestBatch(b1docs, path, batchId = 2L))
       fs.delete(new org.apache.hadoop.fs.Path(
-        s"$path/_stream_appends/b1"), false)
-      assert(!Bm25.removeIngestBatch(spark, path, batchId = 1L))
+        s"$path/_stream_appends/b2"), false)
+      assert(!Bm25.removeIngestBatch(spark, path, batchId = 2L))
       assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$path/bucket=*/b1-*"))).getOrElse(Array.empty).isEmpty)
+        s"$path/bucket=*/b2-*"))).getOrElse(Array.empty).isEmpty)
       assert(serve() == beforePoison)
       // folded batches refuse loudly: their delta is in the base counts
       Bm25.compactStreamStats(spark, path)
@@ -490,7 +498,7 @@ class Bm25Spec extends SparkSpec {
       val c0 = graft.metrics.GraftCounters.get("bm25_stats_cas_conflict_total")
       val ex = intercept[IllegalStateException] {
         Bm25.writeStatsCas(spark, path, stale, stale.nDocs + 99,
-          stale.totalTokens + 99, stale.folded, "test hint")
+          stale.totalTokens + 99, stale.folded, stale.removed, "test hint")
       }
       assert(ex.getMessage.contains("CAS conflict"))
       assert(
@@ -501,7 +509,7 @@ class Bm25Spec extends SparkSpec {
       // a fresh read-modify-write (the documented recovery) succeeds
       val retry = Bm25.readStats(spark, path)
       Bm25.writeStatsCas(spark, path, retry, retry.nDocs, retry.totalTokens,
-        retry.folded, "test hint")
+        retry.folded, retry.removed, "test hint")
       assert(Bm25.readStats(spark, path).version == retry.version + 1)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }

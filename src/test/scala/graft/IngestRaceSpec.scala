@@ -74,7 +74,7 @@ class IngestRaceSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
-  test("dense race, compact-inside-removal: the post-marker-delete watermark re-check fails the rollback loudly and scrubs NOTHING (the batch stays correctly served)") {
+  test("dense race, compact-inside-removal: the intent-record CAS fails the rollback loudly BEFORE any mutation (the batch stays correctly served, nothing scrubbed)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_race2").toFile
     val path = dir.getAbsolutePath
     try {
@@ -94,15 +94,17 @@ class IngestRaceSpec extends SparkSpec {
       val glob = s"${StreamCommit.escapeGlob(path)}/list=*/$tag-*"
       val c0 = graft.metrics.GraftCounters
         .get("ingest_watermark_cas_conflict_total")
-      // the compact lands between the removal's pre-check and its marker
-      // delete — the removal's re-check must catch the now-covering
-      // watermark and abort BEFORE scrubbing
+      // the compact lands between the removal's state read and its intent
+      // record — the removal's CAS must fail against the moved version and
+      // abort with NOTHING mutated (intent-first: the record is write #1)
       val ex = intercept[IllegalStateException] {
         StreamCommit.removeBatchGuarded(spark, path, "r2", 0L, Seq(glob),
           afterPreCheck =
             () => StreamCommit.compactMarkers(spark, path))
       }
       assert(ex.getMessage.contains("concurrently compacted"))
+      assert(StreamCommit.readWatermarkState(spark, path).removed.isEmpty,
+        "the failed removal must not have recorded its intent")
       assert(graft.metrics.GraftCounters
         .get("ingest_watermark_cas_conflict_total") == c0 + 1)
       // nothing scrubbed: the batch's files are intact and the committed
@@ -143,7 +145,7 @@ class IngestRaceSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
-  test("bm25 race, compact-inside-removal: the post-marker-delete folded re-check aborts the rollback loudly with postings intact and stats consistent") {
+  test("bm25 race, compact-inside-removal: the intent-record CAS aborts the rollback loudly with postings intact and stats consistent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_race4").toFile
     val path = dir.getAbsolutePath
     try {
@@ -167,6 +169,8 @@ class IngestRaceSpec extends SparkSpec {
           afterPreCheck = () => Bm25.compactStreamStats(spark, path))
       }
       assert(ex.getMessage.contains("concurrently folded"))
+      assert(Bm25.readStats(spark, path).removed.isEmpty,
+        "the failed removal must not have recorded its intent")
       assert(graft.metrics.GraftCounters
         .get("bm25_stats_cas_conflict_total") == c0 + 1)
       // postings intact, delta folded into base: both serve modes still
@@ -207,7 +211,8 @@ class IngestRaceSpec extends SparkSpec {
         "n_docs", "test marker")
       val ex = intercept[IllegalStateException] {
         Bm25.writeStatsCas(spark, path, stale, stale.nDocs + delta,
-          stale.totalTokens, stale.folded + ("r5" -> 0L), "test hint")
+          stale.totalTokens, stale.folded + ("r5" -> 0L), stale.removed,
+          "test hint")
       }
       assert(ex.getMessage.contains("CAS conflict"))
       assert(Bm25.readStats(spark, path) == afterRemove,
@@ -289,6 +294,127 @@ class IngestRaceSpec extends SparkSpec {
       val fresh = collect(Retrieval.retrieveFromChunkIndexPq(spark, path,
         qs, k = 4, nProbe = 4, shortlist = 100000, committedOnly = true))
       assert(fresh.exists(_._3 >= 50L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("bm25 crash-then-compact: a removal dying between marker delete and scrub cannot be resurrected — the intent record keeps the orphans uncommitted, the compact folds ACROSS without the delta and finishes the scrub, and the re-run converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_race9").toFile
+    val path = dir.getAbsolutePath
+    try {
+      val seed = mkDocs(0, 40, "rch")
+      val b0 = mkDocs(40, 50, "rch")
+      val b1 = mkDocs(50, 60, "rch")
+      val b2 = mkDocs(60, 70, "rch")
+      Bm25.writeIndex(seed, path, nBuckets = 8)
+      assert(Bm25.applyIngestBatch(b0, path, batchId = 0L, streamId = "r9"))
+      assert(Bm25.applyIngestBatch(b1, path, batchId = 1L, streamId = "r9"))
+      assert(Bm25.applyIngestBatch(b2, path, batchId = 2L, streamId = "r9"))
+      val qs = Seq((7L, "rch w7 rho"), (47L, "rch w47 rho"),
+        (57L, "rch w57 rho"), (67L, "rch w67 rho")).toDF("query_id", "text")
+      def serve(committed: Boolean) = Bm25.retrieveFromIndex(spark, path,
+          qs, k = 5, committedOnly = committed)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      val truth = Bm25.topK(seed.unionByName(b0).unionByName(b2), qs, k = 5)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      // the removal of batch 1 CRASHES between its marker delete and its
+      // scrub: intent recorded, marker gone (delta died with it), posting
+      // files orphaned in the layout — the exact pre-r14 poison state
+      val boom = new RuntimeException("crash before scrub")
+      assert(intercept[RuntimeException] {
+        Bm25.removeIngestBatch(spark, path, batchId = 1L, streamId = "r9",
+          afterMarkerDelete = () => throw boom)
+      } eq boom)
+      val fs = StreamCommit.fs(spark, path)
+      val orphanGlob = new org.apache.hadoop.fs.Path(
+        s"$path/bucket=*/r9~b1-*")
+      assert(Option(fs.globStatus(orphanGlob)).getOrElse(Array.empty)
+        .nonEmpty, "fixture: the crash must leave orphaned posting files")
+      assert(Bm25.readStats(spark, path).removed == Map("r9" -> Set(1L)))
+      // the orphans are uncommitted NOW: the committed serve ranks exactly
+      // the corpus minus batch 1, stats matching the scanned postings
+      assert(serve(committed = true) == truth)
+      // the compact folds the contiguous markers-or-removed run {0,rm(1),2}
+      // to watermark 2 WITHOUT batch 1's delta — pre-r14 the per-stream-MAX
+      // fold here permanently committed the orphans with no delta — and
+      // finishes the crashed removal's scrub
+      Bm25.compactStreamStats(spark, path)
+      val st = Bm25.readStats(spark, path)
+      assert(st.folded == Map("r9" -> 2L))
+      assert(st.removed == Map("r9" -> Set(1L)),
+        "the removal record must survive compaction (it IS the convergence)")
+      assert(st.nDocs == Bm25.corpusStats(
+        seed.unionByName(b0).unionByName(b2))._1,
+        "the folded base stats must not carry the removed batch's delta")
+      assert(Option(fs.globStatus(orphanGlob)).getOrElse(Array.empty).isEmpty,
+        "the compact must finish the crashed removal's scrub")
+      // batch 1 is invisible in BOTH serve modes
+      assert(serve(committed = true) == truth)
+      assert(serve(committed = false) == truth)
+      // the re-run removal CONVERGES (idempotent no-op) instead of
+      // throwing "already folded" — the recorded intent distinguishes a
+      // rolled-back batch from a genuinely folded one forever
+      assert(!Bm25.removeIngestBatch(spark, path, batchId = 1L,
+        streamId = "r9"))
+      // and a replay cannot resurrect the excised batch
+      val ex = intercept[IllegalStateException] {
+        Bm25.applyIngestBatch(b1, path, batchId = 1L, streamId = "r9")
+      }
+      assert(ex.getMessage.contains("rolled back"))
+      assert(serve(committed = false) == truth)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("dense crash-then-compact: a removal dying between marker delete and scrub stays excised — orphans uncommitted via the record, compact folds across, re-run converges, replay refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_race10").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Retrieval.writeChunkIndex(mkDocs(0, 40, "rci"), path, nLists = 4,
+        fitBudget = 48)
+      assert(Retrieval.applyChunkIngestBatch(mkDocs(40, 50, "rci"), path,
+        batchId = 0L, streamId = "ra"))
+      assert(Retrieval.applyChunkIngestBatch(mkDocs(50, 60, "rci"), path,
+        batchId = 1L, streamId = "ra"))
+      val glob = s"${StreamCommit.escapeGlob(path)}/list=*/ra~b1-*"
+      val boom = new RuntimeException("crash before scrub")
+      assert(intercept[RuntimeException] {
+        StreamCommit.removeBatchGuarded(spark, path, "ra", 1L, Seq(glob),
+          afterMarkerDelete = () => throw boom)
+      } eq boom)
+      val fs = StreamCommit.fs(spark, path)
+      assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(glob)))
+        .getOrElse(Array.empty).nonEmpty,
+        "fixture: the crash must leave orphaned data files")
+      // committed serve excludes the orphans via the removed record even
+      // though no watermark covers them yet
+      val qs = Seq((7L, "rci w7 rho"), (47L, "rci w47 rho"),
+        (57L, "rci w57 rho")).toDF("query_id", "text")
+      def servedIds() = Retrieval.retrieveFromChunkIndex(spark, path, qs,
+          k = 4, nProbe = 4, committedOnly = true)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(!servedIds().exists(id => id >= 50L && id < 60L))
+      // compact folds ACROSS the recorded removal; the record survives
+      assert(StreamCommit.compactMarkers(spark, path) == Map("ra" -> 1L))
+      val st = StreamCommit.readWatermarkState(spark, path)
+      assert(st.removed == Map("ra" -> Set(1L)))
+      assert(!servedIds().exists(id => id >= 50L && id < 60L),
+        "folding across the gap must not commit the orphans")
+      // re-run converges: finishes the scrub, returns false
+      assert(!Retrieval.removeChunkIngestBatch(spark, path, batchId = 1L,
+        streamId = "ra"))
+      assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(glob)))
+        .getOrElse(Array.empty).isEmpty,
+        "the re-run must finish the crashed removal's scrub")
+      // a replay of the excised batch refuses loudly
+      val ex = intercept[IllegalStateException] {
+        Retrieval.applyChunkIngestBatch(mkDocs(50, 60, "rci"), path,
+          batchId = 1L, streamId = "ra")
+      }
+      assert(ex.getMessage.contains("rolled back"))
+      // a FOLDED (never removed) batch replays as a clean no-op
+      assert(!Retrieval.applyChunkIngestBatch(mkDocs(40, 50, "rci"), path,
+        batchId = 0L, streamId = "ra"))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 

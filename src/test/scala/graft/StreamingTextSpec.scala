@@ -636,6 +636,26 @@ class StreamingTextSpec extends SparkSpec {
         s"$root/hits", "4", "--committed"))
       assert(spark.read.parquet(s"$root/hits")
         .orderBy("query_id", "rank").collect().toSeq == full)
+      // a typoed flag must fail LOUDLY, never silently downgrade the
+      // committed-only serve to at-least-once visibility
+      val exFlag = intercept[RuntimeException] {
+        Cli.run(spark, Array("bm25-search", idx, s"$root/qs",
+          s"$root/hits2", "4", "--commited"))
+      }
+      assert(exFlag.getMessage.contains("unknown flag"))
+      // deep self-check verb: the healthy index passes its stats/postings
+      // invariants (sum(tf) == total_tokens exactly, distinct docs <= n)
+      Cli.run(spark, Array("validate-bm25-index", idx))
+      val (n0, t0, d0, s0, ok0) = graft.ann.Bm25.validateIndex(spark, idx)
+      assert(ok0 && s0 == t0 && d0 <= n0)
+      // planted base-looking orphan postings (tf with no stats delta — the
+      // stats/postings divergence class) must fail the check
+      Seq((999L, 3L, "cib", 3L)).toDF("doc_id", "dl", "term", "tf")
+        .withColumn("bucket", org.apache.spark.sql.functions.lit(0))
+        .write.mode("append").partitionBy("bucket").parquet(idx)
+      val (_, t1, _, s1, ok1) = graft.ann.Bm25.validateIndex(spark, idx)
+      assert(!ok1 && s1 == s0 + 3 && t1 == t0,
+        "orphan postings must be detected as a sum(tf) mismatch")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
   }
 

@@ -13,8 +13,16 @@ ROUNDS=${2:-3}
 STAMP_FILE=/root/scratch/.ab_stamp_probe
 stamp() {
   local t0 t1
+  mkdir -p "$(dirname "$STAMP_FILE")"
   t0=$(date +%s.%N)
-  dd if=/dev/zero of="$STAMP_FILE" bs=8M count=32 oflag=dsync 2>/dev/null
+  # a failed probe (missing dir, full disk) must abort the round loudly,
+  # never divide by a near-zero elapsed and record an absurd MB/s as data
+  if ! dd if=/dev/zero of="$STAMP_FILE" bs=8M count=32 oflag=dsync \
+      2>/tmp/ab_stamp_err; then
+    echo "geometry_ab: disk stamp probe FAILED:" >&2
+    cat /tmp/ab_stamp_err >&2
+    exit 1
+  fi
   t1=$(date +%s.%N)
   rm -f "$STAMP_FILE"
   python3 -c "print(f'{256/($t1-$t0):.1f}')"
