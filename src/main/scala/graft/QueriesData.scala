@@ -1224,6 +1224,106 @@ object QueriesData {
         .orderBy("id_a", "id_b")
     }),
 
+    // the SemDeDup grouping leg, fixture-split: the k-means FIT is
+    // iterative (no SQL form — d_semantic_dedup keeps the recall audit),
+    // but everything AFTER the fit is relational — within-cluster pair
+    // search, threshold, connected-component closure, centroid-similarity
+    // exemplar selection. The (id, unit, list) assignment persists
+    // MICRO-quantized to BIGINT (units and centroids both ×1e6, rounded
+    // once in Spark), so the pair metric (integer dot, ~1e12 × cosine),
+    // the 0.3 threshold (3e11 integer units) and the min-centroid-dot
+    // exemplar are exact integer arithmetic in BOTH engines; within one
+    // component every member shares one cluster (pairs join on list), so
+    // ordering by the raw centroid dot equals ordering by centroid cosine
+    "d_semantic_groups" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val n = e.count()
+      // same modulus bound as d_embedding_band_pairs: the fixture pair
+      // join has no quantized prefilter, so hold it at audit scale
+      val step = math.max(1L, (n + 19999L) / 20000L)
+      val key = contentKey(s"$d/embeddings.parquet")
+      val (assigned, model) = graft.dedup.SemDedup.fitAssign(
+        e.filter(col("vec_id") % step === 0), "vec_id", "embedding",
+        nClusters = 8, seed = 42L, targetCellSize = 1024,
+        maxClusters = 512, maxTrainRows = 200000, maxIter = 10,
+        knownCount = None)
+      val fxA = fixture(s, "sem_assign",
+        assigned.select(col("id"), col("list"),
+          transform(col("unit"), x => round(x * 1000000).cast("long"))
+            .as("umicro")), key)
+      val fxC = fixture(s, "sem_centroids",
+        model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toSeq.toDF("list", "cvec")
+          .select(col("list"),
+            transform(col("cvec"), x => round(x * 1000000).cast("long"))
+              .as("cmicro")), key)
+      def dotM(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val f = readFixture(s, fxA)
+      val pairs = f.select(col("list"), col("id").as("id_a"),
+          col("umicro").as("ua"))
+        .join(f.select(col("list"), col("id").as("id_b"),
+          col("umicro").as("ub")), Seq("list"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(dotM(col("ua"), col("ub")) >= lit(300000000000L))
+        .select("id_a", "id_b")
+      val members = f
+        .join(graft.dedup.Clusters.connectedComponents(pairs), Seq("id"))
+        .join(broadcast(readFixture(s, fxC)), Seq("list"))
+        .withColumn("cos_units", dotM(col("umicro"), col("cmicro")))
+        .select("id", "list", "component", "cos_units")
+      val winners = members.groupBy("component")
+        .agg(min(struct(col("cos_units"), col("id"))).as("w"))
+        .select(col("component"), col("w.id").as("keep_id"))
+      members.join(winners, Seq("component"))
+        .withColumn("keep", col("id") === col("keep_id"))
+        .select(col("id"), col("list"), col("component"), col("cos_units"),
+          col("keep"))
+        .withColumn("sf_key", lit(key))
+        .orderBy("id")
+    }),
+
+    // the quality-classifier SCORING leg, fixture-split: the LR fit is
+    // iterative (no SQL form — d_quality_classifier keeps the holdout
+    // audit), but scoring is a sparse linear form — persist the held-out
+    // docs' hashed features and the trained weights NANO-quantized to
+    // BIGINT (the intercept rides as feature -1 with tf 1 on every doc, so
+    // a zero-gram doc still scores), and both engines recompute the margin
+    // as an exact integer sum and the >= 0 threshold decision
+    "d_quality_score_leg" -> ((s, d) => {
+      import s.implicits._
+      val all = docs(s, d)
+      val labeled = all.join(
+        graft.text.CorpusClean.filterCorpus(all)
+          .select(col("doc_id"), col("keep").cast("int").as("label")),
+        "doc_id")
+      // dim 2^12 (not the audit entry's 2^15): the feature fixture is a
+      // dense-posexplode of the held split, and the scoring-leg semantics
+      // don't depend on the hash width
+      val dim = 1 << 12
+      val model = graft.text.QualityClassifier.train(
+        labeled.filter(col("doc_id") % 20 =!= 7), "label", dim = dim)
+      val held = labeled.filter(col("doc_id") % 20 === 7)
+      val key = contentKey(s"$d/documents.parquet")
+      val wRows = model.lr.coefficients.toArray.toSeq.zipWithIndex
+        .collect { case (c, i) if c != 0.0 =>
+          (i.toLong, math.rint(c * 1e9).toLong) } :+
+        ((-1L, math.rint(model.lr.intercept * 1e9).toLong))
+      val fxW = fixture(s, "qc_weights", wRows.toDF("idx", "coefn"), key)
+      val fxF = fixture(s, "qc_feats",
+        graft.text.QualityClassifier.hashedFeatures(held, "doc_id", "text",
+            dim = dim)
+          .unionByName(held.select(col("doc_id"), lit(-1L).as("idx"),
+            lit(1L).as("tf"))), key)
+      readFixture(s, fxF).join(readFixture(s, fxW), "idx")
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("coefn")).as("margin_nano"))
+        .withColumn("pred", (col("margin_nano") >= 0L).cast("long"))
+        .withColumn("sf_key", lit(key))
+        .orderBy("doc_id")
+    }),
+
     // candidate-confirm composition: a LOOSE jaccard candidate pass (0.05 —
     // deliberately below the 0.12 the pure entry uses, so marginal pairs
     // exist) verified by thresholded prefix edit distance. At sf0.01 the
@@ -2948,6 +3048,78 @@ object QueriesData {
         |FROM f a JOIN f b ON a.tbl = b.tbl AND a.bucket = b.bucket, sk
         |WHERE NOT b.is_probe AND a.id < b.id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup grouping leg over the micro-quantized assignment fixture:
+    // within-cluster integer-dot pairs at the 3e11 threshold, min-id
+    // connected components (recursive CTE), min-(centroid-dot, id)
+    // exemplar per component
+    "d_semantic_groups" ->
+      """WITH RECURSIVE sk AS (
+        |  SELECT DISTINCT sf_key FROM (
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/sem_assign/*.parquet')
+        |    UNION ALL
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/sem_centroids/*.parquet'))),
+        |f AS (
+        |  SELECT id, list, umicro
+        |  FROM read_parquet('/tmp/graft_fixtures/sem_assign/*.parquet')),
+        |c AS (
+        |  SELECT list, cmicro
+        |  FROM read_parquet('/tmp/graft_fixtures/sem_centroids/*.parquet')),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM f a JOIN f b ON a.list = b.list AND a.id < b.id
+        |  WHERE CAST(list_sum(list_transform(range(1, len(a.umicro) + 1),
+        |          i -> a.umicro[i] * b.umicro[i])) AS BIGINT)
+        |        >= 300000000000),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id),
+        |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY 1),
+        |members AS (
+        |  SELECT f.id, f.list, cc.component,
+        |    CAST(list_sum(list_transform(range(1, len(f.umicro) + 1),
+        |      i -> f.umicro[i] * c.cmicro[i])) AS BIGINT) AS cos_units
+        |  FROM f JOIN cc ON cc.id = f.id JOIN c USING (list)),
+        |w AS (
+        |  SELECT component, min(cos_units) AS mc FROM members GROUP BY 1),
+        |keepers AS (
+        |  SELECT m.component, min(m.id) AS keep_id
+        |  FROM members m JOIN w ON w.component = m.component
+        |                       AND m.cos_units = w.mc
+        |  GROUP BY 1)
+        |SELECT m.id, m.list, m.component, m.cos_units,
+        |       (m.id = k.keep_id) AS keep, sf_key
+        |FROM members m JOIN keepers k USING (component), sk
+        |ORDER BY m.id""".stripMargin,
+
+    // quality-classifier scoring leg over the persisted hashed features
+    // and nano-quantized weights: exact integer margin + the >= 0
+    // threshold decision (the intercept rides as feature -1)
+    "d_quality_score_leg" ->
+      """WITH sk AS (
+        |  SELECT DISTINCT sf_key FROM (
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/qc_feats/*.parquet')
+        |    UNION ALL
+        |    SELECT sf_key
+        |    FROM read_parquet('/tmp/graft_fixtures/qc_weights/*.parquet'))),
+        |f AS (
+        |  SELECT doc_id, idx, tf
+        |  FROM read_parquet('/tmp/graft_fixtures/qc_feats/*.parquet')),
+        |w AS (
+        |  SELECT idx, coefn
+        |  FROM read_parquet('/tmp/graft_fixtures/qc_weights/*.parquet')),
+        |m AS (
+        |  SELECT doc_id, CAST(sum(tf * coefn) AS BIGINT) AS margin_nano
+        |  FROM f JOIN w USING (idx) GROUP BY 1)
+        |SELECT doc_id, margin_nano,
+        |       CAST(margin_nano >= 0 AS BIGINT) AS pred, sf_key
+        |FROM m, sk ORDER BY doc_id""".stripMargin,
     // the jaccard pipeline at the loose 0.05 cut + byte-level levenshtein on
     // the 120-char prefixes (the corpus is pure ASCII at every sf, so
     // DuckDB's byte distances equal Spark's codepoint distances)

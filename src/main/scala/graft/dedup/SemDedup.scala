@@ -78,58 +78,15 @@ object SemDedup {
                     targetCellSize: Int = 1024, maxClusters: Int = 512,
                     maxTrainRows: Int = 200000, maxIter: Int = 10,
                     knownCount: Option[Long] = None): DataFrame = {
-    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    require(targetCellSize >= 2 && maxTrainRows >= maxClusters,
-      "targetCellSize >= 2 and maxTrainRows >= maxClusters required")
-    val vd = col(vecCol).cast("array<double>")
-    // zero-norm / NaN vectors can't cosine-compare — exclude them up front
-    // (same hardening as embeddingPairs: an all-NaN row would otherwise
-    // poison its whole cluster with NaN cosines)
-    val base = corpus.select(col(idCol).as("id"), vd.as("vec"))
-      .withColumn("norm",
-        sqrt(graft.functions.KFunctions.array_dot(col("vec"), col("vec"))))
-      .filter(col("norm") =!= 0.0d && !isnan(col("norm")))
-      .withColumn("unit", transform(col("vec"), x => x / col("norm")))
-      .select("id", "vec", "unit")
-    // occupancy-scaled cell count — nClusters is the floor, never the k
-    // (same clamp as Dedup.semanticPairs; a fixed k is the silent-quadratic
-    // trap its cost model documents)
-    val n = knownCount.getOrElse(base.count())
-    val k = math.max(nClusters,
-      math.min(maxClusters.toLong, n / targetCellSize + 1L).toInt)
-    // Spark ML KMeans requires k ≥ 2; k = 1 (brute-force SemDeDup, no
-    // cluster pruning) assigns everything to one list whose centroid is
-    // the dimension-wise mean — the same centroid k-means(k=1) converges to
-    val (assignedPlan, model) =
-      if (k == 1) {
-        val centroid = base
-          .select(posexplode(col("vec")).as(Seq("pos", "x")))
-          .groupBy("pos").agg(avg("x").as("m"))
-          .orderBy("pos").collect().map(_.getDouble(1))
-        (base.withColumn("list", lit(0)), Ann.IvfModel(Array(centroid)))
-      } else {
-        // sampled, iteration-bounded fit (the centroids define the cells;
-        // the fit set doesn't have to be the corpus), full-corpus assign
-        import org.apache.spark.ml.functions.array_to_vector
-        val feats = base.withColumn("__sem_vec", array_to_vector(col("vec")))
-        val trainFrac = math.min(1.0, maxTrainRows.toDouble / math.max(n, 1L))
-        val train =
-          if (trainFrac < 1.0) feats.sample(withReplacement = false, trainFrac, seed)
-          else feats
-        val m = new org.apache.spark.ml.clustering.KMeans()
-          .setK(k).setSeed(seed).setMaxIter(maxIter)
-          .setFeaturesCol("__sem_vec").setPredictionCol("list")
-          .fit(train)
-        (m.transform(feats).drop("__sem_vec"),
-          Ann.IvfModel(m.clusterCenters.map(_.toArray)))
-      }
+    val (assignedPlan, model) = fitAssign(corpus, idCol, vecCol, nClusters,
+      seed, targetCellSize, maxClusters, maxTrainRows, maxIter, knownCount)
     // materialized once: the assignment feeds three consumers (two pair-join
     // sides + the centroid pass); without this the k-means transform and the
     // corpus scan would re-run per consumer
     val assigned = graft.text.CorpusPipeline.materializeStage(
-      assignedPlan.select("id", "unit", "list"), staging, "semdedup-assigned")
+      assignedPlan, staging, "semdedup-assigned")
 
     // within-cluster candidate pairs — the cluster id is the join key, so
     // the exchange partitions by cluster and each task's pair expansion is
@@ -178,6 +135,70 @@ object SemDedup {
     members.join(winners, Seq("component"))
       .withColumn("keep", col("id") === col("keep_id"))
       .select("id", "list", "component", "centroid_cos", "keep")
+  }
+
+  /** The fit-and-assign front half of [[semanticDedup]], exposed so the
+    * battery's fixture-split oracle can persist the `(id, unit, list)`
+    * assignment after the (un-oracleable, iterative) k-means fit and
+    * recompute the relational back half — within-cluster cosine grouping +
+    * least-centroid-similar exemplar selection — in BOTH engines. Returns
+    * the UNmaterialized assignment plan `(id, unit, list)` (unit = the
+    * L2-normalized vector; zero-norm / NaN rows excluded) and the fitted
+    * centroid model; callers with multiple consumers materialize it once
+    * (what [[semanticDedup]] does).
+    */
+  private[graft] def fitAssign(corpus: DataFrame, idCol: String,
+                               vecCol: String, nClusters: Int, seed: Long,
+                               targetCellSize: Int, maxClusters: Int,
+                               maxTrainRows: Int, maxIter: Int,
+                               knownCount: Option[Long])
+      : (DataFrame, Ann.IvfModel) = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    require(targetCellSize >= 2 && maxTrainRows >= maxClusters,
+      "targetCellSize >= 2 and maxTrainRows >= maxClusters required")
+    val vd = col(vecCol).cast("array<double>")
+    // zero-norm / NaN vectors can't cosine-compare — exclude them up front
+    // (same hardening as embeddingPairs: an all-NaN row would otherwise
+    // poison its whole cluster with NaN cosines)
+    val base = corpus.select(col(idCol).as("id"), vd.as("vec"))
+      .withColumn("norm",
+        sqrt(graft.functions.KFunctions.array_dot(col("vec"), col("vec"))))
+      .filter(col("norm") =!= 0.0d && !isnan(col("norm")))
+      .withColumn("unit", transform(col("vec"), x => x / col("norm")))
+      .select("id", "vec", "unit")
+    // occupancy-scaled cell count — nClusters is the floor, never the k
+    // (same clamp as Dedup.semanticPairs; a fixed k is the silent-quadratic
+    // trap its cost model documents)
+    val n = knownCount.getOrElse(base.count())
+    val k = math.max(nClusters,
+      math.min(maxClusters.toLong, n / targetCellSize + 1L).toInt)
+    // Spark ML KMeans requires k ≥ 2; k = 1 (brute-force SemDeDup, no
+    // cluster pruning) assigns everything to one list whose centroid is
+    // the dimension-wise mean — the same centroid k-means(k=1) converges to
+    val (assignedPlan, model) =
+      if (k == 1) {
+        val centroid = base
+          .select(posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy("pos").agg(avg("x").as("m"))
+          .orderBy("pos").collect().map(_.getDouble(1))
+        (base.withColumn("list", lit(0)), Ann.IvfModel(Array(centroid)))
+      } else {
+        // sampled, iteration-bounded fit (the centroids define the cells;
+        // the fit set doesn't have to be the corpus), full-corpus assign
+        import org.apache.spark.ml.functions.array_to_vector
+        val feats = base.withColumn("__sem_vec", array_to_vector(col("vec")))
+        val trainFrac = math.min(1.0, maxTrainRows.toDouble / math.max(n, 1L))
+        val train =
+          if (trainFrac < 1.0) feats.sample(withReplacement = false, trainFrac, seed)
+          else feats
+        val m = new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("__sem_vec").setPredictionCol("list")
+          .fit(train)
+        (m.transform(feats).drop("__sem_vec"),
+          Ann.IvfModel(m.clusterCenters.map(_.toArray)))
+      }
+    (assignedPlan.select("id", "unit", "list"), model)
   }
 
   /** Prune a corpus with [[semanticDedup]] verdicts: drop every non-exemplar

@@ -58,6 +58,26 @@ object QualityClassifier {
       .transform(withArr).drop("__qc_grams")
   }
 
+  /** Exploded sparse hashed features, `(idCol, idx, tf)` — the persistable
+    * relational form of [[featurize]]: one row per (doc, nonzero feature
+    * index) with its gram count. Exists for the battery's fixture-split
+    * scoring oracle (the hashing itself — murmur3 uni+bigram indexing — is
+    * the un-oracleable leg; the linear score + threshold over the persisted
+    * features and weights is pure SQL) and for exporting features to an
+    * external scorer. Docs with no grams (null/empty text) produce no rows.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     dim: Int = 1 << 18): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    featurize(docs.select(col(idCol), col(textCol)), textCol, dim)
+      .select(col(idCol),
+        posexplode(vector_to_array(col("features"))).as(Seq("idx", "tf")))
+      .where(col("tf") =!= 0.0d)
+      .select(col(idCol), col("idx").cast("long").as("idx"),
+        col("tf").cast("long").as("tf"))
+  }
+
   /** Train on `labelCol` (0/1; 1 = in-domain). `dim` trades hash collisions
     * against coefficient-vector size (2^18 is the fastText default scale;
     * the coefficient vector is what scoring broadcasts).
