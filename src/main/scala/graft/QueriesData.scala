@@ -599,6 +599,25 @@ object QueriesData {
         .orderBy("query_id", "rank")
     }),
 
+    // the rollback protocol's END STATE, hash-checked: ingest-assembled
+    // index with batch 1 administratively removed and the watermark then
+    // folded ACROSS the recorded gap; the committed serve must rank
+    // exactly BM25 over the corpus minus the removed batch (queries drawn
+    // from the surviving corpus) — resurrection in any form (orphaned
+    // postings, a delta that outlived its marker, a leaked committed
+    // file) shifts df/idf or the candidates and breaks the hash
+    "a_bm25_rollback" -> ((s, d) => {
+      val path = ensureBm25RollbackIndex(s, d)
+      val all = docs(s, d)
+      val qs = all.filter(col("doc_id") % 101 === 7 &&
+          col("doc_id") < 2525 && col("doc_id") % 8 =!= 3 &&
+          col("text").isNotNull)
+        .select(col("doc_id").as("query_id"), col("text"))
+      graft.ann.Bm25.retrieveFromIndex(s, path, qs, k = 5,
+          committedOnly = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // serve-read isolation, hash-checked END TO END: the cached layout is
     // the ingest-assembled index PLUS a fully-promoted POISON batch whose
     // marker never landed (the exact crash-before-marker state) —
@@ -1964,12 +1983,12 @@ object QueriesData {
   // and b = 0.75 are exactly representable so neither engine can
   // constant-fold a diverging ulp. CTE names are b-prefixed so the chain
   // composes with retrievalTopkSqlCtes in the hybrid-fusion oracle.
-  private val bm25SqlCtes: String =
-    """btok AS (SELECT doc_id,
-      |    list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+  private def bm25SqlCtesOver(corpusPred: String): String =
+    s"""btok AS (SELECT doc_id,
+      |    list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),
       |      x -> x <> ''), x -> lower(x)) AS w
-      |  FROM documents WHERE text IS NOT NULL),
-      |bst AS (SELECT count(*) AS n_docs,
+      |  FROM documents WHERE text IS NOT NULL AND ($corpusPred)),""".stripMargin + "\n" +
+    """bst AS (SELECT count(*) AS n_docs,
       |               CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS total_tokens
       |        FROM btok),
       |bp AS (SELECT doc_id, len(w) AS dl, t AS term, count(*) AS tf
@@ -1991,6 +2010,8 @@ object QueriesData {
       |              row_number() OVER (PARTITION BY query_id
       |                ORDER BY score_micro DESC, doc_id) AS rank
       |       FROM bsc)""".stripMargin
+
+  private val bm25SqlCtes: String = bm25SqlCtesOver("TRUE")
 
   // SQL mirror of QueriesData.linkedHtml: sorted distinct-source index →
   // three id-arithmetic joins → the synthesized page string, byte-for-byte
@@ -4004,6 +4025,14 @@ object QueriesData {
       """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
         |       score_micro / 1000000e0 AS score
         |FROM br WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // rollback end state: the committed corpus is everything MINUS the
+    // removed batch (doc_id % 8 == 3), so the oracle is plain BM25 over
+    // exactly that corpus — queries drawn from the survivors
+    "a_bm25_rollback" ->
+      (s"WITH ${bm25SqlCtesOver("doc_id % 8 <> 3")}\n" +
+      """SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro,
+        |       score_micro / 1000000e0 AS score
+        |FROM br WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     // committed-only serve over a layout that ALSO holds a fully-promoted
     // unmarked poison batch (duplicates of every query doc): invisibility
     // is the assertion, so the oracle is the same full-committed-corpus
@@ -4479,6 +4508,34 @@ object QueriesData {
       graft.ann.Bm25.compactStreamStats(s, build.getAbsolutePath)
       graft.ann.Bm25.applyIngestBatch(all.filter(col("doc_id") % 4 === 3),
         build.getAbsolutePath, batchId = 1L, streamId = "ingest")
+    }
+
+  /** [[ensureBm25IngestIndex]] plus a guarded ROLLBACK mid-stream: three
+    * ingest batches land, batch 1 is administratively removed (the
+    * intent-record-first protocol), and the stats compaction then folds
+    * the watermark ACROSS the recorded gap (0 → removed 1 → 2). The
+    * layout's committed serve must rank exactly plain BM25 over the
+    * corpus MINUS the removed batch — any resurrection (orphaned postings
+    * below the watermark, a folded delta that should have died with the
+    * marker, a leaked file in the committed pruning) shifts df/idf or the
+    * candidate set and breaks the hash.
+    */
+  def ensureBm25RollbackIndex(s: SparkSession, dir: String): String =
+    ensureCached("bm25_index_rollback",
+      contentKey(s"$dir/documents.parquet")) { build =>
+      val all = docs(s, dir)
+      val p = build.getAbsolutePath
+      graft.ann.Bm25.writeIndex(all.filter(col("doc_id") % 2 === 0), p,
+        nBuckets = 16)
+      graft.ann.Bm25.applyIngestBatch(all.filter(col("doc_id") % 4 === 1),
+        p, batchId = 0L, streamId = "ingest")
+      graft.ann.Bm25.applyIngestBatch(all.filter(col("doc_id") % 8 === 3),
+        p, batchId = 1L, streamId = "ingest")
+      graft.ann.Bm25.applyIngestBatch(all.filter(col("doc_id") % 8 === 7),
+        p, batchId = 2L, streamId = "ingest")
+      graft.ann.Bm25.removeIngestBatch(s, p, batchId = 1L,
+        streamId = "ingest")
+      graft.ann.Bm25.compactStreamStats(s, p)
     }
 
   /** [[ensureBm25IngestIndex]] plus a POISON batch: duplicate copies of

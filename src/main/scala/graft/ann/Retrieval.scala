@@ -659,10 +659,16 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession, path: String)
       : (Set[String], Map[String, Long], Map[String, Set[Long]]) = {
     val fs = graft.util.StreamCommit.fs(spark, path)
+    // markers BEFORE the sidecar (the same read-order contract as BM25's
+    // liveStats): a compact committing in between deletes folded markers
+    // AFTER writing the watermark, so markers-first sees every committed
+    // batch in at least one of the two sources in every interleaving —
+    // the reverse order would read an old watermark and then a
+    // post-delete marker list, dropping a just-folded batch from the view
+    val tags = graft.util.StreamCommit.listMarkers(fs, path)
+      .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet
     val st = graft.util.StreamCommit.readWatermarkState(spark, path)
-    (graft.util.StreamCommit.listMarkers(fs, path)
-      .map(m => graft.util.StreamCommit.tag(m._1, m._2)).toSet,
-      st.watermarks, st.removed)
+    (tags, st.watermarks, st.removed)
   }
 
   /** [[retrieveFromChunkIndexPq]] with the committed snapshot already
