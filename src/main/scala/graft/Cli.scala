@@ -43,7 +43,7 @@ object Cli {
       "build-chunk-index append-chunk-index retrieve " +
       "build-bm25-index append-bm25-index bm25-search " +
       "ingest-bm25 ingest-chunks compact-bm25-stats compact-ingest-markers " +
-      "validate-bm25-index " +
+      "validate-bm25-index validate-pq-index " +
       "remove-ingest-batch rank-domains " +
       "validate-restore status status-watch show-offset-mapping three-phase-restore " +
       "offset-reset offset-reset-bulk snapshot-groups snapshot-create snapshot-list snapshot-show " +
@@ -501,6 +501,21 @@ object Cli {
       println(s"""{"index":${graft.util.Json.escape(args(1))},""" +
         s""""n_docs":$nDocs,"total_tokens":$totalTokens,""" +
         s""""distinct_docs":$distinctDocs,"sum_tf":$sumTf,""" +
+        s""""ok":$ok}""")
+      if (!ok) sys.exit(1)
+
+    // validate-pq-index <indexDir>
+    // Deep codes/vecs coherence check over the committed view: a code row
+    // without its vector row is the silent-drop hazard (shortlists, then
+    // the exact re-rank's inner join eats the slot) — exit 1 if any
+    // exist; orphan vector rows (legal crashed-append residue, inert to
+    // serving) are reported without failing.
+    case "validate-pq-index" =>
+      val (nCodes, nVecs, noVec, noCode, ok) =
+        graft.ann.Retrieval.validatePqIndex(spark, args(1))
+      println(s"""{"index":${graft.util.Json.escape(args(1))},""" +
+        s""""n_codes":$nCodes,"n_vecs":$nVecs,""" +
+        s""""codes_without_vec":$noVec,"vecs_without_code":$noCode,""" +
         s""""ok":$ok}""")
       if (!ok) sys.exit(1)
 

@@ -671,6 +671,44 @@ object Retrieval {
     (tags, st.watermarks, st.removed)
   }
 
+  /** Deep self-check of a persisted IVF-PQ chunk index — the dense
+    * sibling of [[graft.ann.Bm25.validateIndex]]: the codes layout and
+    * the `_vecs/` side table must describe the SAME chunk set in the
+    * COMMITTED view. A code row without its vector row is the documented
+    * silent-drop hazard (it shortlists, then the exact re-rank's inner
+    * side-table join drops it — a top-k slot silently lost), so any such
+    * row FAILS the check; a vector row without its code row is inert to
+    * serving (vecs promote first; a crashed append legally leaves them)
+    * and is reported without failing. One scan of each layout's committed
+    * files — a deep admin check, not a serving-path cost. Returns
+    * (nCodes, nVecs, codesWithoutVec, vecsWithoutCode, ok).
+    */
+  def validatePqIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (Long, Long, Long, Long, Boolean) = {
+    val snap = committedSnapshotOf(spark, path)
+    def committedKeys(root: String, glob: String,
+                      schema: org.apache.spark.sql.types.StructType)
+        : DataFrame = {
+      val fs = graft.util.StreamCommit.fs(spark, root)
+      val files = graft.util.StreamCommit.committedDataFiles(fs,
+        Seq(s"${graft.util.StreamCommit.escapeGlob(root)}/$glob"),
+        snap._1, snap._2, snap._3)
+      if (files.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema).select("doc_id", "chunk_idx")
+      else
+        spark.read.option("basePath", root).schema(schema)
+          .parquet(files: _*).select("doc_id", "chunk_idx")
+    }
+    val codes = committedKeys(path, "list=*/*", pqCodesSchema)
+    val vecs = committedKeys(s"$path/_vecs", "list=*/vb=*/*", pqVecsSchema)
+    val keys = Seq("doc_id", "chunk_idx")
+    val noVec = codes.join(vecs, keys, "left_anti").count()
+    val noCode = vecs.join(codes, keys, "left_anti").count()
+    (codes.count(), vecs.count(), noVec, noCode, noVec == 0L)
+  }
+
   /** [[retrieveFromChunkIndexPq]] with the committed snapshot already
     * taken (None = default at-least-once visibility) — the shard
     * recursion target, package-visible so the spec can pin

@@ -980,4 +980,39 @@ class RetrievalSpec extends SparkSpec {
       assert(serve(committed = true) == once)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
+
+  test("validatePqIndex: clean index passes; orphan vecs (crashed-append residue) report without failing; a code without its vec fails") {
+    val docs = (0L until 40L).map(i => (i, s"vpx w$i mu " * 18))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vpx").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Retrieval.writeChunkIndexPq(docs, path, nLists = 4, m = 5, ksub = 16,
+        fitBudget = 48)
+      assert(Retrieval.applyPqIngestBatch(
+        (40L until 50L).map(i => (i, s"vpx w$i mu " * 18))
+          .toDF("doc_id", "text"), path, batchId = 0L, streamId = "vpx"))
+      val v0 = Retrieval.validatePqIndex(spark, path)
+      assert(v0._5 && v0._3 == 0L && v0._4 == 0L && v0._1 == v0._2 &&
+        v0._1 > 0L, s"clean index must validate: $v0")
+      // death between the vecs and codes append jobs: vecs landed, codes
+      // didn't — inert to serving (documented), reported, still ok
+      val (_, orphanVecs) = Retrieval.pqAppendFrames(
+        (50L until 55L).map(i => (i, s"vpx w$i mu " * 18))
+          .toDF("doc_id", "text"), path)
+      orphanVecs.write.mode("append").partitionBy("list", "vb")
+        .parquet(s"$path/_vecs")
+      val v1 = Retrieval.validatePqIndex(spark, path)
+      assert(v1._5 && v1._3 == 0L && v1._4 > 0L,
+        s"orphan vecs must report without failing: $v1")
+      // the silent-drop hazard: a committed code row with no vector row
+      // (here: a hand-planted duplicate under a fresh doc_id) must FAIL
+      spark.read.parquet(path).limit(1)
+        .withColumn("doc_id", lit(999999L))
+        .write.mode("append").partitionBy("list").parquet(path)
+      val v2 = Retrieval.validatePqIndex(spark, path)
+      assert(!v2._5 && v2._3 == 1L,
+        s"a code without its vec must fail the check: $v2")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
 }
