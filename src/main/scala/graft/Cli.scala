@@ -122,6 +122,7 @@ object Cli {
       }
 
     case "validate" =>
+      requireKnownFlags("validate", args.drop(3), Set("--deep"))
       val deep = args.length > 3 && args(3) == "--deep"
       if (deep) {
         val res = Validation.deep(spark, args(1), args(2))
@@ -444,6 +445,7 @@ object Cli {
           graft.util.StreamCommit.listMarkers(cfs, indexDir).size}}""")
 
     // remove-ingest-batch <indexDir> <bm25|pq|flat> <batchId> [streamId]
+    //   [--missing-ok]
     // Roll back one streaming-ingested batch (poisoned-data recovery):
     // the removal intent is CAS-recorded in the sidecar FIRST (the commit
     // point), then the marker is deleted and the batch's tagged files are
@@ -453,17 +455,24 @@ object Cli {
     // are refused loudly.
     case "remove-ingest-batch" =>
       val Array(_, indexDir, kind, batchIdS, rest @ _*) = args: @unchecked
+      requireKnownFlags("remove-ingest-batch", rest, Set("--missing-ok"))
       val batchId = batchIdS.toLong
-      val sid = rest.lift(0).filter(_ != "-").getOrElse("")
+      val sid = rest.filterNot(_.startsWith("--"))
+        .lift(0).filter(_ != "-").getOrElse("")
+      // --missing-ok: record a removal with no marker and no data files —
+      // ONLY for pre-intent-record crash residue; a typoed batchId would
+      // otherwise brick the stream's future apply, hence the default guard
+      val missingOk = rest.contains("--missing-ok")
       val had = kind match {
         case "bm25" =>
-          graft.ann.Bm25.removeIngestBatch(spark, indexDir, batchId, sid)
+          graft.ann.Bm25.removeIngestBatch(spark, indexDir, batchId, sid,
+            allowMissing = missingOk)
         case "pq" =>
           graft.ann.Retrieval.removePqIngestBatch(spark, indexDir, batchId,
-            sid)
+            sid, allowMissing = missingOk)
         case "flat" =>
           graft.ann.Retrieval.removeChunkIngestBatch(spark, indexDir,
-            batchId, sid)
+            batchId, sid, allowMissing = missingOk)
         case other => sys.error(s"remove-ingest-batch: unknown kind " +
           s"'$other' (expected bm25, pq or flat)")
       }
@@ -778,6 +787,7 @@ object Cli {
       // forced dry-run validation (validate_restore.rs): catalog-only, no
       // data read; exits 1 when the restore would not succeed
       val Array(_, root, id, rest @ _*) = args: @unchecked
+      requireKnownFlags("validate-restore", rest, Set("--json"))
       val json = rest.contains("--json")
       val window = rest.filterNot(_.startsWith("--"))
       val report = Restore.validateRestore(spark, RestoreConfig(root, id,
@@ -828,6 +838,8 @@ object Cli {
       //        [--groups g1,g2] [--format text|json|csv|shell-script]
       //        [--bootstrap host:9092] [--output file]
       val Array(_, action, root, id, groupsJson, rest @ _*) = args: @unchecked
+      requireKnownFlags("offset-reset", rest,
+        Set("--groups", "--format", "--bootstrap", "--output"))
       def opt(flag: String): Option[String] =
         rest.sliding(2).collectFirst { case Seq(`flag`, v) => v }
       val mapping = graft.remap.OffsetMappingStore.load(root, id).getOrElse {
@@ -902,6 +914,7 @@ object Cli {
       // class without touching this flow.
       // Usage: snapshot-groups <backupRoot> <backupId> <groupsJson> [--now ms]
       val Array(_, root, id, groupsJson, rest @ _*) = args: @unchecked
+      requireKnownFlags("snapshot-groups", rest, Set("--now"))
       def opt(flag: String): Option[String] =
         rest.sliding(2).collectFirst { case Seq(`flag`, v) => v }
       val backed = Manifest.load(root, id).topics.map(_.name).toSet

@@ -428,7 +428,16 @@ object Bm25 {
   /** Roll back one streaming-ingested batch (the "remove a poisoned
     * batch" administrative operation) — INTENT-RECORD-FIRST, the same
     * guarded protocol as the dense layouts'
-    * [[graft.util.StreamCommit.removeBatchGuarded]]:
+    * [[graft.util.StreamCommit.removeBatchGuarded]]. MAINTENANCE WARNING:
+    * the step SEQUENCING here deliberately mirrors removeBatchGuarded
+    * line for line against this layout's own sidecar type (the delta-
+    * carrying stats sidecar vs the bare watermark sidecar — different
+    * enough that a shared template was judged worse than two pinned
+    * copies); any protocol change MUST land in both, and IngestRaceSpec
+    * pins both families' race orders and crash seams in the same round
+    * precisely so a one-sided edit fails tests, not production. The fold
+    * walk itself IS shared ([[graft.util.StreamCommit.contiguousFold]]).
+    * Protocol:
     *   1. pre-check: a batch already recorded removed is an idempotent
     *      no-op that finishes a crashed attempt's cleanup (lingering
     *      marker deleted — its delta dies with it — and leftover postings
@@ -467,7 +476,8 @@ object Bm25 {
   def removeIngestBatch(spark: SparkSession, path: String, batchId: Long,
                         streamId: String = "",
                         afterPreCheck: () => Unit = () => (),
-                        afterMarkerDelete: () => Unit = () => ()): Boolean = {
+                        afterMarkerDelete: () => Unit = () => (),
+                        allowMissing: Boolean = false): Boolean = {
     graft.util.StreamCommit.requireValidStreamId(streamId)
     val fs = graft.util.StreamCommit.fs(spark, path)
     def foldedWm(st: BmStats) = st.folded.getOrElse(streamId, -1L)
@@ -491,6 +501,23 @@ object Bm25 {
           s"already folded into the base stats (watermark ${foldedWm(st0)})" +
           " — its delta cannot be subtracted; rebuild the index or trim " +
           "the corpus and re-append")
+    // same no-trace guard as the dense removeBatchGuarded: recording a
+    // never-ingested batchId would permanently refuse its future apply
+    // (applyIngestBatch's replay gate) — a typoed remove must fail loudly,
+    // not brick the stream when that micro-batch arrives
+    if (!allowMissing &&
+      !graft.util.StreamCommit.markerExists(fs, path, tag) &&
+      postingGlobs.forall(g =>
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(g)))
+          .getOrElse(Array.empty).isEmpty))
+      throw new IllegalArgumentException(
+        s"bm25 ingest batch $batchId of stream '$streamId' at $path has " +
+          "no marker and no posting files — nothing to remove. If this " +
+          "batchId was never ingested, recording its removal would " +
+          "permanently refuse its future apply (batchIds are " +
+          "engine-assigned); if it is the residue of a pre-r14 removal " +
+          "that crashed after its scrub but before recording, re-run " +
+          "with allowMissing/--missing-ok to record it")
     afterPreCheck()
     try {
       writeStatsCas(spark, path, st0, st0.nDocs, st0.totalTokens, st0.folded,
@@ -566,11 +593,13 @@ object Bm25 {
     val byStream = markers.groupBy(_._1)
     val newFolded = st.folded ++
       (byStream.keySet ++ st.removed.keySet).map { sid =>
-        val ids = byStream.getOrElse(sid, Seq.empty).map(_._2).toSet
-        val rem = removedOf(sid)
-        var w = st.folded.getOrElse(sid, -1L)
-        while (ids.contains(w + 1) || rem.contains(w + 1)) w += 1
-        sid -> w
+        // the one shared fold walk (StreamCommit.contiguousFold) — the two
+        // sidecar families must never drift on the contiguity rule, and
+        // its no-progress warning fires here too
+        sid -> graft.util.StreamCommit.contiguousFold(path, sid,
+          st.folded.getOrElse(sid, -1L),
+          byStream.getOrElse(sid, Seq.empty).map(_._2).toSet,
+          removedOf(sid))
       }.toMap
     val (dn, dt) = markers
       .filter { case (sid, id, _) =>

@@ -702,11 +702,19 @@ object Retrieval {
           .parquet(files: _*).select("doc_id", "chunk_idx")
     }
     val codes = committedKeys(path, "list=*/*", pqCodesSchema)
+      .withColumn("c", lit(1L))
     val vecs = committedKeys(s"$path/_vecs", "list=*/vb=*/*", pqVecsSchema)
-    val keys = Seq("doc_id", "chunk_idx")
-    val noVec = codes.join(vecs, keys, "left_anti").count()
-    val noCode = vecs.join(codes, keys, "left_anti").count()
-    (codes.count(), vecs.count(), noVec, noCode, noVec == 0L)
+      .withColumn("v", lit(1L))
+    // one full-outer join + one agg = the documented one-scan-per-layout
+    // cost (separate count() actions would re-read each layout per count)
+    val r = codes.join(vecs, Seq("doc_id", "chunk_idx"), "full_outer")
+      .agg(coalesce(sum("c"), lit(0L)), coalesce(sum("v"), lit(0L)),
+        coalesce(sum(when(col("v").isNull, 1L)), lit(0L)),
+        coalesce(sum(when(col("c").isNull, 1L)), lit(0L)))
+      .head()
+    val (nCodes, nVecs, noVec, noCode) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    (nCodes, nVecs, noVec, noCode, noVec == 0L)
   }
 
   /** [[retrieveFromChunkIndexPq]] with the committed snapshot already
@@ -1009,9 +1017,11 @@ object Retrieval {
     */
   def removePqIngestBatch(spark: org.apache.spark.sql.SparkSession,
                           path: String, batchId: Long,
-                          streamId: String = ""): Boolean =
+                          streamId: String = "",
+                          allowMissing: Boolean = false): Boolean =
     graft.util.StreamCommit.removeBatchGuarded(spark, path, streamId,
-      batchId, pqBatchGlobs(path, streamId, batchId))
+      batchId, pqBatchGlobs(path, streamId, batchId),
+      allowMissing = allowMissing)
 
   private[graft] def pqBatchGlobs(path: String, streamId: String,
                                   batchId: Long): Seq[String] = {
@@ -1026,11 +1036,13 @@ object Retrieval {
     */
   def removeChunkIngestBatch(spark: org.apache.spark.sql.SparkSession,
                              path: String, batchId: Long,
-                             streamId: String = ""): Boolean = {
+                             streamId: String = "",
+                             allowMissing: Boolean = false): Boolean = {
     val tag = graft.util.StreamCommit.tag(streamId, batchId)
     graft.util.StreamCommit.removeBatchGuarded(spark, path, streamId,
       batchId, Seq(
-        s"${graft.util.StreamCommit.escapeGlob(path)}/list=*/$tag-*"))
+        s"${graft.util.StreamCommit.escapeGlob(path)}/list=*/$tag-*"),
+      allowMissing = allowMissing)
   }
 
   /** The two append frames (codes, vecs) for [[appendToChunkIndexPq]],

@@ -374,6 +374,38 @@ object StreamCommit {
     compactMarkersFrom(spark, path, st, markers)
   }
 
+  /** The per-stream contiguous fold both sidecar families' compactions
+    * share (ONE copy of the walk — the two compacts must never drift on
+    * it): extend the watermark over the contiguous run above `from` in
+    * which every batchId has a marker OR is recorded removed. batchIds
+    * within one checkpoint lineage are contiguous from 0, so an
+    * UNRECORDED gap means an in-flight crash and pins the fold — but a
+    * stream that makes NO progress while holding unfolded markers is also
+    * the signature of a lineage that does not start at 0 (a manual ingest
+    * with 1-based ids), for which compaction would silently never bound
+    * the marker scan; that case logs a warning naming the first missing
+    * id and bumps `ingest_compact_pinned_total` so it is observable.
+    */
+  private[graft] def contiguousFold(path: String, streamId: String,
+                                    from: Long, ids: Set[Long],
+                                    removed: Set[Long]): Long = {
+    var w = from
+    while (ids.contains(w + 1) || removed.contains(w + 1)) w += 1
+    if (w == from && ids.exists(_ > from)) {
+      graft.metrics.GraftCounters.inc("ingest_compact_pinned_total")
+      org.slf4j.LoggerFactory.getLogger("graft.util.StreamCommit").warn(
+        s"compaction of stream '$streamId' at $path made no progress: " +
+          s"batch ${from + 1} has no marker and no removal record while " +
+          s"later batches (${ids.filter(_ > from).toSeq.sorted.take(5)
+            .mkString(",")}...) wait unfolded — either an in-flight batch " +
+          "(fold resumes when its marker lands), a crashed removal that " +
+          "was never recorded (re-run remove-ingest-batch --missing-ok), " +
+          "or a lineage whose batchIds do not start at 0 (unsupported: " +
+          "compaction can never bound this stream's marker scan)")
+    }
+    w
+  }
+
   /** The RMW half of [[compactMarkers]] — seam-exposed (pre-read state +
     * pre-listed markers injectable) so the spec can pin the
     * compact-vs-removal race orders deterministically.
@@ -386,11 +418,8 @@ object StreamCommit {
       s"$path has markers carrying metadata bodies (a BM25-style layout) " +
         "— use the layout's own stats compaction, not compactMarkers")
     val wm1 = st.watermarks ++ markers.groupBy(_._1).map { case (sid, ms) =>
-      val ids = ms.map(_._2).toSet
-      val rem = st.removed.getOrElse(sid, Set.empty[Long])
-      var w = st.watermarks.getOrElse(sid, -1L)
-      while (ids.contains(w + 1) || rem.contains(w + 1)) w += 1
-      sid -> w
+      sid -> contiguousFold(path, sid, st.watermarks.getOrElse(sid, -1L),
+        ms.map(_._2).toSet, st.removed.getOrElse(sid, Set.empty[Long]))
     }
     if (wm1 != st.watermarks)
       writeWatermarksCas(spark, path, st, wm1, st.removed,
@@ -406,12 +435,20 @@ object StreamCommit {
   }
 
   /** [[removeBatch]] for watermark-compacted layouts (the PQ/flat chunk
-    * indexes) — the full guarded rollback, INTENT-RECORD-FIRST:
+    * indexes) — the full guarded rollback, INTENT-RECORD-FIRST.
+    * MAINTENANCE WARNING: [[graft.ann.Bm25.removeIngestBatch]] mirrors
+    * this sequencing against the delta-carrying BM25 stats sidecar — any
+    * protocol change must land in both (IngestRaceSpec pins both
+    * families' race orders and crash seams so a one-sided edit fails
+    * tests). Protocol:
     *   1. pre-check: a batch already recorded removed is an idempotent
     *      no-op that finishes a crashed attempt's physical cleanup
     *      (lingering marker deleted, leftover files scrubbed); a batch at
     *      or below the watermark and NOT recorded removed is permanently
-    *      committed — refuse loudly;
+    *      committed — refuse loudly; a batch with NO trace at all (no
+    *      marker, no data files) is refused unless `allowMissing` —
+    *      recording a never-ingested batchId would permanently refuse its
+    *      future apply;
     *   2. CAS-record the batchId in the sidecar's `removed` set — THE
     *      COMMIT POINT of the removal, and the whole race guard: a
     *      concurrent [[compactMarkers]] that committed between the state
@@ -446,7 +483,8 @@ object StreamCommit {
       spark: org.apache.spark.sql.SparkSession, path: String,
       streamId: String, batchId: Long, dataGlobs: Seq[String],
       afterPreCheck: () => Unit = () => (),
-      afterMarkerDelete: () => Unit = () => ()): Boolean = {
+      afterMarkerDelete: () => Unit = () => (),
+      allowMissing: Boolean = false): Boolean = {
     requireValidStreamId(streamId)
     val f = fs(spark, path)
     val st0 = readWatermarkState(spark, path)
@@ -466,6 +504,29 @@ object StreamCommit {
           s"below the marker-compaction watermark " +
           s"(${st0.watermarks.getOrElse(streamId, -1L)}) — compacted " +
           "batches are permanently committed; rebuild the index instead")
+    // refuse to record a removal for a batch with NO trace (no marker, no
+    // data files): batchIds are engine-assigned and contiguous, so a
+    // recorded removal of a NOT-YET-ingested id would permanently refuse
+    // that id's future apply ([[refuseReplayOfRemoved]]) — a fat-fingered
+    // `remove-ingest-batch 7` (meant 1) would otherwise brick the stream
+    // when micro-batch 7 arrives. allowMissing=true is the explicit
+    // override for the one legitimate traceless case: residue of a
+    // PRE-intent-record crashed removal (marker and files already gone,
+    // the watermark pinned at the unrecorded gap) that needs the removal
+    // recorded to let compaction fold across it.
+    if (!allowMissing &&
+      !markerExists(f, path, tag(streamId, batchId)) &&
+      dataGlobs.forall(g =>
+        Option(f.globStatus(new org.apache.hadoop.fs.Path(g)))
+          .getOrElse(Array.empty).isEmpty))
+      throw new IllegalArgumentException(
+        s"ingest batch $batchId of stream '$streamId' at $path has no " +
+          "marker and no data files — nothing to remove. If this batchId " +
+          "was never ingested, recording its removal would permanently " +
+          "refuse its future apply (batchIds are engine-assigned); if it " +
+          "is the residue of a pre-r14 removal that crashed after its " +
+          "scrub but before recording (watermark pinned at the gap), " +
+          "re-run with allowMissing/--missing-ok to record it")
     afterPreCheck()
     try {
       writeWatermarksCas(spark, path, st0, st0.watermarks,

@@ -418,6 +418,75 @@ class IngestRaceSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("no-trace removal guard: a never-ingested batchId refuses loudly (recording it would brick the stream's future apply); --missing-ok records it and compaction folds across") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_race11").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Retrieval.writeChunkIndex(mkDocs(0, 40, "rcj"), path, nLists = 4,
+        fitBudget = 48)
+      assert(Retrieval.applyChunkIngestBatch(mkDocs(40, 50, "rcj"), path,
+        batchId = 0L, streamId = "rb"))
+      // fat-fingered removal of a batch that does not exist: refuse, and
+      // record NOTHING — the stream must still be able to apply batch 7
+      val ex = intercept[IllegalArgumentException] {
+        Retrieval.removeChunkIngestBatch(spark, path, batchId = 7L,
+          streamId = "rb")
+      }
+      assert(ex.getMessage.contains("nothing to remove"))
+      assert(StreamCommit.readWatermarkState(spark, path).removed.isEmpty)
+      // same guard on the BM25 sidecar
+      val bdir = java.nio.file.Files.createTempDirectory("graft_race11b")
+        .toFile
+      try {
+        Bm25.writeIndex(mkDocs(0, 40, "rcj"), bdir.getAbsolutePath,
+          nBuckets = 8)
+        val exB = intercept[IllegalArgumentException] {
+          Bm25.removeIngestBatch(spark, bdir.getAbsolutePath, batchId = 3L,
+            streamId = "rb")
+        }
+        assert(exB.getMessage.contains("nothing to remove"))
+        assert(Bm25.readStats(spark, bdir.getAbsolutePath).removed.isEmpty)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(bdir)
+      // the legitimate traceless case — pre-intent-record crash residue
+      // (marker and files long gone, watermark pinned at the gap):
+      // --missing-ok records the removal and compaction folds across it
+      assert(Retrieval.applyChunkIngestBatch(mkDocs(50, 60, "rcj"), path,
+        batchId = 2L, streamId = "rb"))   // batch 1 "vanished" pre-record
+      assert(StreamCommit.compactMarkers(spark, path) == Map("rb" -> 0L),
+        "the unrecorded gap at batch 1 must pin the watermark")
+      assert(!Retrieval.removeChunkIngestBatch(spark, path, batchId = 1L,
+        streamId = "rb", allowMissing = true))
+      assert(StreamCommit.compactMarkers(spark, path) == Map("rb" -> 2L),
+        "the recorded removal must unpin the fold")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("contiguous-fold no-progress signal: a lineage whose batchIds do not start at 0 bumps ingest_compact_pinned_total instead of silently never compacting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_race12").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Retrieval.writeChunkIndex(mkDocs(0, 40, "rck"), path, nLists = 4,
+        fitBudget = 48)
+      // 1-based manual ingest: batch 0 never exists in this lineage
+      assert(Retrieval.applyChunkIngestBatch(mkDocs(40, 50, "rck"), path,
+        batchId = 1L, streamId = "rc"))
+      val c0 = graft.metrics.GraftCounters.get("ingest_compact_pinned_total")
+      assert(StreamCommit.compactMarkers(spark, path)
+        .getOrElse("rc", -1L) == -1L,
+        "an unrecorded batch-0 gap must pin the fold (safety first)")
+      assert(graft.metrics.GraftCounters
+        .get("ingest_compact_pinned_total") == c0 + 1,
+        "the permanently-pinned stream must be observable, not silent")
+      // a fold that DOES progress does not bump the counter
+      assert(Retrieval.applyChunkIngestBatch(mkDocs(50, 60, "rck"), path,
+        batchId = 0L, streamId = "rc"))
+      val c1 = graft.metrics.GraftCounters.get("ingest_compact_pinned_total")
+      assert(StreamCommit.compactMarkers(spark, path) == Map("rc" -> 1L))
+      assert(graft.metrics.GraftCounters
+        .get("ingest_compact_pinned_total") == c1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("watermark sidecar envelope: legacy bare-map bodies parse as version 0; the CAS rejects a stale writer and the rendered envelope round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_race8").toFile
     val path = dir.getAbsolutePath
