@@ -487,6 +487,48 @@ class IngestRaceSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("per-stream independence: one stream's fold and removal records never gate another stream's batches of the same ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_race13").toFile
+    val path = dir.getAbsolutePath
+    try {
+      Retrieval.writeChunkIndex(mkDocs(0, 40, "rcl"), path, nLists = 4,
+        fitBudget = 48)
+      assert(Retrieval.applyChunkIngestBatch(mkDocs(40, 50, "rcl"), path,
+        batchId = 0L, streamId = "sA"))
+      assert(Retrieval.applyChunkIngestBatch(mkDocs(50, 60, "rcl"), path,
+        batchId = 1L, streamId = "sA"))
+      assert(Retrieval.applyChunkIngestBatch(mkDocs(60, 70, "rcl"), path,
+        batchId = 0L, streamId = "sB"))
+      // sA rolls back ITS batch 1; sB is untouched
+      assert(Retrieval.removeChunkIngestBatch(spark, path, batchId = 1L,
+        streamId = "sA"))
+      assert(StreamCommit.compactMarkers(spark, path) ==
+        Map("sA" -> 1L, "sB" -> 0L),
+        "folds must advance per stream, across sA's recorded removal")
+      // sB's batch 1 must still apply — sA's removal record is namespaced
+      assert(Retrieval.applyChunkIngestBatch(mkDocs(70, 80, "rcl"), path,
+        batchId = 1L, streamId = "sB"))
+      assert(StreamCommit.compactMarkers(spark, path) ==
+        Map("sA" -> 1L, "sB" -> 1L))
+      // and sA's excised ids stay excised while sB's batch-1 ids are
+      // committed — asserted on the committed FILE view (hash embeddings
+      // carry no semantics, so a rank-based assertion would be luck)
+      val fs = StreamCommit.fs(spark, path)
+      val tags = StreamCommit.listMarkers(fs, path)
+        .map(m => StreamCommit.tag(m._1, m._2)).toSet
+      val st = StreamCommit.readWatermarkState(spark, path)
+      val committed = StreamCommit.committedDataFiles(fs,
+        Seq(s"${StreamCommit.escapeGlob(path)}/list=*/*"),
+        tags, st.watermarks, st.removed)
+      val ids = spark.read.option("basePath", path).parquet(committed: _*)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(!ids.exists(id => id >= 50L && id < 60L),
+        "sA's removed batch must stay out of the committed view")
+      assert((70L until 80L).forall(ids),
+        "sB's batch 1 must be fully committed")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("watermark sidecar envelope: legacy bare-map bodies parse as version 0; the CAS rejects a stale writer and the rendered envelope round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_race8").toFile
     val path = dir.getAbsolutePath
