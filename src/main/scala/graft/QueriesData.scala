@@ -1893,7 +1893,10 @@ object QueriesData {
     // oracle derives the same modulus from its own count.
     "d_ccnet_buckets" -> ((s, d) => {
       val all = docs(s, d)
+      // cache(): same six-consumer economics as d_lm_score — uncached, the
+      // five broadcast lookup sides re-run training concurrently
       val model = graft.text.LmScore.train(all.filter(col("doc_id") % 20 =!= 7))
+        .cache()
       val scored = graft.text.LmScore.score(all, model)
         .select(col("doc_id"), round(col("avg_logprob"), 5).as("lp"))
         .localCheckpoint(true) // thresholds + bucketing both read it

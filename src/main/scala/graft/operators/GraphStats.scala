@@ -88,8 +88,14 @@ object GraphStats {
     *   baseline). Counts are identical; only wedge volume differs.
     */
   def profile(edges: DataFrame, degreeOrdered: Boolean = true): DataFrame = {
+    // EAGER materialization (localCheckpoint, not a lazy persist): the
+    // result plan holds 4+ broadcast-exchange subqueries (outs/ins/recip/
+    // triCounts) that execute as CONCURRENT jobs — with a lazy persist they
+    // all race to compute the not-yet-cached upstream and the corpus-sized
+    // edge derivation runs ~4x in parallel (measured 63 CPU-s for a 57-edge
+    // domain graph at sf0.1; 14 CPU-s after). The checkpoint is edge-sized.
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
-      .where(col("src") =!= col("dst")).persist()
+      .where(col("src") =!= col("dst")).localCheckpoint(true)
     val pairs = e.select("src", "dst").distinct().persist()
     // canonical undirected pair set: one row per unordered pair, a < b
     val und = pairs
@@ -133,7 +139,7 @@ object GraphStats {
       o.unpersist(false)
       und.unpersist(false)
       pairs.unpersist(false)
-      e.unpersist(false)
+      graft.util.Checkpoints.free(e)
     }
   }
 }

@@ -40,12 +40,15 @@ object Hits {
   def ranks(edges: DataFrame, iterations: Int = 5,
             driverGateEdges: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val nEdges = edges.count()
-    require(nEdges > 0, "edge list is empty")
-    if (nEdges <= driverGateEdges)
-      return ranksDriver(edges, iterations)
+    // one upstream materialization for gate-count AND collect/iteration —
+    // same derived-edge-list economics as [[PageRank.ranks]]
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .persist()
+    val nEdges = e.count()
+    require(nEdges > 0, "edge list is empty")
+    if (nEdges <= driverGateEdges)
+      try return ranksDriver(e, iterations)
+      finally e.unpersist(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     // iteration-invariant tables released in finally; each superseded
@@ -98,8 +101,10 @@ object Hits {
   /** The under-gate path: identical micro-unit arithmetic on the driver. */
   private def ranksDriver(edges: DataFrame, iterations: Int): DataFrame = {
     val spark = edges.sparkSession
-    val es = edges.select(col("src"), col("dst"), col("w").cast("long"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // caller passes the already-projected, persisted edge table; this
+    // collect reads the cache the gate count just filled
+    val es = edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
     val n = nodes.length.toLong
     var hub: Map[String, Long] = nodes.map(_ -> math.round(1.0e9 / n)).toMap

@@ -59,9 +59,20 @@ object PageRank {
     require(iterations >= 0, "iterations must be >= 0")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     require(seeds.forall(_.nonEmpty), "seeds must be non-empty when given")
-    val nEdges = edges.count()
+    // One upstream materialization for gate-count AND iteration/collect:
+    // edge lists are DERIVED (a corpus-sized extraction pipeline sits
+    // above them), so `count()` here followed by `collect()` in the
+    // driver path — or the first iteration's scan in the distributed
+    // path — would run that extraction twice (measured: the whole second
+    // half of d_domain_rank's CPU at sf0.1). The projected edge table is
+    // persisted BEFORE the count so every later consumer reads the cache;
+    // released in the paths' own finally blocks.
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .persist()
+    val nEdges = e.count()
     if (nEdges <= driverGateEdges)
-      return ranksDriver(edges, iterations, damping, seeds)
+      try return ranksDriver(e, iterations, damping, seeds)
+      finally e.unpersist(false)
     // Each iteration references the previous rank vector twice
     // (contribution join + dangling anti-join), so an unbroken lineage
     // DOUBLES the logical plan per iteration — 2^T copies of the upstream
@@ -75,8 +86,6 @@ object PageRank {
     // they are re-read every iteration, never re-derived.
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
-      .persist()
     val edgeNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // Personalization: the teleport (and dangling) mass goes ONLY to the
@@ -154,8 +163,10 @@ object PageRank {
                           damping: Double,
                           seeds: Option[Seq[String]]): DataFrame = {
     val spark = edges.sparkSession
-    val es = edges.select(col("src"), col("dst"), col("w").cast("long"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // caller passes the already-projected, persisted edge table; this
+    // collect reads the cache the gate count just filled
+    val es = edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val nodes = (es.map(_._1) ++ es.map(_._2) ++ seeds.getOrElse(Nil))
       .distinct.sorted
     val n = nodes.length.toLong

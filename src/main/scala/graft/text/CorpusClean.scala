@@ -338,9 +338,19 @@ object CorpusClean {
 
   /** Registrable host key for per-domain caps: normalized host with a
     * leading `www.` stripped.
+    *
+    * Computed by direct host extraction rather than through
+    * [[normalizeUrl]]: the host group `[^/:?#]*` stops at the port colon
+    * and at the path, so of normalizeUrl's whole pipeline (≈14 regex
+    * evaluations for port/path/query/fragment/tracking-param handling)
+    * only scheme-gated host lowercasing is observable here — one extract +
+    * one replace, value-identical (domain-stability across normalizeUrl is
+    * spec-pinned in DataOpsSpec/UrlCurationSpec; this was ~60% of the
+    * crawl-graph entries' edge-derivation CPU).
     */
   def urlDomain(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val host = regexp_extract(normalizeUrl(url), "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    val host = lower(regexp_extract(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1))
     when(host === "", lit(null).cast("string"))
       .otherwise(regexp_replace(host, "^www\\.", ""))
   }

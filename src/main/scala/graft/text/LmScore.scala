@@ -72,8 +72,20 @@ object LmScore {
       * join sides) — un-cached, that re-runs training per use. Callers own
       * the lifecycle: pair with [[unpersist]] (or use [[save]]/[[LmModel.load]]
       * for the durable equivalent).
+      *
+      * Materialization is EAGER: [[score]]'s five model-side lookups are
+      * broadcast exchanges that execute as CONCURRENT driver jobs, and a
+      * lazy persist lets the uni/bi pairs race — each table's reference-
+      * corpus aggregation runs twice in parallel before either run can
+      * populate the cache (the same race [[graft.operators.GraphStats]]
+      * documents). Three sequential fills here make every later consumer a
+      * cache read.
       */
-    def cache(): LmModel = { uni.persist(); bi.persist(); tri.persist(); this }
+    def cache(): LmModel = {
+      uni.persist(); bi.persist(); tri.persist()
+      uni.count(); bi.count(); tri.count()
+      this
+    }
 
     def unpersist(): LmModel = {
       uni.unpersist(); bi.unpersist(); tri.unpersist(); this
