@@ -213,9 +213,15 @@ object QueriesData {
                               qs: DataFrame,
                               maxAuditDocs: Long = 200000L): Column = {
     if (docs(s, d).count() > maxAuditDocs) return lit(null).cast("double")
+    // checkpointed like withPairRecall's exact side: the brute-force
+    // scorer (a full corpus chunk+embed+score pass) feeds BOTH the total
+    // count and the semi-join's broadcast build — uncheckpointed it ran
+    // twice per audited entry (~2-3 s each across the five a_retrieval_*
+    // audit entries at sf0.1). The materialized table is ≤ queries×k rows.
     val exact = graft.ann.Retrieval.retrieveChunks(docs(s, d), qs, k = 5)
       .select(col("query_id").as("eq"), col("doc_id").as("ed"),
         col("chunk_idx").as("ec"))
+      .localCheckpoint(true)
     val total = exact.count()
     val hits = approx.join(broadcast(exact),
       col("query_id") === col("eq") && col("doc_id") === col("ed") &&

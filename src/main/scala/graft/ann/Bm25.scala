@@ -113,8 +113,16 @@ object Bm25 {
       .distinct()
     val avgdl = totalTokens.toDouble / nDocs
     // query vocabulary onto the postings scan: everything past this join
-    // is query-vocab postings, never whole-corpus postings
-    val matched = postings.join(qSide(q.select("term").distinct()), "term")
+    // is query-vocab postings, never whole-corpus postings. LEFT SEMI, not
+    // inner-with-distinct (row-identical for a single-column distinct set):
+    // Catalyst's PushDownLeftSemiAntiJoin moves a semi join below the
+    // postings AGGREGATE when the key is a grouping column, so non-query
+    // tokens are dropped BEFORE the (doc, dl, term) tf shuffle instead of
+    // after it — the direct path's postings exchange carries only
+    // query-vocabulary tokens (guide §2.3: shuffle fewer bytes). An inner
+    // join cannot be pushed through the aggregate.
+    val matched = postings.join(qSide(q.select("term").distinct()), Seq("term"),
+      "left_semi")
     // true df per term over the matched subset: a partial-aggregable
     // groupBy joined back — NEVER count().over(Window.partitionBy(term)),
     // which would funnel every posting of a term through ONE WindowExec

@@ -95,6 +95,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_sig"), "native kernel missing from the plan")
   }
 
+  test("bm25: query-vocab semi join is pushed below the postings aggregate") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") % 101 === 7)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val p = graft.ann.Bm25.topK(docs, qs, k = 5)
+      .queryExecution.explainString(FormattedMode)
+    // the vocabulary filter must drop non-query tokens BEFORE the tf
+    // aggregation's exchange (PushDownLeftSemiAntiJoin through Aggregate):
+    // the formatted plan lists operators leaves-first, so the semi join
+    // must appear at a smaller id than the partial HashAggregate above it.
+    // Cheap structural proxy: a LeftSemi join exists, and the plan still
+    // partial-aggregates (two HashAggregate levels for tf).
+    assert(p.contains("LeftSemi"), s"query-vocab semi join missing:\n${p.take(1500)}")
+    val semiIdx = p.indexOf("LeftSemi")
+    val aggAbove = p.lastIndexOf("HashAggregate", semiIdx)
+    assert(aggAbove >= 0,
+      "no aggregate above the semi join — pushdown below the tf agg regressed")
+  }
+
   test("repetition signals, corpus filter, and redaction are pure maps — zero shuffles") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
