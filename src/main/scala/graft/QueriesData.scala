@@ -1283,8 +1283,11 @@ object QueriesData {
           .select(col("list"),
             transform(col("cvec"), x => round(x * 1000000).cast("long"))
               .as("cmicro")), key)
+      // native codegen kernel, not aggregate(zip_with(...)): HOFs never
+      // reach doGenCode and this dot runs once per within-cluster CANDIDATE
+      // pair (the O(|c|²) leg) — value-identical exact long arithmetic
       def dotM(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        graft.functions.KFunctions.array_dot_long(a, b)
       val f = readFixture(s, fxA)
       val pairs = f.select(col("list"), col("id").as("id_a"),
           col("umicro").as("ua"))
@@ -4642,8 +4645,14 @@ object QueriesData {
     "d_semantic_prune" -> ((s, d) => {
       val e = emb(s, d)
       val n = e.count()
-      val pairs = Dedup.semanticPairs(e, "vec_id", "embedding",
+      val pairs0 = Dedup.semanticPairs(e, "vec_id", "embedding",
         nClusters = 16, threshold = 0.3, knownCount = Some(n))
+      // at audit scale the pair set feeds TWO consumers (the components
+      // closure below and the recall semi-join) — checkpoint the
+      // output-sized pair list so the k-means assignment + within-cell
+      // pair join run once, not twice. Above the gate the closure is the
+      // only consumer, so the plan stays untouched (and Explain-visible).
+      val pairs = if (n <= 5000L) pairs0.localCheckpoint(true) else pairs0
       val survivors = graft.dedup.Clusters
         .dropDuplicateGroups(e, "vec_id", pairs)
         .select(col("vec_id"), col("label"))

@@ -293,8 +293,17 @@ object Dedup {
     // After the collapse the band join runs over unique signatures only, and
     // group membership re-enters on the OUTPUT side, where pair count is the
     // answer's own size.
+    // MATERIALIZED (eager localCheckpoint): five consumers read this table
+    // (the hamming-0 cliques, both band-join sides, and the two id-rejoin
+    // sides of the cross pairs) — lazy, each re-ran the whole signature
+    // upstream (a simhash/dHash kernel pass over text, or a payload decode
+    // for the media callers) per consumer. The table is the distinct-sig
+    // proxy: 8-byte sigs + the id lists (O(input rows) longs), exactly the
+    // "decide with small rows" shape — orders of magnitude below the
+    // payloads it replaces at any scale.
     val groups = sigs.groupBy("sig")
       .agg(collect_list(col("id")).as("ids"))
+      .localCheckpoint(true)
 
     // hamming-0 cliques off the identical-sig groups via CHAINED explodes —
     // generators stream, so a clique of n duplicates costs n² output rows but
@@ -361,7 +370,11 @@ object Dedup {
     */
   def hammingClusters(sigs0: DataFrame, maxHamming: Int = 3,
                       checkpointDir: Option[String] = None): DataFrame = {
+    // materialized like hammingPairs' groups table, for the same reason:
+    // sigs feeds the rep collapse, the pair leg, and the membership
+    // re-entry join — lazy, each re-ran the signature kernel upstream
     val sigs = sigs0.toDF("id", "sig").filter(col("sig").isNotNull)
+      .localCheckpoint(true)
     val reps = sigs.groupBy("sig").agg(min("id").as("rep"))
     val pairs = hammingPairs(reps.select(col("rep").as("id"), col("sig")),
         maxHamming)

@@ -431,8 +431,13 @@ object Multimodal {
                             pairsCol: String): DataFrame = {
     require(minMatched >= 1, "minMatched must be >= 1")
     val MaxSegs = 1L << 20
+    // materialized: the segment-hash table feeds the hamming leg plus both
+    // media-id rejoin sides — lazy, each consumer re-ran the payload decode
+    // + per-segment dHash. The table is (media_id, idx, 8-byte hash): the
+    // lightweight proxy for payload bytes (guide-§8 shape).
     val fh = hashes
       .withColumn("fid", col("media_id") * lit(MaxSegs) + col(idxCol))
+      .localCheckpoint(true)
     val fp = graft.dedup.Dedup.hammingPairs(
       fh.select(col("fid").as("id"), col(sigCol).as("sig")), maxHamming)
     val m = fh.select(col("fid"), col("media_id"))
@@ -522,13 +527,17 @@ object Multimodal {
                                minMatched: Int, salt: String,
                                checkpointDir: Option[String]): DataFrame = {
     require(minMatched >= 1, "minMatched must be >= 1")
-    val seqs = hashes.groupBy("media_id").agg(
+    // materialized for the same reason as hashVotePairs' fh: the sequence
+    // fold, the representative semi-join, and the vote leg all read this
+    // proxy table — lazy, each re-decoded every payload
+    val hashesCk = hashes.localCheckpoint(true)
+    val seqs = hashesCk.groupBy("media_id").agg(
       count(lit(1)).as("nf"),
       bit_xor(xxhash64(col(idxCol), col(sigCol))).as("k1"),
       bit_xor(xxhash64(lit(salt), col(idxCol), col(sigCol))).as("k2"))
     val big = seqs.where(col("nf") >= minMatched)
     val reps = big.groupBy("nf", "k1", "k2").agg(min("media_id").as("rep"))
-    val repFh = hashes.join(reps.select(col("rep").as("media_id")),
+    val repFh = hashesCk.join(reps.select(col("rep").as("media_id")),
       Seq("media_id"), "left_semi")
     // the pair-count column is dropped immediately — only edges matter here
     val pairs = hashVotePairs(repFh, idxCol, sigCol, maxHamming,
