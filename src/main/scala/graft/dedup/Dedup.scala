@@ -191,8 +191,13 @@ object Dedup {
     val sigs = sigs0.toDF("id", "sig")
     // docs shorter than the shingle width have no shingle set — they all
     // share the sentinel signature and would pair quadratically as false
-    // jaccard-1.0 "duplicates"; shingle-based dedup simply doesn't apply
+    // jaccard-1.0 "duplicates"; shingle-based dedup simply doesn't apply.
+    // Materialized: both band-join sides read this table — lazy, each side
+    // re-ran the MinHashSig kernel (k xxhash folds per document's shingle
+    // set) over the corpus. k longs per doc — the standard signature proxy
+    // size, same class as hammingPairs' groups table.
     val pairable = sigs.filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .localCheckpoint(true)
     val banded = pairable.select(col("id"), col("sig"),
         explode(lshBands(col("sig"), bands, k)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))

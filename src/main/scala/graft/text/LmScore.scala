@@ -157,12 +157,33 @@ object LmScore {
     */
   def train(reference: DataFrame, textCol: String = "text"): LmModel = {
     val t = toks(col(textCol))
-    val uni = reference.select(explode(t).as("w"))
-      .groupBy("w").agg(count(lit(1)).cast("double").as("c1"))
-    val bi = reference.select(explode(TextFunctions.shingles(lower(col(textCol)), 2)).as("g2"))
-      .groupBy("g2").agg(count(lit(1)).cast("double").as("c2"))
-    val tri = reference.select(explode(TextFunctions.shingles(lower(col(textCol)), 3)).as("g3"))
-      .groupBy("g3").agg(count(lit(1)).cast("double").as("c3"))
+    // ONE reference pass for all three orders (was three: each order
+    // re-read and re-tokenized the corpus). The token array is computed
+    // once per row; its 1-, 2- and 3-gram views (the same word_shingles
+    // kernel the per-order form used, so gram strings are bit-identical)
+    // concatenate tagged by order into one explode and one (order, gram)
+    // count shuffle. Materialized eagerly: uni/bi/tri are filters of this
+    // table, so the N sum, the cache fills and score's five broadcast
+    // sides all read counts instead of re-aggregating.
+    val comb = reference
+      .select(t.as("__t"))
+      .where(col("__t").isNotNull)
+      .select(explode(concat(
+        transform(col("__t"),
+          w => struct(lit(1).as("o"), w.as("g"))),
+        transform(graft.functions.KFunctions.word_shingles(col("__t"), 2),
+          g => struct(lit(2).as("o"), g.as("g"))),
+        transform(graft.functions.KFunctions.word_shingles(col("__t"), 3),
+          g => struct(lit(3).as("o"), g.as("g"))))).as("x"))
+      .groupBy(col("x.o").as("o"), col("x.g").as("g"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .localCheckpoint(true)
+    val uni = comb.where(col("o") === 1)
+      .select(col("g").as("w"), col("c").as("c1"))
+    val bi = comb.where(col("o") === 2)
+      .select(col("g").as("g2"), col("c").as("c2"))
+    val tri = comb.where(col("o") === 3)
+      .select(col("g").as("g3"), col("c").as("c3"))
     val nRow = uni.agg(sum("c1")).head()
     // sum over an empty vocabulary is SQL NULL — fail loudly rather than
     // NPE here or divide by zero at scoring time
