@@ -33,7 +33,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // measure the disk BEFORE Spark starts dirtying the page cache
     val diskMbS = diskWriteMbPerSec()
-    def newSession(): SparkSession = {
+    def buildSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -43,6 +43,24 @@ object Bench {
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
       s
+    }
+    // An OOM-killed context stops ASYNCHRONOUSLY: `stopped` flips early but
+    // the context unregisters only when stop() completes, and a getOrCreate
+    // inside that window adopts the still-registered stopped context and
+    // throws assertNotStopped — which killed a whole sf10 battery after a
+    // single task OOM (r14; the r13 revival had the same window). Bounded
+    // wait-and-retry until the old context finishes unregistering.
+    def newSession(): SparkSession = {
+      var last: Throwable = null
+      var i = 0
+      while (i < 120) {
+        try return buildSession()
+        catch {
+          case e: IllegalStateException =>
+            last = e; Thread.sleep(1000); i += 1
+        }
+      }
+      throw last
     }
     // the session is a VAR so a context-fatal entry (e.g. a task OOM in
     // local mode stops the one SparkContext) costs ONE error row, not the
@@ -106,6 +124,9 @@ object Bench {
         SparkSession.clearDefaultSession()
         spark = newSession()
       }
+      // label the entry's jobs (guide §1.5) so a crash log or the UI maps
+      // stages back to the battery entry without timing archaeology
+      spark.sparkContext.setJobDescription(s"bench: $name")
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and flatter the numbers)
       def onePass(): (Double, Double, Option[String]) = {

@@ -48,7 +48,7 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    def newSession(): SparkSession = {
+    def buildSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -58,6 +58,21 @@ object Verify {
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
+    }
+    // bounded wait-and-retry around getOrCreate, like Bench: an OOM-killed
+    // context unregisters asynchronously, and a getOrCreate in that window
+    // adopts the stopped context and throws assertNotStopped
+    def newSession(): SparkSession = {
+      var last: Throwable = null
+      var i = 0
+      while (i < 120) {
+        try return buildSession()
+        catch {
+          case e: IllegalStateException =>
+            last = e; Thread.sleep(1000); i += 1
+        }
+      }
+      throw last
     }
     // var + per-entry revival, like Bench: a context-fatal entry (local-mode
     // task OOM stops the ONE SparkContext) must cost its own error row, not
