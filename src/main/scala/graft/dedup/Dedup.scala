@@ -197,7 +197,8 @@ object Dedup {
     // set) over the corpus. k longs per doc — the standard signature proxy
     // size, same class as hammingPairs' groups table.
     val pairable = sigs.filter(element_at(col("sig"), 1) =!= Long.MaxValue)
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val banded = pairable.select(col("id"), col("sig"),
         explode(lshBands(col("sig"), bands, k)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
@@ -308,7 +309,8 @@ object Dedup {
     // payloads it replaces at any scale.
     val groups = sigs.groupBy("sig")
       .agg(collect_list(col("id")).as("ids"))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // hamming-0 cliques off the identical-sig groups via CHAINED explodes —
     // generators stream, so a clique of n duplicates costs n² output rows but
@@ -379,7 +381,8 @@ object Dedup {
     // sigs feeds the rep collapse, the pair leg, and the membership
     // re-entry join — lazy, each re-ran the signature kernel upstream
     val sigs = sigs0.toDF("id", "sig").filter(col("sig").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val reps = sigs.groupBy("sig").agg(min("id").as("rep"))
     val pairs = hammingPairs(reps.select(col("rep").as("id"), col("sig")),
         maxHamming)

@@ -437,7 +437,8 @@ object Multimodal {
     // lightweight proxy for payload bytes (guide-§8 shape).
     val fh = hashes
       .withColumn("fid", col("media_id") * lit(MaxSegs) + col(idxCol))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val fp = graft.dedup.Dedup.hammingPairs(
       fh.select(col("fid").as("id"), col(sigCol).as("sig")), maxHamming)
     val m = fh.select(col("fid"), col("media_id"))
@@ -530,7 +531,8 @@ object Multimodal {
     // materialized for the same reason as hashVotePairs' fh: the sequence
     // fold, the representative semi-join, and the vote leg all read this
     // proxy table — lazy, each re-decoded every payload
-    val hashesCk = hashes.localCheckpoint(true)
+    val hashesCk = hashes.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val seqs = hashesCk.groupBy("media_id").agg(
       count(lit(1)).as("nf"),
       bit_xor(xxhash64(col(idxCol), col(sigCol))).as("k1"),
