@@ -50,9 +50,16 @@ object LmScore {
   private def toks(textCol: Column): Column =
     TextFunctions.tokens(lower(textCol))
 
-  /** Trained counts. `totalTokens` is N (the unigram denominator). */
+  /** Trained counts. `totalTokens` is N (the unigram denominator).
+    * `combCk` is the backing (order, gram) count checkpoint when the model
+    * came from [[train]] — uni/bi/tri are filters of it, and it persists at
+    * the RDD layer (below the SQL cache manager), so [[unpersist]] must
+    * free it explicitly or every train() call leaks a gram-table-sized
+    * block set into the session (ADVICE r14).
+    */
   final case class LmModel(uni: DataFrame, bi: DataFrame, tri: DataFrame,
-                           totalTokens: Long) {
+                           totalTokens: Long,
+                           combCk: Option[DataFrame] = None) {
 
     /** Persist the model as three parquet tables + a JSON sidecar with N
       * (shared [[graft.util.Sidecar]] convention, like the ANN layouts).
@@ -88,7 +95,9 @@ object LmScore {
     }
 
     def unpersist(): LmModel = {
-      uni.unpersist(); bi.unpersist(); tri.unpersist(); this
+      uni.unpersist(); bi.unpersist(); tri.unpersist()
+      combCk.foreach(graft.util.Checkpoints.free)
+      this
     }
   }
 
@@ -164,7 +173,11 @@ object LmScore {
     // concatenate tagged by order into one explode and one (order, gram)
     // count shuffle. Materialized eagerly: uni/bi/tri are filters of this
     // table, so the N sum, the cache fills and score's five broadcast
-    // sides all read counts instead of re-aggregating.
+    // sides all read counts instead of re-aggregating. DISK_ONLY like the
+    // signature-proxy checkpoints (r14 policy): the gram-count table is
+    // vocabulary-sized, and deserialized MEMORY_AND_DISK blocks bid
+    // against the scoring joins' heap — the suspected d_lm_score sf1 GC
+    // cliff (r14 verdict item 1).
     val comb = reference
       .select(t.as("__t"))
       .where(col("__t").isNotNull)
@@ -177,7 +190,8 @@ object LmScore {
           g => struct(lit(3).as("o"), g.as("g"))))).as("x"))
       .groupBy(col("x.o").as("o"), col("x.g").as("g"))
       .agg(count(lit(1)).cast("double").as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val uni = comb.where(col("o") === 1)
       .select(col("g").as("w"), col("c").as("c1"))
     val bi = comb.where(col("o") === 2)
@@ -189,7 +203,7 @@ object LmScore {
     // NPE here or divide by zero at scoring time
     require(!nRow.isNullAt(0) && nRow.getDouble(0) > 0,
       "reference corpus has no tokens to train on")
-    LmModel(uni, bi, tri, nRow.getDouble(0).toLong)
+    LmModel(uni, bi, tri, nRow.getDouble(0).toLong, combCk = Some(comb))
   }
 
   /** Score every document with >= 1 token. Output:
