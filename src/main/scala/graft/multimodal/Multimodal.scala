@@ -431,20 +431,24 @@ object Multimodal {
                             pairsCol: String): DataFrame = {
     require(minMatched >= 1, "minMatched must be >= 1")
     val MaxSegs = 1L << 20
-    // materialized: the segment-hash table feeds the hamming leg plus both
-    // media-id rejoin sides — lazy, each consumer re-ran the payload decode
-    // + per-segment dHash. The table is (media_id, idx, 8-byte hash): the
-    // lightweight proxy for payload bytes (guide-§8 shape).
+    // fid packs (media_id, idx) bijectively — the fingerprint producers
+    // require idx < 2^20 — so the media id comes back out of a pair id by
+    // ONE arithmetic shift (floor division by 2^20, exact for idx in
+    // [0, 2^20) at any media_id sign). The previous form rejoined the
+    // segment-hash table twice to recover (fid -> media_id): two extra
+    // exchanges of the full segment-id map per vote, plus a checkpoint of
+    // the hash table to keep those three consumers from re-decoding
+    // payloads. With the joins gone the hamming leg is the SOLE consumer,
+    // so the checkpoint goes too (fan-out callers, e.g. sequenceClusters,
+    // stage the hashes themselves).
     val fh = hashes
       .withColumn("fid", col("media_id") * lit(MaxSegs) + col(idxCol))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val fp = graft.dedup.Dedup.hammingPairs(
       fh.select(col("fid").as("id"), col(sigCol).as("sig")), maxHamming)
-    val m = fh.select(col("fid"), col("media_id"))
     val mapped = fp
-      .join(m.select(col("fid").as("id_a"), col("media_id").as("ma")), Seq("id_a"))
-      .join(m.select(col("fid").as("id_b"), col("media_id").as("mb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        shiftright(col("id_a"), 20).as("ma"),
+        shiftright(col("id_b"), 20).as("mb"))
       .filter(col("ma") =!= col("mb"))
     mapped
       .select(least(col("ma"), col("mb")).as("id_a"),
