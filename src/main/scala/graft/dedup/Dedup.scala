@@ -1079,6 +1079,13 @@ object Dedup {
     // ~2^64 grams — comfortably past any corpus (10^12 grams ≈ 2^40 gives
     // a ~2^-48 collision probability). Measured 105 → 58 s on the sf10
     // d_curation_pipeline whose profile this stage dominated at 86%.
+    // NOT staged, on measurement (r15): checkpointing this hashed-position
+    // table DISK_ONLY to fuse its two consumers was A/B'd at sf1 and LOST
+    // (d_dup_spans 28.1 -> 47.9 CPU-s, trim 27.9 -> 35.0, curation
+    // 83.5 -> 101.6): the table is corpus-position-sized, and serializing
+    // + writing + re-reading it costs more than the tokenize/shingle/hash
+    // recompute it saves — the ratio is scale-invariant (both sides grow
+    // linearly in corpus tokens), so the double evaluation stays.
     val pos = toks
       .where(size(col("t")) >= windowN)
       .select(col(idCol), posexplode(
@@ -1136,6 +1143,13 @@ object Dedup {
       coalesce(size(col("t")), lit(0)).as("n_tokens"))
     // same 128-bit gram-key narrowing as [[trimDupSpans]]: the gram string
     // stays inside the scan stage, exchanges carry 16 B keys
+    // NOT staged, on measurement (r15): checkpointing this hashed-position
+    // table DISK_ONLY to fuse its two consumers was A/B'd at sf1 and LOST
+    // (d_dup_spans 28.1 -> 47.9 CPU-s, trim 27.9 -> 35.0, curation
+    // 83.5 -> 101.6): the table is corpus-position-sized, and serializing
+    // + writing + re-reading it costs more than the tokenize/shingle/hash
+    // recompute it saves — the ratio is scale-invariant (both sides grow
+    // linearly in corpus tokens), so the double evaluation stays.
     val pos = toks
       .where(size(col("t")) >= windowN)
       .select(col(idCol), posexplode(
